@@ -1,0 +1,577 @@
+"""Query registry — the driver-facing correctness surface.
+
+Each entry pairs a Spark DataFrame implementation with a DuckDB oracle SQL
+string over the same parquet fixture tables. Names map to the SURVEY.md §2
+operator inventory (S/P/J/A/W/F ids) plus the beyond-reference
+training-data surface. Column aliases are kept identical on both sides —
+the driver compares sorted-by-name columns with an order-insensitive
+value hash.
+
+Conventions for cross-engine determinism:
+- money/double aggregates rounded to 2 (or 4) decimals on BOTH sides;
+- arrays always ``array_sort``/``list_sort``-ed;
+- ids cast to BIGINT on both sides where arithmetic could change width;
+- every top-k has a total deterministic tie-break order.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .functions.text import fixcase_col, package_tags_col, tagify_col
+from .functions.json_codec import encode_datetime
+from .operators.joins import (
+    broadcast_left_join_with_defaults,
+    exists_split,
+    mn_bridge_collect,
+    stale_rows,
+)
+from .operators.hierarchy import tree_closure
+from .functions.diff import changed_rows
+from .sources.parquet import load_table
+
+SparkQuery = Callable[[SparkSession, str], DataFrame]
+
+_QUERIES: dict[str, SparkQuery] = {}
+_ORACLES: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn: SparkQuery) -> SparkQuery:
+        _QUERIES[name] = fn
+        if oracle is not None:
+            _ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# §2.1/2.2 scans, filters, projections
+# ---------------------------------------------------------------------------
+
+@query(
+    "s2_filtered_scan",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+    FROM orders WHERE o_orderstatus = 'O'
+    """,
+)
+def s2_filtered_scan(spark: SparkSession, sf: str) -> DataFrame:
+    """S2/P1: status-filtered fact scan (reference: STATUSAS='U',
+    odgovlt.py:336-342). Filter + pruning reach the parquet scan."""
+    return (
+        load_table(spark, sf, "orders")
+        .filter(F.col("o_orderstatus") == "O")
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+    )
+
+
+@query("s5_point_lookup", "SELECT * FROM customer WHERE c_custkey = 42")
+def s5_point_lookup(spark: SparkSession, sf: str) -> DataFrame:
+    """S5-S7: point lookup by PK (reference fetchone(), odgovlt.py:184)."""
+    return load_table(spark, sf, "customer").filter(F.col("c_custkey") == 42)
+
+
+@query(
+    "p4_projection_rename",
+    """
+    SELECT o_orderkey AS id, o_orderpriority AS priority,
+           strftime(o_orderdate, '%Y-%m-%dT%H:%M:%S') AS order_date,
+           o_totalprice AS total
+    FROM orders
+    """,
+)
+def p4_projection_rename(spark: SparkSession, sf: str) -> DataFrame:
+    """P4 + F7: projection/rename with the reference's datetime JSON
+    format (odgovlt.py:383-406, 131-140)."""
+    o = load_table(spark, sf, "orders")
+    return o.select(
+        F.col("o_orderkey").alias("id"),
+        F.col("o_orderpriority").alias("priority"),
+        encode_datetime(F.col("o_orderdate")).alias("order_date"),
+        F.col("o_totalprice").alias("total"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.3 joins
+# ---------------------------------------------------------------------------
+
+@query(
+    "j1_left_join_default",
+    """
+    SELECT o.o_orderkey, COALESCE(c.c_name, 'Unknown User') AS maintainer
+    FROM orders o
+    LEFT JOIN (SELECT * FROM customer WHERE c_acctbal > 0) c
+      ON o.o_custkey = c.c_custkey
+    """,
+)
+def j1_left_join_default(spark: SparkSession, sf: str) -> DataFrame:
+    """J1 + P7: broadcast left join with 'Unknown User' fallback
+    (odgovlt.py:183-215). Positive-balance filter simulates missing dim
+    rows so the default path is exercised."""
+    orders = load_table(spark, sf, "orders")
+    dim = (
+        load_table(spark, sf, "customer")
+        .filter(F.col("c_acctbal") > 0)
+        .select("c_custkey", F.col("c_name").alias("maintainer"))
+    )
+    joined = broadcast_left_join_with_defaults(
+        orders,
+        dim,
+        on=orders["o_custkey"] == dim["c_custkey"],
+        defaults={"maintainer": "Unknown User"},
+    )
+    return joined.select("o_orderkey", "maintainer")
+
+
+@query(
+    "j2_dim_chain",
+    """
+    SELECT r_name, n_name, CAST(count(*) AS BIGINT) AS n_customers
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+                  JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name, n_name
+    """,
+)
+def j2_dim_chain(spark: SparkSession, sf: str) -> DataFrame:
+    """J2: dimension chain join (dataset⋈org analog) — both dims broadcast."""
+    c = load_table(spark, sf, "customer")
+    n = load_table(spark, sf, "nation")
+    r = load_table(spark, sf, "region")
+    return (
+        c.join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy("r_name", "n_name")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+@query(
+    "j3_mn_collect",
+    """
+    SELECT l_orderkey, list_sort(list(DISTINCT p_brand)) AS brands
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY l_orderkey
+    """,
+)
+def j3_mn_collect(spark: SparkSession, sf: str) -> DataFrame:
+    """J3/A1-A3: M:N bridge join + per-fact DISTINCT sorted list
+    (reference walks the bridge per dataset, odgovlt.py:320-334)."""
+    li = load_table(spark, sf, "lineitem")
+    part = load_table(spark, sf, "part")
+    return mn_bridge_collect(
+        bridge=li,
+        dim=part,
+        fact_key="l_orderkey",
+        bridge_fact_key="l_orderkey",
+        bridge_dim_key="l_partkey",
+        dim_key="p_partkey",
+        collect_col=F.col("p_brand"),
+        alias="brands",
+    )
+
+
+@query(
+    "j4_anti_existence",
+    "SELECT c_custkey FROM customer c WHERE NOT EXISTS "
+    "(SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)",
+)
+def j4_anti_existence(spark: SparkSession, sf: str) -> DataFrame:
+    """J4-J6 anti side: entities missing from the sink → create set
+    (odgovlt.py:205-211)."""
+    c = load_table(spark, sf, "customer")
+    o = load_table(spark, sf, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    to_create, _ = exists_split(c, o, on="c_custkey")
+    return to_create.select("c_custkey")
+
+
+@query(
+    "j4_semi_existence",
+    "SELECT c_custkey FROM customer c WHERE EXISTS "
+    "(SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)",
+)
+def j4_semi_existence(spark: SparkSession, sf: str) -> DataFrame:
+    """J4-J6 semi side: entities already present → reuse set."""
+    c = load_table(spark, sf, "customer")
+    o = load_table(spark, sf, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    _, present = exists_split(c, o, on="c_custkey")
+    return present.select("c_custkey")
+
+
+@query(
+    "j7_stale_anti",
+    """
+    SELECT o_orderkey FROM orders e
+    WHERE NOT EXISTS (
+        SELECT 1 FROM orders i WHERE i.o_orderstatus = 'O'
+          AND i.o_orderkey = e.o_orderkey)
+      AND e.o_orderpriority = '1-URGENT'
+    """,
+)
+def j7_stale_anti(spark: SparkSession, sf: str) -> DataFrame:
+    """J7: stale-set anti join + ownership filter (delete set,
+    odgovlt.py:312-318). 'Existing sink' = all orders; 'incoming source' =
+    still-open orders; ownership predicate keeps only urgent ones."""
+    existing = load_table(spark, sf, "orders")
+    incoming = existing.filter(F.col("o_orderstatus") == "O").select("o_orderkey")
+    stale = stale_rows(
+        existing,
+        incoming,
+        on="o_orderkey",
+        ownership_filter=F.col("o_orderpriority") == "1-URGENT",
+    )
+    return stale.select("o_orderkey")
+
+
+# ---------------------------------------------------------------------------
+# §2.4 aggregation / distinct
+# ---------------------------------------------------------------------------
+
+@query(
+    "a1_groupby_collect",
+    "SELECT n_regionkey, list_sort(list(n_name)) AS names "
+    "FROM nation GROUP BY n_regionkey",
+)
+def a1_groupby_collect(spark: SparkSession, sf: str) -> DataFrame:
+    """A1/A3: group-by-parent with list aggregation (defaultdict index,
+    odgovlt.py:302-306)."""
+    n = load_table(spark, sf, "nation")
+    return n.groupBy("n_regionkey").agg(
+        F.array_sort(F.collect_list("n_name")).alias("names")
+    )
+
+
+@query("a2_distinct", "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem")
+def a2_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    """A2: distinct (Python set(), odgovlt.py:321-327)."""
+    return load_table(spark, sf, "lineitem").select("l_returnflag", "l_linestatus").distinct()
+
+
+# ---------------------------------------------------------------------------
+# §2.5 hierarchy closure
+# ---------------------------------------------------------------------------
+
+@query(
+    "w1_tree_closure",
+    """
+    WITH RECURSIVE nodes AS (
+        SELECT CAST(r_regionkey + 1 AS BIGINT) AS id, CAST(0 AS BIGINT) AS parent_id
+        FROM region
+        UNION ALL
+        SELECT CAST(n_nationkey + 100 AS BIGINT), CAST(n_regionkey + 1 AS BIGINT)
+        FROM nation
+    ), walk AS (
+        SELECT id, parent_id, id AS root_id, 1 AS depth FROM nodes WHERE parent_id = 0
+        UNION ALL
+        SELECT n.id, n.parent_id, w.root_id, w.depth + 1
+        FROM nodes n JOIN walk w ON n.parent_id = w.id
+    )
+    SELECT id, parent_id, root_id, CAST(depth AS BIGINT) AS depth FROM walk
+    """,
+)
+def w1_tree_closure(spark: SparkSession, sf: str) -> DataFrame:
+    """W1/J8: adjacency-list transitive closure via iterative self-join
+    (reference recursion odgovlt.py:260-290). Regions become roots,
+    nations their children."""
+    n = load_table(spark, sf, "nation")
+    r = load_table(spark, sf, "region")
+    nodes = r.select(
+        (F.col("r_regionkey") + 1).cast("long").alias("id"),
+        F.lit(0).cast("long").alias("parent_id"),
+    ).unionByName(
+        n.select(
+            (F.col("n_nationkey") + 100).cast("long").alias("id"),
+            (F.col("n_regionkey") + 1).cast("long").alias("parent_id"),
+        )
+    )
+    closure = tree_closure(nodes, id_col="id", parent_col="parent_id", root_parent=0)
+    return closure.select("id", "parent_id", "root_id", F.col("depth").cast("long").alias("depth"))
+
+
+# ---------------------------------------------------------------------------
+# §2.7 scalar functions
+# ---------------------------------------------------------------------------
+
+_FIXCASE_SQL = """
+CASE WHEN length({c}) > 1
+      AND regexp_matches(substr({c}, 1, 2), '^\\p{{L}}\\p{{L}}$')
+      AND regexp_matches(substr({c}, 1, 1), '^\\p{{Lu}}$')
+      AND regexp_matches(substr({c}, 2, 1), '^\\p{{Ll}}$')
+     THEN lower(substr({c}, 1, 1)) || substr({c}, 2)
+     ELSE {c} END
+"""
+
+
+@query(
+    "f1_fixcase",
+    f"""
+    SELECT c_custkey,
+           {_FIXCASE_SQL.format(c='c_name')} AS fixed_name,
+           {_FIXCASE_SQL.format(c='c_mktsegment')} AS fixed_segment
+    FROM customer
+    """,
+)
+def f1_fixcase(spark: SparkSession, sf: str) -> DataFrame:
+    """F1: acronym-protecting first-letter lowercasing (odgovlt.py:32-36)."""
+    c = load_table(spark, sf, "customer")
+    return c.select(
+        "c_custkey",
+        fixcase_col(F.col("c_name")).alias("fixed_name"),
+        fixcase_col(F.col("c_mktsegment")).alias("fixed_segment"),
+    )
+
+
+@query(
+    "f3_tagify",
+    r"""
+    SELECT p_partkey,
+           trim(regexp_replace(p_brand || ' ' || p_name, '\W+', ' ', 'g')) AS tag
+    FROM part
+    """,
+)
+def f3_tagify(spark: SparkSession, sf: str) -> DataFrame:
+    """F3: collapse non-word runs to single spaces (odgovlt.py:74-76)."""
+    p = load_table(spark, sf, "part")
+    return p.select(
+        "p_partkey",
+        tagify_col(F.concat_ws(" ", F.col("p_brand"), F.col("p_name"))).alias("tag"),
+    )
+
+
+_FIXCASE_LAMBDA_SQL = _FIXCASE_SQL.format(c="trim(x)")
+
+@query(
+    "f4_package_tags",
+    f"""
+    SELECT p_partkey,
+           list_filter(
+             list_transform(
+               str_split(replace(p_type || ';' || p_name || ',' || p_brand, ';', ','), ','),
+               x -> lower(trim(regexp_replace({_FIXCASE_LAMBDA_SQL}, '\\W+', ' ', 'g')))
+             ),
+             t -> length(t) BETWEEN 2 AND 100
+           ) AS tags
+    FROM part
+    """,
+)
+def f4_package_tags(spark: SparkSession, sf: str) -> DataFrame:
+    """F4 + P8/P9: full packed-keyword tokenization pipeline
+    (odgovlt.py:79-94) as order-preserving higher-order functions."""
+    p = load_table(spark, sf, "part")
+    packed = F.concat_ws("", F.col("p_type"), F.lit(";"), F.col("p_name"), F.lit(","), F.col("p_brand"))
+    return p.select("p_partkey", package_tags_col(packed).alias("tags"))
+
+
+@query(
+    "f9_json_extract",
+    """
+    SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+    FROM events
+    """,
+)
+def f9_json_extract(spark: SparkSession, sf: str) -> DataFrame:
+    """F9/S11: JSON payload decode (odgovlt.py:378)."""
+    e = load_table(spark, sf, "events")
+    return e.select(
+        "event_id", F.get_json_object("props", "$.k").cast("long").alias("k")
+    )
+
+
+@query(
+    "f5_changed_rows",
+    """
+    WITH new AS (
+        SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+    ), old AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 5 = 0 THEN 'X' ELSE o_orderstatus END AS o_orderstatus,
+               o_totalprice
+        FROM orders WHERE o_orderkey % 13 <> 0
+    )
+    SELECT n.o_orderkey, n.o_orderstatus, n.o_totalprice,
+           CASE WHEN o.o_orderkey IS NULL THEN 'create'
+                WHEN n.o_orderstatus <> o.o_orderstatus
+                  OR n.o_totalprice <> o.o_totalprice THEN 'update'
+           END AS _change_kind
+    FROM new n LEFT JOIN old o ON n.o_orderkey = o.o_orderkey
+    WHERE CASE WHEN o.o_orderkey IS NULL THEN 'create'
+               WHEN n.o_orderstatus <> o.o_orderstatus
+                 OR n.o_totalprice <> o.o_totalprice THEN 'update'
+          END IS NOT NULL
+    """,
+)
+def f5_changed_rows(spark: SparkSession, sf: str) -> DataFrame:
+    """F5: asymmetric deep-diff change gating as one join + canonical
+    compare (odgovlt.py:112-124) — only changed rows reach the sink.
+    The 'old' snapshot drops every 13th key (→ create) and corrupts the
+    status of every 5th (→ update)."""
+    o = load_table(spark, sf, "orders")
+    new = o.select("o_orderkey", "o_orderstatus", "o_totalprice")
+    old = (
+        o.filter(F.col("o_orderkey") % 13 != 0)
+        .select(
+            "o_orderkey",
+            F.when(F.col("o_orderkey") % 5 == 0, F.lit("X"))
+            .otherwise(F.col("o_orderstatus"))
+            .alias("o_orderstatus"),
+            "o_totalprice",
+        )
+    )
+    return changed_rows(new, old, key="o_orderkey")
+
+
+# ---------------------------------------------------------------------------
+# Standard analytics surface (free in Spark; exercised by bench)
+# ---------------------------------------------------------------------------
+
+@query(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           CAST(count(*) AS BIGINT) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf: str) -> DataFrame:
+    """Flagship: TPC-H Q1-shaped pricing summary (map-side partial agg,
+    2 grouping keys → trivially parallel at any scale)."""
+    li = load_table(spark, sf, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@query(
+    "q3_top_revenue",
+    """
+    SELECT o.o_orderkey, round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           strftime(o.o_orderdate, '%Y-%m-%dT%H:%M:%S') AS order_date
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderstatus = 'O'
+    GROUP BY o.o_orderkey, o.o_orderdate
+    ORDER BY revenue DESC, o.o_orderkey
+    LIMIT 10
+    """,
+)
+def q3_top_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q3-shaped top-k revenue with deterministic tie-break."""
+    o = load_table(spark, sf, "orders").filter(F.col("o_orderstatus") == "O")
+    li = load_table(spark, sf, "lineitem")
+    return (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .groupBy(o["o_orderkey"], "o_orderdate")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .select(
+            "o_orderkey", "revenue", encode_datetime(F.col("o_orderdate")).alias("order_date")
+        )
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+@query(
+    "q5_supplier_volume",
+    """
+    SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY n_name
+    """,
+)
+def q5_supplier_volume(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q5-shaped star join — all dims broadcast, single shuffle on
+    the final 1-key aggregation."""
+    li = load_table(spark, sf, "lineitem")
+    s = load_table(spark, sf, "supplier")
+    n = load_table(spark, sf, "nation")
+    r = load_table(spark, sf, "region")
+    return (
+        li.join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+@query(
+    "window_top_order_per_customer",
+    """
+    SELECT o_custkey, o_orderkey, o_totalprice
+    FROM orders
+    QUALIFY row_number() OVER (
+        PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) = 1
+    """,
+)
+def window_top_order_per_customer(spark: SparkSession, sf: str) -> DataFrame:
+    """Window function surface: deterministic per-group top-1."""
+    from pyspark.sql.window import Window
+
+    o = load_table(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+    )
+
+
+@query(
+    "events_hourly_rollup",
+    """
+    SELECT date_trunc('hour', ts) AS bucket, event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def events_hourly_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    """Event-time tumbling window (batch form of the streaming surface;
+    §2.8). ``window()`` start == date_trunc('hour')."""
+    e = load_table(spark, sf, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(F.col("w.start").alias("bucket"), "event_type", "n_events", "total_value")
+    )
+
+
+def all_queries() -> dict[str, SparkQuery]:
+    return dict(_QUERIES)
+
+
+def all_oracles() -> dict[str, str]:
+    return dict(_ORACLES)
