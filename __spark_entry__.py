@@ -13,6 +13,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from opendata_gov_lt_mysql_import_spark.queries import all_oracles, all_queries
+import opendata_gov_lt_mysql_import_spark.queries_ml  # noqa: F401  (registers ML queries)
 
 
 def entry(spark: SparkSession) -> DataFrame:

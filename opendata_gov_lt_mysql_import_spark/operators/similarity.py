@@ -1,0 +1,134 @@
+"""Similarity search over embedding columns (beyond-reference surface).
+
+Two tiers:
+
+- **Brute-force cosine top-k** — exact; one pass over the table with a
+  broadcast query vector. The correctness baseline, and still the right
+  answer for "top-k against a handful of queries" even at scale (it's a
+  single projection + TopK, no shuffle of the fact table).
+- **Random-hyperplane LSH (sign-bucket) ANN** — candidate generation by
+  signature prefix bucket; probes only matching buckets. The scale path
+  for many-query / all-pairs workloads. Deterministic: hyperplanes come
+  from a seeded numpy RandomState baked into the plan as literals.
+
+Vector math uses JVM higher-order functions (``zip_with``/``aggregate``)
+in double precision — deterministic, portable, no Python per row.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential left-to-right double-precision dot product (bit-stable
+    across engines that reduce sequentially)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_topk(
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k by cosine similarity to a constant query vector.
+    Deterministic tie-break on id. Returns (id, sim)."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    scored = emb.select(
+        F.col(id_col), cosine(F.col(vec_col), q).alias("sim")
+    )
+    return scored.orderBy(F.desc("sim"), F.asc(id_col)).limit(k)
+
+
+def hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
+    return np.random.RandomState(seed).normal(size=(n_planes, dim))
+
+
+def lsh_signature(vec: Column, planes: np.ndarray) -> Column:
+    """Sign-bit signature as a bigint: bit i = 1 iff vec · plane_i > 0."""
+    sig = F.lit(0).cast("long")
+    for i, plane in enumerate(planes):
+        p = F.array(*[F.lit(float(x)) for x in plane])
+        sig = sig + F.when(dot(vec, p) > 0, F.lit(1 << i).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return sig
+
+
+def ann_lsh_topk(
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_planes: int = 12,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_hamming: int = 2,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: score only vectors whose LSH signature is within
+    ``max_hamming`` bits of the query's signature.
+
+    At cluster scale the signature is a partitioning/bucketing key, so the
+    probe touches a bounded subset of partitions; here it is a filter
+    (bit_count of xor) that still avoids the full cosine computation for
+    non-candidates."""
+    dim = len(query_vec)
+    planes = hyperplanes(dim, n_planes, seed)
+    qsig = 0
+    for i, plane in enumerate(planes):
+        if float(np.dot(query_vec, plane)) > 0:
+            qsig |= 1 << i
+
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    sigged = emb.select(
+        F.col(id_col),
+        F.col(vec_col),
+        lsh_signature(F.col(vec_col), planes).alias("sig"),
+    )
+    candidates = sigged.filter(
+        F.bit_count(F.col("sig").bitwiseXOR(F.lit(qsig).cast("long"))) <= max_hamming
+    )
+    scored = candidates.select(F.col(id_col), cosine(F.col(vec_col), q).alias("sim"))
+    return scored.orderBy(F.desc("sim"), F.asc(id_col)).limit(k)
+
+
+def cosine_dup_pairs(
+    emb: DataFrame,
+    block_col: str,
+    min_sim: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding near-duplicate pairs within a blocking key (label /
+    LSH-bucket): exact cosine on blocked candidates, (id_a < id_b)."""
+    prepped = emb.select(
+        F.col(id_col).alias("id"), F.col(block_col).alias("block"), F.col(vec_col).alias("v")
+    )
+    a = prepped.alias("a")
+    b = prepped.alias("b")
+    return (
+        a.join(b, (F.col("a.block") == F.col("b.block")) & (F.col("a.id") < F.col("b.id")))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            cosine(F.col("a.v"), F.col("b.v")).alias("sim"),
+        )
+        .filter(F.col("sim") >= min_sim)
+    )

@@ -1,0 +1,100 @@
+"""Text analysis operators for training-data pipelines (beyond-reference
+surface; generalizes the reference's tag tokenization F3/F4).
+
+All hot-path expressions are JVM-side built-ins — no Python in any
+per-row path — so they codegen and scale linearly with partitions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Deterministic tiny stopword sets for the language-ID heuristic.
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "in", "is", "it", "a"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "zu"),
+    "es": ("el", "la", "los", "y", "es", "en", "un", "que"),
+    "fr": ("le", "la", "les", "et", "est", "un", "une", "que"),
+}
+
+
+def tokens(c: Column) -> Column:
+    """Whitespace tokenization; empty/null text → empty array."""
+    trimmed = F.trim(c)
+    return F.when(
+        trimmed.isNull() | (trimmed == ""), F.array().cast("array<string>")
+    ).otherwise(F.split(trimmed, r"\s+"))
+
+
+def token_count(c: Column) -> Column:
+    return F.size(tokens(c)).cast("long")
+
+
+def char_class_ratio(c: Column, char_class_regex: str) -> Column:
+    """Fraction of characters matching a regex class (e.g. punctuation).
+    Computed as (len - len(class-stripped)) / len — no Python, no explode."""
+    n = F.length(c)
+    remaining = F.length(F.regexp_replace(c, char_class_regex, ""))
+    return F.when(n > 0, (n - remaining) / n).otherwise(F.lit(0.0))
+
+
+def stopword_ratio(toks: Column, stopwords: tuple[str, ...]) -> Column:
+    n = F.size(toks)
+    hits = F.size(F.filter(toks, lambda t: F.lower(t).isin(*stopwords)))
+    return F.when(n > 0, hits / n).otherwise(F.lit(0.0))
+
+
+def avg_token_len(toks: Column) -> Column:
+    n = F.size(toks)
+    total = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+    return F.when(n > 0, total / n).otherwise(F.lit(0.0))
+
+
+def stopword_hits(toks: Column, stopwords: tuple[str, ...]) -> Column:
+    return F.size(F.filter(toks, lambda t: F.lower(t).isin(*stopwords))).cast("long")
+
+
+def lang_id(toks: Column) -> Column:
+    """Argmax over per-language stopword hit counts with a deterministic
+    priority tie-break (declaration order wins); 'und' when nothing
+    matches."""
+    scores = {lang: stopword_hits(toks, sw) for lang, sw in LANG_STOPWORDS.items()}
+    langs = list(scores)
+    overall_max = F.greatest(*scores.values())
+    out = F.when(overall_max == 0, F.lit("und"))
+    for i, lang in enumerate(langs):
+        remaining_max = F.greatest(*[scores[l] for l in langs[i:]]) if i < len(langs) - 1 else scores[lang]
+        out = out.when(scores[lang] == remaining_max, F.lit(lang))
+    return out.otherwise(F.lit(langs[-1]))
+
+
+def shingle_fingerprint(c: Column, k: int = 5) -> Column:
+    """Document fingerprint: minimum md5 over all k-char shingles — a
+    1-hash MinHash, stable across engines (md5 is standardized, unlike
+    murmur/xxhash availability). Short texts fall back to hashing the
+    whole value."""
+    n_shingles = F.greatest(F.length(c) - (k - 1), F.lit(1))
+    hashes = F.transform(
+        F.sequence(F.lit(1), n_shingles), lambda i: F.md5(c.substr(i, F.lit(k)))
+    )
+    return F.array_min(hashes)
+
+
+def quality_projection(text: Column) -> list[Column]:
+    """Standard quality-score feature block for a documents table."""
+    toks = tokens(text)
+    return [
+        token_count(text).alias("n_tokens"),
+        F.length(text).cast("long").alias("n_chars_actual"),
+        F.floor(char_class_ratio(text, r"\p{Punct}") * 10000).cast("long").alias(
+            "punct_ratio_bp"
+        ),
+        F.floor(char_class_ratio(text, r"[0-9]") * 10000).cast("long").alias(
+            "digit_ratio_bp"
+        ),
+        F.floor(avg_token_len(toks) * 100).cast("long").alias("avg_token_len_c"),
+        F.floor(stopword_ratio(toks, LANG_STOPWORDS["en"]) * 10000)
+        .cast("long")
+        .alias("en_stopword_ratio_bp"),
+    ]

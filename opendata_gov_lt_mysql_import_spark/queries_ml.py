@@ -1,0 +1,284 @@
+"""Training-data pipeline query registry (beyond-reference surface).
+
+Dedup / similarity / text-analysis operators over the ``documents`` and
+``embeddings`` fixtures, each with a DuckDB oracle where the semantics
+are SQL-expressible; LSH-family ops whose hash functions are
+engine-specific (xxhash64) are declared rows-only and are instead
+pytest-verified against exact recomputation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .operators.dedup import (
+    blocked_jaccard_pairs,
+    exact_dedup,
+    exact_dedup_groups,
+    minhash_candidate_pairs,
+    simhash_candidate_pairs,
+)
+from .operators.similarity import cosine, cosine_dup_pairs, cosine_topk
+from .operators.textanalysis import (
+    LANG_STOPWORDS,
+    quality_projection,
+    shingle_fingerprint,
+    stopword_hits,
+    tokens,
+)
+from .queries import query
+from .sources.parquet import load_table
+
+
+def _documents_with_dups(spark: SparkSession, sf: str) -> DataFrame:
+    """documents ∪ copy-of-first-100 (ids offset by 1,000,000) — the
+    fixture corpus has no exact duplicates, so the dedup queries synthesize
+    a controlled duplicate set."""
+    d = load_table(spark, sf, "documents")
+    dups = d.filter(F.col("doc_id") < 100).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(1000000)
+    )
+    return d.unionByName(dups)
+
+
+_DUP_UNION_SQL = """
+    SELECT * FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000 AS doc_id, text, lang, source, n_chars
+    FROM documents WHERE doc_id < 100
+"""
+
+
+@query(
+    "dedup_exact_groups",
+    f"""
+    WITH docs AS ({_DUP_UNION_SQL})
+    SELECT md5(text) AS fp, CAST(count(*) AS BIGINT) AS n_copies,
+           min(doc_id) AS keeper
+    FROM docs GROUP BY 1
+    """,
+)
+def dedup_exact_groups_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact dedup: content-hash groups with keeper id (hash-groupBy —
+    one shuffle on md5, the 100 TB-scale workhorse)."""
+    return exact_dedup_groups(_documents_with_dups(spark, sf), "text", "doc_id")
+
+
+@query(
+    "dedup_exact_keep",
+    f"""
+    WITH docs AS ({_DUP_UNION_SQL})
+    SELECT * FROM docs
+    WHERE doc_id IN (SELECT min(doc_id) FROM docs GROUP BY md5(text))
+    """,
+)
+def dedup_exact_keep_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact dedup: surviving rows (left-semi against keeper set)."""
+    return exact_dedup(_documents_with_dups(spark, sf), "text", "doc_id")
+
+
+_TOKENS_SQL = r"str_split_regex(trim(text), '\s+')"
+_NTOK_SQL = f"CASE WHEN trim(text) = '' THEN 0 ELSE len({_TOKENS_SQL}) END"
+
+
+@query(
+    "text_token_count",
+    f"SELECT doc_id, CAST({_NTOK_SQL} AS BIGINT) AS n_tokens FROM documents",
+)
+def text_token_count_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Whitespace token counting (pure projection, codegen'd)."""
+    d = load_table(spark, sf, "documents")
+    from .operators.textanalysis import token_count
+
+    return d.select("doc_id", token_count(F.col("text")).alias("n_tokens"))
+
+
+_EN_SW = ", ".join(f"'{w}'" for w in LANG_STOPWORDS["en"])
+
+
+@query(
+    "text_quality",
+    f"""
+    SELECT doc_id,
+       CAST({_NTOK_SQL} AS BIGINT) AS n_tokens,
+       CAST(length(text) AS BIGINT) AS n_chars_actual,
+       CAST(floor((length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')))
+                  / length(text) * 10000) AS BIGINT) AS punct_ratio_bp,
+       CAST(floor((length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))
+                  / length(text) * 10000) AS BIGINT) AS digit_ratio_bp,
+       CAST(floor(list_aggregate(list_transform({_TOKENS_SQL}, t -> length(t)), 'sum')
+                  / len({_TOKENS_SQL}) * 100) AS BIGINT) AS avg_token_len_c,
+       CAST(floor(len(list_filter({_TOKENS_SQL}, t -> lower(t) IN ({_EN_SW})))
+                  / len({_TOKENS_SQL}) * 10000) AS BIGINT) AS en_stopword_ratio_bp
+    FROM documents
+    """,
+)
+def text_quality_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Quality-score feature block: length/punct/digit/stopword ratios in
+    integer basis points (floor(x*1e4) — deterministic across engines)."""
+    d = load_table(spark, sf, "documents")
+    return d.select("doc_id", *quality_projection(F.col("text")))
+
+
+_LANG_SCORE_SQL = {
+    lang: f"len(list_filter({_TOKENS_SQL}, t -> lower(t) IN ({', '.join(repr(w) for w in sw)})))"
+    for lang, sw in LANG_STOPWORDS.items()
+}
+
+@query(
+    "text_lang_id",
+    f"""
+    SELECT doc_id,
+       CAST({_LANG_SCORE_SQL['en']} AS BIGINT) AS en_hits,
+       CAST({_LANG_SCORE_SQL['de']} AS BIGINT) AS de_hits,
+       CAST({_LANG_SCORE_SQL['es']} AS BIGINT) AS es_hits,
+       CAST({_LANG_SCORE_SQL['fr']} AS BIGINT) AS fr_hits,
+       CASE WHEN greatest({_LANG_SCORE_SQL['en']}, {_LANG_SCORE_SQL['de']},
+                          {_LANG_SCORE_SQL['es']}, {_LANG_SCORE_SQL['fr']}) = 0 THEN 'und'
+            WHEN {_LANG_SCORE_SQL['en']} = greatest({_LANG_SCORE_SQL['en']}, {_LANG_SCORE_SQL['de']},
+                          {_LANG_SCORE_SQL['es']}, {_LANG_SCORE_SQL['fr']}) THEN 'en'
+            WHEN {_LANG_SCORE_SQL['de']} = greatest({_LANG_SCORE_SQL['de']},
+                          {_LANG_SCORE_SQL['es']}, {_LANG_SCORE_SQL['fr']}) THEN 'de'
+            WHEN {_LANG_SCORE_SQL['es']} = greatest({_LANG_SCORE_SQL['es']}, {_LANG_SCORE_SQL['fr']}) THEN 'es'
+            ELSE 'fr' END AS predicted
+    FROM documents
+    """,
+)
+def text_lang_id_q(spark: SparkSession, sf: str) -> DataFrame:
+    """n-gram/stopword language-ID heuristic with deterministic
+    priority-ordered tie-break (en > de > es > fr, 'und' if no hits)."""
+    d = load_table(spark, sf, "documents")
+    toks = tokens(F.col("text"))
+    scores = {lang: stopword_hits(toks, sw) for lang, sw in LANG_STOPWORDS.items()}
+    overall_max = F.greatest(*scores.values())
+    predicted = (
+        F.when(overall_max == 0, F.lit("und"))
+        .when(scores["en"] == overall_max, F.lit("en"))
+        .when(scores["de"] == F.greatest(scores["de"], scores["es"], scores["fr"]), F.lit("de"))
+        .when(scores["es"] == F.greatest(scores["es"], scores["fr"]), F.lit("es"))
+        .otherwise(F.lit("fr"))
+    )
+    return d.select(
+        "doc_id",
+        scores["en"].alias("en_hits"),
+        scores["de"].alias("de_hits"),
+        scores["es"].alias("es_hits"),
+        scores["fr"].alias("fr_hits"),
+        predicted.alias("predicted"),
+    )
+
+
+@query(
+    "doc_fingerprint",
+    """
+    SELECT doc_id,
+           list_aggregate(
+             list_transform(generate_series(1, greatest(length(text) - 4, 1)),
+                            i -> md5(substr(text, i, 5))),
+             'min') AS fp
+    FROM documents
+    """,
+)
+def doc_fingerprint_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Document fingerprint: min-md5 over 5-char shingles (1-hash MinHash;
+    engine-portable because md5 is standardized)."""
+    d = load_table(spark, sf, "documents")
+    return d.select("doc_id", shingle_fingerprint(F.col("text"), 5).alias("fp"))
+
+
+@query(
+    "ann_topk_cosine",
+    """
+    WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0)
+    SELECT vec_id,
+           round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), qe), 4) AS sim
+    FROM embeddings, q
+    WHERE vec_id <> 0
+    ORDER BY sim DESC, vec_id
+    LIMIT 10
+    """,
+)
+def ann_topk_cosine_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Brute-force cosine top-10 against the vec_id=0 query vector —
+    the exact ANN baseline. Ordering on the rounded similarity keeps the
+    selection deterministic across engines."""
+    emb = load_table(spark, sf, "embeddings")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    q = F.array(*[F.lit(x) for x in qvec])
+    scored = emb.filter(F.col("vec_id") != 0).select(
+        "vec_id", F.round(cosine(F.col("embedding"), q), 4).alias("sim")
+    )
+    return scored.orderBy(F.desc("sim"), F.asc("vec_id")).limit(10)
+
+
+@query(
+    "emb_dup_pairs",
+    """
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                        CAST(b.embedding AS DOUBLE[])), 4) AS sim
+    FROM embeddings a JOIN embeddings b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                 CAST(b.embedding AS DOUBLE[])) >= 0.3
+    """,
+)
+def emb_dup_pairs_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding near-dup pairs blocked by label (the brute-force-within-
+    block verifier; at scale the block key is an LSH/IVF bucket)."""
+    emb = load_table(spark, sf, "embeddings")
+    pairs = cosine_dup_pairs(emb, block_col="label", min_sim=0.3)
+    return pairs.select("id_a", "id_b", F.round(F.col("sim"), 4).alias("sim"))
+
+
+@query(
+    "ngram_jaccard_pairs",
+    r"""
+    WITH t AS (
+      SELECT doc_id, source, str_split_regex(trim(text), '\s+') AS toks FROM documents
+    ), g AS (
+      SELECT doc_id, source,
+             list_sort(list_distinct(list_transform(
+               generate_series(1, greatest(len(toks) - 1, 1)),
+               i -> CASE WHEN i + 1 <= len(toks)
+                         THEN toks[i] || ' ' || toks[i+1]
+                         ELSE toks[i] END))) AS grams
+      FROM t
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           len(list_intersect(a.grams, b.grams))
+             / CAST(len(list_distinct(a.grams || b.grams)) AS DOUBLE) AS jaccard
+    FROM g a JOIN g b ON a.source = b.source AND a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.grams, b.grams))
+             / CAST(len(list_distinct(a.grams || b.grams)) AS DOUBLE) >= 0.05
+    """,
+)
+def ngram_jaccard_pairs_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact word-bigram Jaccard over source-blocked candidate pairs
+    (the LSH verifier stage)."""
+    d = load_table(spark, sf, "documents")
+    return blocked_jaccard_pairs(
+        d, text_col="text", id_col="doc_id", block_col="source", n=2, min_jaccard=0.05
+    )
+
+
+# --- rows-only (engine-specific hashes; verified in pytest instead) -------
+
+@query("minhash_lsh_pairs")
+def minhash_lsh_pairs_q(spark: SparkSession, sf: str) -> DataFrame:
+    """MinHash-LSH near-dup candidates on the synthesized duplicate corpus
+    (xxhash64 signatures — no portable oracle; pytest checks recall of the
+    planted duplicates and precision vs exact jaccard)."""
+    return minhash_candidate_pairs(
+        _documents_with_dups(spark, sf), "text", "doc_id", min_jaccard_est=0.5
+    )
+
+
+@query("simhash_pairs")
+def simhash_pairs_q(spark: SparkSession, sf: str) -> DataFrame:
+    """SimHash near-dup candidates (banding + hamming verify; pytest
+    checks the planted duplicates are found at hamming 0)."""
+    return simhash_candidate_pairs(
+        _documents_with_dups(spark, sf), "text", "doc_id", max_hamming=3
+    )
