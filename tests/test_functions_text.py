@@ -1,0 +1,125 @@
+"""Unit tests for the scalar function library, pinned to the reference's
+golden values (reference tests/test_odgovlt.py:362-399)."""
+
+from __future__ import annotations
+
+import pytest
+
+from opendata_gov_lt_mysql_import_spark.functions.text import (
+    fixcase,
+    get_package_tags,
+    slugify,
+    tagify,
+    transliterate,
+)
+
+GOLDEN_TITLE = (
+    "Radiacinės saugos centro išduotų galiojančių "
+    "licencijų verstis veikla su jonizuojančiosios spinduliuotės "
+    "šaltiniais duomenys"
+)
+
+
+class TestSlugify:
+    def test_golden_truncation(self):
+        # reference tests/test_odgovlt.py:391-399
+        assert slugify(GOLDEN_TITLE, length=42) == "radiacines-saugos--duomenys-saltiniais"
+        assert len(slugify(GOLDEN_TITLE, length=42)) < 42
+
+    def test_empty(self):
+        assert slugify() == ""
+        assert slugify(None) == ""
+        assert slugify("") == ""
+
+    def test_no_truncation_under_budget(self):
+        assert slugify("Šiluma ir dujos") == "siluma-ir-dujos"
+
+    def test_name_with_id_suffix(self):
+        # reference group naming: slugify(PAVADINIMAS + ' ' + str(ID))
+        assert slugify("Testas1 1") == "testas1-1"
+
+    def test_special_chars_stripped(self):
+        assert slugify("a,b.c!d?e(f)g 1-2") == "abcdefg-1-2"
+
+    def test_truncation_boundary_exact_length(self):
+        assert slugify("x" * 90) == "x" * 90
+        out = slugify("x" * 91, length=90)
+        assert out.startswith("x" * 90) is False  # truncated form contains '--'
+        assert "--" in out
+
+
+class TestFixcase:
+    def test_golden(self):
+        # reference tests/test_odgovlt.py:362-363
+        assert fixcase("Testas9") == "testas9"
+
+    def test_acronym_protected(self):
+        assert fixcase("VMI") == "VMI"
+
+    def test_short_and_nonalpha(self):
+        assert fixcase("A") == "A"
+        assert fixcase("1b") == "1b"
+        assert fixcase("a1") == "a1"
+        assert fixcase("") == ""
+
+    def test_lithuanian(self):
+        assert fixcase("Šiluma") == "šiluma"
+
+
+class TestTagify:
+    def test_collapses_nonword(self):
+        assert tagify('licencijuojamos; veiklos... teritorija') == (
+            "licencijuojamos veiklos teritorija"
+        )
+
+    def test_unicode_word_chars_kept(self):
+        assert tagify("šilumos tiekėjai") == "šilumos tiekėjai"
+
+
+class TestGetPackageTags:
+    def test_golden_filtering(self):
+        # reference tests/test_odgovlt.py:364-375
+        tags = get_package_tags(
+            "a" * 120 + ",testas2 testas3, testas4 testas5; testas6"
+        )
+        assert tags == ["testas2 testas3", "testas4 testas5", "testas6"]
+
+    def test_golden_lithuanian_with_zwsp(self):
+        # leading zero-width space survives the pipeline
+        t = get_package_tags(
+            "​Šilumos tiekimo licencijas turinčių įmonių sąrašas,"
+            "šiluma,šilumos tiekėjai,licencijos,"
+            "licencijuojamos veiklos teritorija"
+        )
+        assert sorted(t) == [
+            "licencijos",
+            "licencijuojamos veiklos teritorija",
+            "šiluma",
+            "šilumos tiekimo licencijas turinčių įmonių sąrašas",
+            "šilumos tiekėjai",
+        ]
+
+    def test_short_tag_dropped(self):
+        assert get_package_tags('keliai,eismo intensyvumas,"e"') == [
+            "keliai",
+            "eismo intensyvumas",
+        ]
+
+    def test_empty_inputs(self):
+        assert get_package_tags(None) == []
+        assert get_package_tags("") == []
+
+
+class TestTransliterate:
+    @pytest.mark.parametrize(
+        "src,expected",
+        [
+            ("ąčęėįšųūž", "aceeisuuz"),
+            ("ĄČĘĖĮŠŲŪŽ", "ACEEISUUZ"),
+            ("Radiacinės", "Radiacines"),
+            ("ascii stays", "ascii stays"),
+            ("øßł", "ossl"),
+        ],
+    )
+    def test_table(self, src, expected):
+        assert transliterate(src) == expected

@@ -1,0 +1,174 @@
+"""Operator-level tests: joins, hierarchy closure, dedup, similarity."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from opendata_gov_lt_mysql_import_spark.operators.dedup import (
+    blocked_jaccard_pairs,
+    exact_dedup,
+    minhash_candidate_pairs,
+    simhash_candidate_pairs,
+)
+from opendata_gov_lt_mysql_import_spark.operators.hierarchy import (
+    children_lists,
+    tree_closure,
+)
+from opendata_gov_lt_mysql_import_spark.operators.joins import (
+    broadcast_left_join_with_defaults,
+    exists_split,
+    stale_rows,
+)
+from opendata_gov_lt_mysql_import_spark.operators.similarity import (
+    ann_lsh_topk,
+    cosine_topk,
+)
+
+
+def _reference_tree(spark):
+    """The reference test's 7-node, 3-level category tree
+    (tests/test_odgovlt.py:180-220): roots 1,2; 3→1, 4→2; 5→3, 6→4, 7→4."""
+    rows = [
+        (1, 0, "Testas1"),
+        (2, 0, "Testas2"),
+        (3, 1, "Testas3"),
+        (4, 2, "Testas4"),
+        (5, 3, "Testas5"),
+        (6, 4, "Testas6"),
+        (7, 4, "Testas7"),
+    ]
+    return spark.createDataFrame(rows, "id int, parent_id int, name string")
+
+
+class TestTreeClosure:
+    def test_reference_tree_shape(self, spark):
+        closure = tree_closure(
+            _reference_tree(spark), root_parent=0, name_col="name"
+        ).collect()
+        by_id = {r["id"]: r for r in closure}
+        assert len(by_id) == 7
+        assert by_id[1]["depth"] == 1 and by_id[1]["root_id"] == 1
+        assert by_id[3]["depth"] == 2 and by_id[3]["root_id"] == 1
+        assert by_id[5]["depth"] == 3 and by_id[5]["root_id"] == 1
+        assert by_id[7]["depth"] == 3 and by_id[7]["root_id"] == 2
+        assert by_id[5]["path"] == [1, 3, 5]
+        assert by_id[7]["name_path"] == ["Testas2", "Testas4", "Testas7"]
+
+    def test_children_lists(self, spark):
+        out = {
+            r["parent_id"]: r["children"]
+            for r in children_lists(
+                _reference_tree(spark), "id", "parent_id", F.col("name")
+            ).collect()
+        }
+        assert out[0] == ["Testas1", "Testas2"]
+        assert out[4] == ["Testas6", "Testas7"]
+
+    def test_deep_chain(self, spark):
+        # 10-level chain: node i has parent i-1
+        rows = [(i, i - 1) for i in range(1, 11)]
+        df = spark.createDataFrame(rows, "id int, parent_id int")
+        closure = tree_closure(df, root_parent=0)
+        assert closure.count() == 10
+        assert closure.agg(F.max("depth")).first()[0] == 10
+
+
+class TestJoins:
+    def test_left_join_defaults(self, spark):
+        fact = spark.createDataFrame([(1, 10), (2, 20), (3, 99)], "id int, dim_id int")
+        dim = spark.createDataFrame([(10, "a"), (20, "b")], "dim_id int, name string")
+        out = broadcast_left_join_with_defaults(
+            fact, dim, on=fact["dim_id"] == dim["dim_id"], defaults={"name": "Unknown"}
+        )
+        got = {r["id"]: r["name"] for r in out.collect()}
+        assert got == {1: "a", 2: "b", 3: "Unknown"}
+
+    def test_exists_split(self, spark):
+        incoming = spark.createDataFrame([(1,), (2,), (3,)], "k int")
+        existing = spark.createDataFrame([(2,), (3,), (4,)], "k int")
+        create, present = exists_split(incoming, existing, on="k")
+        assert sorted(r["k"] for r in create.collect()) == [1]
+        assert sorted(r["k"] for r in present.collect()) == [2, 3]
+
+    def test_stale_rows_with_ownership(self, spark):
+        existing = spark.createDataFrame(
+            [(1, "IVPK IRS"), (2, "other"), (3, "IVPK IRS")], "k int, owner string"
+        )
+        incoming = spark.createDataFrame([(1,)], "k int")
+        out = stale_rows(
+            existing, incoming, on="k", ownership_filter=F.col("owner") == "IVPK IRS"
+        )
+        assert sorted(r["k"] for r in out.collect()) == [3]
+
+
+class TestDedup:
+    def _docs(self, spark):
+        base = [
+            (1, "the quick brown fox jumps over the lazy dog again and again", "g1"),
+            (2, "the quick brown fox jumps over the lazy dog again and again", "g1"),
+            (3, "the quick brown fox jumps over the lazy cat again and again", "g1"),
+            (4, "completely different text about spark query engines at scale", "g1"),
+        ]
+        return spark.createDataFrame(base, "id long, text string, grp string")
+
+    def test_exact_dedup_keeps_min_id(self, spark):
+        out = exact_dedup(self._docs(spark), "text", "id")
+        assert sorted(r["id"] for r in out.collect()) == [1, 3, 4]
+
+    def test_minhash_finds_exact_dup(self, spark):
+        pairs = minhash_candidate_pairs(
+            self._docs(spark), "text", "id", min_jaccard_est=0.9
+        ).collect()
+        assert any(r["id_a"] == 1 and r["id_b"] == 2 for r in pairs)
+        est = {(r["id_a"], r["id_b"]): r["jaccard_est"] for r in pairs}
+        assert est[(1, 2)] == 1.0
+
+    def test_minhash_near_dup_detected_far_pair_excluded(self, spark):
+        pairs = minhash_candidate_pairs(
+            self._docs(spark), "text", "id", min_jaccard_est=0.3
+        ).collect()
+        keys = {(r["id_a"], r["id_b"]) for r in pairs}
+        assert (1, 3) in keys  # one-word-change near-dup
+        assert (1, 4) not in keys and (3, 4) not in keys
+
+    def test_simhash_exact_dup_hamming_zero(self, spark):
+        pairs = simhash_candidate_pairs(self._docs(spark), "text", "id", max_hamming=3)
+        got = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs.collect()}
+        assert got.get((1, 2)) == 0
+
+    def test_blocked_jaccard_exact_values(self, spark):
+        out = blocked_jaccard_pairs(
+            self._docs(spark), "text", "id", "grp", n=2, min_jaccard=0.1
+        )
+        vals = {(r["id_a"], r["id_b"]): r["jaccard"] for r in out.collect()}
+        assert vals[(1, 2)] == 1.0
+        assert 0.5 < vals[(1, 3)] < 1.0
+
+
+class TestSimilarity:
+    def test_cosine_topk_exact(self, spark, sf_dir):
+        from opendata_gov_lt_mysql_import_spark.sources.parquet import load_table
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        q = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+        top = cosine_topk(emb, q, k=5).collect()
+        assert top[0]["vec_id"] == 0  # self-similarity = 1.0
+        assert math.isclose(top[0]["sim"], 1.0, abs_tol=1e-9)
+        sims = [r["sim"] for r in top]
+        assert sims == sorted(sims, reverse=True)
+
+    def test_ann_lsh_recall_vs_bruteforce(self, spark, sf_dir):
+        from opendata_gov_lt_mysql_import_spark.sources.parquet import load_table
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        q = [float(x) for x in emb.filter(F.col("vec_id") == 7).first()["embedding"]]
+        exact = [r["vec_id"] for r in cosine_topk(emb, q, k=5).collect()]
+        approx = [
+            r["vec_id"]
+            for r in ann_lsh_topk(emb, q, k=5, n_planes=10, max_hamming=4).collect()
+        ]
+        # the query vector itself must be found, plus reasonable overlap
+        assert 7 in approx
+        assert len(set(exact) & set(approx)) >= 2
