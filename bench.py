@@ -1,0 +1,82 @@
+"""Benchmark harness — times the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <sf>}
+
+Each query is executed to completion (count + a cheap checksum collect via
+``write.format('noop')``-style count) so lazy plans are fully evaluated.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from opendata_gov_lt_mysql_import_spark.session import get_spark  # noqa: E402
+from opendata_gov_lt_mysql_import_spark.queries import all_queries  # noqa: E402
+import opendata_gov_lt_mysql_import_spark.queries_ml  # noqa: F401, E402
+
+# Headline set: the scale-sensitive queries (scans, joins, aggs, window,
+# closure, dedup families, similarity, text analysis). Cheap point lookups
+# are left out — they don't measure anything at sf0.1.
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_top_revenue",
+    "q5_supplier_volume",
+    "j1_left_join_default",
+    "j3_mn_collect",
+    "window_top_order_per_customer",
+    "events_hourly_rollup",
+    "w1_tree_closure",
+    "f4_package_tags",
+    "f5_changed_rows",
+    "dedup_exact_groups",
+    "text_quality",
+    "text_lang_id",
+    "doc_fingerprint",
+    "ann_topk_cosine",
+    "minhash_lsh_pairs",
+    "ngram_jaccard_pairs",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark(app_name="bench")
+    queries = all_queries()
+
+    # warm the JVM + parquet footers with one tiny action
+    queries["q1_pricing_summary"](spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = queries[name]
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.perf_counter() - t0, 4)
+        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_wall_clock_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -4,17 +4,25 @@ Four families, each chosen for a different scale/recall trade-off:
 
 - **exact**: hash-groupBy on a content fingerprint — one shuffle on the
   hash key, arbitrarily parallel; the 100 TB workhorse.
-- **MinHash + LSH**: k-shingle → n-permutation min-hash signature →
+- **MinHash + LSH**: char k-shingles → n-permutation min-hash signature →
   banded bucket join. Candidate generation is a self-join on (band,
   band-hash) buckets, so cost is bounded by bucket occupancy, not n².
-- **SimHash**: 64-bit weighted-projection fingerprint; near-dups differ
-  in ≤ h bits, found by banding the fingerprint into chunks (pigeonhole).
-- **n-gram Jaccard**: exact set similarity on candidate pairs — the
-  verifier stage after any LSH candidate generator (or blocked by a
-  grouping column at small scale).
+- **SimHash**: 64-bit majority-vote fingerprint; near-dups differ in ≤ h
+  bits, found by banding the fingerprint into chunks (pigeonhole).
+- **n-gram Jaccard**: exact set similarity via a shared-gram join +
+  count — the verifier stage after any LSH candidate generator.
 
-Hash choice: md5 (standardized, engine-portable) for anything an oracle
-checks; xxhash64 (fast, JVM built-in) for signature permutations where
+Implementation note (hot-path shape): signatures are computed with
+``explode`` + map-side partial aggregation (``groupBy(id).agg(min/sum)``)
+rather than nested higher-order functions. Nested HOF lambdas re-evaluate
+captured expression subtrees per element (the tokenizer would run
+O(seeds × shingles) times per row), while the explode+agg form evaluates
+the tokenizer once per row, keeps everything in whole-stage codegen, and
+partial-aggregates before the shuffle — the same plan shape that survives
+a 100 TB corpus.
+
+Hash choice: md5 (standardized, engine-portable) where an oracle checks
+values; xxhash64 (fast, JVM built-in) for signature permutations where
 only self-consistency matters.
 """
 
@@ -55,34 +63,38 @@ def exact_dedup(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
 # MinHash + LSH
 # ---------------------------------------------------------------------------
 
-def minhash_signature(text: Column, n_hashes: int = 64, shingle_k: int = 3) -> Column:
-    """n-permutation MinHash over word k-shingles, entirely JVM-side:
-    shingles via sliding window over the token array, permutation i =
-    xxhash64(shingle, i). Returns ``array<bigint>`` of length n_hashes."""
-    toks = tokens(text)
-    n_sh = F.greatest(F.size(toks) - (shingle_k - 1), F.lit(1))
-    shingles = F.transform(
-        F.sequence(F.lit(0), n_sh - 1),
-        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, shingle_k)),
-    )
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(n_hashes - 1)),
-        lambda seed: F.array_min(
-            F.transform(shingles, lambda s: F.xxhash64(s, seed))
-        ),
+def char_shingles(text: Column, k: int) -> Column:
+    """Distinct char k-shingles (whole value when shorter than k).
+    ``substr`` over an attribute is O(k) per element — no re-tokenization."""
+    n = F.greatest(F.length(text) - (k - 1), F.lit(1))
+    return F.array_distinct(
+        F.transform(F.sequence(F.lit(1), n), lambda i: text.substr(i, F.lit(k)))
     )
 
 
-def minhash_bands(sig: Column, n_bands: int, rows_per_band: int) -> Column:
-    """Band the signature: array of (band_id, band_hash) structs."""
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(n_bands - 1)),
-        lambda b: F.struct(
-            b.alias("band"),
-            F.xxhash64(
-                F.concat_ws(",", F.transform(F.slice(sig, b * rows_per_band + 1, rows_per_band), lambda h: h.cast("string")))
-            ).alias("bucket"),
-        ),
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n_hashes: int = 64,
+    shingle_k: int = 9,
+) -> DataFrame:
+    """(id, sig: array<bigint>) — n-permutation MinHash over char
+    k-shingles. Permutation i = xxhash64(shingle, i); computed by
+    exploding shingles and taking n partial-aggregated mins (one shuffle
+    on id, map-side combine)."""
+    exploded = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(char_shingles(F.col(text_col), shingle_k)).alias("shingle"),
+    )
+    mins = exploded.groupBy("id").agg(
+        *[
+            F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"_h{i}")
+            for i in range(n_hashes)
+        ]
+    )
+    return mins.select(
+        "id", F.array(*[F.col(f"_h{i}") for i in range(n_hashes)]).alias("sig")
     )
 
 
@@ -92,49 +104,64 @@ def minhash_candidate_pairs(
     id_col: str,
     n_hashes: int = 64,
     n_bands: int = 16,
+    shingle_k: int = 9,
     min_jaccard_est: float = 0.5,
 ) -> DataFrame:
     """MinHash-LSH near-duplicate candidate pairs with signature-overlap
     Jaccard estimate. Returns (id_a, id_b, jaccard_est), id_a < id_b.
 
-    Scale shape: explode to (bucket, id, sig) — one shuffle on the LSH
-    bucket — then a bucket-local self-join. Skewed buckets are bounded by
-    AQE skew-join splitting; at extreme scale add a bucket-size cap
-    filter before the join.
-    """
+    Scale shape: explode signatures to (band, bucket, id) — one shuffle on
+    the LSH bucket — then a bucket-local self-join; AQE splits skewed
+    buckets. At extreme scale add a bucket-size cap before the join."""
     rows_per_band = n_hashes // n_bands
-    sigs = df.select(
-        F.col(id_col).alias("id"),
-        minhash_signature(F.col(text_col), n_hashes).alias("sig"),
-    )
+    sigs = minhash_signatures(df, text_col, id_col, n_hashes, shingle_k)
     banded = sigs.select(
-        "id", "sig", F.explode(minhash_bands(F.col("sig"), n_bands, rows_per_band)).alias("b")
+        "id",
+        "sig",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(
+                        F.concat_ws(
+                            ",",
+                            F.transform(
+                                F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
+                                lambda h: h.cast("string"),
+                            ),
+                        )
+                    ).alias("bucket"),
+                ),
+            )
+        ).alias("b"),
     ).select("id", "sig", F.col("b.band").alias("band"), F.col("b.bucket").alias("bucket"))
 
-    left = banded.alias("l")
-    right = banded.alias("r")
+    a = banded.alias("a")
+    b = banded.alias("b")
     pairs = (
-        left.join(
-            right,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.bucket") == F.col("r.bucket"))
-            & (F.col("l.id") < F.col("r.id")),
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
         )
         .select(
-            F.col("l.id").alias("id_a"),
-            F.col("r.id").alias("id_b"),
-            F.col("l.sig").alias("sig_a"),
-            F.col("r.sig").alias("sig_b"),
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
         )
         .dropDuplicates(["id_a", "id_b"])
     )
     est = (
-        F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda a, b: a == b), lambda e: e))
+        F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda e: e))
         / F.lit(float(n_hashes))
     )
-    pairs = pairs.withColumn("jaccard_est", est)
-    return pairs.filter(F.col("jaccard_est") >= min_jaccard_est).select(
-        "id_a", "id_b", "jaccard_est"
+    return (
+        pairs.withColumn("jaccard_est", est)
+        .filter(F.col("jaccard_est") >= min_jaccard_est)
+        .select("id_a", "id_b", "jaccard_est")
     )
 
 
@@ -142,21 +169,17 @@ def minhash_candidate_pairs(
 # n-gram Jaccard (exact verifier)
 # ---------------------------------------------------------------------------
 
-def ngram_set(text: Column, n: int = 3) -> Column:
-    """Sorted distinct word n-gram array."""
+def word_ngrams(text: Column, n: int) -> Column:
+    """Distinct word n-gram array (whole token stream when shorter than
+    n). References materialize per row; the heavy path uses the exploded
+    form below."""
     toks = tokens(text)
     n_sh = F.greatest(F.size(toks) - (n - 1), F.lit(1))
     grams = F.transform(
         F.sequence(F.lit(0), n_sh - 1),
         lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
     )
-    return F.array_sort(F.array_distinct(grams))
-
-
-def jaccard(a: Column, b: Column) -> Column:
-    inter = F.size(F.array_intersect(a, b))
-    union = F.size(F.array_union(a, b))
-    return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+    return F.array_distinct(grams)
 
 
 def blocked_jaccard_pairs(
@@ -167,61 +190,92 @@ def blocked_jaccard_pairs(
     n: int = 3,
     min_jaccard: float = 0.2,
 ) -> DataFrame:
-    """Exact n-gram Jaccard over pairs sharing a blocking key (at scale
-    the blocking key is an LSH bucket; here any low-cardinality column
-    works). Returns (id_a, id_b, jaccard) with id_a < id_b."""
-    prepped = df.select(
+    """Exact word-n-gram Jaccard over pairs sharing a blocking key.
+
+    Shuffle-based set intersection: explode distinct grams, self-join on
+    (block, gram), count shared grams per pair, then
+    ``|A∩B| / (|A| + |B| - |A∩B|)``. No per-pair array materialization —
+    the plan is two shuffles (gram join + pair count) regardless of
+    document size, which is what survives at corpus scale. At 100 TB the
+    blocking key is an LSH bucket; here any low-cardinality column works.
+
+    Returns (id_a, id_b, jaccard), id_a < id_b.
+    """
+    grams = df.select(
         F.col(id_col).alias("id"),
         F.col(block_col).alias("block"),
-        ngram_set(F.col(text_col), n).alias("grams"),
+        F.explode(word_ngrams(F.col(text_col), n)).alias("gram"),
     )
-    a = prepped.alias("a")
-    b = prepped.alias("b")
-    return (
-        a.join(b, (F.col("a.block") == F.col("b.block")) & (F.col("a.id") < F.col("b.id")))
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            jaccard(F.col("a.grams"), F.col("b.grams")).alias("jaccard"),
+    sizes = grams.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+
+    a = grams.alias("a")
+    b = grams.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.block") == F.col("b.block"))
+            & (F.col("a.gram") == F.col("b.gram"))
+            & (F.col("a.id") < F.col("b.id")),
         )
-        .filter(F.col("jaccard") >= min_jaccard)
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
     )
+    out = (
+        inter.join(sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a")), "id_a")
+        .join(sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))).alias(
+                "jaccard"
+            ),
+        )
+    )
+    return out.filter(F.col("jaccard") >= min_jaccard)
 
 
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
 
-def simhash(text: Column, bits: int = 64) -> Column:
-    """SimHash fingerprint, JVM-side: token hashes via xxhash64, bit b of
-    the fingerprint = majority vote of bit b across token hashes.
+def simhash_fingerprints(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, fp: bigint) — 64-bit SimHash: token hashes via xxhash64, bit b
+    of the fingerprint = majority vote of bit b across token hashes.
 
-    Expressed as: for each bit, count tokens whose hash has the bit set;
-    set the output bit when count*2 >= n_tokens. ``aggregate`` over a
-    64-element bit array stays in codegen — no Python."""
-    toks = tokens(text)
-    hashes = F.transform(toks, lambda t: F.xxhash64(t))
-    n = F.size(hashes)
+    Explode + 64 partial-aggregated votes (sum of ±1 per bit), then one
+    projection folds the votes into the fingerprint. Empty documents get
+    fp = 0 via the left join back."""
+    hashed = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(tokens(F.col(text_col))).alias("tok"),
+    ).select("id", F.xxhash64("tok").alias("h"))
 
-    def bit_votes(b):
-        return F.size(
-            F.filter(
-                hashes,
-                lambda h: h.bitwiseAND(F.shiftleft(F.lit(1).cast("long"), b)) != 0,
-            )
-        )
-
-    out = F.lit(0).cast("long")
-    for b in range(bits):
-        vote = bit_votes(b)
-        out = out + F.when(
-            vote * 2 >= n, F.shiftleft(F.lit(1).cast("long"), b)
+    votes = hashed.groupBy("id").agg(
+        *[
+            F.sum(
+                F.when(
+                    F.col("h").bitwiseAND(F.shiftleft(F.lit(1).cast("long"), b)) != 0,
+                    1,
+                ).otherwise(-1)
+            ).alias(f"_v{b}")
+            for b in range(64)
+        ]
+    )
+    fp = F.lit(0).cast("long")
+    for b in range(64):
+        fp = fp + F.when(
+            F.col(f"_v{b}") >= 0, F.shiftleft(F.lit(1).cast("long"), b)
         ).otherwise(F.lit(0).cast("long"))
-    return out
+    fps = votes.select("id", fp.alias("fp"))
+
+    ids = df.select(F.col(id_col).alias("id")).distinct()
+    return ids.join(fps, "id", "left").select(
+        "id", F.coalesce("fp", F.lit(0).cast("long")).alias("fp")
+    )
 
 
 def simhash_chunks(fp: Column, n_chunks: int = 4) -> Column:
-    """Split a 64-bit simhash into n 16-bit chunks for pigeonhole
+    """Split a 64-bit simhash into n width-16 chunks for pigeonhole
     banding: two fingerprints within hamming distance n_chunks-1 share at
     least one chunk."""
     width = 64 // n_chunks
@@ -247,7 +301,7 @@ def simhash_candidate_pairs(
     df: DataFrame, text_col: str, id_col: str, max_hamming: int = 3
 ) -> DataFrame:
     """Near-dup pairs by SimHash banding + exact hamming verification."""
-    fps = df.select(F.col(id_col).alias("id"), simhash(F.col(text_col)).alias("fp"))
+    fps = simhash_fingerprints(df, text_col, id_col)
     banded = fps.select(
         "id", "fp", F.explode(simhash_chunks(F.col("fp"))).alias("c")
     ).select("id", "fp", F.col("c.chunk").alias("chunk"), F.col("c.value").alias("value"))
