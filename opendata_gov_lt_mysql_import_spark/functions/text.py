@@ -145,13 +145,14 @@ def slugify_udf(length: int = 90):
     """Arrow-vectorized slugify for DataFrame plans (Python is unavoidable:
     transliteration table + the truncation algorithm)."""
     from pyspark.sql.functions import pandas_udf
-    import pandas as pd
 
-    @pandas_udf(StringType())
-    def _slugify(s: pd.Series) -> pd.Series:
+    # no type hints: `from __future__ import annotations` turns them into
+    # strings pyspark can't resolve; the explicit returnType form infers
+    # a scalar pandas UDF
+    def _slugify(s):
         return s.map(lambda v: slugify(v, length) if v is not None else None)
 
-    return _slugify
+    return pandas_udf(_slugify, StringType())
 
 
 def slugify_simple_col(c: Column) -> Column:

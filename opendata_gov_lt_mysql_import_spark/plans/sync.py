@@ -1,0 +1,147 @@
+"""Diff-sync engine — compute create/update/delete sets and apply them
+idempotently (reference J4-J7 + F5 + the per-row create_or_update sinks,
+/root/reference/odgovlt.py:205-211, 249-255, 276-287, 312-318, 407).
+
+The reference interleaves existence probes and API writes row by row.
+Here the three sets are computed declaratively (anti joins + the
+canonical-JSON changed-rows diff) and applied through a batched
+``foreachPartition`` sink — Catalyst plans the reads, only the final
+writes are imperative. Ordering constraints for hierarchies (parents
+before children on create, children before parents on delete) are
+satisfied by applying per topological depth, ascending or descending.
+"""
+
+from __future__ import annotations
+
+import json
+from collections.abc import Callable, Sequence
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.diff import changed_rows
+from ..operators.joins import stale_rows
+
+
+@dataclass
+class SyncPlan:
+    creates: DataFrame
+    updates: DataFrame
+    deletes: DataFrame
+
+    def counts(self) -> dict[str, int]:
+        return {
+            "create": self.creates.count(),
+            "update": self.updates.count(),
+            "delete": self.deletes.count(),
+        }
+
+
+def plan_sync(
+    incoming: DataFrame,
+    existing: DataFrame,
+    key: str | Sequence[str],
+    compare_fields: Sequence[str] | None = None,
+    ownership_filter=None,
+) -> SyncPlan:
+    """Split a sync into create/update/delete DataFrames.
+
+    - create: incoming keys absent from existing;
+    - update: present but changed on incoming's fields (asymmetric diff —
+      fields only the sink carries don't trigger updates);
+    - delete: existing keys absent from incoming, gated by the ownership
+      predicate (never delete rows another pipeline owns).
+    """
+    changed = changed_rows(incoming, existing, key, compare_fields)
+    creates = changed.filter(F.col("_change_kind") == "create").drop("_change_kind")
+    updates = changed.filter(F.col("_change_kind") == "update").drop("_change_kind")
+    deletes = stale_rows(existing, incoming, on=key, ownership_filter=ownership_filter)
+    return SyncPlan(creates=creates, updates=updates, deletes=deletes)
+
+
+def apply_batched(
+    df: DataFrame,
+    sink: Callable[[list[dict]], None],
+    batch_size: int = 500,
+) -> None:
+    """Apply a sink callback over JSON-safe row batches, partition-local —
+    the set-oriented replacement for the reference's one-API-call-per-row
+    writes. ``sink`` runs on executors: it must be picklable and talk to
+    the external system itself (REST session per partition, etc.)."""
+    cols = df.columns
+
+    def run_partition(rows):
+        batch: list[dict] = []
+        for row in rows:
+            batch.append({c: row[c] for c in cols})
+            if len(batch) >= batch_size:
+                sink(batch)
+                batch = []
+        if batch:
+            sink(batch)
+
+    df.foreachPartition(run_partition)
+
+
+def apply_sync_ordered(
+    plan: SyncPlan,
+    sink: Callable[[str, list[dict]], None],
+    depth_col: str | None = None,
+    batch_size: int = 500,
+) -> None:
+    """Apply creates (parents first), updates, then deletes (children
+    first). With ``depth_col`` the create/delete phases iterate depth
+    levels so hierarchical sinks see parents before children — bounded by
+    tree depth, not data size (the per-level frames are already computed
+    by one plan; iteration only sequences the writes)."""
+
+    def by_kind(kind: str) -> Callable[[list[dict]], None]:
+        return lambda batch: sink(kind, batch)
+
+    if depth_col and depth_col in plan.creates.columns:
+        depths = [
+            r[0]
+            for r in plan.creates.select(depth_col).distinct().orderBy(depth_col).collect()
+        ]
+        for d in depths:
+            apply_batched(
+                plan.creates.filter(F.col(depth_col) == d), by_kind("create"), batch_size
+            )
+    else:
+        apply_batched(plan.creates, by_kind("create"), batch_size)
+
+    apply_batched(plan.updates, by_kind("update"), batch_size)
+
+    if depth_col and depth_col in plan.deletes.columns:
+        depths = [
+            r[0]
+            for r in plan.deletes.select(depth_col)
+            .distinct()
+            .orderBy(F.desc(depth_col))
+            .collect()
+        ]
+        for d in depths:
+            apply_batched(
+                plan.deletes.filter(F.col(depth_col) == d), by_kind("delete"), batch_size
+            )
+    else:
+        apply_batched(plan.deletes, by_kind("delete"), batch_size)
+
+
+class JsonDirSink:
+    """Test/debug sink: each batch lands as one JSON-lines file in a
+    directory (unique name per partition+batch). Executor-safe."""
+
+    def __init__(self, path: str):
+        self.path = path
+
+    def __call__(self, kind: str, batch: list[dict]) -> None:
+        import os
+        import uuid
+
+        os.makedirs(self.path, exist_ok=True)
+        fname = os.path.join(self.path, f"{kind}-{uuid.uuid4().hex}.jsonl")
+        with open(fname, "w", encoding="utf-8") as f:
+            for row in batch:
+                f.write(json.dumps(row, ensure_ascii=False, default=str) + "\n")

@@ -1,0 +1,274 @@
+"""End-to-end pipeline test on a replica of the reference's own test
+fixture (reference tests/test_odgovlt.py:120-389): 2 datasets (+1 with
+unknown user/org), 2 users, 2 orgs, a 7-node 3-level category tree, and
+the M:N bridge. Asserts the reference's golden outputs: group slugs and
+tree edges, package documents (title/notes/url/maintainer/org/groups),
+sorted tag lists with Lithuanian diacritics, and fallback defaults."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from opendata_gov_lt_mysql_import_spark.plans.pipeline import HarvestPipeline
+from opendata_gov_lt_mysql_import_spark.plans.sync import (
+    JsonDirSink,
+    apply_sync_ordered,
+    plan_sync,
+)
+
+R_ZODZIAI_1 = (
+    "​Šilumos tiekimo licencijas turinčių įmonių sąrašas,"
+    "šiluma,"
+    "šilumos tiekėjai,"
+    "licencijos,"
+    "licencijuojamos veiklos teritorija"
+)
+
+
+@pytest.fixture(scope="module")
+def tables(spark):
+    user = spark.createDataFrame(
+        [
+            (1, "User1", "secret123", "testas1@testas1.com", "Jonas", "Jonaitis"),
+            (2, "User2", "secret123", "testas2@testas2.com", "Tomas", "Tomauskas"),
+        ],
+        "ID int, LOGIN string, PASS string, EMAIL string, FIRST_NAME string, LAST_NAME string",
+    )
+    istaiga = spark.createDataFrame(
+        [
+            (1, "Testinė organizacija nr. 1", "888", "Testinė g. 9"),
+            (2, "Testinė organizacija nr. 2", "777", "Testinė g. 91"),
+        ],
+        "ID int, PAVADINIMAS string, KODAS string, ADRESAS string",
+    )
+    rinkmena = spark.createDataFrame(
+        [
+            (
+                1,
+                "Testinė rinkmena nr. 1",
+                "Testas nr. 1",
+                "http://www.testas1.lt",
+                R_ZODZIAI_1,
+                "testas1@testas1.com",
+                "U",
+                1,
+                1,
+                "kodas-1",
+            ),
+            (
+                2,
+                "Testinė rinkmena nr. 2",
+                "Testas nr. 2",
+                "http://www.testas2.lt",
+                'keliai,eismo intensyvumas,"e"',
+                "testas2@testas2.com",
+                "U",
+                2,
+                2,
+                "kodas-2",
+            ),
+            # unknown user + org → default fallbacks (reference :360-361)
+            (
+                3,
+                "Testinė rinkmena nr. 3",
+                "Testas nr. 3",
+                "http://www.testas3.lt",
+                "zyma",
+                "testas3@testas3.com",
+                "U",
+                3,
+                3,
+                None,
+            ),
+            # unpublished → filtered out (P1)
+            (
+                4,
+                "Nematoma rinkmena",
+                "–",
+                "http://nematoma.lt",
+                "",
+                "x@x.lt",
+                "P",
+                1,
+                1,
+                None,
+            ),
+        ],
+        "ID int, PAVADINIMAS string, SANTRAUKA string, TINKLAPIS string, "
+        "R_ZODZIAI string, K_EMAIL string, STATUSAS string, USER_ID int, "
+        "istaiga_id int, KODAS string",
+    )
+    kategorija = spark.createDataFrame(
+        [
+            (1, "testas1", 0, 1),
+            (2, "testas2", 0, 1),
+            (3, "testas3", 1, 2),
+            (4, "testas4", 2, 2),
+            (5, "testas5", 3, 3),
+            (6, "testas6", 4, 3),
+            (7, "testas7", 4, 3),
+        ],
+        "ID int, PAVADINIMAS string, KATEGORIJA_ID int, LYGIS int",
+    )
+    kategorija_rinkmena = spark.createDataFrame(
+        [(1, 1, 1), (2, 3, 2)],
+        "ID int, KATEGORIJA_ID int, RINKMENA_ID int",
+    )
+    return {
+        "user": user,
+        "istaiga": istaiga,
+        "rinkmena": rinkmena,
+        "kategorija": kategorija,
+        "kategorija_rinkmena": kategorija_rinkmena,
+    }
+
+
+@pytest.fixture(scope="module")
+def pipeline(spark, tables):
+    return HarvestPipeline(spark, tables)
+
+
+class TestGroupTree:
+    def test_golden_group_names(self, pipeline):
+        docs = pipeline.group_documents().collect()
+        # reference tests/test_odgovlt.py:241-249
+        assert sorted(d["name"] for d in docs) == [
+            "testas1-1",
+            "testas2-2",
+            "testas3-3",
+            "testas4-4",
+            "testas5-5",
+            "testas6-6",
+            "testas7-7",
+        ]
+
+    def test_golden_tree_edges(self, pipeline):
+        docs = {d["name"]: d for d in pipeline.group_documents().collect()}
+        # reference tests/test_odgovlt.py:251-260
+        def subgroups(name):
+            return [g["name"] for g in docs[name]["groups"]]
+
+        assert subgroups("testas1-1") == ["testas3-3"]
+        assert subgroups("testas2-2") == ["testas4-4"]
+        assert subgroups("testas3-3") == ["testas5-5"]
+        assert subgroups("testas4-4") == ["testas6-6", "testas7-7"]
+        assert subgroups("testas5-5") == []
+        assert subgroups("testas6-6") == []
+        assert subgroups("testas7-7") == []
+
+    def test_depth_matches_lygis(self, pipeline, tables):
+        docs = pipeline.group_documents().select("source_id", "depth").collect()
+        lygis = {r["ID"]: r["LYGIS"] for r in tables["kategorija"].collect()}
+        for d in docs:
+            assert d["depth"] == lygis[d["source_id"]]
+
+    def test_ownership_extras(self, pipeline):
+        doc = pipeline.group_documents().filter(F.col("name") == "testas1-1").first()
+        extras = {e["key"]: e["value"] for e in doc["extras"]}
+        assert extras["Šaltinis"] == "IVPK IRS"
+        assert extras["Šaltinio ID"] == "1"
+
+
+class TestPackageDocuments:
+    def test_golden_package_1(self, pipeline):
+        docs = {d["id"]: d for d in pipeline.package_documents().collect()}
+        p1 = docs["1"]
+        # reference tests/test_odgovlt.py:329-344
+        assert p1["title"] == "Testinė rinkmena nr. 1"
+        assert p1["name"] == "testine-rinkmena-nr-1"
+        assert p1["notes"] == "Testas nr. 1"
+        assert p1["url"] == "http://www.testas1.lt"
+        assert p1["maintainer"] == "Jonas Jonaitis"
+        assert p1["maintainer_email"] == "testas1@testas1.com"
+        assert p1["owner_org"] == "testine-organizacija-nr-1"
+        assert p1["state"] == "active"
+        assert [g["name"] for g in p1["groups"]] == ["testas1-1"]
+        # reference tests/test_odgovlt.py:378-384
+        assert sorted(t["name"] for t in p1["tags"]) == [
+            "licencijos",
+            "licencijuojamos veiklos teritorija",
+            "šiluma",
+            "šilumos tiekimo licencijas turinčių įmonių sąrašas",
+            "šilumos tiekėjai",
+        ]
+        extras = {e["key"]: e["value"] for e in p1["extras"]}
+        assert extras["Šaltinis"] == "IVPK IRS"
+        assert extras["Šaltinio ID"] == "1"
+        assert extras["Kodas"] == "kodas-1"
+
+    def test_golden_package_2(self, pipeline):
+        docs = {d["id"]: d for d in pipeline.package_documents().collect()}
+        p2 = docs["2"]
+        assert p2["maintainer"] == "Tomas Tomauskas"
+        assert [g["name"] for g in p2["groups"]] == ["testas3-3"]
+        assert sorted(t["name"] for t in p2["tags"]) == ["eismo intensyvumas", "keliai"]
+
+    def test_unknown_user_org_defaults(self, pipeline):
+        docs = {d["id"]: d for d in pipeline.package_documents().collect()}
+        p3 = docs["3"]
+        # reference tests/test_odgovlt.py:360-361
+        assert p3["maintainer"] == "Unknown User"
+        assert p3["owner_org"] == "unknown"
+        assert p3["groups"] == []
+
+    def test_unpublished_filtered(self, pipeline):
+        ids = {d["id"] for d in pipeline.package_documents().collect()}
+        assert "4" not in ids
+
+
+class TestStagingRoundtrip:
+    def test_staged_equals_direct(self, pipeline, tmp_path):
+        path = str(tmp_path / "staging")
+        pipeline.gather_to_staging(path)
+        direct = pipeline.package_documents()
+        staged = pipeline.packages_from_staging(path)
+        d = {r["id"]: r for r in direct.collect()}
+        s = {r["id"]: r for r in staged.collect()}
+        assert set(d) == set(s)
+        for k in d:
+            assert d[k] == s[k]
+
+
+class TestDiffSync:
+    def test_plan_and_ordered_apply(self, spark, pipeline, tmp_path):
+        incoming = pipeline.group_documents()
+        # existing sink state: one group up to date, one changed title,
+        # one stale-owned, one stale-foreign
+        existing = spark.createDataFrame(
+            [
+                ("testas1-1", "testas1", "IVPK IRS", 1),
+                ("testas2-2", "SENAS PAVADINIMAS", "IVPK IRS", 1),
+                ("nebeliko-99", "nebeliko", "IVPK IRS", 1),
+                ("svetimas-1", "svetimas", "kita sistema", 1),
+            ],
+            "name string, title string, owner string, depth int",
+        )
+        plan = plan_sync(
+            incoming.select("name", "title", "depth"),
+            existing,
+            key="name",
+            compare_fields=["title"],
+            ownership_filter=F.col("owner") == "IVPK IRS",
+        )
+        counts = plan.counts()
+        assert counts == {"create": 5, "update": 1, "delete": 1}
+        assert plan.deletes.first()["name"] == "nebeliko-99"
+
+        sink_dir = str(tmp_path / "sink")
+        apply_sync_ordered(plan, JsonDirSink(sink_dir), depth_col="depth")
+        import glob
+        import json as _json
+
+        rows = []
+        for f in sorted(glob.glob(f"{sink_dir}/*.jsonl")):
+            kind = f.rsplit("/", 1)[-1].split("-")[0]
+            with open(f, encoding="utf-8") as fh:
+                rows += [(kind, _json.loads(line)) for line in fh]
+        kinds = {}
+        for kind, row in rows:
+            kinds.setdefault(kind, []).append(row)
+        assert len(kinds["create"]) == 5
+        assert kinds["update"][0]["name"] == "testas2-2"
+        assert kinds["delete"][0]["name"] == "nebeliko-99"
