@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from opendata_gov_lt_mysql_import_spark.queries import all_oracles, all_queries
 import opendata_gov_lt_mysql_import_spark.queries_ml  # noqa: F401  (registers ML queries)
+import opendata_gov_lt_mysql_import_spark.queries_sql  # noqa: F401  (registers SQL-surface queries)
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -1,0 +1,197 @@
+"""Standard SQL analytics surface — beyond the reference's operator set
+but free in Spark (SURVEY.md §2.4 note: "the engine should still ship the
+standard DataFrame agg surface"). Set operations, rollup, having,
+conditional aggregates, scalar subqueries, LIKE pushdown, date breakdown,
+and one query driven through ``spark.sql`` over registered views to
+exercise the SQL-API entry path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .queries import query
+from .sources.parquet import load_table, register_views
+
+
+@query(
+    "setop_intersect",
+    """
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    """,
+)
+def setop_intersect(spark: SparkSession, sf: str) -> DataFrame:
+    """Customers with both open and finished orders (INTERSECT)."""
+    o = load_table(spark, sf, "orders")
+    open_c = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    done_c = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    return open_c.intersect(done_c)
+
+
+@query(
+    "setop_except",
+    """
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    EXCEPT
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    """,
+)
+def setop_except(spark: SparkSession, sf: str) -> DataFrame:
+    """Customers with open but no finished orders (EXCEPT — the set-op
+    twin of the J7 anti join)."""
+    o = load_table(spark, sf, "orders")
+    open_c = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    done_c = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    return open_c.subtract(done_c)
+
+
+@query(
+    "rollup_status_priority",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(o_totalprice), 2) AS total,
+           CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS BIGINT)
+             AS grouping_level
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+)
+def rollup_status_priority(spark: SparkSession, sf: str) -> DataFrame:
+    """ROLLUP with grouping ids — subtotal/grand-total hierarchy in one
+    pass (Spark expands grouping sets map-side; still a single shuffle)."""
+    o = load_table(spark, sf, "orders")
+    return o.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+        F.grouping_id().alias("grouping_level"),
+    )
+
+
+@query(
+    "having_filter",
+    """
+    SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders
+    FROM orders GROUP BY o_custkey HAVING count(*) >= 12
+    """,
+)
+def having_filter(spark: SparkSession, sf: str) -> DataFrame:
+    """Post-aggregation predicate (HAVING)."""
+    o = load_table(spark, sf, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .filter(F.col("n_orders") >= 12)
+    )
+
+
+@query(
+    "conditional_agg",
+    """
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_discounted,
+           round(sum(CASE WHEN l_discount > 0.05
+                          THEN l_extendedprice * l_discount ELSE 0 END), 2)
+             AS discount_value
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def conditional_agg(spark: SparkSession, sf: str) -> DataFrame:
+    """Conditional aggregation (sum-of-case) — a single scan, no joins."""
+    li = load_table(spark, sf, "lineitem")
+    disc = F.when(F.col("l_discount") > 0.05, 1).otherwise(0)
+    disc_val = F.when(
+        F.col("l_discount") > 0.05, F.col("l_extendedprice") * F.col("l_discount")
+    ).otherwise(F.lit(0.0))
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(disc).cast("long").alias("n_discounted"),
+        F.round(F.sum(disc_val), 2).alias("discount_value"),
+    )
+
+
+@query(
+    "scalar_subquery",
+    """
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    WHERE o_totalprice > 1.8 * (SELECT avg(o_totalprice) FROM orders)
+    """,
+)
+def scalar_subquery(spark: SparkSession, sf: str) -> DataFrame:
+    """Filter against a scalar subquery (orders at 1.8x the mean). The
+    subquery is one extra reduction, broadcast as a literal by AQE."""
+    o = load_table(spark, sf, "orders")
+    o.createOrReplaceTempView("_orders_scalar")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_totalprice
+        FROM _orders_scalar
+        WHERE o_totalprice > 1.8 * (SELECT avg(o_totalprice) FROM _orders_scalar)
+        """
+    )
+
+
+@query(
+    "like_pushdown",
+    """
+    SELECT p_partkey, p_name FROM part
+    WHERE p_name LIKE '%red%' AND p_size >= 10
+    """,
+)
+def like_pushdown(spark: SparkSession, sf: str) -> DataFrame:
+    """String-contains + range predicate — both pushed to the scan."""
+    p = load_table(spark, sf, "part")
+    return p.filter(F.col("p_name").like("%red%") & (F.col("p_size") >= 10)).select(
+        "p_partkey", "p_name"
+    )
+
+
+@query(
+    "date_breakdown",
+    """
+    SELECT CAST(year(o_orderdate) AS BIGINT) AS y,
+           CAST(month(o_orderdate) AS BIGINT) AS m,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(o_totalprice), 2) AS total
+    FROM orders GROUP BY 1, 2
+    """,
+)
+def date_breakdown(spark: SparkSession, sf: str) -> DataFrame:
+    """Calendar rollup by year/month — the partition-pruning shape for a
+    date-partitioned lake layout."""
+    o = load_table(spark, sf, "orders")
+    return o.groupBy(
+        F.year("o_orderdate").cast("long").alias("y"),
+        F.month("o_orderdate").cast("long").alias("m"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
+
+
+@query(
+    "sql_api_q6_revenue",
+    """
+    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+    FROM lineitem
+    WHERE l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+    """,
+)
+def sql_api_q6_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q6-shaped revenue-change query, driven through the
+    ``spark.sql`` entry path over registered views — demonstrates the SQL
+    API produces the same plan as the DataFrame API."""
+    register_views(spark, sf)
+    return spark.sql(
+        """
+        SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+        FROM lineitem
+        WHERE l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+        """
+    )
