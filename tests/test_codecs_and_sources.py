@@ -1,0 +1,103 @@
+"""JSON/datetime codecs (F6/F7/F9) and source-wrapper tests."""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from opendata_gov_lt_mysql_import_spark.functions.json_codec import (
+    dumps,
+    encode_datetime,
+    extras_to_dict,
+    extras_to_map_col,
+    map_to_extras_col,
+    rows_to_json,
+)
+from opendata_gov_lt_mysql_import_spark.sources.jdbc import (
+    jdbc_read_options,
+    mysql_url,
+)
+
+
+class TestDatetimeEncoding:
+    def test_reference_format(self, spark):
+        df = spark.createDataFrame(
+            [(datetime.datetime(2017, 3, 5, 13, 45, 7),)], "ts timestamp"
+        )
+        out = df.select(encode_datetime(F.col("ts")).alias("s")).first()["s"]
+        assert out == "2017-03-05T13:45:07"
+
+    def test_null_stays_null(self, spark):
+        df = spark.createDataFrame([(None,)], "ts timestamp")
+        assert df.select(encode_datetime(F.col("ts")).alias("s")).first()["s"] is None
+
+    def test_driver_side_dumps(self):
+        s = dumps({"a": datetime.datetime(2017, 3, 5, 13, 45, 7), "b": "ū"})
+        assert '"2017-03-05T13:45:07"' in s
+        assert "ū" in s  # ensure_ascii off, like the staging IR
+
+
+class TestRowsToJson:
+    def test_roundtrip_via_spark(self, spark):
+        df = spark.createDataFrame(
+            [(1, "x", datetime.datetime(2020, 1, 2, 3, 4, 5))],
+            "id int, s string, ts timestamp",
+        )
+        staged = rows_to_json(df)
+        content = staged.first()["content"]
+        assert '"ts":"2020-01-02T03:04:05"' in content
+        parsed = staged.select(
+            F.from_json(
+                "content",
+                df.schema,
+                {"timestampFormat": "yyyy-MM-dd'T'HH:mm:ss"},
+            ).alias("r")
+        ).select("r.*")
+        assert parsed.first() == df.first()
+
+
+class TestExtras:
+    def test_pure_python(self):
+        assert extras_to_dict([{"key": "a", "value": "1"}]) == {"a": "1"}
+
+    def test_column_roundtrip(self, spark):
+        df = spark.createDataFrame(
+            [([("Kodas", "888"), ("Adresas", "g. 9")],)],
+            "extras array<struct<key:string,value:string>>",
+        )
+        m = df.select(extras_to_map_col(F.col("extras")).alias("m"))
+        assert m.first()["m"] == {"Kodas": "888", "Adresas": "g. 9"}
+        back = m.select(map_to_extras_col(F.col("m")).alias("extras")).first()["extras"]
+        assert sorted((e["key"], e["value"]) for e in back) == [
+            ("Adresas", "g. 9"),
+            ("Kodas", "888"),
+        ]
+
+
+class TestJdbcOptions:
+    def test_mysql_url_normalizes_zero_dates(self):
+        url = mysql_url("db.example.com", "ivpk")
+        assert "zeroDateTimeBehavior=CONVERT_TO_NULL" in url
+        assert "characterEncoding=utf8" in url
+
+    def test_partitioned_options(self):
+        opts = jdbc_read_options(
+            url="jdbc:mysql://h/db",
+            table="t_rinkmena",
+            partition_column="ID",
+            lower_bound=0,
+            upper_bound=1000,
+            num_partitions=8,
+        )
+        assert opts["partitionColumn"] == "ID"
+        assert opts["numPartitions"] == "8"
+        assert opts["pushDownAggregate"] == "true"
+
+    def test_partitioned_requires_bounds(self):
+        with pytest.raises(ValueError):
+            jdbc_read_options(
+                url="jdbc:mysql://h/db", table="t", partition_column="ID"
+            )
