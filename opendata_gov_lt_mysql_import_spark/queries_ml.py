@@ -94,6 +94,37 @@ def text_token_count_q(spark: SparkSession, sf: str) -> DataFrame:
     return d.select("doc_id", token_count(F.col("text")).alias("n_tokens"))
 
 
+_BPE_PATTERN = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]+"
+
+
+@query(
+    "text_bpe_token_count",
+    rf"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{_BPE_PATTERN}')) AS BIGINT)
+             AS n_bpe_tokens,
+           CAST(CASE WHEN trim(text) = '' THEN 0
+                     ELSE len(str_split_regex(trim(text), '\s+')) END AS BIGINT)
+             AS n_ws_tokens
+    FROM documents
+    """,
+)
+def text_bpe_token_count_q(spark: SparkSession, sf: str) -> DataFrame:
+    """BPE-ish token counting: letter runs / digit runs / punctuation runs
+    as separate tokens (the pre-tokenizer split GPT-style BPE applies),
+    alongside the whitespace count for comparison."""
+    d = load_table(spark, sf, "documents")
+    from .operators.textanalysis import token_count
+
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(_BPE_PATTERN), 0))
+        .cast("long")
+        .alias("n_bpe_tokens"),
+        token_count(F.col("text")).alias("n_ws_tokens"),
+    )
+
+
 _EN_SW = ", ".join(f"'{w}'" for w in LANG_STOPWORDS["en"])
 
 
