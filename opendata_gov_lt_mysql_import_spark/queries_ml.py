@@ -294,6 +294,37 @@ def ngram_jaccard_pairs_q(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@query(
+    "events_sessionize",
+    """
+    WITH o AS (
+      SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w > INTERVAL 4 HOUR
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), s AS (
+      SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+      FROM o
+    )
+    SELECT user_id, min(ts) AS session_start,
+           max(ts) + INTERVAL 4 HOUR AS session_end,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM s GROUP BY user_id, sid
+    """,
+)
+def events_sessionize_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Gap-based sessionization via the built-in session_window (the
+    oracle is the gaps-and-islands SQL formulation). Streaming form tested
+    in tests/test_streaming.py."""
+    from .streaming.sessionize import sessionize
+
+    return sessionize(load_table(spark, sf, "events"), gap="4 hours")
+
+
 # --- rows-only (engine-specific hashes; verified in pytest instead) -------
 
 @query("minhash_lsh_pairs")

@@ -38,10 +38,18 @@ EVENT_SCHEMA = StructType(
 )
 
 
+# JSON's default timestamp format truncates to milliseconds; fixture
+# events carry microseconds, so writers/readers must agree on this.
+JSON_TS_FORMAT = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+
+
 def read_event_stream(spark: SparkSession, path: str, fmt: str = "json") -> DataFrame:
     """File-source stream over an events directory (the streaming analog
     of the staging source S11)."""
-    return spark.readStream.format(fmt).schema(EVENT_SCHEMA).load(path)
+    reader = spark.readStream.format(fmt).schema(EVENT_SCHEMA)
+    if fmt == "json":
+        reader = reader.option("timestampFormat", JSON_TS_FORMAT)
+    return reader.load(path)
 
 
 def windowed_counts(

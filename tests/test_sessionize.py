@@ -1,0 +1,91 @@
+"""Sessionization: streaming session windows vs batch, and the custom
+applyInPandasWithState stateful operator."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from opendata_gov_lt_mysql_import_spark.sources.parquet import load_table
+from opendata_gov_lt_mysql_import_spark.streaming.events import read_event_stream
+from opendata_gov_lt_mysql_import_spark.streaming.sessionize import (
+    running_user_totals,
+    sessionize,
+)
+
+
+@pytest.fixture(scope="module")
+def events_json_dir(spark, sf_dir, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("events_json_sess"))
+    from opendata_gov_lt_mysql_import_spark.streaming.events import JSON_TS_FORMAT
+
+    load_table(spark, sf_dir, "events").coalesce(4).write.mode("overwrite").option(
+        "timestampFormat", JSON_TS_FORMAT
+    ).json(path)
+    return path
+
+
+class TestSessionize:
+    def test_batch_sessions_shape(self, spark, sf_dir):
+        out = sessionize(load_table(spark, sf_dir, "events"), gap="4 hours")
+        rows = out.collect()
+        assert len(rows) > 0
+        for r in rows[:50]:
+            assert r["session_end"] > r["session_start"]
+            assert r["n_events"] >= 1
+
+    def test_stream_matches_batch(self, spark, sf_dir, events_json_dir):
+        batch = sessionize(load_table(spark, sf_dir, "events"), gap="4 hours")
+        stream = sessionize(read_event_stream(spark, events_json_dir), gap="4 hours")
+        assert stream.isStreaming
+        q = (
+            stream.writeStream.format("memory")
+            .queryName("sessions_stream")
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        got = {
+            (r["user_id"], r["session_start"]): (r["session_end"], r["n_events"])
+            for r in spark.table("sessions_stream").collect()
+        }
+        want = {
+            (r["user_id"], r["session_start"]): (r["session_end"], r["n_events"])
+            for r in batch.collect()
+        }
+        assert got == want
+
+
+class TestRunningUserTotals:
+    def test_stateful_totals_match_batch(self, spark, sf_dir, events_json_dir):
+        stream = read_event_stream(spark, events_json_dir)
+        totals = running_user_totals(stream)
+        q = (
+            totals.writeStream.format("memory")
+            .queryName("running_totals")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        # last emission per user = final running total
+        final = {}
+        for r in spark.table("running_totals").collect():
+            final[r["user_id"]] = (r["n_events"], r["total_value"])
+        batch = {
+            r["user_id"]: (r["n"], r["total"])
+            for r in load_table(spark, sf_dir, "events")
+            .groupBy("user_id")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.round(F.sum("value"), 2).alias("total"),
+            )
+            .collect()
+        }
+        assert set(final) == set(batch)
+        for uid, (n, total) in batch.items():
+            fn, ftotal = final[uid]
+            assert fn == n
+            assert abs(ftotal - total) < 0.05

@@ -19,7 +19,11 @@ from opendata_gov_lt_mysql_import_spark.streaming.events import (
 @pytest.fixture(scope="module")
 def events_json_dir(spark, sf_dir, tmp_path_factory):
     path = str(tmp_path_factory.mktemp("events_json"))
-    load_table(spark, sf_dir, "events").coalesce(4).write.mode("overwrite").json(path)
+    from opendata_gov_lt_mysql_import_spark.streaming.events import JSON_TS_FORMAT
+
+    load_table(spark, sf_dir, "events").coalesce(4).write.mode("overwrite").option(
+        "timestampFormat", JSON_TS_FORMAT
+    ).json(path)
     return path
 
 
