@@ -43,6 +43,10 @@ HEADLINE = [
     "ann_topk_cosine",
     "minhash_lsh_pairs",
     "ngram_jaccard_pairs",
+    "events_sessionize",
+    "text_bpe_token_count",
+    "rollup_status_priority",
+    "scalar_subquery",
 ]
 
 

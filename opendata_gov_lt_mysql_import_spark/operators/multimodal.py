@@ -80,6 +80,72 @@ def attach_fake_media(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+RESIZE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("mime", StringType()),
+        StructField("payload", BinaryType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+    ]
+)
+
+
+def resize_media(media: DataFrame, width: int, height: int) -> DataFrame:
+    """Resize stage plumbing: Arrow-batched mapInPandas with a fixed
+    output geometry. The pixel transform is stubbed (no imaging library in
+    this container): the fake 'resized' payload is a deterministic
+    truncation/padding of the source bytes to width*height, which keeps
+    batch shapes, schema, and downstream contracts real."""
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        target = width * height
+        for batch in batches:
+            out = []
+            for p in batch["payload"]:
+                b = bytes(p) if p is not None else b""
+                out.append(b[:target].ljust(target, b"\0"))
+            yield pd.DataFrame(
+                {
+                    "media_id": batch["media_id"],
+                    "mime": batch["mime"],
+                    "payload": out,
+                    "width": [width] * len(batch),
+                    "height": [height] * len(batch),
+                }
+            )
+
+    return media.mapInPandas(resize, schema=RESIZE_SCHEMA)
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("frame_no", LongType()),
+        StructField("frame", BinaryType()),
+    ]
+)
+
+
+def sample_frames(media: DataFrame, every_n_bytes: int = 64, max_frames: int = 8) -> DataFrame:
+    """Frame-sampling plumbing: one input row fans out to ≤ max_frames
+    rows (1:N mapInPandas — the video-keyframe shape). The frame extractor
+    is a deterministic byte-slicer standing in for a real codec."""
+
+    def frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            ids, nos, payloads = [], [], []
+            for mid, p in zip(batch["media_id"], batch["payload"]):
+                b = bytes(p) if p is not None else b""
+                for i in range(min(max_frames, max(len(b) // every_n_bytes, 1))):
+                    ids.append(mid)
+                    nos.append(i)
+                    payloads.append(b[i * every_n_bytes : (i + 1) * every_n_bytes])
+            yield pd.DataFrame({"media_id": ids, "frame_no": nos, "frame": payloads})
+
+    return media.mapInPandas(frames, schema=FRAME_SCHEMA)
+
+
 def extract_media_features(media: DataFrame, use_real_decode: bool = False) -> DataFrame:
     """Arrow-batched feature extraction over binary payloads.
 
