@@ -64,12 +64,35 @@ def exact_dedup(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def char_shingles(text: Column, k: int) -> Column:
-    """Distinct char k-shingles (whole value when shorter than k).
-    ``substr`` over an attribute is O(k) per element — no re-tokenization."""
-    n = F.greatest(F.length(text) - (k - 1), F.lit(1))
+    """Distinct byte k-shingles over the UTF-8 encoding (whole value when
+    shorter than k).
+
+    Shingling on BINARY, not STRING: ``substr`` on a UTF-8 string must
+    seek from the start (variable-width chars) making per-row shingling
+    O(len²); byte offsets are O(1). The shingles are only ever hashed, so
+    byte-grams are as good as char-grams for LSH purposes."""
+    bin_ = text.cast("binary")
+    n = F.greatest(F.length(bin_) - (k - 1), F.lit(1))
     return F.array_distinct(
-        F.transform(F.sequence(F.lit(1), n), lambda i: text.substr(i, F.lit(k)))
+        F.transform(F.sequence(F.lit(1), n), lambda i: bin_.substr(i, F.lit(k)))
     )
+
+
+def _signed64(v: int) -> int:
+    v &= (1 << 64) - 1
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def _permute(h: Column, i: int) -> Column:
+    """Deterministic bijection #i on 64-bit ints using only overflow-safe
+    bitwise ops (ANSI mode forbids wrapping multiply/add): XOR with a
+    splitmix-derived constant, then rotate. Base hashes are uniform
+    xxhash64 outputs, so any bijection family preserves the MinHash
+    equality statistics P(min_a = min_b) = J(A,B)."""
+    c = _signed64((2 * i + 1) * 0x9E3779B97F4A7C15)
+    r = (i * 23 + 17) % 63 + 1
+    mixed = h.bitwiseXOR(F.lit(c).cast("long"))
+    return F.shiftleft(mixed, r).bitwiseOR(F.shiftrightunsigned(mixed, 64 - r))
 
 
 def minhash_signatures(
@@ -80,18 +103,32 @@ def minhash_signatures(
     shingle_k: int = 9,
 ) -> DataFrame:
     """(id, sig: array<bigint>) — n-permutation MinHash over char
-    k-shingles. Permutation i = xxhash64(shingle, i); computed by
-    exploding shingles and taking n partial-aggregated mins (one shuffle
-    on id, map-side combine)."""
-    exploded = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(char_shingles(F.col(text_col), shingle_k)).alias("shingle"),
+    k-shingles.
+
+    One xxhash64 per shingle, then n cheap bitwise permutations of that
+    base hash (instead of n full re-hashes of the shingle bytes — the
+    classical permutation-family construction). Explode + n
+    partial-aggregated mins: one shuffle on id, map-side combine.
+
+    Shape note: shingles come from ``explode(sequence(...))`` + ``substr``
+    rather than array higher-order functions — HOFs always run interpreted,
+    while generate + substring compile to flat expression code. (The 64-min
+    HashAggregate itself exceeds whole-stage-codegen method limits and runs
+    interpreted either way; the win is avoiding per-row array building.)
+    Shingles are NOT deduplicated: min over a multiset equals min over its
+    set, so array_distinct would be pure overhead."""
+    bin_ = F.col(text_col).cast("binary")
+    n_pos = F.greatest(F.length(bin_) - (shingle_k - 1), F.lit(1))
+    exploded = (
+        df.select(
+            F.col(id_col).alias("id"),
+            bin_.alias("_bin"),
+            F.explode(F.sequence(F.lit(1), n_pos)).alias("_i"),
+        )
+        .select("id", F.xxhash64(F.col("_bin").substr(F.col("_i"), F.lit(shingle_k))).alias("h"))
     )
     mins = exploded.groupBy("id").agg(
-        *[
-            F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"_h{i}")
-            for i in range(n_hashes)
-        ]
+        *[F.min(_permute(F.col("h"), i)).alias(f"_h{i}") for i in range(n_hashes)]
     )
     return mins.select(
         "id", F.array(*[F.col(f"_h{i}") for i in range(n_hashes)]).alias("sig")
@@ -115,9 +152,11 @@ def minhash_candidate_pairs(
     buckets. At extreme scale add a bucket-size cap before the join."""
     rows_per_band = n_hashes // n_bands
     sigs = minhash_signatures(df, text_col, id_col, n_hashes, shingle_k)
+    # band rows carry only (id, band, bucket) — the 64-long signature stays
+    # out of the self-join shuffle and is re-attached to the (small)
+    # candidate-pair set afterwards
     banded = sigs.select(
         "id",
-        "sig",
         F.explode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(n_bands - 1)),
@@ -135,7 +174,7 @@ def minhash_candidate_pairs(
                 ),
             )
         ).alias("b"),
-    ).select("id", "sig", F.col("b.band").alias("band"), F.col("b.bucket").alias("bucket"))
+    ).select("id", F.col("b.band").alias("band"), F.col("b.bucket").alias("bucket"))
 
     a = banded.alias("a")
     b = banded.alias("b")
@@ -146,20 +185,18 @@ def minhash_candidate_pairs(
             & (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.id") < F.col("b.id")),
         )
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.sig").alias("sig_a"),
-            F.col("b.sig").alias("sig_b"),
-        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
+    pairs_sig = pairs.join(
+        sigs.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a")), "id_a"
+    ).join(sigs.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b")), "id_b")
     est = (
         F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda e: e))
         / F.lit(float(n_hashes))
     )
     return (
-        pairs.withColumn("jaccard_est", est)
+        pairs_sig.withColumn("jaccard_est", est)
         .filter(F.col("jaccard_est") >= min_jaccard_est)
         .select("id_a", "id_b", "jaccard_est")
     )
