@@ -21,6 +21,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from opendata_gov_lt_mysql_import_spark.session import get_spark  # noqa: E402
 from opendata_gov_lt_mysql_import_spark.queries import all_queries  # noqa: E402
 import opendata_gov_lt_mysql_import_spark.queries_ml  # noqa: F401, E402
+import opendata_gov_lt_mysql_import_spark.queries_sql  # noqa: F401, E402
 
 # Headline set: the scale-sensitive queries (scans, joins, aggs, window,
 # closure, dedup families, similarity, text analysis). Cheap point lookups

@@ -29,6 +29,7 @@ only self-consistency matters.
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
+from pyspark.storagelevel import StorageLevel
 from pyspark.sql import functions as F
 
 from .textanalysis import tokens
@@ -212,9 +213,14 @@ def word_ngrams(text: Column, n: int) -> Column:
     form below."""
     toks = tokens(text)
     n_sh = F.greatest(F.size(toks) - (n - 1), F.lit(1))
+    # get() per position, not slice(toks, i, n): slice copies an n-element
+    # array per gram (O(len·n) allocations) while n fixed get() lookups are
+    # O(1) each. get (not element_at) so an out-of-range tail position
+    # yields NULL — skipped by concat_ws, same as slice's short tail —
+    # instead of an ANSI-mode error.
     grams = F.transform(
         F.sequence(F.lit(0), n_sh - 1),
-        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        lambda i: F.concat_ws(" ", *[F.get(toks, i + j) for j in range(n)]),
     )
     return F.array_distinct(grams)
 
@@ -238,11 +244,30 @@ def blocked_jaccard_pairs(
 
     Returns (id_a, id_b, jaccard), id_a < id_b.
     """
+    # Join on a 64-bit hash of the gram, not the gram string: the two join
+    # shuffles then carry (block, long, id) rows instead of full n-gram
+    # text, and the equi-compare is a long compare. xxhash64 collisions
+    # (~|grams per block|² / 2⁶⁴) are below any measurable effect on the
+    # Jaccard estimate.
+    #
+    # Gram construction is CPU-heavy relative to the bytes scanned (array
+    # HOFs run interpreted), so a compact parquet input easily arrives as
+    # one task and serializes the whole stage; spread it across the
+    # cluster first. The shuffle this costs is tiny (raw documents) next
+    # to the exploded gram stream it parallelizes.
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        df = df.repartition(par)
     grams = df.select(
         F.col(id_col).alias("id"),
         F.col(block_col).alias("block"),
-        F.explode(word_ngrams(F.col(text_col), n)).alias("gram"),
-    )
+        F.explode(word_ngrams(F.col(text_col), n)).alias("_g"),
+    ).select("id", "block", F.xxhash64(F.col("_g")).alias("gram"))
+    # The gram stream feeds three subplans (both self-join sides + sizes)
+    # and AQE's broadcast conversion defeats exchange reuse, so without a
+    # persist the interpreted gram HOF runs three times. MEMORY_AND_DISK:
+    # spills rather than OOMs when the corpus outgrows executor memory.
+    grams = grams.persist(StorageLevel.MEMORY_AND_DISK)
     sizes = grams.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
 
     a = grams.alias("a")
