@@ -35,6 +35,22 @@ from pyspark.sql import functions as F
 from .textanalysis import tokens
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Repartition up to the cluster's parallelism when the input arrives
+    in fewer partitions.
+
+    The dedup operators are CPU-heavy relative to the bytes scanned
+    (shingle/gram explosion), so a compact parquet input that fits one
+    scan task would serialize the whole stage on one core; the shuffle
+    this costs is tiny (raw rows) next to the exploded stream it
+    parallelizes. No-op when the source is already well-partitioned, as a
+    real 100 TB table would be."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        return df.repartition(par)
+    return df
+
+
 # ---------------------------------------------------------------------------
 # exact dedup
 # ---------------------------------------------------------------------------
@@ -118,6 +134,7 @@ def minhash_signatures(
     interpreted either way; the win is avoiding per-row array building.)
     Shingles are NOT deduplicated: min over a multiset equals min over its
     set, so array_distinct would be pure overhead."""
+    df = _spread(df)
     bin_ = F.col(text_col).cast("binary")
     n_pos = F.greatest(F.length(bin_) - (shingle_k - 1), F.lit(1))
     exploded = (
@@ -152,7 +169,12 @@ def minhash_candidate_pairs(
     the LSH bucket — then a bucket-local self-join; AQE splits skewed
     buckets. At extreme scale add a bucket-size cap before the join."""
     rows_per_band = n_hashes // n_bands
-    sigs = minhash_signatures(df, text_col, id_col, n_hashes, shingle_k)
+    # sigs feeds three subplans (band explode + two signature re-attach
+    # joins); persist so the shingle explode + 64-min aggregation runs
+    # once instead of three times.
+    sigs = minhash_signatures(df, text_col, id_col, n_hashes, shingle_k).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     # band rows carry only (id, band, bucket) — the 64-long signature stays
     # out of the self-join shuffle and is re-attached to the (small)
     # candidate-pair set afterwards
@@ -250,14 +272,7 @@ def blocked_jaccard_pairs(
     # (~|grams per block|² / 2⁶⁴) are below any measurable effect on the
     # Jaccard estimate.
     #
-    # Gram construction is CPU-heavy relative to the bytes scanned (array
-    # HOFs run interpreted), so a compact parquet input easily arrives as
-    # one task and serializes the whole stage; spread it across the
-    # cluster first. The shuffle this costs is tiny (raw documents) next
-    # to the exploded gram stream it parallelizes.
-    par = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < par:
-        df = df.repartition(par)
+    df = _spread(df)
     grams = df.select(
         F.col(id_col).alias("id"),
         F.col(block_col).alias("block"),
@@ -307,6 +322,7 @@ def simhash_fingerprints(df: DataFrame, text_col: str, id_col: str) -> DataFrame
     Explode + 64 partial-aggregated votes (sum of ±1 per bit), then one
     projection folds the votes into the fingerprint. Empty documents get
     fp = 0 via the left join back."""
+    df = _spread(df)
     hashed = df.select(
         F.col(id_col).alias("id"),
         F.explode(tokens(F.col(text_col))).alias("tok"),
@@ -363,7 +379,12 @@ def simhash_candidate_pairs(
     df: DataFrame, text_col: str, id_col: str, max_hamming: int = 3
 ) -> DataFrame:
     """Near-dup pairs by SimHash banding + exact hamming verification."""
-    fps = simhash_fingerprints(df, text_col, id_col)
+    # Both self-join sides read the fingerprint table; persist so the
+    # 64-vote aggregation runs once (broadcast conversion defeats
+    # exchange reuse, as in blocked_jaccard_pairs).
+    fps = simhash_fingerprints(df, text_col, id_col).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     banded = fps.select(
         "id", "fp", F.explode(simhash_chunks(F.col("fp"))).alias("c")
     ).select("id", "fp", F.col("c.chunk").alias("chunk"), F.col("c.value").alias("value"))
