@@ -42,6 +42,7 @@ HEADLINE = [
     "text_lang_id",
     "doc_fingerprint",
     "ann_topk_cosine",
+    "ann_lsh_topk",
     "minhash_lsh_pairs",
     "ngram_jaccard_pairs",
     "events_sessionize",

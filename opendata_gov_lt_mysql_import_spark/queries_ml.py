@@ -19,7 +19,13 @@ from .operators.dedup import (
     minhash_candidate_pairs,
     simhash_candidate_pairs,
 )
-from .operators.similarity import cosine, cosine_dup_pairs, cosine_topk
+from .operators.similarity import (
+    cosine,
+    cosine_dup_pairs,
+    cosine_topk,
+    hyperplanes,
+    lsh_signature,
+)
 from .operators.textanalysis import (
     LANG_STOPWORDS,
     quality_projection,
@@ -239,6 +245,71 @@ def ann_topk_cosine_q(spark: SparkSession, sf: str) -> DataFrame:
     q = F.array(*[F.lit(x) for x in qvec])
     scored = emb.filter(F.col("vec_id") != 0).select(
         "vec_id", F.round(cosine(F.col("embedding"), q), 4).alias("sim")
+    )
+    return scored.orderBy(F.desc("sim"), F.asc("vec_id")).limit(10)
+
+
+# Random-hyperplane LSH for the ANN scale path. The planes are generated
+# once at import (fixed seed) and embedded as LITERALS in both the Spark
+# plan and the oracle SQL, so the bucketing is engine-independent and the
+# approximate result is still exactly oracle-checkable. The fixture
+# embedding dim is 64 (TESTDATA.md).
+_ANN_PLANES = hyperplanes(dim=64, n_planes=8, seed=42)
+_ANN_MAX_HAMMING = 2
+
+
+def _plane_sql_literal(plane) -> str:
+    return "[" + ", ".join(repr(float(x)) for x in plane) + "]"
+
+
+_ANN_SIG_SQL = " + ".join(
+    f"(CASE WHEN list_dot_product(e, {_plane_sql_literal(p)}) > 0"
+    f" THEN {1 << i} ELSE 0 END)"
+    for i, p in enumerate(_ANN_PLANES)
+)
+
+
+@query(
+    "ann_lsh_topk",
+    f"""
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ), s AS (
+      SELECT vec_id, e, ({_ANN_SIG_SQL}) AS sig FROM v
+    ), q AS (
+      SELECT e AS qe, sig AS qsig FROM s WHERE vec_id = 0
+    )
+    SELECT s.vec_id, round(list_cosine_similarity(s.e, q.qe), 4) AS sim
+    FROM s, q
+    WHERE s.vec_id <> 0 AND bit_count(xor(s.sig, q.qsig)) <= {_ANN_MAX_HAMMING}
+    ORDER BY sim DESC, s.vec_id
+    LIMIT 10
+    """,
+)
+def ann_lsh_topk_q(spark: SparkSession, sf: str) -> DataFrame:
+    """LSH-bucketed approximate top-k: cosine is computed only for vectors
+    whose sign-bit signature is within hamming ≤ 2 of the query's — the
+    scale path where the signature doubles as a partition/bucket key, vs
+    ann_topk_cosine's exact full scan."""
+    import numpy as np
+
+    emb = load_table(spark, sf, "embeddings")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    qsig = 0
+    for i, plane in enumerate(_ANN_PLANES):
+        if float(np.dot(qvec, plane)) > 0:
+            qsig |= 1 << i
+    qcol = F.array(*[F.lit(x) for x in qvec])
+    sigged = emb.filter(F.col("vec_id") != 0).select(
+        "vec_id",
+        "embedding",
+        lsh_signature(F.col("embedding"), _ANN_PLANES).alias("sig"),
+    )
+    cands = sigged.filter(
+        F.bit_count(F.col("sig").bitwiseXOR(F.lit(qsig).cast("long"))) <= _ANN_MAX_HAMMING
+    )
+    scored = cands.select(
+        "vec_id", F.round(cosine(F.col("embedding"), qcol), 4).alias("sim")
     )
     return scored.orderBy(F.desc("sim"), F.asc("vec_id")).limit(10)
 
