@@ -95,3 +95,34 @@ def mn_bridge_collect(
         .distinct()
     )
     return edges.groupBy(fact_key).agg(F.array_sort(F.collect_list("__collect")).alias(alias))
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    on: str,
+    n_salts: int = 16,
+    how: str = "inner",
+    seed: int = 42,
+) -> DataFrame:
+    """Skew-resistant equi-join: spread each hot fact key over ``n_salts``
+    shuffle partitions by salting, replicating the dim side once per salt.
+
+    The go-to shape when the dim side is too large to broadcast and the
+    fact side has power-law keys (a handful of keys owning most rows — the
+    partition that stalls a 1000-executor stage). Each fact row draws a
+    salt from rand(seed) (deterministic per task on retry); the dim side
+    is exploded n_salts× so every (key, salt) pair finds its match. Result
+    rows are identical to a plain equi-join — only the partitioning of the
+    shuffle changes. AQE's skew-join handles moderate skew on its own;
+    explicit salting is for the extreme single-key case AQE cannot split
+    below its minimum partition size.
+    """
+    salted_fact = fact.withColumn(
+        "__salt", (F.rand(seed) * n_salts).cast("int")
+    )
+    salted_dim = dim.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    )
+    joined = salted_fact.join(salted_dim, on=[on, "__salt"], how=how)
+    return joined.drop("__salt")
