@@ -328,21 +328,21 @@ def simhash_fingerprints(df: DataFrame, text_col: str, id_col: str) -> DataFrame
         F.explode(tokens(F.col(text_col))).alias("tok"),
     ).select("id", F.xxhash64("tok").alias("h"))
 
+    # Majority vote per bit as sum((h >> b) & 1) against count/2: a plain
+    # shift-and-mask sum (branch-free) instead of 64 conditional ±1 sums —
+    # sum(±1) >= 0  ⇔  2·popcount_b >= n, including the tie case.
     votes = hashed.groupBy("id").agg(
+        F.count(F.lit(1)).alias("_n"),
         *[
-            F.sum(
-                F.when(
-                    F.col("h").bitwiseAND(F.shiftleft(F.lit(1).cast("long"), b)) != 0,
-                    1,
-                ).otherwise(-1)
-            ).alias(f"_v{b}")
+            F.sum(F.shiftrightunsigned(F.col("h"), b).bitwiseAND(F.lit(1).cast("long")))
+            .alias(f"_v{b}")
             for b in range(64)
-        ]
+        ],
     )
     fp = F.lit(0).cast("long")
     for b in range(64):
         fp = fp + F.when(
-            F.col(f"_v{b}") >= 0, F.shiftleft(F.lit(1).cast("long"), b)
+            F.col(f"_v{b}") * 2 >= F.col("_n"), F.shiftleft(F.lit(1).cast("long"), b)
         ).otherwise(F.lit(0).cast("long"))
     fps = votes.select("id", fp.alias("fp"))
 

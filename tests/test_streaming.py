@@ -65,3 +65,51 @@ class TestForeachBatchUpsert:
         result = spark.read.parquet(out_dir)
         assert result.count() > 0
         assert set(result.columns) == {"event_type", "count"}
+
+
+class TestStreamingDedup:
+    def test_duplicated_stream_dedupes_to_batch_distinct(
+        self, spark, sf_dir, tmp_path
+    ):
+        from opendata_gov_lt_mysql_import_spark.streaming.dedup import streaming_dedup
+        from opendata_gov_lt_mysql_import_spark.streaming.events import JSON_TS_FORMAT
+
+        # events written twice -> every row has exactly one duplicate
+        ev = load_table(spark, sf_dir, "events")
+        dup_dir = str(tmp_path / "dup_events")
+        for i in range(2):
+            ev.coalesce(2).write.mode("append").option(
+                "timestampFormat", JSON_TS_FORMAT
+            ).json(dup_dir)
+
+        keys = ["ts", "user_id", "event_type"]
+        stream = read_event_stream(spark, dup_dir)
+        deduped = streaming_dedup(stream, keys, ts_col="ts", watermark="1 hour")
+        assert deduped.isStreaming
+        run_to_memory(deduped, "dedup_out", output_mode="append")
+
+        got = spark.table("dedup_out").select(*keys).distinct().count()
+        total = spark.table("dedup_out").count()
+        want = ev.select(*keys).distinct().count()
+        assert got == want
+        # no key emitted twice
+        assert total == got
+
+    def test_content_dedup_fingerprints(self, spark, sf_dir, tmp_path):
+        from opendata_gov_lt_mysql_import_spark.streaming.dedup import (
+            streaming_content_dedup,
+        )
+        from opendata_gov_lt_mysql_import_spark.streaming.events import JSON_TS_FORMAT
+
+        ev = load_table(spark, sf_dir, "events")
+        d = str(tmp_path / "ev_json")
+        ev.coalesce(2).write.mode("overwrite").option(
+            "timestampFormat", JSON_TS_FORMAT
+        ).json(d)
+        stream = read_event_stream(spark, d)
+        deduped = streaming_content_dedup(stream, "event_type", ts_col="ts")
+        run_to_memory(deduped, "content_dedup_out", output_mode="append")
+        out = spark.table("content_dedup_out")
+        # one survivor per distinct event_type payload
+        assert out.count() == ev.select("event_type").distinct().count()
+        assert "fp" in out.columns
