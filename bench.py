@@ -49,6 +49,8 @@ HEADLINE = [
     "text_bpe_token_count",
     "rollup_status_priority",
     "scalar_subquery",
+    "exists_subquery",
+    "percentile_price",
 ]
 
 

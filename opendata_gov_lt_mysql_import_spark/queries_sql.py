@@ -195,3 +195,108 @@ def sql_api_q6_revenue(spark: SparkSession, sf: str) -> DataFrame:
         WHERE l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
         """
     )
+
+
+@query(
+    "exists_subquery",
+    """
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+    FROM orders
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem
+      WHERE l_orderkey = o_orderkey AND l_quantity >= 45 AND l_discount > 0.05
+    )
+    GROUP BY o_orderpriority
+    """,
+)
+def exists_subquery(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q4-shaped correlated EXISTS: orders having at least one
+    high-quantity discounted lineitem. Catalyst rewrites the subquery to a left-semi hash join —
+    the set-oriented probe the reference does per-row (SURVEY.md J4)."""
+    o = load_table(spark, sf, "orders")
+    li = load_table(spark, sf, "lineitem").filter(
+        (F.col("l_quantity") >= 45) & (F.col("l_discount") > 0.05)
+    )
+    return (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"], "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+@query(
+    "percentile_price",
+    """
+    SELECT l_returnflag,
+           round(quantile_cont(l_extendedprice, 0.25), 2) AS p25,
+           round(quantile_cont(l_extendedprice, 0.50), 2) AS p50,
+           round(quantile_cont(l_extendedprice, 0.75), 2) AS p75,
+           round(quantile_cont(l_extendedprice, 0.99), 2) AS p99
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def percentile_price(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact linear-interpolation percentiles per group (Spark
+    ``percentile`` ≡ DuckDB ``quantile_cont``). The exact form needs the
+    full group sorted; at 100 TB swap in ``approx_percentile`` (KLL
+    sketch, mergeable map-side) — same call shape, bounded memory."""
+    li = load_table(spark, sf, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        *[
+            F.round(
+                F.percentile(F.col("l_extendedprice"), F.lit(q)), 2
+            ).alias(f"p{int(q * 100)}")
+            for q in (0.25, 0.50, 0.75, 0.99)
+        ]
+    )
+
+
+@query(
+    "pivot_status_priority",
+    """
+    SELECT o_orderpriority,
+           CAST(count(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS st_O,
+           CAST(count(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS st_F,
+           CAST(count(*) FILTER (WHERE o_orderstatus = 'P') AS BIGINT) AS st_P
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def pivot_status_priority(spark: SparkSession, sf: str) -> DataFrame:
+    """Pivot (long→wide) with an explicit value list — explicit values
+    keep it one pass with map-side partial aggregation; the
+    values-unspecified form needs an extra distinct scan."""
+    o = load_table(spark, sf, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .count()
+        .select(
+            "o_orderpriority",
+            F.coalesce(F.col("O"), F.lit(0)).alias("st_O"),
+            F.coalesce(F.col("F"), F.lit(0)).alias("st_F"),
+            F.coalesce(F.col("P"), F.lit(0)).alias("st_P"),
+        )
+    )
+
+
+@query(
+    "stats_agg",
+    """
+    SELECT l_returnflag,
+           round(stddev_samp(l_quantity), 4) AS sd_qty,
+           round(var_samp(l_quantity), 4) AS var_qty,
+           round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+           round(covar_samp(l_quantity, l_extendedprice), 2) AS cov_qty_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def stats_agg(spark: SparkSession, sf: str) -> DataFrame:
+    """Statistical aggregates (stddev/variance/correlation/covariance) —
+    all single-pass mergeable moments, map-side combinable."""
+    li = load_table(spark, sf, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
+        F.round(F.var_samp("l_quantity"), 4).alias("var_qty"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_price"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias("cov_qty_price"),
+    )
