@@ -46,6 +46,7 @@ HEADLINE = [
     "minhash_lsh_pairs",
     "ngram_jaccard_pairs",
     "events_sessionize",
+    "events_asof_last_order",
     "text_bpe_token_count",
     "rollup_status_priority",
     "scalar_subquery",

@@ -415,3 +415,48 @@ def simhash_pairs_q(spark: SparkSession, sf: str) -> DataFrame:
     return simhash_candidate_pairs(
         _documents_with_dups(spark, sf), "text", "doc_id", max_hamming=3
     )
+
+
+@query(
+    "events_asof_last_order",
+    """
+    WITH r AS (
+      SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey, o_orderdate
+                                ORDER BY o_orderkey DESC) AS rn
+      FROM orders
+    ), rd AS (SELECT * FROM r WHERE rn = 1)
+    SELECT e.user_id, e.ts, e.event_type,
+           rd.o_orderkey AS asof_o_orderkey,
+           round(rd.o_totalprice, 2) AS asof_o_totalprice
+    FROM events e ASOF LEFT JOIN rd
+      ON e.user_id = rd.o_custkey AND e.ts >= rd.o_orderdate
+    """,
+)
+def events_asof_last_order_q(spark: SparkSession, sf: str) -> DataFrame:
+    """As-of enrichment: each event carries the customer's most recent
+    order at-or-before the event time (union + running-last window — one
+    shuffle, no range-join blow-up; oracle is DuckDB's native ASOF JOIN).
+    Right side pre-deduped per (custkey, orderdate) so the tie winner is
+    engine-independent."""
+    from pyspark.sql import Window
+
+    from .operators.asof import asof_join
+
+    ev = load_table(spark, sf, "events")
+    o = load_table(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey", "o_orderdate").orderBy(F.desc("o_orderkey"))
+    od = (
+        o.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("o_custkey", "o_orderdate", "o_orderkey", F.round("o_totalprice", 2).alias("o_totalprice"))
+    )
+    return asof_join(
+        ev.select("user_id", "ts", "event_type"),
+        od,
+        on="user_id",
+        right_on="o_custkey",
+        left_ts="ts",
+        right_ts="o_orderdate",
+        right_cols=["o_orderkey", "o_totalprice"],
+    )

@@ -172,3 +172,63 @@ class TestSimilarity:
         # the query vector itself must be found, plus reasonable overlap
         assert 7 in approx
         assert len(set(exact) & set(approx)) >= 2
+
+
+class TestAsofJoin:
+    def _frames(self, spark):
+        from pyspark.sql import Row
+        import datetime as dt
+
+        T = lambda s: dt.datetime.fromisoformat(s)
+        left = spark.createDataFrame(
+            [
+                Row(k=1, ts=T("2024-01-01T05:00:00"), tag="a"),
+                Row(k=1, ts=T("2024-01-01T09:00:00"), tag="b"),
+                Row(k=1, ts=T("2024-01-01T10:00:00"), tag="c"),  # == state ts
+                Row(k=2, ts=T("2024-01-01T01:00:00"), tag="d"),  # before any state
+            ]
+        )
+        right = spark.createDataFrame(
+            [
+                Row(k=1, ts=T("2024-01-01T04:00:00"), v=10),
+                Row(k=1, ts=T("2024-01-01T10:00:00"), v=20),
+                Row(k=2, ts=T("2024-01-01T02:00:00"), v=30),
+            ]
+        )
+        return left, right
+
+    def test_backward_semantics(self, spark):
+        from opendata_gov_lt_mysql_import_spark.operators.asof import asof_join
+
+        left, right = self._frames(spark)
+        got = {
+            r["tag"]: r["asof_v"]
+            for r in asof_join(
+                left, right, on="k", left_ts="ts", right_ts="ts", right_cols=["v"]
+            ).collect()
+        }
+        # a: state@04 → 10; b: still 10; c: equal-ts state@10 → 20; d: none
+        assert got == {"a": 10, "b": 10, "c": 20, "d": None}
+
+    def test_inner_drops_stateless_rows(self, spark):
+        from opendata_gov_lt_mysql_import_spark.operators.asof import asof_join
+
+        left, right = self._frames(spark)
+        tags = {
+            r["tag"]
+            for r in asof_join(
+                left, right, on="k", left_ts="ts", right_ts="ts",
+                right_cols=["v"], how="inner",
+            ).collect()
+        }
+        assert tags == {"a", "b", "c"}
+
+    def test_single_shuffle_plan(self, spark):
+        from opendata_gov_lt_mysql_import_spark.operators.asof import asof_join
+
+        left, right = self._frames(spark)
+        df = asof_join(left, right, on="k", left_ts="ts", right_ts="ts", right_cols=["v"])
+        df.count()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        n_exchanges = plan.split("+- == Initial Plan ==")[0].count("Exchange hashpartitioning")
+        assert n_exchanges == 1, plan
