@@ -460,3 +460,40 @@ def events_asof_last_order_q(spark: SparkSession, sf: str) -> DataFrame:
         right_ts="o_orderdate",
         right_cols=["o_orderkey", "o_totalprice"],
     )
+
+
+@query(
+    "events_range_join_recent",
+    """
+    SELECT a.user_id, a.ts, a.event_type,
+           b.ts AS r_ts, b.event_type AS r_event_type
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND b.ts BETWEEN a.ts - INTERVAL 4 HOUR AND a.ts
+     AND b.ts < a.ts
+    """,
+)
+def events_range_join_recent_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Interval self-join: for each event, the same user's events in the
+    preceding 4 hours, via the bucketized range join (equi-join on (key,
+    time-bucket) + exact refine — no nested-loop inequality join). The
+    fixture's orders (1995-2001) and events (2024) never overlap in time,
+    so the demonstration window is events-to-events."""
+    from .operators.range_join import range_join
+
+    ev = load_table(spark, sf, "events")
+    pairs = range_join(
+        ev.select("user_id", "ts", "event_type"),
+        ev.select("user_id", F.col("ts").alias("b_ts"), F.col("event_type").alias("b_event_type")),
+        on="user_id",
+        left_ts="ts",
+        right_ts="b_ts",
+        lower_s=-4 * 3600,
+        upper_s=0,
+        right_cols=["b_ts", "b_event_type"],
+        prefix="",
+    )
+    return pairs.filter(F.col("b_ts") < F.col("ts")).select(
+        "user_id", "ts", "event_type",
+        F.col("b_ts").alias("r_ts"), F.col("b_event_type").alias("r_event_type"),
+    )

@@ -232,3 +232,63 @@ class TestAsofJoin:
         plan = df._jdf.queryExecution().executedPlan().toString()
         n_exchanges = plan.split("+- == Initial Plan ==")[0].count("Exchange hashpartitioning")
         assert n_exchanges == 1, plan
+
+
+class TestRangeJoin:
+    def test_matches_naive_inequality_join(self, spark, sf_dir):
+        from opendata_gov_lt_mysql_import_spark.operators.range_join import range_join
+        from opendata_gov_lt_mysql_import_spark.sources.parquet import load_table
+        from pyspark.sql import functions as F
+
+        ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+        other = ev.select("user_id", F.col("ts").alias("b_ts"))
+        got = range_join(
+            ev, other, on="user_id", left_ts="ts",
+            right_ts="b_ts", lower_s=-4 * 3600, upper_s=0,
+            right_cols=["b_ts"],
+        )
+        naive = ev.join(
+            other,
+            on="user_id",
+        ).filter(
+            (F.col("b_ts") >= F.col("ts") - F.expr("INTERVAL 4 HOURS"))
+            & (F.col("b_ts") <= F.col("ts"))
+        ).select("user_id", "ts", "b_ts")
+        n = naive.count()
+        assert n > 0  # window must be non-trivial for this test to mean anything
+        as_tuples = lambda df: sorted(tuple(r) for r in df.collect())
+        assert as_tuples(got.select("user_id", "ts", "r_b_ts")) == as_tuples(naive)
+
+    def test_bucket_boundary_inclusive(self, spark):
+        from opendata_gov_lt_mysql_import_spark.operators.range_join import range_join
+        import datetime as dt
+        from pyspark.sql import Row
+
+        T = dt.datetime.fromisoformat
+        left = spark.createDataFrame([Row(k=1, ts=T("2024-01-10T00:00:00"))])
+        right = spark.createDataFrame(
+            [
+                Row(k=1, ts=T("2024-01-03T00:00:00"), v=1),  # exactly lower bound
+                Row(k=1, ts=T("2024-01-10T00:00:00"), v=2),  # exactly upper bound
+                Row(k=1, ts=T("2024-01-02T23:59:59"), v=3),  # 1s outside
+                Row(k=1, ts=T("2024-01-10T00:00:01"), v=4),  # 1s outside
+            ]
+        )
+        got = sorted(
+            r["r_v"]
+            for r in range_join(
+                left, right, on="k", left_ts="ts", right_ts="ts",
+                lower_s=-7 * 86400, upper_s=0, right_cols=["v"],
+            ).collect()
+        )
+        assert got == [1, 2]
+
+    def test_rejects_empty_interval(self, spark):
+        import pytest as _pytest
+        from opendata_gov_lt_mysql_import_spark.operators.range_join import range_join
+
+        with _pytest.raises(ValueError):
+            range_join(
+                spark.range(1), spark.range(1), on="id", left_ts="id",
+                right_ts="id", lower_s=0, upper_s=0, right_cols=[],
+            )
