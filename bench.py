@@ -47,6 +47,7 @@ HEADLINE = [
     "ngram_jaccard_pairs",
     "events_sessionize",
     "events_asof_last_order",
+    "events_range_join_recent",
     "text_bpe_token_count",
     "rollup_status_priority",
     "scalar_subquery",

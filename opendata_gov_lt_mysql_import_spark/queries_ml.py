@@ -497,3 +497,17 @@ def events_range_join_recent_q(spark: SparkSession, sf: str) -> DataFrame:
         "user_id", "ts", "event_type",
         F.col("b_ts").alias("r_ts"), F.col("b_event_type").alias("r_event_type"),
     )
+
+
+@query("approx_distinct_users", None)
+def approx_distinct_users_q(spark: SparkSession, sf: str) -> DataFrame:
+    """HyperLogLog++ distinct-user estimate per event type at 1% target
+    precision — the mergeable-sketch path for cardinality at 100 TB where
+    exact count-distinct would shuffle every key. No SQL oracle (sketch
+    estimates are engine-specific); pytest pins the estimate within 2% of
+    the exact count."""
+    ev = load_table(spark, sf, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )

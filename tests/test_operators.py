@@ -292,3 +292,28 @@ class TestRangeJoin:
                 spark.range(1), spark.range(1), on="id", left_ts="id",
                 right_ts="id", lower_s=0, upper_s=0, right_cols=[],
             )
+
+
+class TestApproxDistinct:
+    def test_estimate_within_2pct_of_exact(self, spark, sf_dir):
+        from opendata_gov_lt_mysql_import_spark.sources.parquet import load_table
+        from pyspark.sql import functions as F
+
+        ev = load_table(spark, sf_dir, "events")
+        approx = {
+            r["event_type"]: r["approx"]
+            for r in ev.groupBy("event_type")
+            .agg(F.approx_count_distinct("user_id", rsd=0.01).alias("approx"))
+            .collect()
+        }
+        exact = {
+            r["event_type"]: r["exact"]
+            for r in ev.groupBy("event_type")
+            .agg(F.count_distinct("user_id").alias("exact"))
+            .collect()
+        }
+        assert approx.keys() == exact.keys()
+        for k in exact:
+            assert abs(approx[k] - exact[k]) <= max(1, 0.02 * exact[k]), (
+                k, approx[k], exact[k],
+            )
