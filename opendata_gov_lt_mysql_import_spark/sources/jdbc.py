@@ -16,9 +16,11 @@ Scale design:
   at JSON-encode time instead, odgovlt.py:137-138);
 - dimension tables read unpartitioned and broadcast at join sites.
 
-No MySQL server exists in the test environment, so these wrappers are
-exercised by unit tests only for option construction; the parquet fixtures
-stand in for the data path (FIXTURES.md role mapping).
+No MySQL server exists in the test environment; the wrappers are
+integration-tested end-to-end against the embedded Derby engine Spark
+ships for its Hive metastore (tests/test_jdbc_derby.py) — a real JDBC
+write → read → pushdown cycle — and the parquet fixtures stand in for the
+bulk data path (FIXTURES.md role mapping).
 """
 
 from __future__ import annotations
@@ -52,6 +54,7 @@ def jdbc_read_options(
     lower_bound=None,
     upper_bound=None,
     fetch_size: int = 10_000,
+    driver: str | None = None,
 ) -> dict[str, str]:
     opts = {
         "url": url,
@@ -61,6 +64,8 @@ def jdbc_read_options(
         "pushDownLimit": "true",
         "pushDownAggregate": "true",
     }
+    if driver:
+        opts["driver"] = driver
     if partition_column:
         if lower_bound is None or upper_bound is None or not num_partitions:
             raise ValueError("partitioned read needs bounds and numPartitions")
@@ -106,13 +111,26 @@ def read_reference_tables(
 
 
 def write_jdbc_table(
-    df: DataFrame, url: str, table: str, mode: str = "append", batch_size: int = 10_000
+    df: DataFrame,
+    url: str,
+    table: str,
+    mode: str = "append",
+    batch_size: int = 10_000,
+    driver: str | None = None,
+    column_types: str | None = None,
 ) -> None:
-    (
+    """``column_types`` maps to ``createTableColumnTypes`` — e.g.
+    ``"STATUSAS VARCHAR(1)"``. Without it Spark lets the dialect choose,
+    and some engines (Derby) map StringType to CLOB, which cannot be used
+    in pushed-down equality predicates."""
+    w = (
         df.write.format("jdbc")
         .option("url", url)
         .option("dbtable", table)
         .option("batchsize", str(batch_size))
-        .mode(mode)
-        .save()
     )
+    if driver:
+        w = w.option("driver", driver)
+    if column_types:
+        w = w.option("createTableColumnTypes", column_types)
+    w.mode(mode).save()
