@@ -86,7 +86,11 @@ def read_jdbc_table(spark: SparkSession, **options) -> DataFrame:
 
 
 def read_reference_tables(
-    spark: SparkSession, url: str, fact_partitions: int = 64
+    spark: SparkSession,
+    url: str,
+    fact_partitions: int = 64,
+    driver: str | None = None,
+    fact_upper_bound: int = 1 << 31,
 ) -> dict[str, DataFrame]:
     """S1 analog: bind the five source tables; the fact table partitioned
     on its integer PK, dimensions as single-cursor reads (they are tiny and
@@ -102,11 +106,12 @@ def read_reference_tables(
                 table=table,
                 partition_column="ID",
                 lower_bound=0,
-                upper_bound=1 << 31,
+                upper_bound=fact_upper_bound,
                 num_partitions=fact_partitions,
+                driver=driver,
             )
         else:
-            out[alias] = read_jdbc_table(spark, url=url, table=table)
+            out[alias] = read_jdbc_table(spark, url=url, table=table, driver=driver)
     return out
 
 

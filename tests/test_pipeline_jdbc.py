@@ -1,0 +1,97 @@
+"""The full harvest pipeline over a LIVE JDBC source (embedded Derby).
+
+The closest environment gets to the reference's production shape: the
+five-table schema seeded into a real SQL engine, read back through the
+partitioned JDBC source (schema from JDBC metadata — the analog of the
+reference's meta.reflect(), odgovlt.py:147-156), and the whole document
+pipeline run on those relations. Outputs must be identical to the
+in-memory DataFrame run — the pipeline is source-agnostic by design.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from opendata_gov_lt_mysql_import_spark.plans.pipeline import HarvestPipeline
+from opendata_gov_lt_mysql_import_spark.sources.jdbc import (
+    REFERENCE_TABLES,
+    read_reference_tables,
+    write_jdbc_table,
+)
+from reference_fixture import build_reference_tables
+
+DRIVER = "org.apache.derby.jdbc.EmbeddedDriver"
+URL = "jdbc:derby:memory:pipeline_src;create=true"
+
+# Derby maps StringType to CLOB unless told otherwise; CLOB rejects the
+# pushed-down equality predicates the pipeline relies on (STATUSAS='U').
+_VARCHAR = {
+    "user": "LOGIN VARCHAR(64), PASS VARCHAR(64), EMAIL VARCHAR(128), "
+            "FIRST_NAME VARCHAR(64), LAST_NAME VARCHAR(64)",
+    "istaiga": "PAVADINIMAS VARCHAR(255), KODAS VARCHAR(32), ADRESAS VARCHAR(255)",
+    # KODAS stays CLOB: it is nullable, and Spark writes null strings as
+    # setNull(CLOB) (the dialect's JDBC type), which Derby rejects against
+    # a VARCHAR column. CLOB read-back is fine — KODAS is only projected
+    # into extras, never used in a pushed-down predicate.
+    "rinkmena": "PAVADINIMAS VARCHAR(255), SANTRAUKA VARCHAR(255), "
+                "TINKLAPIS VARCHAR(255), R_ZODZIAI VARCHAR(1024), "
+                "K_EMAIL VARCHAR(128), STATUSAS VARCHAR(1)",
+    "kategorija": "PAVADINIMAS VARCHAR(255)",
+    "kategorija_rinkmena": None,
+}
+
+
+@pytest.fixture(scope="module")
+def jdbc_tables(spark):
+    frames = build_reference_tables(spark)
+    for alias, df in frames.items():
+        write_jdbc_table(
+            df, URL, REFERENCE_TABLES[alias], mode="overwrite",
+            driver=DRIVER, column_types=_VARCHAR[alias],
+        )
+    return read_reference_tables(
+        spark, URL, fact_partitions=4, driver=DRIVER, fact_upper_bound=100
+    ), frames
+
+
+def test_jdbc_schema_reflection(jdbc_tables):
+    via_jdbc, frames = jdbc_tables
+    for alias, df in via_jdbc.items():
+        assert set(df.columns) == set(frames[alias].columns), alias
+
+
+def test_fact_scan_is_partitioned(jdbc_tables):
+    via_jdbc, _ = jdbc_tables
+    assert via_jdbc["rinkmena"].rdd.getNumPartitions() == 4
+
+
+def test_pipeline_outputs_match_in_memory_run(spark, jdbc_tables):
+    via_jdbc, frames = jdbc_tables
+    p_jdbc = HarvestPipeline(spark, via_jdbc)
+    p_mem = HarvestPipeline(spark, frames)
+
+    def doc_key(df, cols):
+        return sorted(str(tuple(r)) for r in df.select(*cols).collect())
+
+    pkg_cols = ["name", "title", "notes", "url", "maintainer", "tags", "groups"]
+    assert doc_key(p_jdbc.package_documents(), pkg_cols) == doc_key(
+        p_mem.package_documents(), pkg_cols
+    )
+    grp_cols = ["name", "title"]
+    assert doc_key(p_jdbc.group_documents(), grp_cols) == doc_key(
+        p_mem.group_documents(), grp_cols
+    )
+    usr_cols = ["name", "fullname", "email"]
+    assert doc_key(p_jdbc.user_documents(), usr_cols) == doc_key(
+        p_mem.user_documents(), usr_cols
+    )
+
+
+def test_status_filter_pushed_to_jdbc(spark, jdbc_tables):
+    via_jdbc, _ = jdbc_tables
+    p = HarvestPipeline(spark, via_jdbc)
+    active = p.active_datasets()
+    plan = active._jdf.queryExecution().sparkPlan().toString()
+    assert "PushedFilters" in plan and "STATUSAS" in plan, plan
+    assert active.count() == 3  # the unpublished row never crosses the wire
