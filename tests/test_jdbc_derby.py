@@ -119,3 +119,46 @@ def test_append_then_overwrite_modes(spark):
     assert read_jdbc_table(spark, url=URL, table="t_modes_it", driver=DRIVER).count() == 20
     write_jdbc_table(df, URL, "t_modes_it", mode="overwrite", driver=DRIVER)
     assert read_jdbc_table(spark, url=URL, table="t_modes_it", driver=DRIVER).count() == 10
+
+
+class TestJdbcSyncSink:
+    URL = "jdbc:derby:memory:sync_sink;create=true"
+
+    def _state(self, spark):
+        return read_jdbc_table(
+            spark, url=self.URL, table="t_target", driver=DRIVER
+        )
+
+    def test_sync_plan_applies_and_is_idempotent(self, spark):
+        from opendata_gov_lt_mysql_import_spark.plans.sync import (
+            apply_sync_jdbc,
+            plan_sync,
+        )
+
+        existing = spark.createDataFrame(
+            [(1, "keep", 10), (2, "stale-update", 20), (3, "delete-me", 30)],
+            "ID int, NAME string, V int",
+        )
+        write_jdbc_table(
+            existing, self.URL, "t_target", mode="overwrite", driver=DRIVER,
+            column_types="NAME VARCHAR(64)",
+        )
+        incoming = spark.createDataFrame(
+            [(1, "keep", 10), (2, "updated", 20), (4, "created", 40)],
+            "ID int, NAME string, V int",
+        )
+
+        for attempt in range(2):  # second pass must be a no-op
+            current = self._state(spark)
+            plan = plan_sync(incoming, current, key="ID")
+            counts = apply_sync_jdbc(
+                spark, plan, self.URL, "t_target", key="ID", driver=DRIVER,
+                column_types="NAME VARCHAR(64)",
+            )
+            if attempt == 0:
+                assert counts == {"create": 1, "update": 1, "delete": 1}
+            else:
+                assert counts == {"create": 0, "update": 0, "delete": 0}
+
+        final = sorted(tuple(r) for r in self._state(spark).collect())
+        assert final == [(1, "keep", 10), (2, "updated", 20), (4, "created", 40)]
