@@ -1,0 +1,93 @@
+"""Physical-plan quality gates for the headline queries.
+
+Correctness is the oracle's job; these tests pin the *plan shapes* that
+matter at 100 TB, so a refactor that silently de-optimizes (drops a
+pushdown, turns a broadcast into a shuffle, adds an exchange) fails CI
+even though results stay right.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+import __spark_entry__ as entrymod
+
+
+@pytest.fixture(scope="module")
+def queries():
+    return entrymod.queries()
+
+
+def final_plan(df) -> str:
+    # collect(), not count(): count() wraps the plan in a new aggregate and
+    # executes THAT, leaving this handle's AQE plan unfinalized.
+    df.collect()
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def spark_plan(df) -> str:
+    return df._jdf.queryExecution().sparkPlan().toString()
+
+
+def test_filtered_scan_pushes_predicate_and_prunes_columns(spark, sf_dir, queries):
+    plan = spark_plan(queries["s2_filtered_scan"](spark, sf_dir))
+    assert "PushedFilters" in plan and "o_orderstatus" in plan.split("PushedFilters")[1].split("]")[0]
+    read_schema = plan.split("ReadSchema")[-1]
+    assert "o_comment" not in read_schema  # untouched wide column stays out
+
+
+def test_q1_partial_aggregates_before_shuffle(spark, sf_dir, queries):
+    plan = final_plan(queries["q1_pricing_summary"](spark, sf_dir))
+    assert plan.index("partial_sum") > plan.index("Exchange"), (
+        "map-side combine must appear below the exchange in the printed tree"
+    )
+
+
+def test_q3_broadcasts_the_filtered_dimension(spark, sf_dir, queries):
+    plan = final_plan(queries["q3_top_revenue"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan  # top-k never sorts the full set
+
+
+def test_j1_dimension_join_is_broadcast_not_shuffle(spark, sf_dir, queries):
+    plan = final_plan(queries["j1_left_join_default"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_exact_dedup_is_single_exchange(spark, sf_dir, queries):
+    plan = final_plan(queries["dedup_exact_groups"](spark, sf_dir))
+    n = plan.split("+- == Initial Plan ==")[0].count("Exchange hashpartitioning")
+    assert n == 1, plan
+
+
+def test_asof_join_is_single_exchange(spark, sf_dir, queries):
+    plan = final_plan(queries["events_asof_last_order"](spark, sf_dir))
+    final = plan.split("+- == Initial Plan ==")[0]
+    # one exchange for the window; the right-side dedup window shares it
+    assert final.count("Exchange hashpartitioning") <= 2, plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_range_join_is_hash_join_not_nested_loop(spark, sf_dir, queries):
+    plan = final_plan(queries["events_range_join_recent"](spark, sf_dir))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert re.search(r"(Broadcast|Shuffled)HashJoin|SortMergeJoin", plan)
+
+
+def test_exists_subquery_becomes_semi_join(spark, sf_dir, queries):
+    plan = final_plan(queries["exists_subquery"](spark, sf_dir))
+    assert "LeftSemi" in plan
+
+
+def test_point_lookup_prunes_to_filter_scan(spark, sf_dir, queries):
+    plan = spark_plan(queries["s5_point_lookup"](spark, sf_dir))
+    assert "PushedFilters" in plan
+    assert "Exchange" not in plan  # a point lookup must not shuffle
+
+
+def test_whole_stage_codegen_active_on_relational_path(spark, sf_dir, queries):
+    plan = final_plan(queries["q1_pricing_summary"](spark, sf_dir))
+    assert re.search(r"\*\(\d+\)", plan), "codegen markers absent"
