@@ -317,3 +317,45 @@ class TestApproxDistinct:
             assert abs(approx[k] - exact[k]) <= max(1, 0.02 * exact[k]), (
                 k, approx[k], exact[k],
             )
+
+
+class TestMinhashImpls:
+    def test_both_impls_find_exact_duplicates(self, spark):
+        from opendata_gov_lt_mysql_import_spark.operators.dedup import (
+            minhash_candidate_pairs,
+        )
+        from pyspark.sql import functions as F
+        from opendata_gov_lt_mysql_import_spark.sources.parquet import load_table
+
+        d = load_table(spark, "/root/testdata/sf0.001", "documents")
+        dups = d.filter(F.col("doc_id") < 50).withColumn(
+            "doc_id", F.col("doc_id") + F.lit(1000000)
+        )
+        corpus = d.unionByName(dups)
+        expected = {(i, i + 1000000) for i in range(50)}
+        for impl in ("arrow", "expr"):
+            pairs = {
+                (r["id_a"], r["id_b"])
+                for r in minhash_candidate_pairs(
+                    corpus, "text", "doc_id", impl=impl
+                ).collect()
+            }
+            missed = expected - pairs
+            assert not missed, (impl, sorted(missed)[:5])
+            # exact duplicates must estimate at 1.0 in either impl
+            ests = [
+                r["jaccard_est"]
+                for r in minhash_candidate_pairs(corpus, "text", "doc_id", impl=impl)
+                .filter(F.col("id_b") - F.col("id_a") == 1000000)
+                .collect()
+            ]
+            assert all(e == 1.0 for e in ests), impl
+
+    def test_invalid_impl_rejected(self, spark):
+        import pytest as _pytest
+        from opendata_gov_lt_mysql_import_spark.operators.dedup import (
+            minhash_candidate_pairs,
+        )
+
+        with _pytest.raises(ValueError):
+            minhash_candidate_pairs(spark.range(1), "id", "id", impl="nope")
