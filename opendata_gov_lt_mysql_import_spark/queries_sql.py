@@ -300,3 +300,68 @@ def stats_agg(spark: SparkSession, sf: str) -> DataFrame:
         F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_price"),
         F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias("cov_qty_price"),
     )
+
+
+@query(
+    "cube_status_priority",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(grouping(o_orderstatus) AS BIGINT) AS g_status,
+           CAST(grouping(o_orderpriority) AS BIGINT) AS g_priority
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def cube_status_priority(spark: SparkSession, sf: str) -> DataFrame:
+    """CUBE over (status, priority) with grouping() indicators — all four
+    grouping sets in one pass with partial aggregation (Expand + single
+    shuffle), not four scans."""
+    o = load_table(spark, sf, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.grouping("o_orderstatus").cast("long").alias("g_status"),
+            F.grouping("o_orderpriority").cast("long").alias("g_priority"),
+        )
+    )
+
+
+@query(
+    "window_funcs_suite",
+    """
+    SELECT o_custkey, o_orderkey,
+           rank() OVER w AS rnk,
+           CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+           coalesce(lag(o_orderkey) OVER w, -1) AS prev_order,
+           coalesce(lead(o_orderkey) OVER w, -1) AS next_order,
+           round(o_totalprice - max(o_totalprice) OVER (PARTITION BY o_custkey), 2)
+             AS diff_from_max
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def window_funcs_suite(spark: SparkSession, sf: str) -> DataFrame:
+    """Ranking/offset/analytic window functions over one shared window
+    spec — one shuffle on the partition key serves every function."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wp = Window.partitionBy("o_custkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.rank().over(w).alias("rnk"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        # coalesce(-1): NULL offsets become NaN-in-float64 through
+        # DuckDB's pandas bridge, breaking integer value parity
+        F.coalesce(F.lag("o_orderkey").over(w), F.lit(-1)).alias("prev_order"),
+        F.coalesce(F.lead("o_orderkey").over(w), F.lit(-1)).alias("next_order"),
+        # max, not avg: float avg is summation-order-dependent and the two
+        # engines accumulate in different orders; max compares exactly
+        F.round(F.col("o_totalprice") - F.max("o_totalprice").over(wp), 2).alias(
+            "diff_from_max"
+        ),
+    )
