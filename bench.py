@@ -53,6 +53,8 @@ HEADLINE = [
     "scalar_subquery",
     "exists_subquery",
     "percentile_price",
+    "cube_status_priority",
+    "window_funcs_suite",
 ]
 
 
