@@ -53,3 +53,22 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every fixture table as a temp view for spark.sql use."""
     for t in TABLES:
         load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+
+
+def write_partitioned(
+    df,
+    path: str,
+    partition_cols,
+    mode: str = "overwrite",
+    max_records_per_file: int | None = None,
+) -> None:
+    """Write parquet hive-partitioned on low-cardinality layout keys
+    (date, source, status) so downstream predicates prune whole
+    directories instead of reading-and-filtering — the layout that makes
+    a 100 TB table queryable. ``max_records_per_file`` caps file size
+    against the small-files/giant-files extremes."""
+    cols = [partition_cols] if isinstance(partition_cols, str) else list(partition_cols)
+    w = df.write.mode(mode).partitionBy(*cols)
+    if max_records_per_file:
+        w = w.option("maxRecordsPerFile", str(max_records_per_file))
+    w.parquet(path)

@@ -101,3 +101,31 @@ class TestJdbcOptions:
             jdbc_read_options(
                 url="jdbc:mysql://h/db", table="t", partition_column="ID"
             )
+
+
+class TestPartitionedWrite:
+    def test_partition_pruning_skips_directories(self, spark, sf_dir, tmp_path):
+        from pyspark.sql import functions as F
+
+        from opendata_gov_lt_mysql_import_spark.sources.parquet import (
+            load_table,
+            write_partitioned,
+        )
+
+        ev = load_table(spark, sf_dir, "events").withColumn(
+            "day", F.to_date("ts")
+        )
+        out = str(tmp_path / "events_by_day")
+        write_partitioned(ev, out, "day")
+
+        back = spark.read.parquet(out)
+        one_day = back.filter(F.col("day") == "2024-01-05")
+        plan = one_day._jdf.queryExecution().sparkPlan().toString()
+        # pruning shows up as a PartitionFilters entry on the scan, and the
+        # full row count must still reconcile
+        assert "PartitionFilters" in plan and "day" in plan.split("PartitionFilters")[1].split("]")[0]
+        assert back.count() == ev.count()
+        assert one_day.count() == ev.filter(F.col("day") == "2024-01-05").count()
+        import os
+        days = [d for d in os.listdir(out) if d.startswith("day=")]
+        assert len(days) > 1  # actually laid out as directories
