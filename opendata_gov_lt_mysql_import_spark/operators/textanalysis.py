@@ -98,3 +98,20 @@ def quality_projection(text: Column) -> list[Column]:
         .cast("long")
         .alias("en_stopword_ratio_bp"),
     ]
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict,
+    seed: int = 42,
+) -> DataFrame:
+    """Per-stratum Bernoulli sampling (``sampleBy``) — the corpus
+    rebalancing step of a training-data pipeline (downsample the dominant
+    language/source, keep the tail). One pass, no shuffle: each row is
+    kept with its stratum's probability; deterministic for a fixed seed
+    and partitioning. Strata ABSENT from ``fractions`` are dropped
+    entirely (sampleBy contract) — list tail strata at 1.0 to keep them.
+    For exact-count quotas use a per-stratum window rank instead — that
+    costs a shuffle."""
+    return df.sampleBy(strata_col, fractions=fractions, seed=seed)

@@ -511,3 +511,16 @@ def approx_distinct_users_q(spark: SparkSession, sf: str) -> DataFrame:
         F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+@query("sample_stratified_by_lang", None)
+def sample_stratified_by_lang_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Seeded stratified downsample of the corpus by language (keep 20%
+    of the dominant strata, all of the tail). Rows-only: Bernoulli
+    draws are engine-specific; pytest pins determinism and proportions."""
+    from .operators.textanalysis import stratified_sample
+
+    d = load_table(spark, sf, "documents")
+    langs = [r[0] for r in d.select("lang").distinct().collect()]
+    fractions = {lang: (0.2 if i % 2 == 0 else 1.0) for i, lang in enumerate(sorted(langs))}
+    return stratified_sample(d, "lang", fractions)

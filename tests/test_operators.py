@@ -359,3 +359,21 @@ class TestMinhashImpls:
 
         with _pytest.raises(ValueError):
             minhash_candidate_pairs(spark.range(1), "id", "id", impl="nope")
+
+
+class TestStratifiedSample:
+    def test_deterministic_and_proportional(self, spark, sf_dir):
+        from opendata_gov_lt_mysql_import_spark.operators.textanalysis import (
+            stratified_sample,
+        )
+        from opendata_gov_lt_mysql_import_spark.sources.parquet import load_table
+
+        d = load_table(spark, sf_dir, "documents")
+        fr = {r[0]: 0.3 for r in d.select("lang").distinct().collect()}
+        a = stratified_sample(d, "lang", fr, seed=7)
+        b = stratified_sample(d, "lang", fr, seed=7)
+        assert sorted(r["doc_id"] for r in a.collect()) == sorted(
+            r["doc_id"] for r in b.collect()
+        )
+        n, total = a.count(), d.count()
+        assert 0.15 * total < n < 0.45 * total  # Bernoulli tolerance at sf0.001
