@@ -5,8 +5,10 @@ Prints ONE JSON line:
   {"metric": "...", "value": <total sec>, "unit": "sec",
    "queries": {name: sec, ...}, "sf": <sf>}
 
-Each query is executed to completion (count + a cheap checksum collect via
-``write.format('noop')``-style count) so lazy plans are fully evaluated.
+Each query is fully evaluated: a xxhash64 checksum over EVERY output
+column is aggregated, so Catalyst cannot prune the projection expressions
+(a bare ``count()`` would reduce map-only plans — text_quality, lang-ID,
+fingerprints — to a parquet row-count scan and time nothing).
 """
 
 from __future__ import annotations
@@ -17,6 +19,8 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
 
 from opendata_gov_lt_mysql_import_spark.session import get_spark  # noqa: E402
 from opendata_gov_lt_mysql_import_spark.queries import all_queries  # noqa: E402
@@ -58,6 +62,27 @@ HEADLINE = [
 ]
 
 
+def force_eval(df) -> int:
+    """Evaluate every column of every row; return the row count.
+
+    bit_xor over xxhash64(all columns) makes each projection expression
+    load-bearing (nothing prunable), is order-insensitive, and cannot
+    overflow under ANSI arithmetic. Map-typed columns are serialized via
+    to_json first (xxhash64 rejects MapType).
+    """
+    cols = []
+    for fld in df.schema.fields:
+        c = F.col(fld.name)
+        if "map<" in fld.dataType.simpleString():
+            c = F.to_json(c)
+        cols.append(c)
+    hashed = df.select(F.xxhash64(*cols).alias("h"))
+    row = hashed.agg(
+        F.count(F.lit(1)).alias("n"), F.expr("bit_xor(h)").alias("chk")
+    ).collect()[0]
+    return row["n"]
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -80,7 +105,7 @@ def main() -> None:
             spark.catalog.clearCache()
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
-            n = df.count()
+            n = force_eval(df)
             dt = time.perf_counter() - t0
             best = dt if best is None else min(best, dt)
         timings[name] = round(best, 4)

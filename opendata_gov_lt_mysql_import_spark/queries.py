@@ -154,17 +154,23 @@ def j2_dim_chain(spark: SparkSession, sf: str) -> DataFrame:
 @query(
     "j3_mn_collect",
     """
-    SELECT l_orderkey, list_sort(list(DISTINCT p_brand)) AS brands
+    SELECT l_orderkey,
+           array_to_string(list_sort(list(DISTINCT p_brand)), '|') AS brands
     FROM lineitem JOIN part ON l_partkey = p_partkey
     GROUP BY l_orderkey
     """,
 )
 def j3_mn_collect(spark: SparkSession, sf: str) -> DataFrame:
     """J3/A1-A3: M:N bridge join + per-fact DISTINCT sorted list
-    (reference walks the bridge per dataset, odgovlt.py:320-334)."""
+    (reference walks the bridge per dataset, odgovlt.py:320-334).
+
+    The sorted list is serialized with ``array_join(..., '|')`` — same
+    semantics, but the driver's pandas canonicalizer can hash a string
+    column while it cannot hash ``array<>`` cells.
+    """
     li = load_table(spark, sf, "lineitem")
     part = load_table(spark, sf, "part")
-    return mn_bridge_collect(
+    out = mn_bridge_collect(
         bridge=li,
         dim=part,
         fact_key="l_orderkey",
@@ -174,6 +180,7 @@ def j3_mn_collect(spark: SparkSession, sf: str) -> DataFrame:
         collect_col=F.col("p_brand"),
         alias="brands",
     )
+    return out.withColumn("brands", F.array_join(F.col("brands"), "|"))
 
 
 @query(
@@ -234,15 +241,16 @@ def j7_stale_anti(spark: SparkSession, sf: str) -> DataFrame:
 
 @query(
     "a1_groupby_collect",
-    "SELECT n_regionkey, list_sort(list(n_name)) AS names "
+    "SELECT n_regionkey, array_to_string(list_sort(list(n_name)), '|') AS names "
     "FROM nation GROUP BY n_regionkey",
 )
 def a1_groupby_collect(spark: SparkSession, sf: str) -> DataFrame:
     """A1/A3: group-by-parent with list aggregation (defaultdict index,
-    odgovlt.py:302-306)."""
+    odgovlt.py:302-306). Serialized to '|'-joined string so the driver
+    canonicalizer can hash the result column."""
     n = load_table(spark, sf, "nation")
     return n.groupBy("n_regionkey").agg(
-        F.array_sort(F.collect_list("n_name")).alias("names")
+        F.array_join(F.array_sort(F.collect_list("n_name")), "|").alias("names")
     )
 
 
@@ -349,22 +357,31 @@ _FIXCASE_LAMBDA_SQL = _FIXCASE_SQL.format(c="trim(x)")
     "f4_package_tags",
     f"""
     SELECT p_partkey,
-           list_filter(
-             list_transform(
-               str_split(replace(p_type || ';' || p_name || ',' || p_brand, ';', ','), ','),
-               x -> lower(trim(regexp_replace({_FIXCASE_LAMBDA_SQL}, '\\W+', ' ', 'g')))
-             ),
-             t -> length(t) BETWEEN 2 AND 100
+           array_to_string(
+             list_filter(
+               list_transform(
+                 str_split(replace(p_type || ';' || p_name || ',' || p_brand, ';', ','), ','),
+                 x -> lower(trim(regexp_replace({_FIXCASE_LAMBDA_SQL}, '\\W+', ' ', 'g')))
+               ),
+               t -> length(t) BETWEEN 2 AND 100
+             ), '|'
            ) AS tags
     FROM part
     """,
 )
 def f4_package_tags(spark: SparkSession, sf: str) -> DataFrame:
     """F4 + P8/P9: full packed-keyword tokenization pipeline
-    (odgovlt.py:79-94) as order-preserving higher-order functions."""
+    (odgovlt.py:79-94) as order-preserving higher-order functions.
+
+    The order-preserving tag array is serialized with '|' on both engines
+    (no sort — order IS the semantics here) so the driver canonicalizer
+    can hash it."""
     p = load_table(spark, sf, "part")
     packed = F.concat_ws("", F.col("p_type"), F.lit(";"), F.col("p_name"), F.lit(","), F.col("p_brand"))
-    return p.select("p_partkey", package_tags_col(packed).alias("tags"))
+    return p.select(
+        "p_partkey",
+        F.array_join(package_tags_col(packed), "|").alias("tags"),
+    )
 
 
 @query(
