@@ -48,7 +48,7 @@ HEADLINE = [
     "ann_topk_cosine",
     "ann_lsh_topk",
     "minhash_lsh_pairs",
-    "ngram_jaccard_pairs",
+    "ngram_jaccard_verify_lsh",
     "events_sessionize",
     "events_asof_last_order",
     "events_range_join_recent",

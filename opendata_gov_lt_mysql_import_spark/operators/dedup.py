@@ -29,7 +29,6 @@ only self-consistency matters.
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
-from pyspark.storagelevel import StorageLevel
 from pyspark.sql import functions as F
 
 from .textanalysis import tokens
@@ -153,6 +152,27 @@ def minhash_signatures(
     )
 
 
+def lsh_drop_hot_buckets(
+    banded: DataFrame, keys: list[str], max_bucket_size: int
+) -> tuple[DataFrame, DataFrame]:
+    """Split a banded (id, *keys) stream into (cold, hot-bucket report).
+
+    Buckets with more than ``max_bucket_size`` members are removed before
+    the self-join — a bucket of B members yields B²/2 pairs, so one
+    degenerate bucket (boilerplate page, empty doc, template) can dominate
+    the whole job at corpus scale. The second DataFrame reports every
+    dropped bucket with its occupancy so truncation is never silent:
+    callers log it, route it to the exact-dedup path (giant buckets are
+    usually *exact* duplicates), or raise the cap.
+
+    The occupancy count shuffles on the same keys as the self-join it
+    protects, so it adds no new shuffle layout."""
+    occ = banded.groupBy(*keys).agg(F.count(F.lit(1)).alias("bucket_size"))
+    hot = occ.filter(F.col("bucket_size") > max_bucket_size)
+    cold = banded.join(hot.select(*keys), keys, "left_anti")
+    return cold, hot
+
+
 def minhash_candidate_pairs(
     df: DataFrame,
     text_col: str,
@@ -162,13 +182,17 @@ def minhash_candidate_pairs(
     shingle_k: int = 9,
     min_jaccard_est: float = 0.5,
     impl: str = "arrow",
+    max_bucket_size: int | None = None,
+    dropped_out: list | None = None,
 ) -> DataFrame:
     """MinHash-LSH near-duplicate candidate pairs with signature-overlap
     Jaccard estimate. Returns (id_a, id_b, jaccard_est), id_a < id_b.
 
     Scale shape: explode signatures to (band, bucket, id) — one shuffle on
     the LSH bucket — then a bucket-local self-join; AQE splits skewed
-    buckets. At extreme scale add a bucket-size cap before the join.
+    buckets. ``max_bucket_size`` caps bucket occupancy before the join
+    (see ``lsh_drop_hot_buckets``); when set, pass ``dropped_out=[]`` to
+    receive the hot-bucket report DataFrame appended to that list.
 
     ``impl``: 'arrow' (default) computes signatures in a vectorized
     mapInPandas pass — ~2x faster and shuffle-free; 'expr' keeps the
@@ -180,11 +204,10 @@ def minhash_candidate_pairs(
     sig_fn = minhash_signatures_arrow if impl == "arrow" else minhash_signatures
     rows_per_band = n_hashes // n_bands
     # sigs feeds three subplans (band explode + two signature re-attach
-    # joins); persist so the signature computation runs once instead of
-    # three times.
-    sigs = sig_fn(df, text_col, id_col, n_hashes, shingle_k).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    # joins). Eager localCheckpoint, not lazy persist: concurrent stage
+    # submission within one job would otherwise race all three consumers
+    # through the signature computation before the cache is populated.
+    sigs = sig_fn(df, text_col, id_col, n_hashes, shingle_k).localCheckpoint(eager=True)
     # band rows carry only (id, band, bucket) — the 64-long signature stays
     # out of the self-join shuffle and is re-attached to the (small)
     # candidate-pair set afterwards
@@ -208,6 +231,11 @@ def minhash_candidate_pairs(
             )
         ).alias("b"),
     ).select("id", F.col("b.band").alias("band"), F.col("b.bucket").alias("bucket"))
+
+    if max_bucket_size is not None:
+        banded, hot = lsh_drop_hot_buckets(banded, ["band", "bucket"], max_bucket_size)
+        if dropped_out is not None:
+            dropped_out.append(hot)
 
     a = banded.alias("a")
     b = banded.alias("b")
@@ -288,11 +316,11 @@ def blocked_jaccard_pairs(
         F.col(block_col).alias("block"),
         F.explode(word_ngrams(F.col(text_col), n)).alias("_g"),
     ).select("id", "block", F.xxhash64(F.col("_g")).alias("gram"))
-    # The gram stream feeds three subplans (both self-join sides + sizes)
-    # and AQE's broadcast conversion defeats exchange reuse, so without a
-    # persist the interpreted gram HOF runs three times. MEMORY_AND_DISK:
-    # spills rather than OOMs when the corpus outgrows executor memory.
-    grams = grams.persist(StorageLevel.MEMORY_AND_DISK)
+    # The gram stream feeds three subplans (both self-join sides + sizes);
+    # AQE's broadcast conversion defeats exchange reuse and concurrent
+    # stage submission races a lazy persist, so the interpreted gram HOF
+    # would run three times. Eager localCheckpoint materializes it once.
+    grams = grams.localCheckpoint(eager=True)
     sizes = grams.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
 
     a = grams.alias("a")
@@ -305,6 +333,87 @@ def blocked_jaccard_pairs(
             & (F.col("a.id") < F.col("b.id")),
         )
         .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    out = (
+        inter.join(sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a")), "id_a")
+        .join(sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))).alias(
+                "jaccard"
+            ),
+        )
+    )
+    return out.filter(F.col("jaccard") >= min_jaccard)
+
+
+def jaccard_verify_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    min_jaccard: float = 0.2,
+) -> DataFrame:
+    """Exact word-n-gram Jaccard evaluated ONLY on a supplied candidate
+    pair set (columns ``id_a``, ``id_b``) — the verifier stage downstream
+    of any LSH candidate generator.
+
+    This is the shape that survives 100 TB: cost is
+    O(|candidate pairs| · grams-per-doc) — linear in what the LSH stage
+    emits — where ``blocked_jaccard_pairs`` is O(block² · grams), i.e.
+    10,000× the work at 100× the data for fixed block cardinality. Only
+    documents referenced by a pair are tokenized (semi-join prune), and
+    the gram streams shuffle on (pair, gram-hash) longs, never materialize
+    per-pair arrays.
+
+    Pairs sharing zero grams have Jaccard 0 and drop out of the
+    intersection join — correct for any ``min_jaccard > 0``.
+
+    Returns (id_a, id_b, jaccard) for pairs with jaccard >= min_jaccard.
+    """
+    # the pair set feeds three consumers (both union arms of cand_ids and
+    # the intersection join). A lazy persist is NOT enough: within one job
+    # Spark submits independent stages concurrently, and all three would
+    # race to compute the (expensive) upstream LSH generator before any
+    # populates the cache. Eager localCheckpoint materializes the pair set
+    # once, distributed, and truncates the lineage the consumers see.
+    pairs = (
+        pairs.select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+        .localCheckpoint(eager=True)
+    )
+    cand_ids = (
+        pairs.select(F.col("id_a").alias("id"))
+        .unionByName(pairs.select(F.col("id_b").alias("id")))
+        .distinct()
+    )
+    par = df.sparkSession.sparkContext.defaultParallelism
+    # unconditional repartition (not _spread: its getNumPartitions probe
+    # would materialize the upstream AQE plan): candidate docs are a small
+    # selected subset, so the shuffle is cheap and the CPU-heavy gram
+    # explode below gets full parallelism.
+    docs = (
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("_text"))
+        .join(cand_ids, "id", "left_semi")
+        .repartition(par)
+    )
+    grams = docs.select(
+        "id", F.explode(word_ngrams(F.col("_text"), n)).alias("_g")
+    ).select("id", F.xxhash64(F.col("_g")).alias("gram"))
+    # three consumers (sizes + both pair-join probes) — eager checkpoint
+    # for the same concurrent-stage reason as the pair set above
+    grams = grams.localCheckpoint(eager=True)
+    sizes = grams.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+
+    ga = grams.select(F.col("id").alias("id_a"), "gram")
+    gb = grams.select(F.col("id").alias("id_b"), "gram")
+    inter = (
+        pairs.join(ga, "id_a")
+        .join(gb, ["id_b", "gram"])
+        .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
     out = (
@@ -386,18 +495,28 @@ def simhash_chunks(fp: Column, n_chunks: int = 4) -> Column:
 
 
 def simhash_candidate_pairs(
-    df: DataFrame, text_col: str, id_col: str, max_hamming: int = 3
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_hamming: int = 3,
+    max_bucket_size: int | None = None,
+    dropped_out: list | None = None,
 ) -> DataFrame:
-    """Near-dup pairs by SimHash banding + exact hamming verification."""
-    # Both self-join sides read the fingerprint table; persist so the
-    # 64-vote aggregation runs once (broadcast conversion defeats
-    # exchange reuse, as in blocked_jaccard_pairs).
-    fps = simhash_fingerprints(df, text_col, id_col).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    """Near-dup pairs by SimHash banding + exact hamming verification.
+
+    ``max_bucket_size`` caps per-(chunk, value) occupancy before the
+    self-join (see ``lsh_drop_hot_buckets``)."""
+    # Both self-join sides read the fingerprint table; eager checkpoint so
+    # the 64-vote aggregation runs once (broadcast conversion defeats
+    # exchange reuse, and concurrent stages race a lazy persist).
+    fps = simhash_fingerprints(df, text_col, id_col).localCheckpoint(eager=True)
     banded = fps.select(
         "id", "fp", F.explode(simhash_chunks(F.col("fp"))).alias("c")
     ).select("id", "fp", F.col("c.chunk").alias("chunk"), F.col("c.value").alias("value"))
+    if max_bucket_size is not None:
+        banded, hot = lsh_drop_hot_buckets(banded, ["chunk", "value"], max_bucket_size)
+        if dropped_out is not None:
+            dropped_out.append(hot)
     a = banded.alias("a")
     b = banded.alias("b")
     pairs = (

@@ -16,6 +16,7 @@ from .operators.dedup import (
     blocked_jaccard_pairs,
     exact_dedup,
     exact_dedup_groups,
+    jaccard_verify_pairs,
     minhash_candidate_pairs,
     simhash_candidate_pairs,
 )
@@ -24,7 +25,7 @@ from .operators.similarity import (
     cosine_dup_pairs,
     cosine_topk,
     hyperplanes,
-    lsh_signature,
+    with_lsh_signature_arrow,
 )
 from .operators.textanalysis import (
     LANG_STOPWORDS,
@@ -300,10 +301,8 @@ def ann_lsh_topk_q(spark: SparkSession, sf: str) -> DataFrame:
         if float(np.dot(qvec, plane)) > 0:
             qsig |= 1 << i
     qcol = F.array(*[F.lit(x) for x in qvec])
-    sigged = emb.filter(F.col("vec_id") != 0).select(
-        "vec_id",
-        "embedding",
-        lsh_signature(F.col("embedding"), _ANN_PLANES).alias("sig"),
+    sigged = with_lsh_signature_arrow(
+        emb.filter(F.col("vec_id") != 0).select("vec_id", "embedding"), _ANN_PLANES
     )
     cands = sigged.filter(
         F.bit_count(F.col("sig").bitwiseXOR(F.lit(qsig).cast("long"))) <= _ANN_MAX_HAMMING
@@ -357,11 +356,29 @@ def emb_dup_pairs_q(spark: SparkSession, sf: str) -> DataFrame:
     """,
 )
 def ngram_jaccard_pairs_q(spark: SparkSession, sf: str) -> DataFrame:
-    """Exact word-bigram Jaccard over source-blocked candidate pairs
-    (the LSH verifier stage)."""
+    """Exact word-bigram Jaccard over source-blocked candidate pairs —
+    the oracle-checkable EXACT form, quadratic in block size; the
+    scale-shaped headline entry is ``ngram_jaccard_verify_lsh`` below."""
     d = load_table(spark, sf, "documents")
     return blocked_jaccard_pairs(
         d, text_col="text", id_col="doc_id", block_col="source", n=2, min_jaccard=0.05
+    )
+
+
+@query("ngram_jaccard_verify_lsh")
+def ngram_jaccard_verify_lsh_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Candidates-only Jaccard verification: exact word-bigram Jaccard
+    computed ONLY on MinHash-LSH candidate pairs — cost linear in the
+    candidate stream, never quadratic in any block. The 100 TB dedup
+    pipeline shape: LSH generate → exact verify. Rows-only (candidate set
+    depends on engine-specific xxhash64); pytest pins equality with the
+    exact blocked form on the planted-duplicate corpus."""
+    d = _documents_with_dups(spark, sf)
+    cands = minhash_candidate_pairs(
+        d, "text", "doc_id", min_jaccard_est=0.3, max_bucket_size=200
+    )
+    return jaccard_verify_pairs(
+        d, cands, text_col="text", id_col="doc_id", n=2, min_jaccard=0.5
     )
 
 
@@ -515,12 +532,18 @@ def approx_distinct_users_q(spark: SparkSession, sf: str) -> DataFrame:
 
 @query("sample_stratified_by_lang", None)
 def sample_stratified_by_lang_q(spark: SparkSession, sf: str) -> DataFrame:
-    """Seeded stratified downsample of the corpus by language (keep 20%
-    of the dominant strata, all of the tail). Rows-only: Bernoulli
-    draws are engine-specific; pytest pins determinism and proportions."""
+    """Seeded stratified downsample of the corpus by language: strata
+    holding more than 25% of the corpus are kept at 20%, the tail is kept
+    whole. Fractions derive from per-language counts (one tiny groupBy
+    collect over ≤ a few hundred strata), so the rebalancing is stable
+    under adding/removing languages. Rows-only: Bernoulli draws are
+    engine-specific; pytest pins determinism and proportions."""
     from .operators.textanalysis import stratified_sample
 
     d = load_table(spark, sf, "documents")
-    langs = [r[0] for r in d.select("lang").distinct().collect()]
-    fractions = {lang: (0.2 if i % 2 == 0 else 1.0) for i, lang in enumerate(sorted(langs))}
+    counts = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+    total = sum(r["n"] for r in counts) or 1
+    fractions = {
+        r["lang"]: (0.2 if r["n"] / total > 0.25 else 1.0) for r in counts
+    }
     return stratified_sample(d, "lang", fractions)

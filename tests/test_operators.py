@@ -146,6 +146,87 @@ class TestDedup:
         assert vals[(1, 2)] == 1.0
         assert 0.5 < vals[(1, 3)] < 1.0
 
+    def test_jaccard_verify_pairs_exact_values(self, spark):
+        from opendata_gov_lt_mysql_import_spark.operators.dedup import (
+            jaccard_verify_pairs,
+        )
+
+        docs = self._docs(spark)
+        pairs = spark.createDataFrame(
+            [(1, 2), (1, 3), (1, 4)], "id_a long, id_b long"
+        )
+        out = jaccard_verify_pairs(docs, pairs, "text", "id", n=2, min_jaccard=0.1)
+        vals = {(r["id_a"], r["id_b"]): r["jaccard"] for r in out.collect()}
+        # same exact Jaccard as the blocked form for the supplied pairs
+        assert vals[(1, 2)] == 1.0
+        assert 0.5 < vals[(1, 3)] < 1.0
+        assert (1, 4) not in vals  # below threshold → dropped
+
+    def test_candidates_only_verify_equals_exact_blocked(self, spark, sf_dir):
+        """The 100 TB pipeline shape (LSH generate → exact verify) returns
+        the same high-similarity pairs as the quadratic blocked form on the
+        planted-duplicate corpus."""
+        from opendata_gov_lt_mysql_import_spark.operators.dedup import (
+            jaccard_verify_pairs,
+            minhash_candidate_pairs,
+        )
+        from opendata_gov_lt_mysql_import_spark.queries_ml import (
+            _documents_with_dups,
+        )
+
+        d = _documents_with_dups(spark, sf_dir)
+        cands = minhash_candidate_pairs(
+            d, "text", "doc_id", min_jaccard_est=0.3, max_bucket_size=200
+        )
+        via_lsh = jaccard_verify_pairs(
+            d, cands, text_col="text", id_col="doc_id", n=2, min_jaccard=0.5
+        )
+        # exact form: all-pairs within a single block (whole corpus — only
+        # feasible at test scale, which is exactly the point)
+        exact = blocked_jaccard_pairs(
+            d.withColumn("_b", F.lit(1)),
+            "text",
+            "doc_id",
+            "_b",
+            n=2,
+            min_jaccard=0.5,
+        )
+        lsh_pairs = {(r["id_a"], r["id_b"]) for r in via_lsh.collect()}
+        exact_pairs = {(r["id_a"], r["id_b"]) for r in exact.collect()}
+        assert lsh_pairs == exact_pairs
+        assert len(exact_pairs) >= 100  # the planted clones are all found
+
+    def test_lsh_bucket_cap_bounds_degenerate_corpus(self, spark):
+        """200 identical docs land in one bucket per band; with a cap the
+        self-join is bounded and the dropped buckets are reported."""
+        from opendata_gov_lt_mysql_import_spark.operators.dedup import (
+            minhash_candidate_pairs,
+            simhash_candidate_pairs,
+        )
+
+        rows = [(i, "identical boilerplate text repeated everywhere") for i in range(200)]
+        df = spark.createDataFrame(rows, "id long, text string")
+
+        uncapped = minhash_candidate_pairs(df, "text", "id", min_jaccard_est=0.5)
+        assert uncapped.count() == 200 * 199 // 2  # quadratic blow-up
+
+        dropped: list = []
+        capped = minhash_candidate_pairs(
+            df, "text", "id", min_jaccard_est=0.5, max_bucket_size=50,
+            dropped_out=dropped,
+        )
+        assert capped.count() == 0  # every bucket was hot → nothing joined
+        hot = dropped[0].collect()
+        assert len(hot) > 0 and all(r["bucket_size"] == 200 for r in hot)
+
+        dropped_sh: list = []
+        capped_sh = simhash_candidate_pairs(
+            df, "text", "id", max_hamming=3, max_bucket_size=50,
+            dropped_out=dropped_sh,
+        )
+        assert capped_sh.count() == 0
+        assert dropped_sh[0].count() > 0
+
 
 class TestSimilarity:
     def test_cosine_topk_exact(self, spark, sf_dir):
