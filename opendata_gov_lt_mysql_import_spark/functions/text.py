@@ -52,8 +52,21 @@ _TRANSLIT_TABLE = {
 }
 
 
+# The reference depends on the real `unidecode` package (odgovlt.py:42,
+# setup.py). Use it when importable — full Cyrillic/Greek/CJK coverage —
+# and keep the table+NFKD path as the dependency-free fallback (identical
+# output on the Lithuanian/Baltic domain, golden-tested).
+try:  # pragma: no cover - environment-dependent
+    from unidecode import unidecode as _unidecode
+except ImportError:
+    _unidecode = None
+
+
 def transliterate(value: str) -> str:
-    """Best-effort unicode→ASCII (unidecode-like for the Lithuanian domain)."""
+    """Best-effort unicode→ASCII (unidecode when available, else a
+    Baltic-coverage table + NFKD combining-mark stripping)."""
+    if _unidecode is not None:
+        return _unidecode(value)
     out = []
     for ch in value:
         if ord(ch) < 128:

@@ -48,8 +48,13 @@ def range_join(
     width = upper_s - lower_s
     r_key = right_on or on
 
-    l_epoch = F.unix_timestamp(F.col(left_ts).cast("timestamp"))
-    r_epoch = F.unix_timestamp(F.col(right_ts).cast("timestamp"))
+    # Full-precision epochs (unix_micros / 1e6), NOT unix_timestamp: that
+    # truncates to whole seconds, so the "exact" refine would evaluate on
+    # truncated values and pairs within 1s of the window edge could be
+    # wrongly included/excluded vs true interval semantics. Bucket
+    # assignment only needs consistency, but the refine needs exactness.
+    l_epoch = F.unix_micros(F.col(left_ts).cast("timestamp")) / F.lit(1e6)
+    r_epoch = F.unix_micros(F.col(right_ts).cast("timestamp")) / F.lit(1e6)
 
     lo_bucket = F.floor((l_epoch + lower_s) / width)
     hi_bucket = F.floor((l_epoch + upper_s) / width)

@@ -159,6 +159,33 @@ class HarvestPipeline:
             groups_col=F.transform(F.col("_group_names"), lambda g: g),
         )
 
+    def membership_edges(self, datasets: DataFrame | None = None) -> DataFrame:
+        """``organization_member_create`` analog (reference import stage,
+        odgovlt.py:381): one (org_name, user_name, role='editor') edge per
+        organization/user pair co-occurring on an active dataset. The
+        reference issues the call once per imported dataset; member
+        creation is idempotent, so the set-oriented form is the distinct
+        pair set. Missing dims fall back to the reference's 'unknown'
+        placeholder entities (odgovlt.py:195-201, 232-238)."""
+        ds = datasets if datasets is not None else self.active_datasets()
+        users = self.user_documents().select(
+            F.col("source_id").alias("USER_ID"), F.col("name").alias("_user_name")
+        )
+        orgs = self.organization_documents().select(
+            F.col("source_id").alias("istaiga_id"), F.col("name").alias("_org_name")
+        )
+        return (
+            ds.select("USER_ID", "istaiga_id")
+            .join(F.broadcast(users), on="USER_ID", how="left")
+            .join(F.broadcast(orgs), on="istaiga_id", how="left")
+            .select(
+                F.coalesce(F.col("_org_name"), F.lit("unknown")).alias("org_name"),
+                F.coalesce(F.col("_user_name"), F.lit("unknown")).alias("user_name"),
+                F.lit("editor").alias("role"),
+            )
+            .distinct()
+        )
+
     # -- staging (S10/S11) --------------------------------------------------
 
     def gather_to_staging(self, path: str) -> None:

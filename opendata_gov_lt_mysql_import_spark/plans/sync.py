@@ -14,6 +14,7 @@ satisfied by applying per topological depth, ascending or descending.
 from __future__ import annotations
 
 import json
+import re
 from collections.abc import Callable, Sequence
 from dataclasses import dataclass
 
@@ -22,6 +23,30 @@ from pyspark.sql import functions as F
 
 from ..functions.diff import changed_rows
 from ..operators.joins import stale_rows
+
+
+def ensure_harvest_user(users: DataFrame, name: str = "harvest") -> DataFrame:
+    """``sync_harvest_user`` analog (reference odgovlt.py:160-181): make
+    sure one sysadmin row named ``name`` exists in the users frame before
+    a sync — absent → created (with the reference's bootstrap password),
+    present without sysadmin → promoted, already sysadmin → unchanged.
+    Idempotent: applying twice is a fixpoint.
+
+    Expects ``name`` and ``sysadmin`` columns; any other columns of the
+    bootstrap row are null (except ``password``, which gets the
+    reference's literal default when the column exists)."""
+    promoted = users.withColumn(
+        "sysadmin",
+        F.when(F.col("name") == name, F.lit(True)).otherwise(F.col("sysadmin")),
+    )
+    defaults = {"name": name, "sysadmin": True, "password": "secret123"}
+    spark = users.sparkSession
+    bootstrap = spark.createDataFrame(
+        [tuple(defaults.get(f.name) for f in users.schema.fields)],
+        schema=users.schema,
+    )
+    missing = bootstrap.join(users.select("name"), on="name", how="left_anti")
+    return promoted.unionByName(missing)
 
 
 @dataclass
@@ -147,19 +172,43 @@ class JsonDirSink:
                 f.write(json.dumps(row, ensure_ascii=False, default=str) + "\n")
 
 
+_IDENT_RE = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
+
+
+def _safe_ident(name: str) -> str:
+    """Validate a SQL identifier before interpolation. Validation, not
+    quoting: Derby (and most engines) fold unquoted identifiers to upper
+    case, so quoting here would stop matching tables the distributed JDBC
+    writer created unquoted."""
+    if not _IDENT_RE.match(name):
+        raise ValueError(f"unsafe SQL identifier: {name!r}")
+    return name
+
+
 def _jdbc_execute(spark, url: str, driver: str | None, *statements: str) -> None:
     """Run control statements on the driver through the JVM's
     DriverManager — the only imperative residue of the JDBC sink (2-3
-    statements per sync, independent of row count)."""
+    statements per sync, independent of row count).
+
+    All statements run in ONE transaction: the upsert's DELETE+INSERT
+    pair must be atomic, or a failure between them silently drops every
+    updated row."""
     jvm = spark._jvm
     if driver:
         jvm.java.lang.Class.forName(driver)
     conn = jvm.java.sql.DriverManager.getConnection(url)
     try:
+        conn.setAutoCommit(False)
         stmt = conn.createStatement()
-        for sql in statements:
-            stmt.execute(sql)
-        stmt.close()
+        try:
+            for sql in statements:
+                stmt.execute(sql)
+            conn.commit()
+        except Exception:
+            conn.rollback()
+            raise
+        finally:
+            stmt.close()
     finally:
         conn.close()
 
@@ -192,7 +241,9 @@ def apply_sync_jdbc(
     """
     from ..sources.jdbc import write_jdbc_table
 
-    stage = staging_table or f"{table}_stage"
+    stage = _safe_ident(staging_table or f"{table}_stage")
+    table = _safe_ident(table)
+    key = _safe_ident(key)
     counts = plan.counts()
 
     if counts["create"]:
@@ -201,7 +252,7 @@ def apply_sync_jdbc(
             column_types=column_types,
         )
     if counts["update"]:
-        cols = ", ".join(plan.updates.columns)
+        cols = ", ".join(_safe_ident(c) for c in plan.updates.columns)
         write_jdbc_table(
             plan.updates, url, stage, mode="overwrite", driver=driver,
             column_types=column_types,

@@ -122,4 +122,34 @@ class TestTransliterate:
         ],
     )
     def test_table(self, src, expected):
+        # must hold on BOTH paths: the unidecode package (when installed)
+        # and the table+NFKD fallback
         assert transliterate(src) == expected
+
+    @pytest.mark.parametrize(
+        "src,expected",
+        [
+            ("ąčęėįšųūž", "aceeisuuz"),
+            ("Radiacinės", "Radiacines"),
+            ("øßł", "ossl"),
+            ("café naïve", "cafe naive"),
+        ],
+    )
+    def test_fallback_path(self, src, expected, monkeypatch):
+        """Pin the dependency-free path explicitly, so an environment that
+        does have unidecode still exercises the fallback."""
+        import opendata_gov_lt_mysql_import_spark.functions.text as textmod
+
+        monkeypatch.setattr(textmod, "_unidecode", None)
+        assert transliterate(src) == expected
+
+    def test_unidecode_path_when_available(self):
+        """When the real package is importable, it handles scripts the
+        fallback can't (Cyrillic/Greek); otherwise the fallback's known
+        limitation is documented: non-decomposable scripts drop to ''."""
+        try:
+            import unidecode  # noqa: F401
+        except ImportError:
+            assert transliterate("привет") == ""
+        else:
+            assert transliterate("привет") == "privet"

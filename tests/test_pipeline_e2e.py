@@ -117,6 +117,56 @@ class TestPackageDocuments:
         assert "4" not in ids
 
 
+class TestMembershipEdges:
+    def test_golden_edges(self, pipeline):
+        """organization_member_create analog (odgovlt.py:381): each active
+        dataset's (org, user) pair becomes one editor-role edge; unknown
+        dims fall back to the reference's placeholder entities."""
+        edges = {
+            (r["org_name"], r["user_name"], r["role"])
+            for r in pipeline.membership_edges().collect()
+        }
+        assert edges == {
+            ("testine-organizacija-nr-1", "user1", "editor"),
+            ("testine-organizacija-nr-2", "user2", "editor"),
+            ("unknown", "unknown", "editor"),
+        }
+
+
+class TestEnsureHarvestUser:
+    SCHEMA = "name string, sysadmin boolean, password string"
+
+    def test_absent_created(self, spark):
+        from opendata_gov_lt_mysql_import_spark.plans.sync import ensure_harvest_user
+
+        users = spark.createDataFrame([("alice", False, "pw")], self.SCHEMA)
+        out = ensure_harvest_user(users).collect()
+        rows = {r["name"]: r for r in out}
+        assert rows["harvest"]["sysadmin"] is True
+        assert rows["harvest"]["password"] == "secret123"
+        assert rows["alice"]["sysadmin"] is False
+
+    def test_present_promoted(self, spark):
+        from opendata_gov_lt_mysql_import_spark.plans.sync import ensure_harvest_user
+
+        users = spark.createDataFrame(
+            [("harvest", False, "pw"), ("bob", False, "pw")], self.SCHEMA
+        )
+        out = ensure_harvest_user(users).collect()
+        rows = {r["name"]: r for r in out}
+        assert len(out) == 2  # promoted in place, not duplicated
+        assert rows["harvest"]["sysadmin"] is True
+        assert rows["harvest"]["password"] == "pw"  # existing row kept
+
+    def test_idempotent_fixpoint(self, spark):
+        from opendata_gov_lt_mysql_import_spark.plans.sync import ensure_harvest_user
+
+        users = spark.createDataFrame([("alice", False, "pw")], self.SCHEMA)
+        once = ensure_harvest_user(users)
+        twice = ensure_harvest_user(once)
+        assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect()))
+
+
 class TestStagingRoundtrip:
     def test_staged_equals_direct(self, pipeline, tmp_path):
         path = str(tmp_path / "staging")
