@@ -111,6 +111,41 @@ def with_lsh_signature_arrow(
     return df.mapInPandas(gen, schema=schema)
 
 
+def lsh_candidate_filter_arrow(
+    df: DataFrame,
+    planes: np.ndarray,
+    query_sig: int,
+    max_hamming: int,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Signature + hamming probe fused into one mapInPandas pass: rows
+    whose sign-bit signature is within ``max_hamming`` of ``query_sig``
+    are emitted, everything else is dropped batch-side.
+
+    vs ``with_lsh_signature_arrow`` + a JVM filter, the Arrow RETURN
+    transfer shrinks from the whole table to the candidate set — the
+    filter is where the selectivity is, so do it before re-serializing
+    embeddings. Same schema out as in."""
+
+    P = planes.T.astype(np.float64)
+    bits = np.uint64(1) << np.arange(planes.shape[0], dtype=np.uint64)
+    qs = np.uint64(query_sig)
+
+    def gen(batches):
+        for pdf in batches:
+            if not len(pdf):
+                yield pdf
+                continue
+            V = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            sig = ((V @ P) > 0).astype(np.uint64) @ bits
+            ham = np.array(
+                [bin(int(x)).count("1") for x in (sig ^ qs)], dtype=np.int64
+            )
+            yield pdf[ham <= max_hamming]
+
+    return df.mapInPandas(gen, schema=df.schema)
+
+
 def ann_lsh_topk(
     emb: DataFrame,
     query_vec: list[float],
@@ -137,11 +172,9 @@ def ann_lsh_topk(
             qsig |= 1 << i
 
     q = F.array(*[F.lit(float(x)) for x in query_vec])
-    sigged = with_lsh_signature_arrow(
-        emb.select(F.col(id_col), F.col(vec_col)), planes, vec_col=vec_col
-    )
-    candidates = sigged.filter(
-        F.bit_count(F.col("sig").bitwiseXOR(F.lit(qsig).cast("long"))) <= max_hamming
+    candidates = lsh_candidate_filter_arrow(
+        emb.select(F.col(id_col), F.col(vec_col)), planes, qsig, max_hamming,
+        vec_col=vec_col,
     )
     scored = candidates.select(F.col(id_col), cosine(F.col(vec_col), q).alias("sim"))
     return scored.orderBy(F.desc("sim"), F.asc(id_col)).limit(k)

@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .operators.dedup import (
+    _spread,
     blocked_jaccard_pairs,
     exact_dedup,
     exact_dedup_groups,
@@ -25,7 +26,7 @@ from .operators.similarity import (
     cosine_dup_pairs,
     cosine_topk,
     hyperplanes,
-    with_lsh_signature_arrow,
+    lsh_candidate_filter_arrow,
 )
 from .operators.textanalysis import (
     LANG_STOPWORDS,
@@ -154,8 +155,9 @@ _EN_SW = ", ".join(f"'{w}'" for w in LANG_STOPWORDS["en"])
 )
 def text_quality_q(spark: SparkSession, sf: str) -> DataFrame:
     """Quality-score feature block: length/punct/digit/stopword ratios in
-    integer basis points (floor(x*1e4) — deterministic across engines)."""
-    d = load_table(spark, sf, "documents")
+    integer basis points (floor(x*1e4) — deterministic across engines).
+    Input spread: regex/HOF-heavy projection, parallelism-bound."""
+    d = _spread(load_table(spark, sf, "documents"))
     return d.select("doc_id", *quality_projection(F.col("text")))
 
 
@@ -185,8 +187,9 @@ _LANG_SCORE_SQL = {
 )
 def text_lang_id_q(spark: SparkSession, sf: str) -> DataFrame:
     """n-gram/stopword language-ID heuristic with deterministic
-    priority-ordered tie-break (en > de > es > fr, 'und' if no hits)."""
-    d = load_table(spark, sf, "documents")
+    priority-ordered tie-break (en > de > es > fr, 'und' if no hits).
+    Input spread: per-language stopword HOF scans are CPU-bound."""
+    d = _spread(load_table(spark, sf, "documents"))
     toks = tokens(F.col("text"))
     scores = {lang: stopword_hits(toks, sw) for lang, sw in LANG_STOPWORDS.items()}
     overall_max = F.greatest(*scores.values())
@@ -220,8 +223,10 @@ def text_lang_id_q(spark: SparkSession, sf: str) -> DataFrame:
 )
 def doc_fingerprint_q(spark: SparkSession, sf: str) -> DataFrame:
     """Document fingerprint: min-md5 over 5-char shingles (1-hash MinHash;
-    engine-portable because md5 is standardized)."""
-    d = load_table(spark, sf, "documents")
+    engine-portable because md5 is standardized). Input spread across the
+    cluster first: the projection is CPU-bound (O(len) md5 calls per row)
+    and a compact parquet source would otherwise run it on one core."""
+    d = _spread(load_table(spark, sf, "documents"))
     return d.select("doc_id", shingle_fingerprint(F.col("text"), 5).alias("fp"))
 
 
@@ -301,11 +306,11 @@ def ann_lsh_topk_q(spark: SparkSession, sf: str) -> DataFrame:
         if float(np.dot(qvec, plane)) > 0:
             qsig |= 1 << i
     qcol = F.array(*[F.lit(x) for x in qvec])
-    sigged = with_lsh_signature_arrow(
-        emb.filter(F.col("vec_id") != 0).select("vec_id", "embedding"), _ANN_PLANES
-    )
-    cands = sigged.filter(
-        F.bit_count(F.col("sig").bitwiseXOR(F.lit(qsig).cast("long"))) <= _ANN_MAX_HAMMING
+    cands = lsh_candidate_filter_arrow(
+        emb.filter(F.col("vec_id") != 0).select("vec_id", "embedding"),
+        _ANN_PLANES,
+        qsig,
+        _ANN_MAX_HAMMING,
     )
     scored = cands.select(
         "vec_id", F.round(cosine(F.col("embedding"), qcol), 4).alias("sim")

@@ -237,17 +237,16 @@ def exists_subquery(spark: SparkSession, sf: str) -> DataFrame:
 )
 def percentile_price(spark: SparkSession, sf: str) -> DataFrame:
     """Exact linear-interpolation percentiles per group (Spark
-    ``percentile`` ≡ DuckDB ``quantile_cont``). The exact form needs the
-    full group sorted; at 100 TB swap in ``approx_percentile`` (KLL
-    sketch, mergeable map-side) — same call shape, bounded memory."""
+    ``percentile`` ≡ DuckDB ``quantile_cont``). All four quantiles come
+    from ONE array-argument aggregate — one shared buffer per group
+    instead of four independent sorted buffers (4× at sf0.1). The exact
+    form needs the full group; at 100 TB swap in ``approx_percentile``
+    (KLL sketch, mergeable map-side) — same call shape, bounded memory."""
     li = load_table(spark, sf, "lineitem")
+    qs = (0.25, 0.50, 0.75, 0.99)
+    arr = F.percentile(F.col("l_extendedprice"), F.array(*[F.lit(q) for q in qs]))
     return li.groupBy("l_returnflag").agg(
-        *[
-            F.round(
-                F.percentile(F.col("l_extendedprice"), F.lit(q)), 2
-            ).alias(f"p{int(q * 100)}")
-            for q in (0.25, 0.50, 0.75, 0.99)
-        ]
+        *[F.round(arr[i], 2).alias(f"p{int(q * 100)}") for i, q in enumerate(qs)]
     )
 
 
