@@ -47,6 +47,7 @@ HEADLINE = [
     "doc_fingerprint",
     "ann_topk_cosine",
     "ann_lsh_topk",
+    "ann_ivf_topk",
     "minhash_lsh_pairs",
     "ngram_jaccard_verify_lsh",
     "events_sessionize",

@@ -180,6 +180,87 @@ def ann_lsh_topk(
     return scored.orderBy(F.desc("sim"), F.asc(id_col)).limit(k)
 
 
+def ivf_candidate_filter_arrow(
+    df: DataFrame,
+    centroids: np.ndarray,
+    probe: set[int],
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF probe fused into one mapInPandas pass: each vector is assigned
+    to its nearest (max dot product) centroid — one batched ``V @ C.T``
+    matmul — and only rows whose centroid index is in the probed set are
+    emitted.
+
+    At cluster scale the assignment is a partition/bucket key written at
+    ingest (the inverted file); the probe then prunes file listings
+    instead of filtering rows. Ties break to the lowest centroid index
+    (numpy argmax first-wins), matching the SQL ``ORDER BY dot DESC, cid``
+    formulation. ``centroids`` here are data pivots or k-means output —
+    the probe/assign shape is identical either way."""
+
+    C = centroids.T.astype(np.float64)
+    probe_arr = np.array(sorted(probe), dtype=np.int64)
+
+    def gen(batches):
+        for pdf in batches:
+            if not len(pdf):
+                yield pdf
+                continue
+            V = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            assign = np.argmax(V @ C, axis=1)
+            yield pdf[np.isin(assign, probe_arr)]
+
+    return df.mapInPandas(gen, schema=df.schema)
+
+
+def ann_ivf_topk(
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_ids: list[int] | None = None,
+    round_sim: int | None = None,
+) -> DataFrame:
+    """IVF-style approximate top-k: assign every vector to its nearest
+    centroid, probe only the ``nprobe`` centroids closest to the query,
+    brute-force cosine within the probed cells.
+
+    Centroids default to the data vectors with the ``n_centroids``
+    smallest ids — deterministic pivots that keep the whole operator
+    exactly oracle-checkable in SQL (a trained k-means codebook drops in
+    via ``centroid_ids``/a literal array without changing the plan
+    shape). The centroid fetch is a bounded driver collect (n_centroids
+    rows), never the fact table."""
+    cent_rows = (
+        emb.select(F.col(id_col), F.col(vec_col))
+        .filter(F.col(id_col).isin(centroid_ids) if centroid_ids
+                else F.col(id_col).between(1, n_centroids))
+        .orderBy(id_col)
+        .collect()
+    )
+    C = np.array([[float(x) for x in r[vec_col]] for r in cent_rows])
+    qv = np.array(query_vec, dtype=np.float64)
+    dots = C @ qv
+    # probe order: dot desc, centroid index asc (stable sort on -dots)
+    probe = set(np.argsort(-dots, kind="stable")[:nprobe].tolist())
+
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    cands = ivf_candidate_filter_arrow(
+        emb.select(F.col(id_col), F.col(vec_col)), C, probe, vec_col=vec_col
+    )
+    sim = cosine(F.col(vec_col), q)
+    # round BEFORE ordering when the caller compares against an engine
+    # that also orders on the rounded value — keeps top-k tie selection
+    # engine-independent
+    if round_sim is not None:
+        sim = F.round(sim, round_sim)
+    scored = cands.select(F.col(id_col), sim.alias("sim"))
+    return scored.orderBy(F.desc("sim"), F.asc(id_col)).limit(k)
+
+
 def cosine_dup_pairs(
     emb: DataFrame,
     block_col: str,

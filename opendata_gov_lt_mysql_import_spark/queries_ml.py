@@ -319,6 +319,51 @@ def ann_lsh_topk_q(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "ann_ivf_topk",
+    """
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    c AS (SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id BETWEEN 1 AND 16),
+    q AS (SELECT e AS qe FROM v WHERE vec_id = 0),
+    probe AS (
+      SELECT cid FROM c, q
+      ORDER BY list_dot_product(ce, qe) DESC, cid
+      LIMIT 2
+    ),
+    assign AS (
+      SELECT v.vec_id, v.e, c.cid,
+             row_number() OVER (PARTITION BY v.vec_id
+                                ORDER BY list_dot_product(v.e, c.ce) DESC, c.cid) AS rn
+      FROM v, c
+    ),
+    members AS (
+      SELECT vec_id, e FROM assign
+      WHERE rn = 1 AND cid IN (SELECT cid FROM probe)
+    )
+    SELECT m.vec_id, round(list_cosine_similarity(m.e, q.qe), 4) AS sim
+    FROM members m, q
+    WHERE m.vec_id <> 0
+    ORDER BY sim DESC, m.vec_id
+    LIMIT 10
+    """,
+)
+def ann_ivf_topk_q(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF-style ANN: assign every vector to its nearest pivot centroid
+    (data vectors 1..16 — deterministic, so the inverted-file pruning is
+    exactly oracle-checkable), probe the 2 centroids nearest the query,
+    cosine only within the probed cells. The third ANN tier next to the
+    exact scan and the LSH sign-bucket filter; at scale the assignment is
+    the partition key of the inverted file."""
+    from .operators.similarity import ann_ivf_topk
+
+    emb = load_table(spark, sf, "embeddings")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    return ann_ivf_topk(
+        emb.filter(F.col("vec_id") != 0), qvec, k=10, n_centroids=16, nprobe=2,
+        round_sim=4,
+    )
+
+
+@query(
     "emb_dup_pairs",
     """
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
