@@ -216,3 +216,38 @@ def package_tags_col(c: Column) -> Column:
     named = F.transform(toks, lambda x: F.lower(tagify_col(fixcase_col(strip(x)))))
     kept = F.filter(named, lambda n: (F.length(n) >= 2) & (F.length(n) <= 100))
     return F.when(c.isNull() | (c == ""), F.array().cast("array<string>")).otherwise(kept)
+
+
+_REJECT_SCHEMA = "array<struct<tag:string,reason:string>>"
+
+
+def rejected_tags_col(c: Column) -> Column:
+    """P8/P9 warn side-channel as data: the reference logs every skipped
+    tag (odgovlt.py:88-93); here the skips surface as
+    (tag, reason∈{too_short, too_long}) structs so a pipeline can route
+    them to a rejects sink instead of a log line. ``tag`` is the
+    stripped+fixcased token the reference's warning prints (pre-tagify);
+    the length test runs on the normalized name, exactly mirroring
+    ``package_tags_col``'s keep-filter."""
+    strip = lambda x: F.regexp_replace(x, r"^\s+|\s+$", "")  # noqa: E731
+    toks = F.split(F.regexp_replace(c, ";", ","), ",")
+    tags = F.filter(
+        F.transform(toks, lambda x: fixcase_col(strip(x))), lambda t: t != ""
+    )
+    measured = F.transform(
+        tags,
+        lambda t: F.struct(
+            t.alias("tag"), F.length(F.lower(tagify_col(t))).alias("_len")
+        ),
+    )
+    rejected = F.filter(measured, lambda s: (s["_len"] < 2) | (s["_len"] > 100))
+    out = F.transform(
+        rejected,
+        lambda s: F.struct(
+            s["tag"].alias("tag"),
+            F.when(s["_len"] > 100, F.lit("too_long"))
+            .otherwise(F.lit("too_short"))
+            .alias("reason"),
+        ),
+    )
+    return F.when(c.isNull() | (c == ""), F.array().cast(_REJECT_SCHEMA)).otherwise(out)

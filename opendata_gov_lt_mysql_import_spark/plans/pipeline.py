@@ -159,6 +159,18 @@ class HarvestPipeline:
             groups_col=F.transform(F.col("_group_names"), lambda g: g),
         )
 
+    def rejected_tags(self, datasets: DataFrame | None = None) -> DataFrame:
+        """P8 warn side-channel as a rejects DataFrame: one
+        (dataset id, tag, reason) row per keyword the tag pipeline skips
+        (reference logs them, odgovlt.py:88-93)."""
+        from ..functions.text import rejected_tags_col
+
+        ds = datasets if datasets is not None else self.active_datasets()
+        return ds.select(
+            F.col("ID").cast("string").alias("id"),
+            F.explode(rejected_tags_col(F.col("R_ZODZIAI"))).alias("_r"),
+        ).select("id", F.col("_r.tag").alias("tag"), F.col("_r.reason").alias("reason"))
+
     def membership_edges(self, datasets: DataFrame | None = None) -> DataFrame:
         """``organization_member_create`` analog (reference import stage,
         odgovlt.py:381): one (org_name, user_name, role='editor') edge per

@@ -117,6 +117,39 @@ class TestPackageDocuments:
         assert "4" not in ids
 
 
+class TestRejectedTags:
+    def test_short_tag_surfaces_in_rejects(self, pipeline):
+        """Dataset 2's '\"e\"' keyword normalizes to 1 char — the reference
+        warns 'skip too short tag' (odgovlt.py:90-91); here it lands in
+        the rejects frame with the original (pre-tagify) token."""
+        rejects = [
+            (r["id"], r["tag"], r["reason"])
+            for r in pipeline.rejected_tags().collect()
+        ]
+        assert rejects == [("2", '"e"', "too_short")]
+
+    def test_kept_plus_rejected_covers_all_tokens(self, spark):
+        from pyspark.sql import functions as F
+
+        from opendata_gov_lt_mysql_import_spark.functions.text import (
+            package_tags_col,
+            rejected_tags_col,
+        )
+
+        df = spark.createDataFrame(
+            [("ok tag,x," + "y" * 101 + ",kitas geras",)], "packed string"
+        )
+        row = df.select(
+            package_tags_col(F.col("packed")).alias("kept"),
+            rejected_tags_col(F.col("packed")).alias("rej"),
+        ).first()
+        assert row["kept"] == ["ok tag", "kitas geras"]
+        assert [(r["tag"], r["reason"]) for r in row["rej"]] == [
+            ("x", "too_short"),
+            ("y" * 101, "too_long"),
+        ]
+
+
 class TestMembershipEdges:
     def test_golden_edges(self, pipeline):
         """organization_member_create analog (odgovlt.py:381): each active
