@@ -91,3 +91,34 @@ def test_point_lookup_prunes_to_filter_scan(spark, sf_dir, queries):
 def test_whole_stage_codegen_active_on_relational_path(spark, sf_dir, queries):
     plan = final_plan(queries["q1_pricing_summary"](spark, sf_dir))
     assert re.search(r"\*\(\d+\)", plan), "codegen markers absent"
+
+
+def test_percentile_is_one_aggregate_one_exchange(spark, sf_dir, queries):
+    """All four quantiles must come from one shared array-argument buffer:
+    a refactor back to four independent percentile aggregates would show
+    four 'percentile(' calls and cost 4x the sort memory."""
+    plan = final_plan(queries["percentile_price"](spark, sf_dir))
+    final = plan.split("+- == Initial Plan ==")[0]
+    assert final.count("Exchange hashpartitioning") == 1, plan
+    first_agg = final.split("HashAggregate")[1]
+    assert first_agg.count("percentile(") <= 1, "quantiles not sharing one buffer"
+
+
+def test_jaccard_verify_has_no_cartesian_and_bounded_exchanges(spark, sf_dir, queries):
+    """The candidates-only verifier must stay linear in the candidate
+    stream: no nested-loop/cartesian anywhere, and the join cascade
+    bounded (pair join, gram join, count, two size attaches)."""
+    plan = final_plan(queries["ngram_jaccard_verify_lsh"](spark, sf_dir))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    final = plan.split("+- == Initial Plan ==")[0]
+    assert final.count("Exchange hashpartitioning") <= 8, plan
+
+
+def test_ann_candidate_filters_are_single_pass(spark, sf_dir, queries):
+    """LSH and IVF probes: one Arrow pass over the scan, no shuffle before
+    the top-k (TakeOrdered handles selection without a global sort)."""
+    for name in ("ann_lsh_topk", "ann_ivf_topk"):
+        plan = final_plan(queries[name](spark, sf_dir))
+        final = plan.split("+- == Initial Plan ==")[0]
+        assert "Exchange hashpartitioning" not in final, (name, plan)
+        assert "TakeOrderedAndProject" in plan, name

@@ -72,6 +72,22 @@ def main() -> int:
             failures.append(name)
             print(f"FAIL {name}: spark error: {e}")
             continue
+        # replicate the DRIVER's canonicalizer: it pandas-sorts every
+        # result column, which factorizes values — list/array cells are
+        # unhashable there and turn the row red even when values match
+        # (round-1 lesson: j3/a1/f4). Catch that locally.
+        try:
+            import pandas as pd
+
+            pdf = pd.DataFrame(
+                [[r[c] for c in spark_cols] for r in srows], columns=spark_cols
+            )
+            if len(pdf):
+                pdf.sort_values(by=spark_cols)
+        except TypeError as e:
+            failures.append(name)
+            print(f"FAIL {name}: driver-canonicalizer hazard: {e}")
+            continue
         if name not in oracles:
             print(f"ok   {name}: rows-only ({len(srows)} rows, no oracle)")
             continue
