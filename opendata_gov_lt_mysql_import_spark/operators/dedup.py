@@ -494,6 +494,53 @@ def simhash_chunks(fp: Column, n_chunks: int = 4) -> Column:
     )
 
 
+def simhash_fingerprints_arrow(
+    df: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """(id, fp: bigint) — SimHash fingerprints in one Arrow-vectorized
+    ``mapInPandas`` pass.
+
+    The expression form bottoms out at a 64-sum HashAggregate that runs
+    interpreted (past codegen method limits) plus one shuffle. Here each
+    batch tokenizes with pandas str ops, hashes every token with
+    ``hash_pandas_object`` (stable, vectorized), and takes the per-bit
+    majority vote with 64 ``bincount`` folds over the flat token stream —
+    no shuffle at all. Same statistics, different token hash than the
+    expr form: callers must not mix fingerprints across implementations.
+    Empty documents get fp = 0, matching the expr form's left-join
+    fallback."""
+    import numpy as np
+    import pandas as pd
+
+    def compute(batches):
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy()
+            token_lists = pdf[text_col].fillna("").str.strip().str.split()
+            counts = token_lists.map(len).to_numpy(dtype=np.int64)
+            flat = [t for lst in token_lists for t in lst]
+            fps = np.zeros(len(ids), dtype=np.uint64)
+            if flat:
+                h = pd.util.hash_pandas_object(
+                    pd.Series(flat), index=False
+                ).to_numpy(dtype=np.uint64)
+                doc_idx = np.repeat(np.arange(len(ids)), counts)
+                for b in range(64):
+                    votes = np.bincount(
+                        doc_idx,
+                        weights=((h >> np.uint64(b)) & np.uint64(1)).astype(np.float64),
+                        minlength=len(ids),
+                    )
+                    # majority incl. ties, only where the doc has tokens
+                    fps |= np.where(
+                        (counts > 0) & (votes * 2 >= counts), np.uint64(1) << np.uint64(b), np.uint64(0)
+                    )
+            yield pd.DataFrame({"id": ids, "fp": fps.view(np.int64)})
+
+    return _spread(df.select(F.col(id_col), F.col(text_col))).mapInPandas(
+        compute, schema="id long, fp long"
+    )
+
+
 def simhash_candidate_pairs(
     df: DataFrame,
     text_col: str,
@@ -501,15 +548,21 @@ def simhash_candidate_pairs(
     max_hamming: int = 3,
     max_bucket_size: int | None = None,
     dropped_out: list | None = None,
+    impl: str = "arrow",
 ) -> DataFrame:
     """Near-dup pairs by SimHash banding + exact hamming verification.
 
     ``max_bucket_size`` caps per-(chunk, value) occupancy before the
-    self-join (see ``lsh_drop_hot_buckets``)."""
+    self-join (see ``lsh_drop_hot_buckets``). ``impl``: 'arrow' (default)
+    computes fingerprints in a vectorized shuffle-free mapInPandas pass;
+    'expr' keeps the pure-JVM 64-vote aggregation (no Python workers)."""
+    if impl not in ("arrow", "expr"):
+        raise ValueError(f"impl must be 'arrow' or 'expr', got {impl!r}")
+    fp_fn = simhash_fingerprints_arrow if impl == "arrow" else simhash_fingerprints
     # Both self-join sides read the fingerprint table; eager checkpoint so
-    # the 64-vote aggregation runs once (broadcast conversion defeats
+    # the fingerprint computation runs once (broadcast conversion defeats
     # exchange reuse, and concurrent stages race a lazy persist).
-    fps = simhash_fingerprints(df, text_col, id_col).localCheckpoint(eager=True)
+    fps = fp_fn(df, text_col, id_col).localCheckpoint(eager=True)
     banded = fps.select(
         "id", "fp", F.explode(simhash_chunks(F.col("fp"))).alias("c")
     ).select("id", "fp", F.col("c.chunk").alias("chunk"), F.col("c.value").alias("value"))

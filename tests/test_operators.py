@@ -134,9 +134,12 @@ class TestDedup:
         assert (1, 4) not in keys and (3, 4) not in keys
 
     def test_simhash_exact_dup_hamming_zero(self, spark):
-        pairs = simhash_candidate_pairs(self._docs(spark), "text", "id", max_hamming=3)
-        got = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs.collect()}
-        assert got.get((1, 2)) == 0
+        for impl in ("arrow", "expr"):
+            pairs = simhash_candidate_pairs(
+                self._docs(spark), "text", "id", max_hamming=3, impl=impl
+            )
+            got = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs.collect()}
+            assert got.get((1, 2)) == 0, impl
 
     def test_blocked_jaccard_exact_values(self, spark):
         out = blocked_jaccard_pairs(
