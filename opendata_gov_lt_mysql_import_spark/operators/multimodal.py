@@ -50,13 +50,69 @@ FEATURE_SCHEMA = StructType(
 )
 
 
+PPM_MIME = "image/x-portable-pixmap"
+
+
+def decode_ppm(payload: bytes):
+    """REAL image decode, zero dependencies: binary PPM (P6) → HxWx3
+    uint8 numpy array. Header = 'P6', width, height, maxval as ASCII
+    tokens (comments allowed), one whitespace byte, then raw RGB.
+    Uncompressed formats need no codec — this path is fully live; only
+    compressed formats (JPEG/PNG/video) remain behind the stub."""
+    import numpy as np
+
+    if payload[:2] != b"P6":
+        raise ValueError("not a binary PPM (P6) payload")
+    # tokenize header: skip whitespace and '#' comments
+    pos, tokens = 2, []
+    while len(tokens) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":
+            while pos < len(payload) and payload[pos : pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        tokens.append(int(payload[start:pos]))
+    pos += 1  # single whitespace after maxval
+    w, h, maxval = tokens
+    if maxval > 255:
+        raise ValueError("16-bit PPM not supported")
+    data = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=pos)
+    return data.reshape(h, w, 3)
+
+
+def encode_ppm(arr) -> bytes:
+    """HxWx3 uint8 array → binary PPM payload (the test-fixture encoder
+    and the re-encode half of the real resize path)."""
+    h, w, _ = arr.shape
+    return b"P6\n%d %d\n255\n" % (w, h) + arr.astype("uint8").tobytes()
+
+
+def resize_ppm(payload: bytes, width: int, height: int) -> bytes:
+    """Real nearest-neighbor resize for PPM payloads, pure numpy: index
+    the decoded array with scaled row/column grids and re-encode."""
+    import numpy as np
+
+    img = decode_ppm(payload)
+    src_h, src_w = img.shape[:2]
+    rows = (np.arange(height) * src_h // height).clip(0, src_h - 1)
+    cols = (np.arange(width) * src_w // width).clip(0, src_w - 1)
+    return encode_ppm(img[rows][:, cols])
+
+
 def decode_image(payload: bytes) -> object:
-    """Real image decode — requires an imaging library not present in
-    this container. The plumbing around it (schema, batching) is live;
-    swap this implementation when Pillow/ffmpeg are available."""
+    """Image decode: REAL for uncompressed binary PPM (pure numpy);
+    compressed formats (JPEG/PNG/…) require a codec library not present
+    in this container and stay stubbed — swap in Pillow/ffmpeg here when
+    available. The plumbing (schema, batching) is identical either way."""
+    if payload[:2] == b"P6":
+        return decode_ppm(payload)
     raise NotImplementedError(
-        "image decode requires an imaging library; use fake_decode_features "
-        "for deterministic pipeline testing"
+        "compressed image decode requires an imaging library; PPM payloads "
+        "decode natively, or use fake_decode_features for opaque bytes"
     )
 
 
@@ -68,6 +124,16 @@ def fake_decode_features(payload: bytes) -> tuple[int, float, str]:
     n = len(payload)
     mean = (sum(payload) / n) if n else 0.0
     return n, mean, hashlib.md5(payload).hexdigest()
+
+
+def real_decode_features(payload: bytes) -> tuple[int, float, str]:
+    """Decode-backed feature extraction (PPM path): pixel mean over the
+    DECODED image plus byte length and payload fingerprint — same output
+    contract as the fake, real pixels."""
+    import hashlib
+
+    img = decode_image(payload)
+    return len(payload), float(img.mean()), hashlib.md5(payload).hexdigest()
 
 
 def attach_fake_media(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -92,19 +158,22 @@ RESIZE_SCHEMA = StructType(
 
 
 def resize_media(media: DataFrame, width: int, height: int) -> DataFrame:
-    """Resize stage plumbing: Arrow-batched mapInPandas with a fixed
-    output geometry. The pixel transform is stubbed (no imaging library in
-    this container): the fake 'resized' payload is a deterministic
-    truncation/padding of the source bytes to width*height, which keeps
-    batch shapes, schema, and downstream contracts real."""
+    """Resize stage: Arrow-batched mapInPandas with a fixed output
+    geometry. PPM payloads get a REAL nearest-neighbor pixel resize
+    (pure numpy); other mimes fall back to the deterministic byte
+    truncation/padding stand-in (codec libraries absent), keeping batch
+    shapes, schema, and downstream contracts identical on both paths."""
 
     def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         target = width * height
         for batch in batches:
             out = []
-            for p in batch["payload"]:
+            for mime, p in zip(batch["mime"], batch["payload"]):
                 b = bytes(p) if p is not None else b""
-                out.append(b[:target].ljust(target, b"\0"))
+                if mime == PPM_MIME:
+                    out.append(resize_ppm(b, width, height))
+                else:
+                    out.append(b[:target].ljust(target, b"\0"))
             yield pd.DataFrame(
                 {
                     "media_id": batch["media_id"],
@@ -154,14 +223,9 @@ def extract_media_features(media: DataFrame, use_real_decode: bool = False) -> D
     fixed (FEATURE_SCHEMA) so downstream plans are fully typed."""
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        decode = decode_image if use_real_decode else None
+        extract_one = real_decode_features if use_real_decode else fake_decode_features
         for batch in batches:
-            feats = [
-                fake_decode_features(p if p is not None else b"")
-                if decode is None
-                else decode(p)
-                for p in batch["payload"]
-            ]
+            feats = [extract_one(p if p is not None else b"") for p in batch["payload"]]
             yield pd.DataFrame(
                 {
                     "media_id": batch["media_id"],

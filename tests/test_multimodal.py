@@ -19,9 +19,62 @@ from opendata_gov_lt_mysql_import_spark.sources.parquet import load_table
 
 
 class TestMultimodal:
-    def test_decode_stub_raises(self):
+    def test_decode_stub_raises_for_compressed_formats(self):
         with pytest.raises(NotImplementedError):
             decode_image(b"\x89PNG")
+
+    def test_ppm_decode_roundtrip(self):
+        import numpy as np
+
+        from opendata_gov_lt_mysql_import_spark.operators.multimodal import (
+            decode_ppm,
+            encode_ppm,
+        )
+
+        img = (np.arange(6 * 4 * 3, dtype=np.uint8)).reshape(4, 6, 3)
+        assert np.array_equal(decode_ppm(encode_ppm(img)), img)
+        # decode_image dispatches P6 to the real decoder
+        assert np.array_equal(decode_image(encode_ppm(img)), img)
+        # header comments are tolerated
+        with_comment = b"P6\n# a comment\n6 4\n255\n" + img.tobytes()
+        assert np.array_equal(decode_ppm(with_comment), img)
+
+    def test_ppm_real_resize_and_features(self, spark):
+        """End-to-end real-pixel path: PPM payloads through the Spark
+        resize + feature stages; nearest-neighbor values and pixel means
+        verified against numpy computed locally."""
+        import numpy as np
+
+        from opendata_gov_lt_mysql_import_spark.operators.multimodal import (
+            PPM_MIME,
+            decode_ppm,
+            encode_ppm,
+            extract_media_features,
+        )
+
+        imgs = {
+            1: np.zeros((8, 8, 3), dtype=np.uint8),
+            2: np.full((4, 4, 3), 200, dtype=np.uint8),
+            3: np.arange(16 * 8 * 3, dtype=np.uint64).reshape(8, 16, 3).astype(np.uint8),
+        }
+        media = spark.createDataFrame(
+            [(i, PPM_MIME, bytearray(encode_ppm(a))) for i, a in imgs.items()],
+            "media_id long, mime string, payload binary",
+        )
+        resized = {r["media_id"]: r for r in resize_media(media, 4, 4).collect()}
+        for i, a in imgs.items():
+            out = decode_ppm(bytes(resized[i]["payload"]))
+            assert out.shape == (4, 4, 3)
+            rows = (np.arange(4) * a.shape[0] // 4).clip(0, a.shape[0] - 1)
+            cols = (np.arange(4) * a.shape[1] // 4).clip(0, a.shape[1] - 1)
+            assert np.array_equal(out, a[rows][:, cols])
+
+        feats = {
+            r["media_id"]: r
+            for r in extract_media_features(media, use_real_decode=True).collect()
+        }
+        for i, a in imgs.items():
+            assert abs(feats[i]["byte_mean"] - float(a.mean())) < 1e-9
 
     def test_media_schema(self, spark, sf_dir):
         docs = load_table(spark, sf_dir, "documents")
