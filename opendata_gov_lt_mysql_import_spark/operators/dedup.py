@@ -385,10 +385,10 @@ def jaccard_verify_pairs(
         .dropDuplicates(["id_a", "id_b"])
         .localCheckpoint(eager=True)
     )
-    cand_ids = (
-        pairs.select(F.col("id_a").alias("id"))
-        .unionByName(pairs.select(F.col("id_b").alias("id")))
-        .distinct()
+    # no .distinct(): the left-semi probe below dedups by construction,
+    # so a distinct here would only add an aggregate stage
+    cand_ids = pairs.select(F.col("id_a").alias("id")).unionByName(
+        pairs.select(F.col("id_b").alias("id"))
     )
     par = df.sparkSession.sparkContext.defaultParallelism
     # unconditional repartition (not _spread: its getNumPartitions probe

@@ -364,3 +364,36 @@ def window_funcs_suite(spark: SparkSession, sf: str) -> DataFrame:
             "diff_from_max"
         ),
     )
+
+
+@query(
+    "grouping_sets_region_status",
+    """
+    SELECT n_name, o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(o_totalprice), 2) AS total
+    FROM orders JOIN customer ON o_custkey = c_custkey
+                JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY GROUPING SETS ((n_name), (o_orderstatus))
+    """,
+)
+def grouping_sets_region_status(spark: SparkSession, sf: str) -> DataFrame:
+    """Explicit GROUPING SETS (the general form behind cube/rollup): two
+    independent aggregation keys in one pass — Expand + a single shuffle,
+    not two scans. Dimension joins broadcast before the expand."""
+    o = load_table(spark, sf, "orders")
+    c = load_table(spark, sf, "customer")
+    n = load_table(spark, sf, "nation")
+    joined = o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"]).join(
+        F.broadcast(n), c["c_nationkey"] == n["n_nationkey"]
+    )
+    joined.createOrReplaceTempView("_gs_src")
+    return spark.sql(
+        """
+        SELECT n_name, o_orderstatus,
+               CAST(count(*) AS BIGINT) AS n,
+               round(sum(o_totalprice), 2) AS total
+        FROM _gs_src
+        GROUP BY GROUPING SETS ((n_name), (o_orderstatus))
+        """
+    )
