@@ -430,6 +430,76 @@ def jaccard_verify_pairs(
     return out.filter(F.col("jaccard") >= min_jaccard)
 
 
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Duplicate-cluster labeling: connected components over a pair graph
+    by iterative min-label propagation. Returns (id, cluster) where
+    ``cluster`` is the smallest id reachable from ``id``.
+
+    The step after any pair generator in a dedup pipeline — near-dup
+    pairs chain (A~B, B~C but not A~C), so keep-one-per-pair under-dedups;
+    keep-one-per-component is the correct contract.
+
+    Shape: each sweep is one join + one partial-aggregated min per node —
+    no collect, no driver recursion; iteration count is bounded by the
+    component diameter (dup clusters are shallow — near-dups of a common
+    ancestor), with ``max_iter`` as the safety bound, checked like
+    ``tree_closure`` via a per-sweep convergence probe on checkpointed
+    labels (lineage stays constant-depth)."""
+    edges = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+    edges = edges.unionByName(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).localCheckpoint(eager=True)
+    labels = (
+        edges.select(F.col("a").alias("id"))
+        .distinct()
+        .withColumn("cluster", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges["b"] == labels["id"])
+            .groupBy("a")
+            .agg(F.min("cluster").alias("_nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels["id"] == neighbor_min["a"], "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("cluster"), F.coalesce(F.col("_nmin"), F.col("cluster"))
+                ).alias("cluster"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        converged = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.cluster") != F.col("o.cluster"))
+            .isEmpty()
+        )
+        labels = new_labels
+        if converged:
+            break
+    return labels
+
+
+def keep_one_per_cluster(
+    df: DataFrame, clusters: DataFrame, id_col: str
+) -> DataFrame:
+    """Survivors of cluster dedup: the min-id member of every component
+    plus every row that appears in no pair (singletons are implicitly
+    their own cluster)."""
+    keepers = clusters.groupBy("cluster").agg(F.min("id").alias(id_col))
+    paired = clusters.select(F.col("id").alias(id_col))
+    singletons = df.join(paired, id_col, "left_anti")
+    return df.join(keepers.select(id_col), id_col, "left_semi").unionByName(singletons)
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

@@ -433,6 +433,57 @@ def ngram_jaccard_verify_lsh_q(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "dup_clusters",
+    rf"""
+    WITH RECURSIVE docs AS ({_DUP_UNION_SQL}),
+    t AS (SELECT doc_id, str_split_regex(trim(text), '\s+') AS toks FROM docs),
+    g AS (
+      SELECT doc_id,
+             list_sort(list_distinct(list_transform(
+               generate_series(1, greatest(len(toks) - 1, 1)),
+               i -> CASE WHEN i + 1 <= len(toks)
+                         THEN toks[i] || ' ' || toks[i+1]
+                         ELSE toks[i] END))) AS grams
+      FROM t
+    ),
+    p AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM g a JOIN g b ON a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.grams, b.grams))
+            / CAST(len(list_distinct(a.grams || b.grams)) AS DOUBLE) >= 0.5
+    ),
+    e AS (SELECT id_a AS a, id_b AS b FROM p
+          UNION ALL
+          SELECT id_b, id_a FROM p),
+    reach(id, r) AS (
+      SELECT a, a FROM e
+      UNION
+      SELECT e.a, reach.r FROM e JOIN reach ON reach.id = e.b
+    )
+    SELECT id, min(r) AS cluster FROM reach GROUP BY id
+    """,
+)
+def dup_clusters_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Duplicate-cluster labeling over the ≥0.5-Jaccard pair graph:
+    connected components by iterative min-label propagation (near-dups
+    chain, so keep-one-per-component is the correct dedup contract).
+    The oracle is the transitive-closure recursive CTE — the iterative
+    Spark loop and the recursive SQL must agree exactly."""
+    d = _documents_with_dups(spark, sf)
+    from .operators.dedup import connected_components
+
+    pairs = blocked_jaccard_pairs(
+        d.withColumn("_b", F.lit(1)),
+        text_col="text",
+        id_col="doc_id",
+        block_col="_b",
+        n=2,
+        min_jaccard=0.5,
+    )
+    return connected_components(pairs)
+
+
+@query(
     "events_sessionize",
     """
     WITH o AS (

@@ -199,6 +199,33 @@ class TestDedup:
         assert lsh_pairs == exact_pairs
         assert len(exact_pairs) >= 100  # the planted clones are all found
 
+    def test_connected_components_chain_and_triangle(self, spark):
+        """A~B~C chains into one cluster labeled by the min id; isolated
+        pair keeps its own; convergence needs diameter sweeps."""
+        from opendata_gov_lt_mysql_import_spark.operators.dedup import (
+            connected_components,
+            keep_one_per_cluster,
+        )
+
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (20, 22)],
+            "id_a long, id_b long",
+        )
+        got = {r["id"]: r["cluster"] for r in connected_components(pairs).collect()}
+        assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+        docs = spark.createDataFrame(
+            [(i, f"doc {i}") for i in [1, 2, 3, 4, 10, 11, 20, 21, 22, 99]],
+            "doc_id long, text string",
+        )
+        kept = sorted(
+            r["doc_id"]
+            for r in keep_one_per_cluster(
+                docs, connected_components(pairs), "doc_id"
+            ).collect()
+        )
+        assert kept == [1, 10, 20, 99]  # one per component + the singleton
+
     def test_lsh_bucket_cap_bounds_degenerate_corpus(self, spark):
         """200 identical docs land in one bucket per band; with a cap the
         self-join is bounded and the dropped buckets are reported."""
