@@ -100,6 +100,42 @@ def quality_projection(text: Column) -> list[Column]:
     ]
 
 
+URL_PATTERN = r"https?://[^\s]+"
+CONTROL_PATTERN = r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]"
+
+
+def clean_text(text: Column) -> Column:
+    """Pre-training text normalization: strip URLs, drop C0/C1 control
+    characters (keeping \\t \\n \\r as whitespace), collapse whitespace
+    runs to single spaces, trim. Pure JVM regexp chain — codegen'd, no
+    shuffle; the first stage of every corpus-cleaning pipeline."""
+    no_urls = F.regexp_replace(text, URL_PATTERN, " ")
+    no_ctl = F.regexp_replace(no_urls, CONTROL_PATTERN, " ")
+    return F.trim(F.regexp_replace(no_ctl, r"\s+", " "))
+
+
+# Gopher-style repetition/quality gates (Rae et al. 2021, table A1 —
+# public paper), expressed on the integer-scaled feature block so the
+# thresholds compare exactly across engines.
+QUALITY_RULES = (
+    ("too_few_tokens", "n_tokens < 5"),
+    ("too_many_tokens", "n_tokens > 100000"),
+    ("avg_token_len_out_of_range", "avg_token_len_c < 200 OR avg_token_len_c > 1200"),
+    ("too_much_punct", "punct_ratio_bp >= 2000"),
+    ("too_many_digits", "digit_ratio_bp >= 3000"),
+)
+
+
+def quality_verdict() -> Column:
+    """First-failing-rule verdict over the quality_projection columns:
+    'keep' when every gate passes, else the rule name — deterministic
+    rule order so both engines agree on multi-failure rows."""
+    out = F.lit("keep")
+    for name, cond in reversed(QUALITY_RULES):
+        out = F.when(F.expr(cond), F.lit(name)).otherwise(out)
+    return out
+
+
 def stratified_sample(
     df: DataFrame,
     strata_col: str,

@@ -210,6 +210,79 @@ def text_lang_id_q(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+_CLEAN_SQL = (
+    r"trim(regexp_replace(regexp_replace(regexp_replace(text,"
+    r" 'https?://[^\s]+', ' ', 'g'),"
+    r" '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', ' ', 'g'),"
+    r" '\s+', ' ', 'g'))"
+)
+
+
+@query(
+    "text_clean",
+    f"""
+    SELECT doc_id, {_CLEAN_SQL} AS cleaned,
+           CAST(length({_CLEAN_SQL}) AS BIGINT) AS n_chars_clean
+    FROM documents
+    """,
+)
+def text_clean_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus cleaning stage: URL stripping, control-char removal,
+    whitespace normalization — pure JVM regexp chain, the first transform
+    of a pre-training pipeline."""
+    from .operators.textanalysis import clean_text
+
+    d = _spread(load_table(spark, sf, "documents"))
+    cleaned = clean_text(F.col("text"))
+    return d.select(
+        "doc_id",
+        cleaned.alias("cleaned"),
+        F.length(cleaned).cast("long").alias("n_chars_clean"),
+    )
+
+
+_QUALITY_FEATURES_SQL = f"""
+    SELECT doc_id,
+       CAST({_NTOK_SQL} AS BIGINT) AS n_tokens,
+       CAST(floor((length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')))
+                  / length(text) * 10000) AS BIGINT) AS punct_ratio_bp,
+       CAST(floor((length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))
+                  / length(text) * 10000) AS BIGINT) AS digit_ratio_bp,
+       CAST(floor(list_aggregate(list_transform({_TOKENS_SQL}, t -> length(t)), 'sum')
+                  / len({_TOKENS_SQL}) * 100) AS BIGINT) AS avg_token_len_c
+    FROM documents
+"""
+
+_VERDICT_CASE_SQL = """
+    CASE WHEN n_tokens < 5 THEN 'too_few_tokens'
+         WHEN n_tokens > 100000 THEN 'too_many_tokens'
+         WHEN avg_token_len_c < 200 OR avg_token_len_c > 1200
+              THEN 'avg_token_len_out_of_range'
+         WHEN punct_ratio_bp >= 2000 THEN 'too_much_punct'
+         WHEN digit_ratio_bp >= 3000 THEN 'too_many_digits'
+         ELSE 'keep' END
+"""
+
+
+@query(
+    "text_quality_filter",
+    f"""
+    SELECT doc_id, {_VERDICT_CASE_SQL} AS verdict
+    FROM ({_QUALITY_FEATURES_SQL})
+    """,
+)
+def text_quality_filter_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Gopher-style quality gate (Rae et al. 2021): first-failing-rule
+    verdict over the integer-scaled feature block — the keep/drop
+    decision stage of a corpus pipeline, deterministic across engines
+    because every threshold compares integers."""
+    from .operators.textanalysis import quality_verdict
+
+    d = _spread(load_table(spark, sf, "documents"))
+    feats = d.select("doc_id", *quality_projection(F.col("text")))
+    return feats.select("doc_id", quality_verdict().alias("verdict"))
+
+
 @query(
     "doc_fingerprint",
     """

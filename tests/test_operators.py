@@ -258,6 +258,36 @@ class TestDedup:
         assert dropped_sh[0].count() > 0
 
 
+class TestTextCleaning:
+    def test_clean_and_verdict(self, spark):
+        from opendata_gov_lt_mysql_import_spark.operators.textanalysis import (
+            clean_text,
+            quality_projection,
+            quality_verdict,
+        )
+
+        df = spark.createDataFrame(
+            [
+                (1, "see https://example.com/x?y=1 and\x00\x07  more\t text"),
+                (2, "ok"),  # 1 token → too_few_tokens
+                (3, "1234 5678 9012 3456 7890 99"),  # digit-heavy
+                (4, "plain sentence with enough ordinary words here"),
+            ],
+            "doc_id long, text string",
+        )
+        cleaned = {r["doc_id"]: r["c"] for r in df.select("doc_id", clean_text(F.col("text")).alias("c")).collect()}
+        assert cleaned[1] == "see and more text"
+        verdicts = {
+            r["doc_id"]: r["v"]
+            for r in df.select(
+                "doc_id", *quality_projection(F.col("text"))
+            ).select("doc_id", quality_verdict().alias("v")).collect()
+        }
+        assert verdicts[2] == "too_few_tokens"
+        assert verdicts[3] == "too_many_digits"
+        assert verdicts[4] == "keep"
+
+
 class TestSimilarity:
     def test_cosine_topk_exact(self, spark, sf_dir):
         from opendata_gov_lt_mysql_import_spark.sources.parquet import load_table
