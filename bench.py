@@ -43,6 +43,8 @@ HEADLINE = [
     "f5_changed_rows",
     "dedup_exact_groups",
     "text_quality",
+    "text_quality_filter",
+    "text_clean",
     "text_lang_id",
     "doc_fingerprint",
     "ann_topk_cosine",
