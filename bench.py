@@ -62,6 +62,7 @@ HEADLINE = [
     "percentile_price",
     "cube_status_priority",
     "window_funcs_suite",
+    "rolling_7d_revenue",
 ]
 
 

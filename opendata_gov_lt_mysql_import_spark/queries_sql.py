@@ -397,3 +397,36 @@ def grouping_sets_region_status(spark: SparkSession, sf: str) -> DataFrame:
         GROUP BY GROUPING SETS ((n_name), (o_orderstatus))
         """
     )
+
+
+@query(
+    "rolling_7d_revenue",
+    """
+    SELECT o_custkey, o_orderkey,
+           round(sum(o_totalprice) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate
+             RANGE BETWEEN INTERVAL 7 DAY PRECEDING AND CURRENT ROW
+           ), 2) AS rev_7d
+    FROM orders
+    """,
+)
+def rolling_7d_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """Time-RANGE window frame: per customer, the revenue of all orders
+    in the trailing 7 days of each order — a value-based frame (peers by
+    date distance), not a row-count frame. Spark expresses it as
+    rangeBetween over *days since epoch* (unix_date) — exact integer date
+    arithmetic, immune to session-timezone/DST skew that epoch-seconds
+    ordering would introduce; one shuffle on the partition key."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.unix_date(F.col("o_orderdate").cast("date")))
+        .rangeBetween(-7, 0)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("rev_7d"),
+    )
