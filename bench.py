@@ -63,6 +63,12 @@ HEADLINE = [
     "cube_status_priority",
     "window_funcs_suite",
     "rolling_7d_revenue",
+    "chunk_documents",
+    "pii_scrub",
+    "token_topk",
+    "tfidf_top_keywords",
+    "pack_sequences",
+    "nearest_centroid_assign",
 ]
 
 

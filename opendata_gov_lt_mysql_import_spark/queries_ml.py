@@ -721,3 +721,294 @@ def sample_stratified_by_lang_q(spark: SparkSession, sf: str) -> DataFrame:
         r["lang"]: (0.2 if r["n"] / total > 0.25 else 1.0) for r in counts
     }
     return stratified_sample(d, "lang", fractions)
+
+
+# ---------------------------------------------------------------------------
+# Corpus preparation: chunking, PII scrubbing, packing
+# ---------------------------------------------------------------------------
+
+@query(
+    "chunk_documents",
+    """
+    SELECT d.doc_id,
+           CAST((s.start - 1) / 90 AS BIGINT) AS chunk_id,
+           CAST(s.start AS BIGINT) AS chunk_start,
+           substring(d.text, CAST(s.start AS INT), 120) AS chunk_text
+    FROM documents d,
+         unnest(generate_series(
+             1, greatest(coalesce(length(d.text), 0), 1), 90)) AS s(start)
+    """,
+)
+def chunk_documents_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Fixed-window document chunking (size=120, overlap=30): the stage
+    that turns cleaned documents into training-context-sized pieces.
+    Pure JVM sequence+posexplode+substring — zero shuffles, codegen'd,
+    scan-bound at any scale."""
+    from .operators.corpus import chunk_documents
+
+    return chunk_documents(
+        load_table(spark, sf, "documents"), size=120, overlap=30
+    )
+
+
+_PII_DECORATE_SQL = (
+    "text || ' contact user' || CAST(doc_id AS VARCHAR)"
+    " || '@mail.example.com from 10.0.0.'"
+    " || CAST(doc_id % 256 AS VARCHAR) || ' tel +37061234567'"
+)
+
+
+@query(
+    "pii_scrub",
+    None,  # filled in below — needs scrub_pii_sql()
+)
+def pii_scrub_q(spark: SparkSession, sf: str) -> DataFrame:
+    """PII redaction over the corpus: emails, IPv4 addresses, and
+    phone-like digit runs replaced with typed placeholder tokens. The
+    fixture corpus carries no organic PII, so each doc is first
+    decorated with a deterministic synthetic contact line (same
+    expression on both engines) — the redaction is exercised for real,
+    not vacuously. Chain of regexp_replace: one codegen'd projection,
+    no shuffle."""
+    from .operators.corpus import scrub_pii
+
+    d = load_table(spark, sf, "documents")
+    decorated = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail.example.com from 10.0.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(" tel +37061234567"),
+    )
+    return d.select(
+        "doc_id",
+        scrub_pii(decorated).alias("clean_text"),
+    )
+
+
+def _register_pii_oracle() -> None:
+    from .operators.corpus import scrub_pii_sql
+    from .queries import _ORACLES
+
+    _ORACLES["pii_scrub"] = f"""
+    SELECT doc_id, {scrub_pii_sql(_PII_DECORATE_SQL)} AS clean_text
+    FROM documents
+    """
+
+
+_register_pii_oracle()
+
+
+@query(
+    "token_topk",
+    r"""
+    WITH toks AS (
+        SELECT unnest(string_split_regex(trim(text), '\s+')) AS token
+        FROM documents
+    )
+    SELECT token, CAST(count(*) AS BIGINT) AS cnt
+    FROM toks WHERE token <> ''
+    GROUP BY token
+    ORDER BY cnt DESC, token
+    LIMIT 50
+    """,
+)
+def token_topk_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus-wide token frequency top-50 (vocabulary head): explode
+    whitespace tokens, hash-aggregate, deterministic (cnt DESC, token)
+    tie-break. Partial aggregation runs map-side below the exchange;
+    the top-k itself is TakeOrdered — no global sort materialization."""
+    from .operators.textanalysis import tokens
+
+    d = load_table(spark, sf, "documents")
+    return (
+        d.select(F.explode(tokens(F.col("text"))).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("token"))
+        .limit(50)
+    )
+
+
+@query(
+    "tfidf_top_keywords",
+    r"""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(string_split_regex(trim(text), '\s+')) AS token
+        FROM documents
+    ), tok2 AS (
+        SELECT doc_id, token FROM toks WHERE token <> ''
+    ), tf AS (
+        SELECT doc_id, token, count(*) AS tf FROM tok2 GROUP BY 1, 2
+    ), dfreq AS (
+        SELECT token, count(DISTINCT doc_id) AS df FROM tok2 GROUP BY 1
+    ), n AS (
+        SELECT count(*) AS n FROM documents
+    )
+    SELECT doc_id, token,
+           round(tf * ln(CAST(n.n AS DOUBLE) / df), 4) AS tfidf
+    FROM tf JOIN dfreq USING (token), n
+    QUALIFY row_number() OVER (
+        PARTITION BY doc_id
+        ORDER BY tf * ln(CAST(n.n AS DOUBLE) / df) DESC, token
+    ) <= 3
+    """,
+)
+def tfidf_top_keywords_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-document top-3 TF-IDF keywords. Shape: one explode + two
+    hash aggregations (tf by (doc, token); df by token) + a broadcast
+    of the tiny df/n side back onto tf + a per-doc window top-k. The
+    document-frequency table is vocabulary-sized (≪ corpus), so the
+    re-join is broadcastable at any corpus scale."""
+    from pyspark.sql import Window
+
+    from .operators.textanalysis import tokens
+
+    d = load_table(spark, sf, "documents")
+    n_docs = d.count()
+    tok = (
+        d.select("doc_id", F.explode(tokens(F.col("text"))).alias("token"))
+        .filter(F.col("token") != "")
+    )
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tok.groupBy("token").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    score = F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))
+    w = Window.partitionBy("doc_id").orderBy(F.desc(score), F.asc("token"))
+    return (
+        tf.join(F.broadcast(dfreq), "token")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "token", F.round(score, 4).alias("tfidf"))
+    )
+
+
+@query("pack_sequences", None)
+def pack_sequences_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Greedy first-fit-decreasing sequence packing: documents (by
+    whitespace token count) packed into 128-token training bins inside
+    64 deterministic hash shards. Rows-only (bin ids are engine-
+    specific); pytest pins the invariants — every doc assigned once,
+    no bin over cap except oversize singletons, byte-identical across
+    runs."""
+    from .operators.corpus import pack_sequences
+    from .operators.textanalysis import token_count
+
+    d = load_table(spark, sf, "documents").select(
+        "doc_id", token_count(F.col("text")).alias("n_tokens")
+    )
+    return pack_sequences(d, cap=128)
+
+
+# ---------------------------------------------------------------------------
+# Embedding analytics: centroids and assignment
+# ---------------------------------------------------------------------------
+
+@query(
+    "embedding_centroids",
+    """
+    WITH ex AS (
+        SELECT label, t.i AS pos, embedding[t.i] AS val
+        FROM embeddings,
+             unnest(generate_series(1, len(embedding))) AS t(i)
+    ), c AS (
+        SELECT label, pos,
+               CAST(round(avg(val) * 10000) AS BIGINT) AS v
+        FROM ex GROUP BY 1, 2
+    )
+    SELECT label,
+           string_agg(CAST(v AS VARCHAR), '|' ORDER BY pos) AS centroid_sig
+    FROM c GROUP BY label
+    """,
+)
+def embedding_centroids_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-label centroid of the embedding vectors: posexplode +
+    (label, dim) hash-avg + re-assembly ordered by dim. The centroid is
+    serialized as fixed-point ints (x10000) joined with '|' so the
+    driver hash is float-formatting-proof. One shuffle on (label, dim);
+    at 100 TB this is the standard map-side-combining centroid shape
+    (per-partition partial sums, merge K x D cells)."""
+    e = load_table(spark, sf, "embeddings")
+    ex = e.select("label", F.posexplode("embedding").alias("pos", "val"))
+    cent = ex.groupBy("label", "pos").agg(F.avg("val").alias("v"))
+    sig = F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "v"))),
+            lambda s: F.round(s["v"] * 10000).cast("long").cast("string"),
+        ),
+        "|",
+    )
+    return cent.groupBy("label").agg(sig.alias("centroid_sig"))
+
+
+@query(
+    "nearest_centroid_assign",
+    """
+    WITH ex AS (
+        SELECT vec_id, label, t.i AS pos, embedding[t.i] AS val
+        FROM embeddings,
+             unnest(generate_series(1, len(embedding))) AS t(i)
+    ), cent AS (
+        SELECT label, pos, avg(val) AS cv FROM ex GROUP BY 1, 2
+    ), dist AS (
+        SELECT v.vec_id, c.label,
+               sum((v.val - c.cv) * (v.val - c.cv)) AS d2
+        FROM ex v JOIN cent c ON v.pos = c.pos
+        GROUP BY 1, 2
+    )
+    SELECT vec_id, label AS nearest_label
+    FROM dist
+    QUALIFY row_number() OVER (
+        PARTITION BY vec_id ORDER BY d2, label) = 1
+    """,
+)
+def nearest_centroid_assign_q(spark: SparkSession, sf: str) -> DataFrame:
+    """One k-means-style assignment step: each vector goes to its
+    squared-euclidean-nearest label centroid (deterministic label
+    tie-break). All K centroids are packed into ONE broadcast array
+    row; each vector computes argmin via array_min over (d2, label)
+    structs — the fact table is touched exactly once, no (vec x K) row
+    explosion, no window sort, zero shuffles beyond the K x D centroid
+    aggregation itself. That is the assignment-step plan that survives
+    a 100 TB embedding table."""
+    e = load_table(spark, sf, "embeddings")
+    ex = e.select("label", F.posexplode("embedding").alias("pos", "val"))
+    cent = (
+        ex.groupBy("label", "pos")
+        .agg(F.avg("val").alias("cv"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "cv"))),
+                lambda s: s["cv"],
+            ).alias("centroid")
+        )
+    )
+    cents = cent.agg(
+        F.collect_list(
+            F.struct(F.col("label").alias("c_label"), F.col("centroid"))
+        ).alias("cents")
+    )
+
+    def d2(c):
+        return F.aggregate(
+            F.zip_with(
+                F.col("embedding"), c["centroid"], lambda a, b: (a - b) * (a - b)
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    best = F.array_min(
+        F.transform(
+            F.col("cents"),
+            lambda c: F.struct(d2(c).alias("d2"), c["c_label"].alias("lbl")),
+        )
+    )
+    return e.crossJoin(F.broadcast(cents)).select(
+        "vec_id", best["lbl"].alias("nearest_label")
+    )

@@ -1,0 +1,126 @@
+"""Corpus-preparation operator tests: chunking, PII scrubbing,
+sequence packing, embedding centroids."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from opendata_gov_lt_mysql_import_spark.operators.corpus import (
+    chunk_documents,
+    pack_sequences,
+    scrub_pii,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+class TestChunking:
+    def test_chunk_boundaries_and_overlap(self, spark):
+        text = "".join(chr(ord("a") + i % 26) for i in range(250))
+        out = chunk_documents(
+            _docs(spark, [(1, text)]), size=100, overlap=20
+        ).orderBy("chunk_id").collect()
+        # stride 80 → starts 1, 81, 161, 241
+        assert [r.chunk_start for r in out] == [1, 81, 161, 241]
+        assert out[0].chunk_text == text[0:100]
+        assert out[1].chunk_text == text[80:180]
+        assert out[3].chunk_text == text[240:250]  # short tail kept
+        # consecutive chunks overlap by exactly `overlap` chars
+        assert out[0].chunk_text[-20:] == out[1].chunk_text[:20]
+
+    def test_empty_and_null_text_yield_one_empty_chunk(self, spark):
+        out = chunk_documents(
+            _docs(spark, [(1, ""), (2, None)]), size=10, overlap=2
+        ).collect()
+        assert len(out) == 2
+        assert all(r.chunk_id == 0 and (r.chunk_text or "") == "" for r in out)
+
+    def test_overlap_must_be_smaller_than_size(self, spark):
+        with pytest.raises(ValueError):
+            chunk_documents(_docs(spark, [(1, "x")]), size=10, overlap=10)
+
+    def test_full_coverage_reconstructs_text(self, spark):
+        text = "0123456789" * 17 + "abc"
+        chunks = chunk_documents(
+            _docs(spark, [(7, text)]), size=60, overlap=15
+        ).orderBy("chunk_id").collect()
+        rebuilt = chunks[0].chunk_text + "".join(
+            c.chunk_text[15:] for c in chunks[1:]
+        )
+        assert rebuilt == text
+
+
+class TestPiiScrub:
+    def _scrub(self, spark, s):
+        df = _docs(spark, [(1, s)]).select(
+            scrub_pii(F.col("text")).alias("t")
+        )
+        return df.collect()[0].t
+
+    def test_email(self, spark):
+        assert (
+            self._scrub(spark, "mail me at jo.na+x@sub.example.org please")
+            == "mail me at <EMAIL> please"
+        )
+
+    def test_ipv4_not_eaten_by_phone(self, spark):
+        assert (
+            self._scrub(spark, "server 192.168.100.200 down")
+            == "server <IP> down"
+        )
+
+    def test_phone_with_plus_and_dashes(self, spark):
+        assert (
+            self._scrub(spark, "call +370-612-34567 now")
+            == "call <PHONE> now"
+        )
+
+    def test_clean_text_untouched(self, spark):
+        s = "nothing sensitive here, year 2024 and room 12"
+        assert self._scrub(spark, s) == s
+
+
+class TestPackSequences:
+    def _packed(self, spark, rows, cap=100):
+        df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+        return pack_sequences(df, cap=cap, shards=4).collect()
+
+    def test_every_doc_assigned_once(self, spark):
+        rows = [(i, 10 + (i * 7) % 60) for i in range(200)]
+        out = self._packed(spark, rows)
+        assert sorted(r.doc_id for r in out) == [r[0] for r in rows]
+
+    def test_no_multidoc_bin_over_cap(self, spark):
+        rows = [(i, 10 + (i * 7) % 60) for i in range(200)]
+        out = self._packed(spark, rows, cap=100)
+        from collections import Counter
+
+        fill: Counter = Counter()
+        members: Counter = Counter()
+        for r in out:
+            fill[r.bin_id] += r.n_tokens
+            members[r.bin_id] += 1
+            assert r.bin_fill == 0 or r.bin_fill >= r.n_tokens
+        for b, f in fill.items():
+            if members[b] > 1:
+                assert f <= 100
+
+    def test_oversize_doc_gets_singleton_bin(self, spark):
+        out = self._packed(spark, [(1, 500), (2, 30), (3, 40)], cap=100)
+        big = [r for r in out if r.doc_id == 1][0]
+        assert sum(1 for r in out if r.bin_id == big.bin_id) == 1
+
+    def test_deterministic(self, spark):
+        rows = [(i, 5 + (i * 13) % 90) for i in range(300)]
+        a = sorted(map(tuple, self._packed(spark, rows)))
+        b = sorted(map(tuple, self._packed(spark, rows)))
+        assert a == b
+
+    def test_packing_beats_one_doc_per_bin(self, spark):
+        rows = [(i, 20) for i in range(100)]
+        out = self._packed(spark, rows, cap=100)
+        n_bins = len({r.bin_id for r in out})
+        assert n_bins < 100  # 5 docs of 20 fit a 100-token bin per shard
