@@ -69,6 +69,10 @@ HEADLINE = [
     "tfidf_top_keywords",
     "pack_sequences",
     "nearest_centroid_assign",
+    "text_repetition",
+    "corpus_stats",
+    "embedding_quantize",
+    "kmeans_one_iter",
 ]
 
 

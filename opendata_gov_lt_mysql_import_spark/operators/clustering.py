@@ -1,0 +1,140 @@
+"""Distributed Lloyd (k-means) iterations over an embedding table.
+
+Beyond-reference surface: the canonical iterative-refinement algorithm a
+training-data pipeline runs for corpus clustering / semantic dedup
+bucketing. Each iteration is the scale-correct shape:
+
+  1. centroids (K x D floats) are collapsed into ONE row and broadcast —
+     every executor assigns its vectors map-side via an ``array_min``
+     argmin over (distance, label) structs; the fact table is touched
+     once, there is NO (N x K) row explosion and NO fact-fact join.
+  2. new centroids are a posexplode + groupBy(cluster, dim) average —
+     a K x D-cell shuffle with map-side partial aggregation.
+
+So the only data movement per iteration is K x D cells — independent of
+N — which is exactly the plan that survives a 100 TB embedding table.
+Driver-side work is bounded by the iteration count (one tiny K x D
+collect per round); the vectors themselves are never collected.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _sqdist(vec: Column, centroid: Column) -> Column:
+    """Squared euclidean distance, sequential left-to-right summation
+    (deterministic — the HOF aggregate adds in array order)."""
+    return F.aggregate(
+        F.zip_with(vec, centroid, lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _pack_centroids(cent: DataFrame) -> Column:
+    """Collapse a (cluster, centroid) frame into one array-of-structs
+    literal row (K x D values — broadcastable by construction)."""
+    return F.collect_list(
+        F.struct(F.col("cluster").alias("c_label"), F.col("centroid"))
+    ).alias("cents")
+
+
+def assign_clusters(
+    e: DataFrame, cent: DataFrame, vec_col: str = "embedding"
+) -> DataFrame:
+    """Map-side nearest-centroid assignment: adds ``cluster`` and
+    ``d2`` (squared distance to it) to every row of ``e``. Ties break
+    on the smaller cluster label — deterministic across engines."""
+    packed = cent.agg(_pack_centroids(cent))
+    best = F.array_min(
+        F.transform(
+            F.col("cents"),
+            lambda c: F.struct(
+                _sqdist(F.col(vec_col).cast("array<double>"), c["centroid"]).alias(
+                    "d2"
+                ),
+                c["c_label"].alias("lbl"),
+            ),
+        )
+    )
+    return (
+        e.crossJoin(F.broadcast(packed))
+        .withColumn("_best", best)
+        .withColumn("cluster", F.col("_best.lbl"))
+        .withColumn("d2", F.col("_best.d2"))
+        .drop("cents", "_best")
+    )
+
+
+def recompute_centroids(
+    assigned: DataFrame, vec_col: str = "embedding"
+) -> DataFrame:
+    """New centroid per cluster: posexplode + (cluster, dim) average +
+    ordered re-assembly. K x D shuffle cells, map-side combined."""
+    ex = assigned.select(
+        "cluster", F.posexplode(F.col(vec_col).cast("array<double>")).alias("pos", "val")
+    )
+    return (
+        ex.groupBy("cluster", "pos")
+        .agg(F.avg("val").alias("cv"))
+        .groupBy("cluster")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "cv"))),
+                lambda s: s["cv"],
+            ).alias("centroid")
+        )
+    )
+
+
+def seed_centroids_from_labels(
+    e: DataFrame, vec_col: str = "embedding", label_col: str = "label"
+) -> DataFrame:
+    """Deterministic seeding: per-label mean vectors (the fixture's
+    ``label`` column doubles as the initial partition — equivalent to a
+    supervised warm start; arbitrary-k seeding would pick k rows)."""
+    ex = e.select(
+        F.col(label_col).alias("cluster"),
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias("pos", "val"),
+    )
+    return (
+        ex.groupBy("cluster", "pos")
+        .agg(F.avg("val").alias("cv"))
+        .groupBy("cluster")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "cv"))),
+                lambda s: s["cv"],
+            ).alias("centroid")
+        )
+    )
+
+
+def lloyd_iterate(
+    e: DataFrame,
+    iters: int = 1,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> tuple[DataFrame, DataFrame]:
+    """Run ``iters`` Lloyd iterations from label-seeded centroids.
+
+    Returns ``(assigned, centroids)`` — the final assignment frame
+    (vec_id, ..., cluster, d2) and the refined (cluster, centroid)
+    frame. Each round's centroids are localCheckpointed: they feed both
+    the next assignment and (transitively) every later round, and a
+    lazy persist does not protect multi-consumer intermediates under
+    AQE's concurrent stage submission."""
+    cent = seed_centroids_from_labels(e, vec_col, label_col)
+    assigned = None
+    for _ in range(iters):
+        cent = cent.localCheckpoint(eager=True)
+        assigned = assign_clusters(e, cent, vec_col)
+        cent = recompute_centroids(assigned, vec_col)
+    return assigned, cent
+
+
+def inertia(assigned: DataFrame) -> float:
+    """Total within-cluster squared distance of an assignment frame."""
+    return assigned.agg(F.sum("d2").alias("j")).collect()[0]["j"]

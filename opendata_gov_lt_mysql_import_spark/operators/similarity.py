@@ -284,3 +284,32 @@ def cosine_dup_pairs(
         )
         .filter(F.col("sim") >= min_sim)
     )
+
+
+def quantize_int8_projection(vec_col: str = "embedding") -> list[Column]:
+    """Symmetric int8 quantization + fixed-point L2 norm of a vector
+    column: scale = absmax/127, q_i = floor(x_i * 127 / absmax). All
+    ops are an identical IEEE-double sequence on both engines, so the
+    serialized signature is exactly oracle-checkable; zero vectors
+    quantize to ''. Map-only HOF projection — no shuffle, no Python."""
+    dbl = F.transform(vec_col, lambda x: x.cast("double"))
+    mx = F.array_max(F.transform(dbl, F.abs))
+    norm_fp = F.floor(
+        F.sqrt(
+            F.aggregate(
+                F.transform(dbl, lambda x: x * x),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        )
+        * 10000
+    ).cast("long")
+    q8 = F.when(mx == 0, F.lit("")).otherwise(
+        F.array_join(
+            F.transform(
+                dbl, lambda x: F.floor(x * 127.0 / mx).cast("long").cast("string")
+            ),
+            "|",
+        )
+    )
+    return [norm_fp.alias("l2_norm_fp"), q8.alias("q8_sig")]

@@ -69,6 +69,71 @@ def lang_id(toks: Column) -> Column:
     return out.otherwise(F.lit(langs[-1]))
 
 
+def token_bigrams(toks: Column) -> Column:
+    """Adjacent-token bigrams joined with a single space; <2 tokens →
+    empty array. Pure HOF (zip_with over two slices) — no explode, no
+    shuffle."""
+    n = F.size(toks)
+    return F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice(toks, F.lit(1), n - 1),
+            F.slice(toks, F.lit(2), n - 1),
+            lambda a, b: F.concat_ws(" ", a, b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def max_multiplicity(arr: Column) -> Column:
+    """Count of the most frequent element: sort the array, then one
+    linear aggregate pass tracking (prev, run, best). Per-row mode
+    computation with NO explode and NO shuffle — at 100 TB the
+    repetition features stay a map-only projection."""
+    acc0 = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("best"),
+    )
+
+    def step(acc, x):
+        run = (
+            F.when(acc["prev"].isNotNull() & (acc["prev"] == x), acc["run"] + 1)
+            .otherwise(F.lit(1).cast("long"))
+        )
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.greatest(acc["best"], run).alias("best"),
+        )
+
+    return F.aggregate(F.array_sort(arr), acc0, step, lambda acc: acc["best"])
+
+
+def repetition_projection(text: Column) -> list[Column]:
+    """Gopher-style intra-document repetition signals (Rae et al. 2021,
+    table A1 — public paper): fraction of adjacent-token bigrams taken
+    by the single most frequent bigram, and fraction of tokens that are
+    repeats of an earlier token. Integer basis points via integer
+    division so both engines agree bit-for-bit."""
+    toks = tokens(text)
+    bigr = token_bigrams(toks)
+    n_big = F.size(bigr).cast("long")
+    top_big = max_multiplicity(bigr)
+    n_tok = F.size(toks).cast("long")
+    n_dist = F.size(F.array_distinct(toks)).cast("long")
+    # floor(double-div of exact ints) == integer division below 2^53
+    top_bigram_bp = F.when(
+        n_big > 0, F.floor((top_big * 10000) / n_big)
+    ).otherwise(F.lit(0)).cast("long")
+    dup_token_bp = F.when(
+        n_tok > 0, F.floor(((n_tok - n_dist) * 10000) / n_tok)
+    ).otherwise(F.lit(0)).cast("long")
+    return [
+        top_bigram_bp.alias("top_bigram_bp"),
+        dup_token_bp.alias("dup_token_bp"),
+    ]
+
+
 def shingle_fingerprint(c: Column, k: int = 5) -> Column:
     """Document fingerprint: minimum md5 over all k-char shingles — a
     1-hash MinHash, stable across engines (md5 is standardized, unlike

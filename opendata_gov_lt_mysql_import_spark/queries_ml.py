@@ -1012,3 +1012,176 @@ def nearest_centroid_assign_q(spark: SparkSession, sf: str) -> DataFrame:
     return e.crossJoin(F.broadcast(cents)).select(
         "vec_id", best["lbl"].alias("nearest_label")
     )
+
+
+# ---------------------------------------------------------------------------
+# Repetition signals, corpus stats, quantization, Lloyd iteration
+# ---------------------------------------------------------------------------
+
+@query(
+    "text_repetition",
+    rf"""
+    WITH t AS (
+        SELECT doc_id, {_TOKENS_SQL} AS arr
+        FROM documents WHERE trim(text) <> ''
+    ), big AS (
+        SELECT doc_id, arr,
+               CASE WHEN len(arr) >= 2
+                    THEN list_transform(range(1, len(arr)),
+                                        i -> arr[i] || ' ' || arr[i + 1])
+                    ELSE CAST([] AS VARCHAR[]) END AS bigr
+        FROM t
+    ), bcnt AS (
+        SELECT doc_id, u.bg, count(*) AS c
+        FROM big, unnest(big.bigr) AS u(bg)
+        GROUP BY 1, 2
+    ), bagg AS (
+        SELECT doc_id, max(c) AS m, sum(c) AS nb FROM bcnt GROUP BY 1
+    ), tagg AS (
+        SELECT doc_id, count(*) AS nt, count(DISTINCT w.tok) AS nd
+        FROM big, unnest(big.arr) AS w(tok)
+        GROUP BY 1
+    )
+    SELECT d.doc_id,
+           CAST(coalesce((ba.m * 10000) // ba.nb, 0) AS BIGINT)
+             AS top_bigram_bp,
+           CAST(coalesce(((ta.nt - ta.nd) * 10000) // ta.nt, 0) AS BIGINT)
+             AS dup_token_bp
+    FROM documents d
+    LEFT JOIN bagg ba USING (doc_id)
+    LEFT JOIN tagg ta USING (doc_id)
+    """,
+)
+def text_repetition_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Gopher-style intra-document repetition gates (top-bigram share,
+    duplicate-token share, integer basis points). The Spark side is a
+    pure map-only HOF projection — per-row mode via sort + linear scan,
+    NO explode and NO shuffle — while the oracle needs three grouped
+    subqueries to say the same thing. At 100 TB the repetition block
+    rides the same single scan as the rest of the quality features."""
+    from .operators.textanalysis import repetition_projection
+
+    d = _spread(load_table(spark, sf, "documents"))
+    return d.select("doc_id", *repetition_projection(F.col("text")))
+
+
+@query(
+    "corpus_stats",
+    f"""
+    SELECT source, lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum({_NTOK_SQL}) AS BIGINT) AS total_tokens,
+           CAST(sum(length(text)) AS BIGINT) AS total_chars,
+           CAST(min(n_chars) AS BIGINT) AS min_chars,
+           CAST(max(n_chars) AS BIGINT) AS max_chars
+    FROM documents GROUP BY source, lang
+    """,
+)
+def corpus_stats_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-(source, lang) corpus inventory: doc/token/char totals — the
+    reporting rollup every ingestion run emits. One partial-aggregated
+    shuffle on a low-cardinality key; cells, not rows, cross the wire."""
+    from .operators.textanalysis import token_count
+
+    d = load_table(spark, sf, "documents")
+    return d.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count(F.col("text"))).alias("total_tokens"),
+        F.sum(F.length("text").cast("long")).alias("total_chars"),
+        F.min(F.col("n_chars").cast("long")).alias("min_chars"),
+        F.max(F.col("n_chars").cast("long")).alias("max_chars"),
+    )
+
+
+@query(
+    "embedding_quantize",
+    """
+    WITH m AS (
+        SELECT vec_id, embedding,
+               list_max(list_transform(embedding,
+                        x -> abs(CAST(x AS DOUBLE)))) AS mx
+        FROM embeddings
+    )
+    SELECT vec_id,
+           CAST(floor(sqrt(list_aggregate(list_transform(embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+                * 10000) AS BIGINT) AS l2_norm_fp,
+           CASE WHEN mx = 0 THEN ''
+                ELSE array_to_string(list_transform(embedding,
+                     x -> CAST(CAST(floor(CAST(x AS DOUBLE) * 127.0 / mx)
+                                    AS BIGINT) AS VARCHAR)), '|')
+           END AS q8_sig
+    FROM m
+    """,
+)
+def embedding_quantize_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Symmetric int8 quantization + L2 norm per embedding — the
+    compression step before shipping vectors to an ANN index. Map-only
+    HOF projection (absmax scale, floor(x*127/mx)); both engines do the
+    identical IEEE-double op sequence so the signatures match exactly.
+    Serialized to a '|' string for driver hashability."""
+    from .operators.similarity import quantize_int8_projection
+
+    e = _spread(load_table(spark, sf, "embeddings"))
+    return e.select("vec_id", *quantize_int8_projection("embedding"))
+
+
+@query(
+    "kmeans_one_iter",
+    """
+    WITH ex AS (
+        SELECT vec_id, label, t.i AS pos,
+               CAST(embedding[t.i] AS DOUBLE) AS val
+        FROM embeddings,
+             unnest(generate_series(1, len(embedding))) AS t(i)
+    ), cent AS (
+        SELECT label, pos, avg(val) AS cv FROM ex GROUP BY 1, 2
+    ), dist AS (
+        SELECT v.vec_id, c.label,
+               sum((v.val - c.cv) * (v.val - c.cv)) AS d2
+        FROM ex v JOIN cent c ON v.pos = c.pos
+        GROUP BY 1, 2
+    ), assign AS (
+        SELECT vec_id, label AS cluster FROM dist
+        QUALIFY row_number() OVER (
+            PARTITION BY vec_id ORDER BY d2, label) = 1
+    ), newc AS (
+        SELECT a.cluster, e.pos, avg(e.val) AS cv
+        FROM ex e JOIN assign a USING (vec_id)
+        GROUP BY 1, 2
+    ), members AS (
+        SELECT cluster, CAST(count(*) AS BIGINT) AS n_members
+        FROM assign GROUP BY 1
+    )
+    SELECT n.cluster,
+           string_agg(CAST(CAST(round(n.cv * 10000) AS BIGINT) AS VARCHAR),
+                      '|' ORDER BY n.pos) AS centroid_sig,
+           any_value(m.n_members) AS n_members
+    FROM newc n JOIN members m USING (cluster)
+    GROUP BY n.cluster
+    """,
+)
+def kmeans_one_iter_q(spark: SparkSession, sf: str) -> DataFrame:
+    """One full Lloyd iteration (seed from per-label means -> broadcast
+    argmin assignment -> K x D centroid recompute), centroids serialized
+    fixed-point. Per-iteration data movement is K x D cells regardless
+    of N — the shape that survives 100 TB. Multi-iteration convergence
+    is pinned in tests/test_clustering.py (inertia non-increasing)."""
+    from .operators.clustering import lloyd_iterate
+
+    e = load_table(spark, sf, "embeddings")
+    assigned, cent = lloyd_iterate(e, iters=1)
+    members = assigned.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n_members")
+    )
+    sig = F.array_join(
+        F.transform(
+            F.col("centroid"),
+            lambda v: F.round(v * 10000).cast("long").cast("string"),
+        ),
+        "|",
+    )
+    return (
+        cent.join(members, "cluster")
+        .select("cluster", sig.alias("centroid_sig"), "n_members")
+    )

@@ -1,0 +1,139 @@
+"""Lloyd iteration + repetition/quantization operator tests."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from opendata_gov_lt_mysql_import_spark.operators.clustering import (
+    assign_clusters,
+    inertia,
+    lloyd_iterate,
+    seed_centroids_from_labels,
+)
+from opendata_gov_lt_mysql_import_spark.operators.textanalysis import (
+    max_multiplicity,
+    repetition_projection,
+    token_bigrams,
+    tokens,
+)
+from opendata_gov_lt_mysql_import_spark.sources.parquet import load_table
+
+
+# ---------------------------------------------------------------------------
+# Lloyd / k-means
+# ---------------------------------------------------------------------------
+
+def test_lloyd_inertia_non_increasing(spark, sf_dir):
+    """The defining Lloyd invariant: total within-cluster squared
+    distance never increases across iterations."""
+    e = load_table(spark, sf_dir, "embeddings")
+    js = []
+    for iters in (1, 2, 3):
+        assigned, _ = lloyd_iterate(e, iters=iters)
+        js.append(inertia(assigned))
+    assert js[1] <= js[0] + 1e-9
+    assert js[2] <= js[1] + 1e-9
+
+
+def test_lloyd_assignment_covers_every_vector(spark, sf_dir):
+    e = load_table(spark, sf_dir, "embeddings")
+    assigned, cent = lloyd_iterate(e, iters=1)
+    assert assigned.count() == e.count()
+    assert assigned.filter(F.col("cluster").isNull()).count() == 0
+    k = cent.count()
+    assert 1 <= k <= e.select("label").distinct().count()
+
+
+def test_assign_clusters_planted_geometry(spark):
+    """Two obvious clusters around (0,0) and (10,10): every point must
+    land with its own seed."""
+    e = spark.createDataFrame(
+        [
+            (1, [0.1, 0.0], 1),
+            (2, [0.0, 0.2], 1),
+            (3, [9.9, 10.0], 2),
+            (4, [10.0, 9.8], 2),
+        ],
+        "vec_id int, embedding array<double>, label int",
+    )
+    cent = seed_centroids_from_labels(e)
+    got = {
+        r["vec_id"]: r["cluster"]
+        for r in assign_clusters(e, cent).select("vec_id", "cluster").collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 2, 4: 2}
+
+
+# ---------------------------------------------------------------------------
+# Repetition signals
+# ---------------------------------------------------------------------------
+
+def test_max_multiplicity_basics(spark):
+    df = spark.createDataFrame(
+        [(["a", "b", "a", "a"],), ([],), (["x"],)],
+        "arr array<string>",
+    )
+    got = [r[0] for r in df.select(max_multiplicity(F.col("arr"))).collect()]
+    assert got == [3, 0, 1]
+
+
+def test_repetition_projection_planted(spark):
+    rows = [
+        ("a a a a",),          # bigrams: 'a a' x3 -> 10000 bp; dup 3/4 -> 7500
+        ("w x y z",),          # all distinct -> top bigram 1/3 -> 3333; dup 0
+        ("solo",),             # no bigrams, no dups
+        ("",),                 # empty text
+    ]
+    df = spark.createDataFrame(rows, "text string")
+    got = df.select(*repetition_projection(F.col("text"))).collect()
+    assert [(r["top_bigram_bp"], r["dup_token_bp"]) for r in got] == [
+        (10000, 7500),
+        (3333, 0),
+        (0, 0),
+        (0, 0),
+    ]
+
+
+def test_token_bigrams_edges(spark):
+    df = spark.createDataFrame([("a b c",), ("a",), ("",)], "text string")
+    got = [
+        r[0] for r in df.select(token_bigrams(tokens(F.col("text")))).collect()
+    ]
+    assert got == [["a b", "b c"], [], []]
+
+
+def test_repetition_is_map_only(spark, sf_dir):
+    """The repetition block must not introduce a shuffle — it rides the
+    same single scan as the rest of the quality features."""
+    d = load_table(spark, sf_dir, "documents")
+    plan = (
+        d.select("doc_id", *repetition_projection(F.col("text")))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+
+
+# ---------------------------------------------------------------------------
+# int8 quantization
+# ---------------------------------------------------------------------------
+
+def test_embedding_quantize_planted(spark):
+    from opendata_gov_lt_mysql_import_spark.operators.similarity import (
+        quantize_int8_projection,
+    )
+
+    # planted vector [3,4] -> norm 5.0 -> 50000; q8 = floor(x*127/4)
+    e = spark.createDataFrame(
+        [(1, [3.0, 4.0]), (2, [0.0, 0.0])],
+        "vec_id int, embedding array<float>",
+    )
+    got = {
+        r["vec_id"]: (r["l2_norm_fp"], r["q8_sig"])
+        for r in e.select(
+            "vec_id", *quantize_int8_projection("embedding")
+        ).collect()
+    }
+    assert got[1] == (50000, "95|127")
+    assert got[2] == (0, "")
