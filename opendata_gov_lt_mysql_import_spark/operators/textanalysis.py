@@ -134,6 +134,44 @@ def repetition_projection(text: Column) -> list[Column]:
     ]
 
 
+def word_ngrams(toks: Column, n: int) -> Column:
+    """All order-preserving word n-grams joined with single spaces;
+    <n tokens → empty array. HOF-only (sequence + slice), no explode
+    until the caller decides to."""
+    sz = F.size(toks)
+    return F.when(
+        sz >= n,
+        F.transform(
+            F.sequence(F.lit(1), sz - (n - 1)),
+            lambda i: F.array_join(F.slice(toks, i, F.lit(n)), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+# Integer weights for the linear quality model (public fastText-style
+# document-quality scoring reduced to an exact integer dot product so
+# both engines agree bit-for-bit; the magnitudes follow the Gopher
+# feature directions: length helps, punctuation/digit excess hurts,
+# stopword presence helps).
+QUALITY_MODEL_WEIGHTS: tuple[tuple[str, int], ...] = (
+    ("n_tokens", 2),
+    ("punct_ratio_bp", -3),
+    ("digit_ratio_bp", -2),
+    ("en_stopword_ratio_bp", 1),
+    ("avg_token_len_c", -1),
+)
+QUALITY_MODEL_BIAS = 5000
+
+
+def quality_model_score() -> Column:
+    """Linear score over the quality_projection columns (integer dot
+    product + bias). Evaluate AFTER selecting quality_projection."""
+    z = F.lit(QUALITY_MODEL_BIAS).cast("long")
+    for col, w in QUALITY_MODEL_WEIGHTS:
+        z = z + F.col(col) * F.lit(w)
+    return z.cast("long")
+
+
 def shingle_fingerprint(c: Column, k: int = 5) -> Column:
     """Document fingerprint: minimum md5 over all k-char shingles — a
     1-hash MinHash, stable across engines (md5 is standardized, unlike

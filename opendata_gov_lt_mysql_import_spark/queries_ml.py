@@ -1185,3 +1185,103 @@ def kmeans_one_iter_q(spark: SparkSession, sf: str) -> DataFrame:
         cent.join(members, "cluster")
         .select("cluster", sig.alias("centroid_sig"), "n_members")
     )
+
+
+@query(
+    "repeated_ngrams",
+    rf"""
+    WITH t AS (
+        SELECT doc_id, {_TOKENS_SQL} AS arr
+        FROM documents WHERE trim(text) <> ''
+    ), g AS (
+        SELECT s.doc_id, u.gram
+        FROM (SELECT doc_id,
+                     list_distinct(
+                        CASE WHEN len(arr) >= 5
+                             THEN list_transform(range(1, len(arr) - 3),
+                                    i -> array_to_string(arr[i:i+4], ' '))
+                             ELSE CAST([] AS VARCHAR[]) END) AS grams
+              FROM t) s,
+             unnest(s.grams) AS u(gram)
+    )
+    SELECT gram, CAST(count(*) AS BIGINT) AS n_docs,
+           min(doc_id) AS first_doc
+    FROM g GROUP BY gram HAVING count(*) >= 2
+    """,
+)
+def repeated_ngrams_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-document repeated word 5-grams (the memorization/substring
+    dedup signal of Lee et al. 2021, 'Deduplicating Training Data Makes
+    Language Models Better' — public paper). Within-doc dedup happens
+    map-side via array_distinct BEFORE the explode, so the single
+    shuffle carries each (doc, gram) once; at 100 TB you'd group on
+    xxhash64(gram) and re-attach one exemplar string per hash, but the
+    shape — explode distinct shingles, one partial-aggregated count —
+    is already the scale plan."""
+    from .operators.textanalysis import tokens, word_ngrams
+
+    d = _spread(load_table(spark, sf, "documents"))
+    g = d.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(word_ngrams(tokens(F.col("text")), 5))
+        ).alias("gram"),
+    )
+    return (
+        g.groupBy("gram")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )
+
+
+def _quality_model_oracle() -> str:
+    from .operators.textanalysis import (
+        QUALITY_MODEL_BIAS,
+        QUALITY_MODEL_WEIGHTS,
+    )
+
+    z = " + ".join(
+        f"({w}) * {col}" for col, w in QUALITY_MODEL_WEIGHTS
+    )
+    return f"""
+    WITH q AS (
+        SELECT doc_id,
+           CAST({_NTOK_SQL} AS BIGINT) AS n_tokens,
+           CAST(floor((length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')))
+                      / length(text) * 10000) AS BIGINT) AS punct_ratio_bp,
+           CAST(floor((length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))
+                      / length(text) * 10000) AS BIGINT) AS digit_ratio_bp,
+           CAST(floor(list_aggregate(list_transform({_TOKENS_SQL}, t -> length(t)), 'sum')
+                      / len({_TOKENS_SQL}) * 100) AS BIGINT) AS avg_token_len_c,
+           CAST(floor(len(list_filter({_TOKENS_SQL}, t -> lower(t) IN ({_EN_SW})))
+                      / len({_TOKENS_SQL}) * 10000) AS BIGINT) AS en_stopword_ratio_bp
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST({QUALITY_MODEL_BIAS} + {z} AS BIGINT) AS quality_score,
+           CAST(CASE WHEN {QUALITY_MODEL_BIAS} + {z} >= 0 THEN 1 ELSE 0 END
+                AS BIGINT) AS keep
+    FROM q
+    """
+
+
+@query("quality_model_score", _quality_model_oracle())
+def quality_model_score_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Model-based quality filter stage: a fastText-style linear
+    classifier reduced to an integer dot product over the quality
+    feature block (weights in textanalysis.QUALITY_MODEL_WEIGHTS), so
+    the score is bit-exact across engines. Map-only projection — the
+    model scoring stage adds zero shuffles to the corpus pipeline."""
+    from .operators.textanalysis import quality_model_score
+
+    d = _spread(load_table(spark, sf, "documents"))
+    scored = d.select("doc_id", *quality_projection(F.col("text"))).select(
+        "doc_id", quality_model_score().alias("quality_score")
+    )
+    return scored.withColumn(
+        "keep",
+        F.when(F.col("quality_score") >= 0, F.lit(1)).otherwise(F.lit(0)).cast("long"),
+    )

@@ -137,3 +137,43 @@ def test_embedding_quantize_planted(spark):
     }
     assert got[1] == (50000, "95|127")
     assert got[2] == (0, "")
+
+
+# ---------------------------------------------------------------------------
+# word n-grams + linear quality model
+# ---------------------------------------------------------------------------
+
+def test_word_ngrams_edges(spark):
+    from opendata_gov_lt_mysql_import_spark.operators.textanalysis import (
+        word_ngrams,
+    )
+
+    df = spark.createDataFrame(
+        [("a b c d e f",), ("a b",), ("",)], "text string"
+    )
+    got = [
+        r[0]
+        for r in df.select(word_ngrams(tokens(F.col("text")), 5)).collect()
+    ]
+    assert got == [["a b c d e", "b c d e f"], [], []]
+
+
+def test_quality_model_score_planted(spark):
+    from opendata_gov_lt_mysql_import_spark.operators.textanalysis import (
+        QUALITY_MODEL_BIAS,
+        QUALITY_MODEL_WEIGHTS,
+        quality_model_score,
+        quality_projection,
+    )
+
+    df = spark.createDataFrame([("the cat sat on the mat",)], "text string")
+    feats = df.select(*quality_projection(F.col("text"))).collect()[0]
+    expected = QUALITY_MODEL_BIAS + sum(
+        w * feats[col] for col, w in QUALITY_MODEL_WEIGHTS
+    )
+    got = (
+        df.select(*quality_projection(F.col("text")))
+        .select(quality_model_score().alias("s"))
+        .collect()[0]["s"]
+    )
+    assert got == expected
