@@ -430,3 +430,101 @@ def rolling_7d_revenue(spark: SparkSession, sf: str) -> DataFrame:
         "o_orderkey",
         F.round(F.sum("o_totalprice").over(w), 2).alias("rev_7d"),
     )
+
+
+@query(
+    "scd2_user_event_type",
+    """
+    WITH chg AS (
+        SELECT user_id, event_type, ts, event_id
+        FROM events
+        QUALIFY lag(event_type) OVER (
+            PARTITION BY user_id ORDER BY ts, event_id)
+          IS DISTINCT FROM event_type
+    )
+    SELECT user_id, event_type, ts AS valid_from,
+           coalesce(lead(ts) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id),
+               TIMESTAMP '9999-12-31 00:00:00') AS valid_to,
+           CAST(lead(ts) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                AS BIGINT) AS is_current
+    FROM chg
+    """,
+)
+def scd2_user_event_type(spark: SparkSession, sf: str) -> DataFrame:
+    """SCD-type-2 history build: collapse an event stream into validity
+    intervals per (user, tracked attribute) — change-point filter via
+    lag(), interval close via lead(). The natural batch extension of the
+    reference's diff-sync engine (odgovlt.py:112-124 tracks row change;
+    SCD2 tracks WHEN it changed). One shuffle on user_id reused by both
+    window passes — Catalyst collapses the two sorts into one."""
+    ev = load_table(spark, sf, "events")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("event_type").over(w)
+    chg = (
+        ev.select("user_id", "event_type", "ts", "event_id")
+        .withColumn("_prev", prev)
+        .filter(F.col("_prev").isNull() | (F.col("_prev") != F.col("event_type")))
+        .drop("_prev")
+    )
+    w2 = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("ts").over(w2)
+    # open intervals close at the SCD2 far-future sentinel, not NULL —
+    # null timestamps normalize differently across the pandas bridge
+    return chg.select(
+        "user_id",
+        "event_type",
+        F.col("ts").alias("valid_from"),
+        F.coalesce(
+            nxt, F.lit("9999-12-31 00:00:00").cast("timestamp")
+        ).alias("valid_to"),
+        nxt.isNull().cast("long").alias("is_current"),
+    )
+
+
+_PROFILE_COLS = ("o_orderstatus", "o_orderpriority", "o_custkey", "o_totalprice")
+
+
+@query(
+    "profile_orders",
+    " UNION ALL ".join(
+        f"""
+        SELECT '{c}' AS col_name,
+               CAST(count(*) - count({c}) AS BIGINT) AS n_nulls,
+               CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
+               CAST(min({c}) AS VARCHAR) AS min_val,
+               CAST(max({c}) AS VARCHAR) AS max_val
+        FROM orders
+        """
+        for c in _PROFILE_COLS
+    ),
+)
+def profile_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """Data-quality profiling (null rate, exact cardinality, min/max per
+    column) in ONE scan: a single wide aggregate row unpivoted with
+    stack(). Exact multi-column countDistinct costs one Expand (xN rows
+    map-side) — at 100 TB switch the cardinalities to approx_count_
+    distinct and the scan stays one pass with no Expand."""
+    o = load_table(spark, sf, "orders")
+    aggs = []
+    for c in _PROFILE_COLS:
+        aggs += [
+            F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls"),
+            F.count_distinct(F.col(c)).alias(f"{c}__dist"),
+            F.min(c).cast("string").alias(f"{c}__min"),
+            F.max(c).cast("string").alias(f"{c}__max"),
+        ]
+    wide = o.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}__nulls, {c}__dist, {c}__min, {c}__max"
+        for c in _PROFILE_COLS
+    )
+    return wide.select(
+        F.expr(
+            f"stack({len(_PROFILE_COLS)}, {stack_args}) AS "
+            "(col_name, n_nulls, n_distinct, min_val, max_val)"
+        )
+    )

@@ -122,3 +122,29 @@ def test_ann_candidate_filters_are_single_pass(spark, sf_dir, queries):
         final = plan.split("+- == Initial Plan ==")[0]
         assert "Exchange hashpartitioning" not in final, (name, plan)
         assert "TakeOrderedAndProject" in plan, name
+
+
+def test_scd2_reuses_one_sort_for_both_windows(spark, sf_dir, queries):
+    """lag-filter-lead must ride a single exchange+sort: the change-point
+    filter preserves ordering, so the lead() window adds neither."""
+    plan = final_plan(queries["scd2_user_event_type"](spark, sf_dir))
+    final = plan.split("== Initial Plan ==")[0]
+    assert len(re.findall(r"Exchange hashpartitioning", final)) == 1
+    assert len(re.findall(r"\bSort \[", final)) == 1
+
+
+def test_profile_orders_is_one_scan(spark, sf_dir, queries):
+    """Column profiling reads the table once — one FileScan, whatever the
+    number of profiled columns."""
+    plan = final_plan(queries["profile_orders"](spark, sf_dir))
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("FileScan parquet") == 1
+
+
+def test_repetition_rides_the_quality_scan(spark, sf_dir, queries):
+    """text_repetition is a map-only projection: no aggregate, no join —
+    the only exchange is the deliberate parallelism spread."""
+    plan = final_plan(queries["text_repetition"](spark, sf_dir))
+    final = plan.split("== Initial Plan ==")[0]
+    assert "SortMergeJoin" not in final and "HashAggregate" not in final
+    assert len(re.findall(r"Exchange", final)) <= 1
