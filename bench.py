@@ -73,6 +73,10 @@ HEADLINE = [
     "corpus_stats",
     "embedding_quantize",
     "kmeans_one_iter",
+    "repeated_ngrams",
+    "quality_model_score",
+    "scd2_user_event_type",
+    "profile_orders",
 ]
 
 
