@@ -77,6 +77,7 @@ HEADLINE = [
     "quality_model_score",
     "scd2_user_event_type",
     "profile_orders",
+    "bloom_semi_join_orders",
 ]
 
 

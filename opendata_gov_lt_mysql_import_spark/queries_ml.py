@@ -873,10 +873,18 @@ def tfidf_top_keywords_q(spark: SparkSession, sf: str) -> DataFrame:
         d.select("doc_id", F.explode(tokens(F.col("text"))).alias("token"))
         .filter(F.col("token") != "")
     )
-    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
-    dfreq = tok.groupBy("token").agg(
-        F.countDistinct("doc_id").alias("df")
+    # tf rows are (doc, token)-distinct by construction, so document
+    # frequency is a plain count over tf — no second pass over the
+    # exploded stream. tf feeds two consumers (dfreq + the join), so
+    # pin it with localCheckpoint: under AQE's concurrent stage
+    # submission a lazy persist would let both consumers race through
+    # the uncached explode.
+    tf = (
+        tok.groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=True)
     )
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     score = F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))
     w = Window.partitionBy("doc_id").orderBy(F.desc(score), F.asc("token"))
     return (
@@ -1285,3 +1293,31 @@ def quality_model_score_q(spark: SparkSession, sf: str) -> DataFrame:
         "keep",
         F.when(F.col("quality_score") >= 0, F.lit(1)).otherwise(F.lit(0)).cast("long"),
     )
+
+
+@query(
+    "bloom_semi_join_orders",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    WHERE o_custkey IN (
+        SELECT c_custkey FROM customer WHERE c_acctbal > 9000
+    )
+    """,
+)
+def bloom_semi_join_orders_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Bloom-pre-filtered semi join: orders of high-balance customers.
+    The middle join tier — the dim's key set ships as a 128 KiB bitmap
+    instead of broadcast rows, the bloom drops non-matching orders
+    map-side BEFORE the shuffle, and the exact semi join removes the
+    false positives, so the result is identical to a plain LEFT SEMI
+    (which is what the oracle runs)."""
+    from .operators.bloom import bloom_semi_join
+
+    o = load_table(spark, sf, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    c = load_table(spark, sf, "customer").filter(
+        F.col("c_acctbal") > 9000
+    )
+    return bloom_semi_join(o, c.select("c_custkey"), "o_custkey", "c_custkey")

@@ -115,3 +115,52 @@ def test_bucketed_groupby_has_no_exchange(spark, bucketed_pair):
     agg = spark.table(lt).groupBy("k").agg(F.sum("a").alias("s"))
     plan = _final_plan(agg)
     assert "Exchange" not in plan, plan
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter semi-join pre-filter
+# ---------------------------------------------------------------------------
+
+def test_bloom_probe_never_drops_true_matches(spark):
+    from opendata_gov_lt_mysql_import_spark.operators.bloom import (
+        bloom_probe,
+        build_bloom,
+    )
+
+    dim = spark.range(0, 1000, 7).select(F.col("id").alias("k"))
+    fact = spark.range(5000).select(F.col("id").alias("k"))
+    bloom = build_bloom(dim, "k")
+    kept = {r["k"] for r in bloom_probe(fact, bloom, "k").collect()}
+    true_keys = {r["k"] for r in dim.collect()}
+    assert true_keys <= kept  # zero false negatives, ever
+
+
+def test_bloom_probe_prunes_most_non_matches(spark):
+    from opendata_gov_lt_mysql_import_spark.operators.bloom import (
+        bloom_probe,
+        build_bloom,
+    )
+
+    dim = spark.range(100).select(F.col("id").alias("k"))
+    fact = spark.range(100_000).select(F.col("id").alias("k"))
+    bloom = build_bloom(dim, "k")
+    kept = bloom_probe(fact, bloom, "k").count()
+    # 100 true + ~1% fp of 99_900; generous bound still proves pruning
+    assert kept < 3000
+
+
+def test_bloom_semi_join_equals_plain_semi(spark):
+    from opendata_gov_lt_mysql_import_spark.operators.bloom import (
+        bloom_semi_join,
+    )
+
+    dim = spark.range(0, 2000, 13).select((F.col("id") + 5).alias("dk"))
+    fact = spark.range(10_000).select(
+        F.col("id").alias("fk"), (F.col("id") % 97).alias("payload")
+    )
+    got = bloom_semi_join(fact, dim, "fk", "dk")
+    want = fact.join(
+        dim.select(F.col("dk").alias("fk")).distinct(), "fk", "left_semi"
+    )
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
