@@ -528,3 +528,87 @@ def profile_orders(spark: SparkSession, sf: str) -> DataFrame:
             "(col_name, n_nulls, n_distinct, min_val, max_val)"
         )
     )
+
+
+@query(
+    "full_outer_reconcile",
+    """
+    WITH c AS (
+        SELECT c_custkey, c_acctbal FROM customer WHERE c_acctbal > 9900
+    ), o AS (
+        SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders,
+               round(sum(o_totalprice), 2) AS revenue
+        FROM orders GROUP BY o_custkey
+    )
+    SELECT coalesce(c.c_custkey, o.o_custkey) AS custkey,
+           CAST(c.c_custkey IS NOT NULL AS BIGINT) AS in_dim,
+           CAST(o.o_custkey IS NOT NULL AS BIGINT) AS in_fact,
+           coalesce(o.n_orders, 0) AS n_orders,
+           coalesce(o.revenue, 0.0) AS revenue
+    FROM c FULL OUTER JOIN o ON c.c_custkey = o.o_custkey
+    """,
+)
+def full_outer_reconcile(spark: SparkSession, sf: str) -> DataFrame:
+    """Reconciliation (anti-entropy) report: FULL OUTER of a filtered
+    dim snapshot vs fact-side aggregates, flagging rows present on only
+    one side — the table-compare shape every sync engine ships
+    (generalizes the reference's diff-sync stale/missing split,
+    odgovlt.py:345-356, to a symmetric audit). One shuffle per side on
+    the join key; null-key coalescing happens post-join."""
+    c = (
+        load_table(spark, sf, "customer")
+        .filter(F.col("c_acctbal") > 9900)
+        .select("c_custkey", "c_acctbal")
+    )
+    o = load_table(spark, sf, "orders").groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+    )
+    j = c.join(o, c["c_custkey"] == o["o_custkey"], "full_outer")
+    return j.select(
+        F.coalesce("c_custkey", "o_custkey").alias("custkey"),
+        F.col("c_custkey").isNotNull().cast("long").alias("in_dim"),
+        F.col("o_custkey").isNotNull().cast("long").alias("in_fact"),
+        F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+        F.coalesce("revenue", F.lit(0.0)).alias("revenue"),
+    )
+
+
+@query(
+    "nullsafe_join_props",
+    """
+    WITH l AS (
+        SELECT event_id, json_extract_string(props, '$.k') AS k
+        FROM events WHERE event_id < 1000
+    ), r AS (
+        SELECT CAST(CASE WHEN i % 10 = 9 THEN NULL
+                         ELSE CAST(i AS VARCHAR) END AS VARCHAR) AS k,
+               CAST(i AS BIGINT) AS payload
+        FROM unnest(generate_series(0, 99)) AS t(i)
+    )
+    SELECT l.event_id, l.k, r.payload
+    FROM l JOIN r ON l.k IS NOT DISTINCT FROM r.k
+    """,
+)
+def nullsafe_join_props(spark: SparkSession, sf: str) -> DataFrame:
+    """Null-safe equi-join (<=> / IS NOT DISTINCT FROM): null keys
+    match null keys instead of vanishing — the semantics a sync engine
+    needs when business keys are nullable. Catalyst plans <=> as a
+    proper hash join key, not a nested loop."""
+    ev = (
+        load_table(spark, sf, "events")
+        .filter(F.col("event_id") < 1000)
+        .select(
+            "event_id",
+            F.get_json_object("props", "$.k").alias("k"),
+        )
+    )
+    r = spark.range(100).select(
+        F.when(F.col("id") % 10 == 9, F.lit(None))
+        .otherwise(F.col("id").cast("string"))
+        .alias("rk"),
+        F.col("id").cast("long").alias("payload"),
+    )
+    return ev.join(r, ev["k"].eqNullSafe(r["rk"]), "inner").select(
+        "event_id", "k", "payload"
+    )
