@@ -129,3 +129,56 @@ class TestPartitionedWrite:
         import os
         days = [d for d in os.listdir(out) if d.startswith("day=")]
         assert len(days) > 1  # actually laid out as directories
+
+
+class TestCompaction:
+    def test_compact_restores_row_parity_and_file_count(self, spark, tmp_path):
+        from opendata_gov_lt_mysql_import_spark.sources.compact import (
+            compact_parquet,
+        )
+        import pyspark.sql.functions as F
+        import glob
+
+        src = str(tmp_path / "fragmented")
+        dst = str(tmp_path / "compacted")
+        # 64 tiny files — the post-streaming-sink pathology
+        spark.range(20_000).select(
+            F.col("id"), (F.col("id") % 7).alias("grp")
+        ).repartition(64).write.parquet(src)
+        n_src = len(glob.glob(src + "/*.parquet"))
+        assert n_src >= 32
+
+        got = compact_parquet(spark, src, dst, target_bytes=1 << 30)
+        n_dst = len(glob.glob(dst + "/*.parquet"))
+        assert n_dst == 1  # all input fits one target-size file
+        assert got.count() == 20_000
+        assert got.agg(F.sum("id")).collect()[0][0] == sum(range(20_000))
+
+    def test_cluster_by_narrows_file_value_ranges(self, spark, tmp_path):
+        """Range clustering must give each output file a disjoint id
+        span, so min/max stats make point filters skip files."""
+        from opendata_gov_lt_mysql_import_spark.sources.compact import (
+            compact_parquet,
+        )
+        import pyspark.sql.functions as F
+        import glob
+
+        src = str(tmp_path / "shuffled")
+        dst = str(tmp_path / "clustered")
+        spark.range(100_000).select(
+            F.xxhash64("id").alias("scatter"), F.col("id")
+        ).repartition(16, "scatter").write.parquet(src)
+        compact_parquet(
+            spark, src, dst, target_bytes=300_000, cluster_by=["id"]
+        )
+        files = glob.glob(dst + "/*.parquet")
+        assert len(files) >= 2
+        spans = []
+        for f in files:
+            stats = spark.read.parquet(f).agg(
+                F.min("id"), F.max("id")
+            ).collect()[0]
+            spans.append((stats[0], stats[1]))
+        spans.sort()
+        for (_, hi), (lo, _) in zip(spans, spans[1:]):
+            assert hi < lo  # disjoint ranges -> file-skipping filters
