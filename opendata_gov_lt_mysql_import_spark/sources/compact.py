@@ -56,3 +56,27 @@ def compact_parquet(
         out = df.repartition(n)
     out.write.mode("overwrite").parquet(dst)
     return spark.read.parquet(dst)
+
+
+def zorder_key(c1, c2, bits: int = 16):
+    """Morton (Z-order) interleave of two non-negative int columns —
+    multi-dimensional clustering for `compact_parquet(cluster_by=...)`:
+    sorting by the interleaved key keeps BOTH dimensions locally dense,
+    so min/max file stats stay selective for filters on either column
+    (1-D clustering helps only its own column). Pure JVM bit arithmetic,
+    codegen'd; columns must fit in ``bits`` bits (pre-scale/rank wider
+    domains)."""
+    from pyspark.sql import functions as F
+
+    a = F.col(c1) if isinstance(c1, str) else c1
+    b = F.col(c2) if isinstance(c2, str) else c2
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        # Column | Column is LOGICAL or in PySpark — bitwiseOR is the
+        # integer form
+        z = z.bitwiseOR(
+            F.shiftleft(F.shiftright(a.cast("long"), i).bitwiseAND(1), 2 * i)
+        ).bitwiseOR(
+            F.shiftleft(F.shiftright(b.cast("long"), i).bitwiseAND(1), 2 * i + 1)
+        )
+    return z

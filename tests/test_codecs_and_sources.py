@@ -182,3 +182,48 @@ class TestCompaction:
         spans.sort()
         for (_, hi), (lo, _) in zip(spans, spans[1:]):
             assert hi < lo  # disjoint ranges -> file-skipping filters
+
+    def test_zorder_clustering_keeps_both_dims_selective(self, spark, tmp_path):
+        """After Z-order compaction, a point filter on EITHER dimension
+        must skip most files (1-D clustering would leave the second
+        dimension scattered across every file)."""
+        from opendata_gov_lt_mysql_import_spark.sources.compact import (
+            compact_parquet,
+            zorder_key,
+        )
+        import pyspark.sql.functions as F
+        import glob
+
+        src = str(tmp_path / "grid")
+        dst = str(tmp_path / "zordered")
+        # 256x256 grid, scattered on disk
+        spark.range(65_536).select(
+            (F.col("id") % 256).alias("x"),
+            (F.col("id") / 256).cast("long").alias("y"),
+            F.xxhash64("id").alias("scatter"),
+        ).repartition(16, "scatter").write.parquet(src)
+
+        df = spark.read.parquet(src).withColumn(
+            "z", zorder_key("x", "y", bits=8)
+        )
+        z_src = str(tmp_path / "with_z")
+        df.write.parquet(z_src)
+        compact_parquet(
+            spark, z_src, dst, target_bytes=120_000, cluster_by=["z"]
+        )
+        files = glob.glob(dst + "/*.parquet")
+        assert len(files) >= 4
+
+        def files_containing(col, val):
+            hits = 0
+            for f in files:
+                stats = spark.read.parquet(f).agg(
+                    F.min(col), F.max(col)
+                ).collect()[0]
+                if stats[0] <= val <= stats[1]:
+                    hits += 1
+            return hits
+
+        # a point slice on either dim must be skippable in most files
+        assert files_containing("x", 3) <= len(files) // 2 + 1
+        assert files_containing("y", 3) <= len(files) // 2 + 1
