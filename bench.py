@@ -78,6 +78,7 @@ HEADLINE = [
     "scd2_user_event_type",
     "profile_orders",
     "bloom_semi_join_orders",
+    "corpus_prep_pipeline",
 ]
 
 

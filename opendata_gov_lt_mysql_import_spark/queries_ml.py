@@ -1321,3 +1321,70 @@ def bloom_semi_join_orders_q(spark: SparkSession, sf: str) -> DataFrame:
         F.col("c_acctbal") > 9000
     )
     return bloom_semi_join(o, c.select("c_custkey"), "o_custkey", "c_custkey")
+
+
+def _corpus_prep_oracle() -> str:
+    from .operators.textanalysis import (
+        QUALITY_MODEL_BIAS,
+        QUALITY_MODEL_WEIGHTS,
+    )
+
+    z = " + ".join(f"({w}) * {col}" for col, w in QUALITY_MODEL_WEIGHTS)
+    return f"""
+    WITH cleaned AS (
+        SELECT doc_id, {_CLEAN_SQL} AS text FROM documents
+    ), q AS (
+        SELECT doc_id,
+           CAST({_NTOK_SQL} AS BIGINT) AS n_tokens,
+           CAST(floor((length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')))
+                      / length(text) * 10000) AS BIGINT) AS punct_ratio_bp,
+           CAST(floor((length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))
+                      / length(text) * 10000) AS BIGINT) AS digit_ratio_bp,
+           CAST(floor(list_aggregate(list_transform({_TOKENS_SQL}, t -> length(t)), 'sum')
+                      / len({_TOKENS_SQL}) * 100) AS BIGINT) AS avg_token_len_c,
+           CAST(floor(len(list_filter({_TOKENS_SQL}, t -> lower(t) IN ({_EN_SW})))
+                      / len({_TOKENS_SQL}) * 10000) AS BIGINT) AS en_stopword_ratio_bp
+        FROM cleaned
+    ), kept AS (
+        SELECT c.doc_id, c.text
+        FROM cleaned c JOIN q USING (doc_id)
+        WHERE {QUALITY_MODEL_BIAS} + {z} >= 0
+    ), deduped AS (
+        SELECT doc_id, text FROM kept
+        WHERE doc_id IN (SELECT min(doc_id) FROM kept GROUP BY md5(text))
+    )
+    SELECT d.doc_id,
+           CAST((s.start - 1) / 90 AS BIGINT) AS chunk_id,
+           CAST(s.start AS BIGINT) AS chunk_start,
+           substring(d.text, CAST(s.start AS INT), 120) AS chunk_text
+    FROM deduped d,
+         unnest(generate_series(
+             1, greatest(coalesce(length(d.text), 0), 1), 90)) AS s(start)
+    """
+
+
+@query("corpus_prep_pipeline", _corpus_prep_oracle())
+def corpus_prep_pipeline_q(spark: SparkSession, sf: str) -> DataFrame:
+    """The end-to-end corpus preparation DAG in ONE plan: clean →
+    model-scored quality gate → exact dedup → chunk. Every stage is a
+    JVM-side transform on the same flow (one scan, one md5-groupBy
+    shuffle for the dedup keeper set, one semi-join back, then the
+    map-only chunk explode) — composing the stages adds NO extra passes
+    over the corpus versus running them separately, which is the whole
+    argument for declaring the pipeline as one DataFrame DAG at 100 TB."""
+    from .operators.corpus import chunk_documents
+    from .operators.dedup import exact_dedup
+    from .operators.textanalysis import (
+        clean_text,
+        quality_model_score,
+        quality_projection,
+    )
+
+    d = _spread(load_table(spark, sf, "documents"))
+    cleaned = d.select("doc_id", clean_text(F.col("text")).alias("text"))
+    feats = cleaned.select(
+        "doc_id", "text", *quality_projection(F.col("text"))
+    )
+    kept = feats.filter(quality_model_score() >= 0).select("doc_id", "text")
+    deduped = exact_dedup(kept, "text", "doc_id")
+    return chunk_documents(deduped, size=120, overlap=30)
