@@ -1388,3 +1388,39 @@ def corpus_prep_pipeline_q(spark: SparkSession, sf: str) -> DataFrame:
     kept = feats.filter(quality_model_score() >= 0).select("doc_id", "text")
     deduped = exact_dedup(kept, "text", "doc_id")
     return chunk_documents(deduped, size=120, overlap=30)
+
+
+@query(
+    "multimodal_features",
+    """
+    SELECT doc_id AS media_id,
+           'application/octet-stream' AS mime,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           CAST(floor((CAST(list_aggregate(
+                    list_transform(range(1, length(text) + 1),
+                                   i -> ord(substr(text, i, 1))), 'sum')
+                AS DOUBLE) / length(text)) * 100) AS BIGINT) AS byte_mean_fp,
+           md5(text) AS fingerprint
+    FROM documents
+    """,
+)
+def multimodal_features_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Multimodal feature-extraction surface through the driver gate:
+    opaque binary payloads (UTF-8 bytes of the fixture text — ASCII, so
+    the oracle can recompute byte stats with ord()) flow through the
+    REAL Arrow mapInPandas extraction stage (constant memory per task,
+    typed output schema). Proves the Python-stage output is bit-stable
+    against an independent engine — the property that matters when the
+    decode becomes a real codec at scale."""
+    from .operators.multimodal import attach_fake_media, extract_media_features
+
+    d = _spread(load_table(spark, sf, "documents"))
+    media = attach_fake_media(d, "doc_id", "text")
+    feats = extract_media_features(media)
+    return feats.select(
+        "media_id",
+        "mime",
+        F.col("n_bytes").cast("long").alias("n_bytes"),
+        F.floor(F.col("byte_mean") * 100).cast("long").alias("byte_mean_fp"),
+        "fingerprint",
+    )
