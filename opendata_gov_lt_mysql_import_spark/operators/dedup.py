@@ -68,11 +68,24 @@ def exact_dedup_groups(df: DataFrame, content_col: str, id_col: str) -> DataFram
 
 
 def exact_dedup(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
-    """Keep exactly one row (min id) per distinct content value."""
-    keepers = exact_dedup_groups(df, content_col, id_col).select(
-        F.col("keeper").alias(id_col)
+    """Keep exactly one row (min id) per distinct content value.
+
+    Shape: row_number over a fingerprint-partitioned window — ONE pass
+    over the input and one shuffle. The groupBy-keepers + semi-join
+    alternative consumes the input twice (keeper agg + probe), which
+    doubles the upstream scan/compute when the input is an unmaterialized
+    pipeline stage."""
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(F.md5(F.col(content_col)))
+        .orderBy(F.col(id_col))
     )
-    return df.join(keepers, on=id_col, how="left_semi")
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
 
 
 # ---------------------------------------------------------------------------

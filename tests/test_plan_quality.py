@@ -148,3 +148,11 @@ def test_repetition_rides_the_quality_scan(spark, sf_dir, queries):
     final = plan.split("== Initial Plan ==")[0]
     assert "SortMergeJoin" not in final and "HashAggregate" not in final
     assert len(re.findall(r"Exchange", final)) <= 1
+
+
+def test_corpus_pipeline_is_one_scan(spark, sf_dir, queries):
+    """clean -> quality gate -> window dedup -> chunk must read the
+    corpus exactly once; a groupBy+semi-join dedup would scan twice."""
+    plan = final_plan(queries["corpus_prep_pipeline"](spark, sf_dir))
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("FileScan parquet") == 1
