@@ -79,6 +79,7 @@ HEADLINE = [
     "profile_orders",
     "bloom_semi_join_orders",
     "corpus_prep_pipeline",
+    "funnel_view_click_purchase",
 ]
 
 

@@ -612,3 +612,94 @@ def nullsafe_join_props(spark: SparkSession, sf: str) -> DataFrame:
     return ev.join(r, ev["k"].eqNullSafe(r["rk"]), "inner").select(
         "event_id", "k", "payload"
     )
+
+
+@query(
+    "funnel_view_click_purchase",
+    """
+    WITH base AS (
+        SELECT user_id, CAST(ts AS DATE) AS day, event_type, ts
+        FROM events
+    ), s1 AS (
+        SELECT *, min(CASE WHEN event_type = 'view' THEN ts END)
+                  OVER (PARTITION BY user_id, day) AS tv
+        FROM base
+    ), s2 AS (
+        SELECT *, min(CASE WHEN event_type = 'click' AND ts > tv THEN ts END)
+                  OVER (PARTITION BY user_id, day) AS tc
+        FROM s1
+    ), s3 AS (
+        SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > tc THEN ts END)
+                  OVER (PARTITION BY user_id, day) AS tp
+        FROM s2
+    ), per_user AS (
+        SELECT user_id, day, max(tv) AS tv, max(tc) AS tc, max(tp) AS tp
+        FROM s3 GROUP BY 1, 2
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day,
+           CAST(count(*) AS BIGINT) AS n_users,
+           CAST(count(tv) AS BIGINT) AS n_view,
+           CAST(count(tc) AS BIGINT) AS n_view_click,
+           CAST(count(tp) AS BIGINT) AS n_funnel
+    FROM per_user GROUP BY 1
+    """,
+)
+def funnel_view_click_purchase(spark: SparkSession, sf: str) -> DataFrame:
+    """Ordered-sequence funnel (view -> later click -> later purchase,
+    per user per day): three chained min-over-partition windows — each
+    step's anchor timestamp feeds the next step's predicate — then a
+    two-level rollup. All three windows share one (user, day)
+    partitioning, so Catalyst plans ONE shuffle + sort for the whole
+    chain; the sequence logic itself never joins or explodes."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf, "events").select(
+        "user_id",
+        F.to_date("ts").alias("day"),
+        "event_type",
+        "ts",
+    )
+    w = Window.partitionBy("user_id", "day")
+    s1 = ev.withColumn(
+        "tv",
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w),
+    )
+    s2 = s1.withColumn(
+        "tc",
+        F.min(
+            F.when(
+                (F.col("event_type") == "click") & (F.col("ts") > F.col("tv")),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    s3 = s2.withColumn(
+        "tp",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("ts") > F.col("tc")),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    per_user = s3.groupBy("user_id", "day").agg(
+        F.max("tv").alias("tv"),
+        F.max("tc").alias("tc"),
+        F.max("tp").alias("tp"),
+    )
+    # day serialized to ISO string: DATE-typed result columns arrive as
+    # midnight Timestamps through DuckDB's pandas bridge but as date
+    # objects from Spark — same canonicalizer hazard as null timestamps
+    return per_user.groupBy("day").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count("tv").alias("n_view"),
+        F.count("tc").alias("n_view_click"),
+        F.count("tp").alias("n_funnel"),
+    ).select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "n_users",
+        "n_view",
+        "n_view_click",
+        "n_funnel",
+    )
