@@ -80,6 +80,7 @@ HEADLINE = [
     "bloom_semi_join_orders",
     "corpus_prep_pipeline",
     "funnel_view_click_purchase",
+    "cohort_retention",
 ]
 
 

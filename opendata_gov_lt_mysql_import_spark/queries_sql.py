@@ -703,3 +703,41 @@ def funnel_view_click_purchase(spark: SparkSession, sf: str) -> DataFrame:
         "n_view_click",
         "n_funnel",
     )
+
+
+@query(
+    "cohort_retention",
+    """
+    WITH activity AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ), with_cohort AS (
+        SELECT user_id, day,
+               min(day) OVER (PARTITION BY user_id) AS cohort_day
+        FROM activity
+    )
+    SELECT strftime(cohort_day, '%Y-%m-%d') AS cohort_day,
+           CAST(day - cohort_day AS BIGINT) AS offset_days,
+           CAST(count(*) AS BIGINT) AS n_active
+    FROM with_cohort
+    GROUP BY 1, 2
+    """,
+)
+def cohort_retention(spark: SparkSession, sf: str) -> DataFrame:
+    """Cohort retention matrix: users bucketed by first-active day,
+    activity counted per day-offset — THE product-analytics rollup.
+    Shape: map-side distinct (user, day), one shuffle on user for the
+    cohort window, then a cells-only rollup; no self-join (the naive
+    formulation joins activity to first-seen — double the shuffle)."""
+    from pyspark.sql import Window
+
+    activity = (
+        load_table(spark, sf, "events")
+        .select("user_id", F.to_date("ts").alias("day"))
+        .distinct()
+    )
+    w = Window.partitionBy("user_id")
+    wc = activity.withColumn("cohort_day", F.min("day").over(w))
+    return wc.groupBy(
+        F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
+        F.datediff("day", "cohort_day").cast("long").alias("offset_days"),
+    ).agg(F.count(F.lit(1)).alias("n_active"))
