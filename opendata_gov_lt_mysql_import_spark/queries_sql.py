@@ -508,7 +508,10 @@ def profile_orders(spark: SparkSession, sf: str) -> DataFrame:
     stack(). Exact multi-column countDistinct costs one Expand (xN rows
     map-side) — at 100 TB switch the cardinalities to approx_count_
     distinct and the scan stays one pass with no Expand."""
-    o = load_table(spark, sf, "orders")
+    # compact fixture parquet arrives as ONE partition; the Expand for
+    # exact multi-column distinct then runs single-core. Spread first.
+    par = spark.sparkContext.defaultParallelism
+    o = load_table(spark, sf, "orders").repartition(par)
     aggs = []
     for c in _PROFILE_COLS:
         aggs += [
