@@ -1424,3 +1424,96 @@ def multimodal_features_q(spark: SparkSession, sf: str) -> DataFrame:
         F.floor(F.col("byte_mean") * 100).cast("long").alias("byte_mean_fp"),
         "fingerprint",
     )
+
+
+@query(
+    "tfidf_cosine_pairs",
+    r"""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS token
+        FROM documents WHERE doc_id < 200
+    ), tf AS (
+        SELECT doc_id, token, count(*) AS tf
+        FROM toks WHERE token <> '' GROUP BY 1, 2
+    ), dfreq AS (
+        SELECT token, count(*) AS df FROM tf GROUP BY 1
+    ), n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents WHERE doc_id < 200),
+    w AS (
+        SELECT tf.doc_id, tf.token,
+               tf.tf * ln(n.n / dfreq.df) AS w
+        FROM tf JOIN dfreq USING (token), n
+        WHERE dfreq.df < 150
+    ), norms AS (
+        SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM w GROUP BY 1
+    ), dots AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, sum(a.w * b.w) AS dot
+        FROM w a JOIN w b ON a.token = b.token AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           CAST(floor(dot / (na.nrm * nb.nrm) * 10000) AS BIGINT) AS cos_bp
+    FROM dots
+    JOIN norms na ON na.doc_id = id_a
+    JOIN norms nb ON nb.doc_id = id_b
+    WHERE dot / (na.nrm * nb.nrm) >= 0.35
+    """,
+)
+def tfidf_cosine_pairs_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Sparse lexical similarity: TF-IDF cosine document pairs via a
+    shared-token join — the sparse-vector complement to the dense
+    embedding ANN tiers. Scale controls: document-frequency cap prunes
+    near-stopword tokens BEFORE the pair join (the token join's fan-out
+    is Σ df², so capping df bounds it), weights/norms computed in one
+    aggregation each, pairs restricted to id_a < id_b. Fixed-point
+    output so both engines hash identically. The doc_id < 200 slice
+    keeps the oracle's quadratic join tractable at sf0.01; the Spark
+    plan shape is slice-independent."""
+    from .operators.textanalysis import tokens
+
+    d = (
+        _spread(load_table(spark, sf, "documents"))
+        .filter(F.col("doc_id") < 200)
+    )
+    tok = d.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("token")
+    ).filter(F.col("token") != "")
+    tf = (
+        tok.groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=True)  # feeds dfreq AND the weight join
+    )
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = float(d.count())
+    w = (
+        tf.join(F.broadcast(dfreq.filter(F.col("df") < 150)), "token")
+        .select(
+            "doc_id",
+            "token",
+            (F.col("tf") * F.log(F.lit(n_docs) / F.col("df"))).alias("w"),
+        )
+        .localCheckpoint(eager=True)  # feeds norms AND both join sides
+    )
+    norms = w.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm")
+    )
+    a = w.select(F.col("doc_id").alias("id_a"), "token", F.col("w").alias("wa"))
+    b = w.select(F.col("doc_id").alias("id_b"), "token", F.col("w").alias("wb"))
+    dots = (
+        a.join(b, "token")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.sum(F.col("wa") * F.col("wb")).alias("dot"))
+    )
+    na = norms.select(F.col("doc_id").alias("id_a"), F.col("nrm").alias("na"))
+    nb = norms.select(F.col("doc_id").alias("id_b"), F.col("nrm").alias("nb"))
+    cos = F.col("dot") / (F.col("na") * F.col("nb"))
+    return (
+        dots.join(F.broadcast(na), "id_a")
+        .join(F.broadcast(nb), "id_b")
+        .filter(cos >= 0.35)
+        .select(
+            "id_a",
+            "id_b",
+            F.floor(cos * 10000).cast("long").alias("cos_bp"),
+        )
+    )
