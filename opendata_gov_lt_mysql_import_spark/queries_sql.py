@@ -744,3 +744,33 @@ def cohort_retention(spark: SparkSession, sf: str) -> DataFrame:
         F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
         F.datediff("day", "cohort_day").cast("long").alias("offset_days"),
     ).agg(F.count(F.lit(1)).alias("n_active"))
+
+
+@query(
+    "price_histogram",
+    """
+    SELECT CAST(floor(l_extendedprice / 5000) AS BIGINT) AS bucket,
+           CAST(floor(l_extendedprice / 5000) * 5000 AS BIGINT) AS lo,
+           CAST(count(*) AS BIGINT) AS n,
+           round(avg(l_discount), 4) AS avg_discount
+    FROM lineitem
+    GROUP BY 1, 2
+    """,
+)
+def price_histogram(spark: SparkSession, sf: str) -> DataFrame:
+    """Fixed-width histogram binning (integer bucket arithmetic — exact
+    on both engines) with a per-bucket secondary aggregate. Map-side
+    combine collapses 600k rows to ~{max/5000} cells before the
+    shuffle; the reporting shape for any numeric column at any scale."""
+    li = load_table(spark, sf, "lineitem")
+    bucket = F.floor(F.col("l_extendedprice") / 5000).cast("long")
+    return (
+        li.groupBy(
+            bucket.alias("bucket"),
+            (bucket * 5000).cast("long").alias("lo"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("l_discount"), 4).alias("avg_discount"),
+        )
+    )
