@@ -254,3 +254,29 @@ def stratified_sample(
     For exact-count quotas use a per-stratum window rank instead — that
     costs a shuffle."""
     return df.sampleBy(strata_col, fractions=fractions, seed=seed)
+
+
+def exact_k_sample(
+    df,
+    strata_col: str,
+    id_col: str,
+    k: int,
+    seed: int = 42,
+):
+    """Exact-count quota sampling: keep exactly min(k, |stratum|) rows
+    per stratum, chosen by ranking on a salted md5 of the row id — a
+    deterministic hash-as-PRNG, so the 'random' draw is reproducible on
+    any engine (md5 is standardized; xxhash64 is not). One shuffle on
+    the stratum key; the complement of the Bernoulli ``stratified_
+    sample`` when the contract is 'exactly k docs per language'."""
+    from pyspark.sql import Window
+
+    rank_key = F.md5(
+        F.concat_ws("#", F.col(id_col).cast("string"), F.lit(str(seed)))
+    )
+    w = Window.partitionBy(strata_col).orderBy(rank_key, F.col(id_col))
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .drop("_rk")
+    )

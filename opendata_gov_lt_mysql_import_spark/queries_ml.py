@@ -1517,3 +1517,25 @@ def tfidf_cosine_pairs_q(spark: SparkSession, sf: str) -> DataFrame:
             F.floor(cos * 10000).cast("long").alias("cos_bp"),
         )
     )
+
+
+@query(
+    "sample_exact_k_per_lang",
+    """
+    SELECT doc_id, lang
+    FROM documents
+    QUALIFY row_number() OVER (
+        PARTITION BY lang
+        ORDER BY md5(CAST(doc_id AS VARCHAR) || '#42'), doc_id
+    ) <= 20
+    """,
+)
+def sample_exact_k_per_lang_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact-quota corpus rebalancing: exactly 20 docs per language,
+    drawn by salted-md5 rank (hash-as-PRNG — uniform AND reproducible
+    on any engine, which Bernoulli sampleBy is not). The oracle runs
+    the identical draw."""
+    from .operators.textanalysis import exact_k_sample
+
+    d = load_table(spark, sf, "documents").select("doc_id", "lang")
+    return exact_k_sample(d, "lang", "doc_id", k=20, seed=42)
