@@ -774,3 +774,23 @@ def price_histogram(spark: SparkSession, sf: str) -> DataFrame:
             F.round(F.avg("l_discount"), 4).alias("avg_discount"),
         )
     )
+
+
+@query("approx_percentile_price", None)
+def approx_percentile_price(spark: SparkSession, sf: str) -> DataFrame:
+    """The 100 TB percentile path: approx_percentile (KLL sketch —
+    mergeable map-side partials, bounded memory) over the same quantiles
+    as the exact `percentile_price`. Rows-only (sketch internals are
+    engine-specific); tests/test_operators pins each approximate
+    quantile within 1% relative error of the exact aggregate."""
+    li = load_table(spark, sf, "lineitem")
+    qs = (0.25, 0.50, 0.75, 0.99)
+    arr = F.expr(
+        "approx_percentile(l_extendedprice, array(0.25, 0.5, 0.75, 0.99), 10000)"
+    )
+    return li.groupBy("l_returnflag").agg(
+        *[
+            F.round(arr[i], 2).alias(f"p{int(q * 100)}")
+            for i, q in enumerate(qs)
+        ]
+    )

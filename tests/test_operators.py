@@ -536,3 +536,23 @@ class TestStratifiedSample:
         )
         n, total = a.count(), d.count()
         assert 0.15 * total < n < 0.45 * total  # Bernoulli tolerance at sf0.001
+
+
+def test_approx_percentile_within_one_percent_of_exact(spark, sf_dir):
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    exact = {
+        r["l_returnflag"]: r for r in qs["percentile_price"](spark, sf_dir).collect()
+    }
+    approx = {
+        r["l_returnflag"]: r
+        for r in qs["approx_percentile_price"](spark, sf_dir).collect()
+    }
+    assert set(exact) == set(approx)
+    for flag, e in exact.items():
+        a = approx[flag]
+        for col in ("p25", "p50", "p75", "p99"):
+            assert abs(a[col] - e[col]) <= 0.01 * abs(e[col]) + 1e-9, (
+                flag, col, a[col], e[col],
+            )
