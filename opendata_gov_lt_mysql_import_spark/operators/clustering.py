@@ -130,7 +130,12 @@ def lloyd_iterate(
     assigned = None
     for _ in range(iters):
         cent = cent.localCheckpoint(eager=True)
-        assigned = assign_clusters(e, cent, vec_col)
+        # pin each round's assignment: it feeds the centroid recompute
+        # AND (for the final round) whatever the caller does with it —
+        # without the pin the broadcast-argmin pass re-runs per consumer
+        assigned = assign_clusters(e, cent, vec_col).localCheckpoint(
+            eager=True
+        )
         cent = recompute_centroids(assigned, vec_col)
     return assigned, cent
 
