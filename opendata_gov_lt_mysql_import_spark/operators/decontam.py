@@ -1,0 +1,81 @@
+"""Benchmark decontamination (beyond-reference surface).
+
+Flags training documents that share word n-grams with an evaluation /
+benchmark set — the contamination filter every LLM training pipeline
+runs before export (the GPT-3 appendix-C / PaLM 13-gram procedure,
+public papers; n is a parameter here so small fixtures stay non-vacuous).
+
+Scale shape: the eval side is tiny (benchmarks are ~10⁵ examples; the
+training corpus is the 100 TB side), so its distinct-gram set is
+broadcast and the training side joins map-side — the fact stream is
+never shuffled. The only shuffle is the per-doc hit-count aggregation,
+which runs on the post-join hit stream (≪ corpus size). Gram
+generation reuses :func:`operators.dedup.word_ngrams` (HOF-only,
+codegen'd, no Python).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import word_ngrams
+
+
+def eval_gram_set(eval_df: DataFrame, text_col: str, n: int) -> DataFrame:
+    """Distinct word n-grams of the eval set — the broadcast side.
+
+    One column ``gram``. Distinct here keeps the broadcast table minimal;
+    at 10⁵ eval examples × ~10² grams each this is a few-MB table, well
+    under any broadcast threshold.
+    """
+    return (
+        eval_df.select(F.explode(word_ngrams(F.col(text_col), n)).alias("gram"))
+        .distinct()
+    )
+
+
+def contamination_hits(
+    train: DataFrame,
+    eval_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+) -> DataFrame:
+    """Per-document count of distinct eval n-grams found in each training
+    document: ``(id_col, eval_grams_hit)`` — only contaminated docs appear.
+
+    ``word_ngrams`` is already distinct-per-doc, so a plain count after
+    the inner join is the distinct-hit count. Broadcast inner join: the
+    training gram stream is filtered map-side against the eval set; rows
+    that survive (a tiny fraction of the corpus) are the only thing the
+    aggregation shuffles.
+    """
+    grams = train.select(
+        F.col(id_col), F.explode(word_ngrams(F.col(text_col), n)).alias("gram")
+    )
+    ev = eval_gram_set(eval_df, text_col, n)
+    return (
+        grams.join(F.broadcast(ev), "gram")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("eval_grams_hit"))
+    )
+
+
+def decontaminate(
+    train: DataFrame,
+    eval_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    min_hits: int = 1,
+) -> DataFrame:
+    """The clean corpus: training docs with fewer than ``min_hits``
+    distinct eval-gram collisions (default: any collision removes the
+    doc, the conservative standard). Left-anti join against the hit
+    table — training columns pass through untouched.
+    """
+    hits = contamination_hits(train, eval_df, text_col, id_col, n).filter(
+        F.col("eval_grams_hit") >= min_hits
+    )
+    return train.join(hits.select(id_col), id_col, "left_anti")

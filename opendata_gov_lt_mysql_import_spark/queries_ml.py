@@ -1539,3 +1539,39 @@ def sample_exact_k_per_lang_q(spark: SparkSession, sf: str) -> DataFrame:
 
     d = load_table(spark, sf, "documents").select("doc_id", "lang")
     return exact_k_sample(d, "lang", "doc_id", k=20, seed=42)
+
+
+@query(
+    "decontaminate_hits",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, str_split_regex(trim(text), '\s+') AS toks
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+               generate_series(1, greatest(len(toks) - 4, 1)),
+               i -> array_to_string(toks[i:i+4], ' ')))) AS gram
+      FROM toks
+    ),
+    ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % 20 = 0)
+    SELECT g.doc_id, CAST(count(*) AS BIGINT) AS eval_grams_hit
+    FROM g JOIN ev USING (gram)
+    GROUP BY 1
+    """,
+)
+def decontaminate_hits_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Benchmark decontamination (GPT-3 appendix-C style): per-doc count
+    of distinct word 5-grams shared with the eval split (every 20th doc
+    stands in for the benchmark set — each eval doc collides with itself,
+    so the check is never vacuous). Broadcast semi-join shape: the eval
+    gram set broadcasts, the training gram stream never shuffles; only
+    post-join hits reach the aggregation. The oracle rebuilds the same
+    5-grams with DuckDB list HOFs (slices truncate identically to
+    Spark's null-skipping concat_ws for <5-token docs)."""
+    from .operators.decontam import contamination_hits
+
+    d = _spread(load_table(spark, sf, "documents"))
+    ev = d.filter(F.col("doc_id") % 20 == 0)
+    return contamination_hits(d, ev, text_col="text", id_col="doc_id", n=5)
