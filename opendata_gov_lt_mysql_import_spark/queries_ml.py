@@ -1575,3 +1575,146 @@ def decontaminate_hits_q(spark: SparkSession, sf: str) -> DataFrame:
     d = _spread(load_table(spark, sf, "documents"))
     ev = d.filter(F.col("doc_id") % 20 == 0)
     return contamination_hits(d, ev, text_col="text", id_col="doc_id", n=5)
+
+
+@query(
+    "decontaminate_clean",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, str_split_regex(trim(text), '\s+') AS toks
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+               generate_series(1, greatest(len(toks) - 4, 1)),
+               i -> array_to_string(toks[i:i+4], ' ')))) AS gram
+      FROM toks
+    ),
+    ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % 20 = 0)
+    SELECT d.doc_id, d.lang, d.source
+    FROM documents d
+    WHERE NOT EXISTS (
+      SELECT 1 FROM g JOIN ev USING (gram) WHERE g.doc_id = d.doc_id
+    )
+    """,
+)
+def decontaminate_clean_q(spark: SparkSession, sf: str) -> DataFrame:
+    """The exported side of decontamination: training docs with zero
+    distinct 5-gram collisions against the eval split (left-anti join on
+    the broadcast-semi-join hit table — the complement of
+    ``decontaminate_hits``). Training columns pass through untouched;
+    the anti join adds no shuffle on the fact side beyond the hit
+    aggregation it already shares."""
+    from .operators.decontam import decontaminate
+
+    d = _spread(load_table(spark, sf, "documents"))
+    ev = d.filter(F.col("doc_id") % 20 == 0)
+    return decontaminate(d, ev, text_col="text", id_col="doc_id", n=5).select(
+        "doc_id", "lang", "source"
+    )
+
+
+from .operators.splits import split_sql_case as _split_sql_case
+
+_SPLIT_WEIGHTS = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+
+@query(
+    "split_train_test",
+    f"""
+    SELECT doc_id,
+           {_split_sql_case("doc_id", _SPLIT_WEIGHTS)} AS split
+    FROM documents
+    """,
+)
+def split_train_test_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test assignment by salted-md5
+    hash bucketing (operators/splits.py): reproducible across engines
+    and runs, stable under appends (a new doc never moves an old one),
+    and a pure map — zero shuffles over the 100 TB fact side. The
+    thresholds are 32-hex-char literals compared lexicographically, so
+    the whole operator codegens to string compares. The oracle CASE is
+    generated by the same ``split_sql_case`` helper, so both engines
+    compare against byte-identical threshold literals."""
+    from .operators.splits import hash_split
+
+    d = load_table(spark, sf, "documents").select("doc_id")
+    return hash_split(d, "doc_id", _SPLIT_WEIGHTS)
+
+
+@query(
+    "posting_lists",
+    r"""
+    WITH tok AS (
+      SELECT DISTINCT doc_id,
+             unnest(str_split_regex(trim(text), '\s+')) AS token
+      FROM documents
+    )
+    SELECT token,
+           CAST(count(*) AS BIGINT) AS df,
+           array_to_string(list_sort(list(doc_id)), ',') AS postings
+    FROM tok
+    GROUP BY 1
+    HAVING count(*) BETWEEN 3 AND 400
+    """,
+)
+def posting_lists_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Inverted index with bounded posting lists: token → sorted doc-id
+    list, keeping only mid-df tokens (3 ≤ df ≤ 400) — rare tokens are
+    noise, stopword-grade tokens would produce corpus-length lists
+    (the unbounded-state smell at 100 TB; real indexes chunk or skip
+    them, this query drops them). One explode + one groupBy shuffle;
+    the HAVING prunes before the collect_list materializes anything
+    driver-side. Postings serialize via array_join for the canonical
+    hash (arrays are unhashable in the driver gate)."""
+    d = _spread(load_table(spark, sf, "documents"))
+    tok = d.select(
+        "doc_id",
+        F.explode(F.array_distinct(tokens(F.col("text")))).alias("token"),
+    )
+    return (
+        tok.groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("doc_id")),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("postings"),
+        )
+        .filter(F.col("df").between(3, 400))
+    )
+
+
+@query(
+    "events_zscore_outliers",
+    """
+    WITH s AS (
+      SELECT event_type, avg(value) AS mu, stddev_pop(value) AS sigma
+      FROM events GROUP BY 1
+    )
+    SELECT e.event_id, e.event_type, ROUND((e.value - s.mu) / s.sigma, 6) AS z
+    FROM events e JOIN s USING (event_type)
+    WHERE abs((e.value - s.mu) / s.sigma) > 3
+    """,
+)
+def events_zscore_outliers_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-group z-score anomaly detection: events more than 3 population
+    standard deviations from their event_type mean. Two passes over the
+    fact table — a map-side-partial stats aggregation (5 tiny rows) and
+    a broadcast join back — instead of a window, which would shuffle the
+    full 100 TB fact stream to rank within groups. z rounds to 6 dp on
+    both engines so float summation order can't flip the canonical hash."""
+    ev = load_table(spark, sf, "events")
+    stats = ev.groupBy("event_type").agg(
+        F.avg("value").alias("mu"), F.stddev_pop("value").alias("sigma")
+    )
+    z = (F.col("value") - F.col("mu")) / F.col("sigma")
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .filter(F.abs(z) > 3)
+        .select("event_id", "event_type", F.round(z, 6).alias("z"))
+    )

@@ -1,0 +1,65 @@
+"""Deterministic hash-split operator tests (operators/splits.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from opendata_gov_lt_mysql_import_spark.operators.splits import (
+    hash_split,
+    split_thresholds,
+)
+
+WEIGHTS = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+
+class TestHashSplit:
+    def test_proportions_and_determinism(self, spark):
+        df = spark.range(0, 20000).withColumnRenamed("id", "doc_id")
+        out = hash_split(df, "doc_id", WEIGHTS)
+        counts = {r["split"]: r["n"] for r in
+                  out.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+        assert set(counts) == {"train", "val", "test"}
+        # md5 is uniform; 20k draws keep each share within ±2% absolute.
+        assert abs(counts["train"] / 20000 - 0.8) < 0.02
+        assert abs(counts["val"] / 20000 - 0.1) < 0.02
+        assert abs(counts["test"] / 20000 - 0.1) < 0.02
+        # identical second run — no RNG anywhere
+        again = {(r.doc_id, r.split) for r in hash_split(df, "doc_id", WEIGHTS).collect()}
+        assert {(r.doc_id, r.split) for r in out.collect()} == again
+
+    def test_stable_under_append(self, spark):
+        # assignments of existing ids must not move when the corpus grows
+        small = spark.range(0, 1000).withColumnRenamed("id", "doc_id")
+        big = spark.range(0, 5000).withColumnRenamed("id", "doc_id")
+        a = {r.doc_id: r.split for r in hash_split(small, "doc_id", WEIGHTS).collect()}
+        b = {r.doc_id: r.split for r in hash_split(big, "doc_id", WEIGHTS).collect()}
+        assert all(b[k] == v for k, v in a.items())
+
+    def test_seed_changes_assignment(self, spark):
+        df = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+        a = {r.doc_id: r.split for r in hash_split(df, "doc_id", WEIGHTS, seed=1).collect()}
+        b = {r.doc_id: r.split for r in hash_split(df, "doc_id", WEIGHTS, seed=2).collect()}
+        assert any(a[k] != b[k] for k in a)
+
+    def test_weights_normalized_and_exhaustive(self, spark):
+        # relative weights (not summing to 1) normalize; every row lands
+        df = spark.range(0, 3000).withColumnRenamed("id", "doc_id")
+        out = hash_split(df, "doc_id", {"a": 3, "b": 1})
+        counts = {r["split"]: r["n"] for r in
+                  out.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+        assert counts["a"] + counts["b"] == 3000
+        assert abs(counts["a"] / 3000 - 0.75) < 0.03
+
+    def test_zero_shuffle_plan(self, spark):
+        df = spark.range(0, 100).withColumnRenamed("id", "doc_id")
+        out = hash_split(df, "doc_id", WEIGHTS)
+        out.collect()
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+
+    def test_thresholds_monotone_hex(self):
+        pairs = split_thresholds(WEIGHTS)
+        assert [p[0] for p in pairs] == ["train", "val", "test"]
+        hexes = [p[1] for p in pairs]
+        assert all(len(h) == 32 for h in hexes)
+        assert hexes == sorted(hexes)
