@@ -81,6 +81,9 @@ HEADLINE = [
     "corpus_prep_pipeline",
     "funnel_view_click_purchase",
     "cohort_retention",
+    "decontaminate_hits",
+    "posting_lists",
+    "events_zscore_outliers",
 ]
 
 

@@ -1,0 +1,84 @@
+"""Contiguous global row-id assignment (beyond-reference surface).
+
+Every training pipeline eventually needs dense 0..N-1 ids (shard
+indexes, example ids, embedding-matrix rows). The naive Spark spelling
+``row_number() OVER (ORDER BY key)`` is THE classic scale trap: a
+global window has one partition, so 100 TB funnels through a single
+task. The scale-safe shape — what RDD ``zipWithIndex`` does under the
+hood, re-expressed on the DataFrame API — is:
+
+1. ``repartitionByRange`` + ``sortWithinPartitions`` on the order key
+   (one range shuffle; every partition holds a contiguous key range);
+2. count rows per partition (a per-partition 1-row aggregate — the only
+   driver-side data is one long per partition);
+3. cumulative-sum those counts into per-partition offsets and add each
+   row's within-partition index (an Arrow-batched ``mapInPandas`` with
+   a running counter — no Python per-row work, just one vectorized
+   ``arange`` per batch).
+
+The result is byte-identical to the single-partition window whenever
+the order key is unique (ids among tied keys would be
+partition-arbitrary; pass a tiebreaker column to make the order total).
+
+The sorted frame is pinned with ``localCheckpoint(eager=True)`` because
+it feeds two consumers (the count pass and the id pass) — under AQE a
+lazy persist does not stop the two subplans racing through the
+un-materialized range shuffle twice.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StructField, StructType
+
+
+def assign_contiguous_ids(
+    df: DataFrame,
+    order_cols: list[str],
+    id_col: str = "row_id",
+    start: int = 0,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Add ``id_col`` with dense ids ``start..start+N-1`` in the global
+    order of ``order_cols`` (must form a total order for determinism).
+    """
+    spark = df.sparkSession
+    n = num_partitions or spark.sparkContext.defaultParallelism
+    ranged = (
+        df.repartitionByRange(n, *order_cols)
+        .sortWithinPartitions(*order_cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+
+    # per-partition occupancy: one row per partition reaches the driver
+    counts = {
+        r["_pid"]: r["n"]
+        for r in ranged.groupBy("_pid").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    offsets, acc = {}, start
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+
+    out_schema = StructType(
+        [f for f in df.schema.fields] + [StructField(id_col, LongType(), False)]
+    )
+    in_cols = [f.name for f in df.schema.fields]
+
+    def gen(batches):
+        import numpy as np
+
+        pos = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if pos is None:
+                pos = offsets[int(pdf["_pid"].iloc[0])]
+            out = pdf[in_cols].copy()
+            out[id_col] = np.arange(pos, pos + len(pdf), dtype="int64")
+            pos += len(pdf)
+            yield out
+
+    return ranged.mapInPandas(gen, schema=out_schema)

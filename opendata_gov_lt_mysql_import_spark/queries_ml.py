@@ -1718,3 +1718,25 @@ def events_zscore_outliers_q(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.abs(z) > 3)
         .select("event_id", "event_type", F.round(z, 6).alias("z"))
     )
+
+
+@query(
+    "assign_row_ids",
+    """
+    SELECT doc_id,
+           CAST(row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS row_id
+    FROM documents
+    """,
+)
+def assign_row_ids_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Dense 0..N-1 id assignment in doc_id order WITHOUT the
+    single-partition global window (the oracle's row_number() spelling is
+    exactly the plan that cannot scale — Spark funnels the whole corpus
+    through one task). operators/global_ids.py instead range-partitions
+    on the key, counts per partition (one long per partition reaches the
+    driver), and adds cumulative offsets to a vectorized within-partition
+    arange — identical output, parallel everywhere."""
+    from .operators.global_ids import assign_contiguous_ids
+
+    d = load_table(spark, sf, "documents").select("doc_id")
+    return assign_contiguous_ids(d, ["doc_id"])
