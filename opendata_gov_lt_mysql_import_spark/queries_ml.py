@@ -1656,12 +1656,13 @@ def split_train_test_q(spark: SparkSession, sf: str) -> DataFrame:
            array_to_string(list_sort(list(doc_id)), ',') AS postings
     FROM tok
     GROUP BY 1
-    HAVING count(*) BETWEEN 3 AND 400
+    HAVING count(*) >= 3
+       AND count(*) * 10 <= (SELECT count(*) FROM documents) * 8
     """,
 )
 def posting_lists_q(spark: SparkSession, sf: str) -> DataFrame:
     """Inverted index with bounded posting lists: token → sorted doc-id
-    list, keeping only mid-df tokens (3 ≤ df ≤ 400) — rare tokens are
+    list, keeping only mid-df tokens (3 ≤ df ≤ 80% of corpus) — rare tokens are
     noise, stopword-grade tokens would produce corpus-length lists
     (the unbounded-state smell at 100 TB; real indexes chunk or skip
     them, this query drops them). One explode + one groupBy shuffle;
@@ -1669,6 +1670,7 @@ def posting_lists_q(spark: SparkSession, sf: str) -> DataFrame:
     driver-side. Postings serialize via array_join for the canonical
     hash (arrays are unhashable in the driver gate)."""
     d = _spread(load_table(spark, sf, "documents"))
+    n_docs = load_table(spark, sf, "documents").count()  # metadata-only scan
     tok = d.select(
         "doc_id",
         F.explode(F.array_distinct(tokens(F.col("text")))).alias("token"),
@@ -1685,7 +1687,7 @@ def posting_lists_q(spark: SparkSession, sf: str) -> DataFrame:
                 ",",
             ).alias("postings"),
         )
-        .filter(F.col("df").between(3, 400))
+        .filter((F.col("df") >= 3) & (F.col("df") * 10 <= F.lit(n_docs) * 8))
     )
 
 
