@@ -750,3 +750,76 @@ def minhash_signatures_arrow(
     return _spread(df.select(F.col(id_col).alias(id_col), F.col(text_col))).mapInPandas(
         compute, schema=out_schema
     )
+
+
+def minhash_md5_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n_gram: int = 3,
+    k: int = 16,
+    bands: int = 8,
+) -> DataFrame:
+    """Engine-neutral MinHash-LSH twin: word n-gram shingles, md5
+    permutations, banded candidate join — every step standardized, so a
+    SQL oracle can recompute the identical signatures (lexicographic min
+    over fixed-width lowercase hex equals numeric min, and md5 is md5
+    everywhere; xxhash64, the production path in
+    :func:`minhash_candidate_pairs`, is JVM-specific and can only be
+    rows-only-checked). Same plan shape as production: per-doc signature
+    (HOF-only, codegen'd, no Python), explode to (band, bucket), slim
+    self-join on the bucket key, signatures re-attached once per pair.
+
+    Returns (id_a, id_b, n_match) with id_a < id_b — n_match of k
+    signature components equal, an exact integer on both engines (the
+    Jaccard estimate is n_match/k; kept unscaled to avoid float hashing).
+    """
+    assert k % bands == 0
+    rows = k // bands
+    grams = word_ngrams(F.col(text_col), n_gram)
+
+    def perm_min(p: int) -> Column:
+        # NB: the lambda must take exactly one arg — F.transform treats a
+        # two-arg callable as (element, index), so a `lambda g, p=p`
+        # default would be silently clobbered by the array index.
+        salt = F.lit(f"#{p}")
+        return F.array_min(F.transform(grams, lambda g: F.md5(F.concat(g, salt))))
+
+    sig = F.array(*[perm_min(p) for p in range(k)])
+    sigs = df.select(F.col(id_col), sig.alias("sig")).localCheckpoint(eager=True)
+
+    band_key = F.md5(
+        F.concat(
+            *[F.element_at(F.col("sig"), F.col("b") * rows + r + 1) for r in range(rows)],
+            F.concat(F.lit("@"), F.col("b").cast("string")),
+        )
+    )
+    banded = sigs.select(
+        id_col, F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("b"), "sig"
+    ).select(id_col, "b", band_key.alias("bkey"))
+
+    a, c = banded.alias("a"), banded.alias("c")
+    pairs = (
+        a.join(
+            c,
+            (F.col("a.b") == F.col("c.b"))
+            & (F.col("a.bkey") == F.col("c.bkey"))
+            & (F.col(f"a.{id_col}") < F.col(f"c.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"c.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+    sa = sigs.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"))
+    sb = sigs.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"))
+    n_match = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v
+        )
+    ).cast("long")
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", n_match.alias("n_match"))
+    )

@@ -1742,3 +1742,56 @@ def assign_row_ids_q(spark: SparkSession, sf: str) -> DataFrame:
 
     d = load_table(spark, sf, "documents").select("doc_id")
     return assign_contiguous_ids(d, ["doc_id"])
+
+
+@query(
+    "minhash_lsh_pairs_md5",
+    f"""
+    WITH docs AS ({_DUP_UNION_SQL}),
+    toks AS (
+      SELECT doc_id, str_split_regex(trim(text), '\\s+') AS toks FROM docs
+    ),
+    grams AS (
+      SELECT doc_id, list_distinct(list_transform(
+               generate_series(1, greatest(len(toks) - 2, 1)),
+               i -> array_to_string(toks[i:i+2], ' '))) AS gs
+      FROM toks
+    ),
+    sigs AS (
+      SELECT doc_id, list_transform(range(0, 16),
+               p -> list_min(list_transform(gs,
+                      g -> md5(g || '#' || CAST(p AS VARCHAR))))) AS sig
+      FROM grams
+    ),
+    banded AS (
+      SELECT doc_id, t.b AS b,
+             md5(sig[2*t.b + 1] || sig[2*t.b + 2]
+                 || '@' || CAST(t.b AS VARCHAR)) AS bkey
+      FROM sigs CROSS JOIN (SELECT unnest(range(0, 8)) AS b) t
+    ),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+      FROM banded a
+      JOIN banded c ON a.b = c.b AND a.bkey = c.bkey AND a.doc_id < c.doc_id
+    )
+    SELECT p.id_a, p.id_b,
+           CAST(len(list_filter(range(1, 17),
+                    i -> sa.sig[i] = sb.sig[i])) AS BIGINT) AS n_match
+    FROM pairs p
+    JOIN sigs sa ON sa.doc_id = p.id_a
+    JOIN sigs sb ON sb.doc_id = p.id_b
+    """,
+)
+def minhash_lsh_pairs_md5_q(spark: SparkSession, sf: str) -> DataFrame:
+    """MinHash-LSH with engine-neutral md5 permutations — the oracle-
+    checkable twin of ``minhash_lsh_pairs`` (whose xxhash64 signatures
+    are JVM-specific and therefore rows-only). Word 3-gram shingles,
+    k=16 signature, 8 bands × 2 rows, banded bucket self-join; returns
+    candidate pairs with the exact count of matching signature
+    components. The DuckDB oracle recomputes identical signatures via
+    list HOFs, making the approximate family's full plan — shingling,
+    permutation mins, banding, pairing — hash-verified end to end."""
+    from .operators.dedup import minhash_md5_pairs
+
+    d = _spread(_documents_with_dups(spark, sf))
+    return minhash_md5_pairs(d, "text", "doc_id", n_gram=3, k=16, bands=8)

@@ -133,6 +133,22 @@ class TestDedup:
         assert (1, 3) in keys  # one-word-change near-dup
         assert (1, 4) not in keys and (3, 4) not in keys
 
+    def test_minhash_md5_exact_dup_full_match(self, spark):
+        from opendata_gov_lt_mysql_import_spark.operators.dedup import (
+            minhash_md5_pairs,
+        )
+
+        pairs = {
+            (r.id_a, r.id_b): r.n_match
+            for r in minhash_md5_pairs(self._docs(spark), "text", "id").collect()
+        }
+        # identical docs share every signature component
+        assert pairs[(1, 2)] == 16
+        # one-word-change near-dup collides in some band with high overlap
+        assert pairs.get((1, 3), 0) >= 8
+        # the unrelated doc never pairs with anything
+        assert all(4 not in k for k in pairs)
+
     def test_simhash_exact_dup_hamming_zero(self, spark):
         for impl in ("arrow", "expr"):
             pairs = simhash_candidate_pairs(
