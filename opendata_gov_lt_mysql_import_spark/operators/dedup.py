@@ -823,3 +823,80 @@ def minhash_md5_pairs(
         .join(sb, "id_b")
         .select("id_a", "id_b", n_match.alias("n_match"))
     )
+
+
+def _md5_bit(h: Column, j: int) -> Column:
+    """Bit ``j`` (MSB-first) of the 64-bit prefix of an md5 hex string,
+    via nibble lookup — expressible identically in ANSI SQL, which is the
+    whole point of this twin (xxhash64 is JVM-only)."""
+    nib = F.conv(h.substr(j // 4 + 1, 1), 16, 10).cast("int")
+    return F.shiftright(nib, 3 - j % 4).bitwiseAND(F.lit(1))
+
+
+def simhash_md5_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Engine-neutral SimHash twin: 64-bit fingerprint from md5 token
+    hashes (distinct tokens vote ±1 per bit; ties → 0), 4 × 16-bit
+    pigeonhole bands (hamming ≤ 3 ⇒ at least one band equal), banded
+    self-join, exact hamming refine. The md5-hex bit extraction lets a
+    SQL oracle recompute byte-identical fingerprints; the production
+    path (:func:`simhash_candidate_pairs`) keeps the single-pass
+    xxhash64 vote aggregation. The 64 per-bit array aggregates make a
+    wide expression tree (may exceed the codegen method budget and run
+    interpreted) — acceptable for a verification twin that runs at
+    oracle scale, not in the headline bench.
+
+    Returns (id_a, id_b, hamming), id_a < id_b, hamming ≤ max_hamming.
+    """
+    hashes = F.transform(
+        F.array_distinct(tokens(F.col(text_col))), lambda t: F.md5(t)
+    )
+
+    def fp_bit(j: int) -> Column:
+        vote = F.aggregate(
+            hashes,
+            F.lit(0),
+            lambda acc, h: acc + _md5_bit(h, j) * 2 - 1,
+        )
+        return (vote > 0).cast("int")
+
+    fp = F.array(*[fp_bit(j) for j in range(64)])
+    fps = df.select(F.col(id_col), fp.alias("fp")).localCheckpoint(eager=True)
+
+    chunk = F.aggregate(
+        F.sequence(F.lit(0), F.lit(15)),
+        F.lit(0),
+        lambda acc, m: acc
+        + F.element_at(F.col("fp"), F.col("k") * 16 + m + 1)
+        * F.shiftleft(F.lit(1), 0).cast("int") * F.pow(F.lit(2), m).cast("int"),
+    )
+    banded = fps.select(
+        id_col, F.explode(F.sequence(F.lit(0), F.lit(3))).alias("k"), "fp"
+    ).select(id_col, "k", chunk.alias("ck"))
+
+    a, b = banded.alias("a"), banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.k") == F.col("b.k"))
+            & (F.col("a.ck") == F.col("b.ck"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+    fa = fps.select(F.col(id_col).alias("id_a"), F.col("fp").alias("fp_a"))
+    fb = fps.select(F.col(id_col).alias("id_b"), F.col("fp").alias("fp_b"))
+    hamming = F.size(
+        F.filter(F.zip_with("fp_a", "fp_b", lambda x, y: x != y), lambda v: v)
+    ).cast("long")
+    return (
+        pairs.join(fa, "id_a")
+        .join(fb, "id_b")
+        .select("id_a", "id_b", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )

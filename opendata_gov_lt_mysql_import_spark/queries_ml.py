@@ -1795,3 +1795,103 @@ def minhash_lsh_pairs_md5_q(spark: SparkSession, sf: str) -> DataFrame:
 
     d = _spread(_documents_with_dups(spark, sf))
     return minhash_md5_pairs(d, "text", "doc_id", n_gram=3, k=16, bands=8)
+
+
+@query(
+    "mixture_weights",
+    f"""
+    WITH t AS (
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum({_NTOK_SQL}) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY 1
+    )
+    SELECT source, n_docs, n_tokens,
+           CAST(floor((SELECT min(n_tokens) FROM t) * 10000 / n_tokens)
+                AS BIGINT) AS weight_bp
+    FROM t
+    """,
+)
+def mixture_weights_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Data-mixture balancing weights: the per-source sampling fraction
+    (integer basis points) that downsamples every source to the smallest
+    source's token count — the domain-balancing step of an LLM data
+    pipeline (uniform target mixture; a non-uniform target just scales
+    each numerator). One partial-agg shuffle over the corpus to the
+    per-source token totals; the min and the division run on the
+    dimension-sized aggregate (a window over a handful of source rows),
+    never on the fact side. weight_bp = floor(min_tokens·10⁴ /
+    n_tokens) stays in exact-integer territory on both engines (double
+    division of ints < 2⁵³ == integer division)."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf, "documents")
+    from .operators.textanalysis import token_count
+
+    t = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count(F.col("text"))).alias("n_tokens"),
+    )
+    w = Window.partitionBy()  # global min over the tiny per-source aggregate
+    return t.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.floor(
+            F.min("n_tokens").over(w) * F.lit(10000) / F.col("n_tokens")
+        ).alias("weight_bp"),
+    )
+
+
+@query(
+    "simhash_pairs_md5",
+    f"""
+    WITH docs AS ({_DUP_UNION_SQL}),
+    hs AS (
+      SELECT doc_id,
+             list_transform(list_distinct(str_split_regex(trim(text), '\\s+')),
+                            t -> md5(t)) AS hs
+      FROM docs
+    ),
+    fp AS (
+      SELECT doc_id, list_transform(range(0, 64), j ->
+        CASE WHEN list_sum(list_transform(hs, h ->
+          2 * (((strpos('0123456789abcdef',
+                        substr(h, CAST(j // 4 AS INT) + 1, 1)) - 1)
+                // CASE j % 4 WHEN 0 THEN 8 WHEN 1 THEN 4
+                             WHEN 2 THEN 2 ELSE 1 END) % 2) - 1)) > 0
+             THEN 1 ELSE 0 END) AS fp
+      FROM hs
+    ),
+    banded AS (
+      SELECT doc_id, t.k AS k,
+             list_sum(list_transform(range(0, 16),
+                      m -> fp[16 * t.k + m + 1] * (1 << m))) AS ck
+      FROM fp CROSS JOIN (SELECT unnest(range(0, 4)) AS k) t
+    ),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM banded a
+      JOIN banded b ON a.k = b.k AND a.ck = b.ck AND a.doc_id < b.doc_id
+    )
+    SELECT p.id_a, p.id_b,
+           CAST(len(list_filter(range(1, 65),
+                    i -> fa.fp[i] <> fb.fp[i])) AS BIGINT) AS hamming
+    FROM pairs p
+    JOIN fp fa ON fa.doc_id = p.id_a
+    JOIN fp fb ON fb.doc_id = p.id_b
+    WHERE len(list_filter(range(1, 65), i -> fa.fp[i] <> fb.fp[i])) <= 3
+    """,
+)
+def simhash_pairs_md5_q(spark: SparkSession, sf: str) -> DataFrame:
+    """SimHash near-dup with engine-neutral md5 bit votes — the oracle-
+    checkable twin of ``simhash_pairs`` (whose xxhash64 votes are JVM-
+    specific and therefore rows-only). 64-bit majority-vote fingerprint
+    over distinct whitespace tokens, 4 × 16-bit pigeonhole bands
+    (hamming ≤ 3 guarantees a shared band), banded self-join, exact
+    hamming refine. With this and ``minhash_lsh_pairs_md5``, every
+    approximate-dedup family has a fully hash-verified form."""
+    from .operators.dedup import simhash_md5_pairs
+
+    d = _spread(_documents_with_dups(spark, sf))
+    return simhash_md5_pairs(d, "text", "doc_id", max_hamming=3)

@@ -157,6 +157,17 @@ class TestDedup:
             got = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs.collect()}
             assert got.get((1, 2)) == 0, impl
 
+    def test_simhash_md5_exact_dup_hamming_zero(self, spark):
+        from opendata_gov_lt_mysql_import_spark.operators.dedup import (
+            simhash_md5_pairs,
+        )
+
+        pairs = {
+            (r.id_a, r.id_b): r.hamming
+            for r in simhash_md5_pairs(self._docs(spark), "text", "id").collect()
+        }
+        assert pairs[(1, 2)] == 0  # identical docs -> identical fingerprints
+
     def test_blocked_jaccard_exact_values(self, spark):
         out = blocked_jaccard_pairs(
             self._docs(spark), "text", "id", "grp", n=2, min_jaccard=0.1
