@@ -900,3 +900,28 @@ def simhash_md5_pairs(
         .select("id_a", "id_b", hamming.alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def incremental_exact_dedup(
+    new_df: DataFrame,
+    seen_fps: DataFrame,
+    content_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Dedup a new ingest batch against itself AND a historical
+    fingerprint table — the daily-increment shape: the 100 TB corpus is
+    never rescanned, only its fingerprint column (one md5 per historical
+    doc, the compact state a pipeline carries between runs).
+
+    Two stages, each one shuffle: in-batch keep-min-id (window over the
+    batch's own fingerprints), then a left-anti hash join against
+    ``seen_fps`` (column ``fp``). At scale the anti join shuffles on the
+    same fingerprint key as the dedup window, so AQE coalesces the
+    layouts; the batch side is the small side and the fingerprint table
+    is pre-bucketed by fp in a real deployment."""
+    batch = exact_dedup(new_df, content_col, id_col)
+    return batch.join(
+        seen_fps.select("fp"),
+        F.md5(batch[content_col]) == F.col("fp"),
+        "left_anti",
+    )

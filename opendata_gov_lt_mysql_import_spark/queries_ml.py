@@ -1895,3 +1895,38 @@ def simhash_pairs_md5_q(spark: SparkSession, sf: str) -> DataFrame:
 
     d = _spread(_documents_with_dups(spark, sf))
     return simhash_md5_pairs(d, "text", "doc_id", max_hamming=3)
+
+
+@query(
+    "incremental_dedup",
+    f"""
+    WITH docs AS ({_DUP_UNION_SQL}),
+    hist AS (SELECT DISTINCT md5(text) AS fp FROM docs WHERE doc_id < 250),
+    batch AS (SELECT * FROM docs WHERE doc_id >= 250),
+    kept AS (
+      SELECT min(doc_id) AS doc_id FROM batch GROUP BY md5(text)
+    )
+    SELECT b.doc_id, b.lang, b.source
+    FROM batch b JOIN kept k USING (doc_id)
+    WHERE NOT EXISTS (SELECT 1 FROM hist h WHERE h.fp = md5(b.text))
+    """,
+)
+def incremental_dedup_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental ingest dedup: docs ≥ 250 are 'today's batch', docs
+    < 250 are history represented ONLY by their fingerprint column (the
+    synthesized clones of history docs land in the batch and must be
+    dropped by the anti join; in-batch clones collapse to min id). The
+    corpus itself is never rescanned — the state between runs is one md5
+    per historical doc."""
+    from .operators.dedup import incremental_exact_dedup
+
+    docs = _documents_with_dups(spark, sf)
+    hist = (
+        docs.filter(F.col("doc_id") < 250)
+        .select(F.md5("text").alias("fp"))
+        .distinct()
+    )
+    batch = docs.filter(F.col("doc_id") >= 250)
+    return incremental_exact_dedup(batch, hist, "text", "doc_id").select(
+        "doc_id", "lang", "source"
+    )

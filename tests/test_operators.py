@@ -133,6 +133,27 @@ class TestDedup:
         assert (1, 3) in keys  # one-word-change near-dup
         assert (1, 4) not in keys and (3, 4) not in keys
 
+    def test_incremental_dedup_drops_history_and_batch_dups(self, spark):
+        from opendata_gov_lt_mysql_import_spark.operators.dedup import (
+            incremental_exact_dedup,
+        )
+        from pyspark.sql import functions as F
+
+        hist = spark.createDataFrame(
+            [("seen before",)], "text string"
+        ).select(F.md5("text").alias("fp"))
+        batch = spark.createDataFrame(
+            [
+                (10, "seen before"),     # dup of history -> dropped
+                (11, "fresh text"),      # kept
+                (12, "fresh text"),      # in-batch dup -> dropped
+                (13, "other fresh"),     # kept
+            ],
+            "id long, text string",
+        )
+        out = incremental_exact_dedup(batch, hist, "text", "id")
+        assert sorted(r.id for r in out.collect()) == [11, 13]
+
     def test_minhash_md5_exact_dup_full_match(self, spark):
         from opendata_gov_lt_mysql_import_spark.operators.dedup import (
             minhash_md5_pairs,

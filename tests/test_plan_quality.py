@@ -156,3 +156,17 @@ def test_corpus_pipeline_is_one_scan(spark, sf_dir, queries):
     plan = final_plan(queries["corpus_prep_pipeline"](spark, sf_dir))
     final = plan.split("== Initial Plan ==")[0]
     assert final.count("FileScan parquet") == 1
+
+
+def test_decontamination_broadcasts_eval_grams(spark, sf_dir, queries):
+    # the 100 TB training side must join map-side against a broadcast
+    # eval-gram set — a shuffled join here would shuffle the full gram
+    # stream of the corpus
+    plan = final_plan(queries["decontaminate_hits"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_hash_split_is_shuffle_free(spark, sf_dir, queries):
+    plan = final_plan(queries["split_train_test"](spark, sf_dir))
+    assert "Exchange" not in plan
