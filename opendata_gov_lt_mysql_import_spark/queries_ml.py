@@ -1930,3 +1930,40 @@ def incremental_dedup_q(spark: SparkSession, sf: str) -> DataFrame:
     return incremental_exact_dedup(batch, hist, "text", "doc_id").select(
         "doc_id", "lang", "source"
     )
+
+
+@query(
+    "salted_join_revenue",
+    """
+    SELECT o.o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_items,
+           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) * 100
+                AS BIGINT) AS revenue_cents
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY 1
+    """,
+)
+def salted_join_revenue_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Skew-salted fact-fact join, oracle-checked for result parity with
+    the plain equi-join — the property salting must preserve (it only
+    changes the shuffle layout: each fact key spreads over 16 salt
+    partitions, the other side replicates 16×). The aggregate rides the
+    salted output; floor(sum) keeps the cross-engine comparison in exact
+    integers. Broadcast is disabled for the op itself at scale — this is
+    the strategy for the case where neither side broadcasts and AQE's
+    skew splitter can't cut below one key. Prices cast to DECIMAL(18,2)
+    before summing: decimal aggregation is exact on both engines, so the
+    comparison is immune to float summation order."""
+    from .operators.joins import salted_join
+
+    li = load_table(spark, sf, "lineitem").select("l_orderkey", "l_extendedprice")
+    o = load_table(spark, sf, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    j = salted_join(li, o, on="l_orderkey", n_salts=16)
+    return j.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        (F.sum(F.col("l_extendedprice").cast("decimal(18,2)")) * 100)
+        .cast("long")
+        .alias("revenue_cents"),
+    )
