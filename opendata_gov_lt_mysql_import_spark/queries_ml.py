@@ -1967,3 +1967,95 @@ def salted_join_revenue_q(spark: SparkSession, sf: str) -> DataFrame:
         .cast("long")
         .alias("revenue_cents"),
     )
+
+
+@query(
+    "mixture_apply",
+    f"""
+    WITH t AS (
+      SELECT source, CAST(sum({_NTOK_SQL}) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY 1
+    ),
+    w AS (
+      SELECT source,
+             CAST(floor((SELECT min(n_tokens) FROM t) * 10000 / n_tokens)
+                  AS BIGINT) AS weight_bp
+      FROM t
+    )
+    SELECT d.doc_id, d.source
+    FROM documents d JOIN w USING (source)
+    WHERE substr(md5(CAST(d.doc_id AS VARCHAR) || '#7'), 1, 8)
+          < printf('%08x', CAST(floor(w.weight_bp * 4294967296 / 10000)
+                                AS BIGINT))
+    """,
+)
+def mixture_apply_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Apply the balanced mixture: keep each doc iff its salted-md5 draw
+    falls under its source's sampling fraction — ``mixture_weights``
+    turned into the actual downsampled corpus, deterministically (same
+    hash-as-PRNG trick as the splits operator, so any engine reproduces
+    the exact row set). The per-source weights are a handful of rows
+    broadcast onto the fact scan; the filter compares the first 8 md5 hex
+    chars against printf('%08x') of the integer threshold
+    floor(weight_bp·2³²/10⁴) — all-integer, codegen'd, map-side. The
+    fact stream shuffles once (the weight aggregation's partial-agg
+    pass); the apply itself adds no shuffle."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf, "documents")
+    from .operators.textanalysis import token_count
+
+    t = d.groupBy("source").agg(F.sum(token_count(F.col("text"))).alias("n_tokens"))
+    w = Window.partitionBy()
+    weights = t.select(
+        "source",
+        F.floor(F.min("n_tokens").over(w) * F.lit(10000) / F.col("n_tokens")).alias(
+            "weight_bp"
+        ),
+    )
+    thresh = F.format_string(
+        "%08x", F.floor(F.col("weight_bp") * F.lit(4294967296) / F.lit(10000)).cast("long")
+    )
+    return (
+        d.join(F.broadcast(weights), "source")
+        .filter(
+            F.md5(F.concat_ws("#", F.col("doc_id").cast("string"), F.lit("7"))).substr(1, 8)
+            < thresh
+        )
+        .select("doc_id", "source")
+    )
+
+
+@query(
+    "event_bigrams",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      FROM events
+    )
+    SELECT prev, event_type AS next, CAST(count(*) AS BIGINT) AS n
+    FROM seq WHERE prev IS NOT NULL
+    GROUP BY 1, 2
+    """,
+)
+def event_bigrams_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Behavior-sequence mining: counts of consecutive event-type
+    transitions per user (the bigram model behind next-action datasets
+    and funnel diagnostics). One shuffle on user_id for the lag window
+    — partitioned by user, so no global sort — then a partial-agg
+    rollup of the (prev, next) pairs. event_id tie-breaks equal
+    timestamps so the sequence is total-ordered on both engines."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.select(
+            "event_type", F.lag("event_type").over(w).alias("prev")
+        )
+        .filter(F.col("prev").isNotNull())
+        .groupBy("prev", F.col("event_type").alias("next"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

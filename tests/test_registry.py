@@ -32,4 +32,4 @@ def test_every_query_has_oracle_or_documented_reason():
 def test_registry_is_nontrivially_large():
     # the §2 inventory plus the training-data surface; shrinkage here
     # means a registration import broke
-    assert len(entrymod.queries()) >= 97
+    assert len(entrymod.queries()) >= 99
