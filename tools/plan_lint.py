@@ -1,0 +1,110 @@
+"""Registry-wide physical-plan lint.
+
+Runs EVERY driver query at sf0.001 and flags the plan shapes that do not
+survive 100 TB:
+
+- ``CartesianProduct`` / ``BroadcastNestedLoopJoin`` — quadratic row
+  blow-up (the only acceptable case is a deliberately tiny side, which
+  belongs on the whitelist with a reason).
+- A global window (``Window`` whose partition spec is empty) anywhere a
+  fact-sized stream could flow — funnels everything through one task.
+  Whitelisted when the window provably sits on a dimension-sized
+  aggregate (documented per query).
+
+Usage: python tools/plan_lint.py [sf_dir]
+Exit code 1 if any un-whitelisted smell is found.
+
+tests/test_plan_quality.py pins the headline queries' *positive*
+properties (pushdown, broadcast, exchange counts); this lint is the
+complementary *negative* sweep across the whole registry.
+"""
+
+from __future__ import annotations
+
+import re
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+from opendata_gov_lt_mysql_import_spark.session import get_spark  # noqa: E402
+import __spark_entry__ as entrymod  # noqa: E402
+
+# query -> {smell: reason it is acceptable THERE}
+WHITELIST: dict[str, dict[str, str]] = {
+    "mixture_weights": {
+        "global_window": "min over the per-source aggregate (≤ a few hundred rows)"
+    },
+    "mixture_apply": {
+        "global_window": "min over the per-source aggregate (≤ a few hundred rows)"
+    },
+    "percentile_price": {
+        "global_window": "quantiles of the 1-row aggregate output"
+    },
+    "window_funcs_suite": {
+        "global_window": "demonstrates global ranking on a capped top-N subset"
+    },
+    "bloom_semi_join_orders": {
+        "bnl_join": "1-row bloom-bitmap aggregate cross-joined onto the probe side"
+    },
+    "nearest_centroid_assign": {
+        "bnl_join": "K-row centroid frame cross-joined for broadcast argmin"
+    },
+    "kmeans_one_iter": {
+        "bnl_join": "K-row centroid frame cross-joined for broadcast argmin"
+    },
+    "emb_dup_pairs": {
+        "bnl_join": "within-block brute-force verifier, block occupancy capped"
+    },
+    "assign_row_ids": {
+        # the operator exists to AVOID the global window; its per-partition
+        # count aggregate groups by spark_partition_id (no global window)
+    },
+}
+
+
+def lint_plan(name: str, plan: str) -> list[str]:
+    smells = []
+    if "CartesianProduct" in plan:
+        smells.append("cartesian")
+    if "BroadcastNestedLoopJoin" in plan:
+        smells.append("bnl_join")
+    # a global window funnels the whole stream through one task; its
+    # physical signature is a Window (with its Sort) fed by
+    # Exchange SinglePartition. Plans print top-down, so the Window node
+    # sits a few lines ABOVE the exchange. (Bracket-counting the Window
+    # spec is ambiguous — a partitioned-but-unordered window also prints
+    # two groups.)
+    lines = plan.splitlines()
+    for i, ln in enumerate(lines):
+        if "Exchange SinglePartition" in ln:
+            ctx = "\n".join(lines[max(0, i - 4):i])
+            if "Window" in ctx:
+                smells.append("global_window")
+                break
+    return smells
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    spark = get_spark(app_name="plan-lint")
+    failures = []
+    for name, fn in sorted(entrymod.queries().items()):
+        try:
+            df = fn(spark, sf_dir)
+            df.collect()
+            plan = df._jdf.queryExecution().executedPlan().toString()
+        except Exception as exc:  # pragma: no cover - lint must not mask
+            failures.append((name, f"ERROR {type(exc).__name__}: {exc}"))
+            continue
+        allowed = WHITELIST.get(name, {})
+        for smell in lint_plan(name, plan):
+            if smell not in allowed:
+                failures.append((name, smell))
+    for name, smell in failures:
+        print(f"SMELL {name}: {smell}")
+    print(f"linted {len(entrymod.queries())} queries, {len(failures)} findings")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
