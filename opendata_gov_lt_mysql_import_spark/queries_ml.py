@@ -2059,3 +2059,78 @@ def event_bigrams_q(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("prev", F.col("event_type").alias("next"))
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+_EXPORT_SPLIT = {"train": 0.9, "test": 0.1}
+
+
+def _corpus_export_oracle() -> str:
+    base = _corpus_prep_oracle()
+    # reuse the prep pipeline's cleaned/quality/dedup CTE chain, swap the
+    # chunking tail for split + decontamination
+    head = base[: base.index(")\n    SELECT d.doc_id,")] + ")"
+    case = _split_sql_case("doc_id", _EXPORT_SPLIT)
+    return (
+        head
+        + f""",
+    sp AS (
+        SELECT doc_id, text, {case} AS split FROM deduped
+    ),
+    toks AS (SELECT doc_id, split, str_split_regex(trim(text), '\\s+') AS toks FROM sp),
+    g AS (
+        SELECT doc_id, split,
+               unnest(list_distinct(list_transform(
+                 generate_series(1, greatest(len(toks) - 4, 1)),
+                 i -> array_to_string(toks[i:i+4], ' ')))) AS gram
+        FROM toks
+    ),
+    evg AS (SELECT DISTINCT gram FROM g WHERE split = 'test'),
+    contaminated AS (
+        SELECT DISTINCT g.doc_id FROM g JOIN evg USING (gram)
+        WHERE g.split = 'train'
+    )
+    SELECT doc_id, split FROM sp
+    WHERE split = 'test'
+       OR doc_id NOT IN (SELECT doc_id FROM contaminated)
+    """
+    )
+
+
+@query("corpus_export_pipeline", _corpus_export_oracle())
+def corpus_export_pipeline_q(spark: SparkSession, sf: str) -> DataFrame:
+    """The full training-export path as ONE oracle-checked DAG: clean →
+    model-scored quality gate → exact dedup → deterministic 90/10
+    train/test hash split → decontaminate the train side against the
+    test split's 5-grams (the order every real pipeline uses — split
+    FIRST, then scrub the train side so the benchmark stays unseen).
+    Output is the exportable (doc_id, split) manifest: every test doc
+    plus the train docs with zero test-gram collisions.
+
+    The split frame feeds three consumers (test grams, train grams, the
+    anti-join probe), so it is pinned with an eager localCheckpoint —
+    without it every consumer would re-run the clean/quality/dedup chain
+    from the scan (AQE races lazy caches). Upstream of the pin the DAG
+    is the same one-scan/one-dedup-shuffle plan as
+    ``corpus_prep_pipeline``; downstream the decontamination is the
+    broadcast map-side semi-join of ``decontaminate_hits``."""
+    from .operators.decontam import decontaminate
+    from .operators.dedup import exact_dedup
+    from .operators.splits import hash_split
+    from .operators.textanalysis import (
+        clean_text,
+        quality_model_score,
+        quality_projection,
+    )
+
+    d = _spread(load_table(spark, sf, "documents"))
+    cleaned = d.select("doc_id", clean_text(F.col("text")).alias("text"))
+    feats = cleaned.select("doc_id", "text", *quality_projection(F.col("text")))
+    kept = feats.filter(quality_model_score() >= 0).select("doc_id", "text")
+    deduped = exact_dedup(kept, "text", "doc_id")
+    sp = hash_split(deduped, "doc_id", _EXPORT_SPLIT).localCheckpoint(eager=True)
+    train = sp.filter(F.col("split") == "train")
+    test = sp.filter(F.col("split") == "test")
+    clean_train = decontaminate(train, test, text_col="text", id_col="doc_id", n=5)
+    return clean_train.select("doc_id", "split").unionByName(
+        test.select("doc_id", "split")
+    )
