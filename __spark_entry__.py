@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from opendata_gov_lt_mysql_import_spark.queries import all_oracles, all_queries
 import opendata_gov_lt_mysql_import_spark.queries_ml  # noqa: F401  (registers ML queries)
 import opendata_gov_lt_mysql_import_spark.queries_sql  # noqa: F401  (registers SQL-surface queries)
+import opendata_gov_lt_mysql_import_spark.queries_suites  # noqa: F401  (registers suite queries)
 
 
 def entry(spark: SparkSession) -> DataFrame:

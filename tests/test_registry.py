@@ -32,4 +32,23 @@ def test_every_query_has_oracle_or_documented_reason():
 def test_registry_is_nontrivially_large():
     # the §2 inventory plus the training-data surface; shrinkage here
     # means a registration import broke
-    assert len(entrymod.queries()) >= 99
+    assert len(entrymod.queries()) >= 111
+
+
+def test_driver_visible_window_is_curated():
+    """The driver records correctness rows for only the first 50 registry
+    entries (CORRECTNESS_r01/r02 both contain exactly the first 50 names
+    in registration order). Pin the curated window so a new registration
+    can never silently push a §2 operator or family representative out of
+    the driver's sight."""
+    from opendata_gov_lt_mysql_import_spark.queries import DRIVER_TOP50
+
+    assert len(DRIVER_TOP50) == 50
+    assert len(set(DRIVER_TOP50)) == 50
+    names = list(entrymod.queries())
+    assert names[:50] == list(DRIVER_TOP50)
+    # every curated entry must be oracle-checked — a rows-only query
+    # would waste a driver-visible slot on a weaker check
+    oracles = entrymod.oracle_sql()
+    missing = [n for n in DRIVER_TOP50 if n not in oracles]
+    assert not missing, f"driver-visible window needs oracles: {missing}"
