@@ -116,6 +116,145 @@ def decode_image(payload: bytes) -> object:
     )
 
 
+WAV_MIME = "audio/wav"
+
+
+def encode_wav(samples, sample_rate: int = 16000) -> bytes:
+    """REAL audio encode, zero dependencies: int16 PCM samples →
+    RIFF/WAVE bytes. ``samples`` is a 1-D (mono) or (n_frames,
+    n_channels) int16 array; standard 44-byte canonical header."""
+    import struct
+
+    import numpy as np
+
+    arr = np.asarray(samples, dtype=np.int16)
+    if arr.ndim == 1:
+        arr = arr[:, None]
+    n_frames, n_channels = arr.shape
+    data = arr.tobytes()  # interleaved little-endian, as WAV wants
+    byte_rate = sample_rate * n_channels * 2
+    block_align = n_channels * 2
+    hdr = b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+    fmt = b"fmt " + struct.pack(
+        "<IHHIIHH", 16, 1, n_channels, sample_rate, byte_rate, block_align, 16
+    )
+    return hdr + fmt + b"data" + struct.pack("<I", len(data)) + data
+
+
+def decode_wav(payload: bytes):
+    """REAL audio decode, zero dependencies: RIFF/WAVE PCM16 → (int16
+    array of shape (n_frames, n_channels), sample_rate). Walks the chunk
+    list (tolerates extra chunks like LIST/fact); only uncompressed
+    16-bit PCM (format tag 1) is supported — compressed codecs (MP3/AAC/
+    OGG) need a library absent from this container."""
+    import struct
+
+    import numpy as np
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, n_channels, sample_rate, bits, data = 12, None, None, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (size,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            tag, n_channels, sample_rate = struct.unpack("<HHI", body[:8])
+            (bits,) = struct.unpack("<H", body[14:16])
+            if tag != 1 or bits != 16:
+                raise NotImplementedError(
+                    "only uncompressed 16-bit PCM WAV is supported "
+                    f"(format tag={tag}, bits={bits})"
+                )
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if n_channels is None or data is None:
+        raise ValueError("WAV missing fmt or data chunk")
+    arr = np.frombuffer(data, dtype="<i2")
+    return arr.reshape(-1, n_channels), sample_rate
+
+
+def audio_features(payload: bytes) -> tuple[float, float, float, int, int]:
+    """Decode-backed audio features over a WAV payload: (duration_sec,
+    rms, peak, sample_rate, n_channels), amplitudes normalized to
+    [-1, 1] by the int16 full scale."""
+    import numpy as np
+
+    arr, rate = decode_wav(payload)
+    x = arr.astype(np.float64) / 32768.0
+    n = arr.shape[0]
+    rms = float(np.sqrt(np.mean(x * x))) if n else 0.0
+    peak = float(np.abs(x).max()) if n else 0.0
+    return n / rate, rms, peak, rate, arr.shape[1]
+
+
+AUDIO_FEATURE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("duration_sec", DoubleType()),
+        StructField("rms", DoubleType()),
+        StructField("peak", DoubleType()),
+        StructField("sample_rate", LongType()),
+        StructField("n_channels", LongType()),
+    ]
+)
+
+
+def extract_audio_features(media: DataFrame) -> DataFrame:
+    """Arrow-batched WAV feature extraction (duration/rms/peak) —
+    narrow mapInPandas, same scale contract as the image path: raw
+    bytes never leave the stage, downstream carries only features."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            rows = [
+                audio_features(bytes(p) if p is not None else b"")
+                for p in batch["payload"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": batch["media_id"],
+                    "duration_sec": [r[0] for r in rows],
+                    "rms": [r[1] for r in rows],
+                    "peak": [r[2] for r in rows],
+                    "sample_rate": [r[3] for r in rows],
+                    "n_channels": [r[4] for r in rows],
+                }
+            )
+
+    return media.mapInPandas(extract, schema=AUDIO_FEATURE_SCHEMA)
+
+
+def attach_fake_audio(df: DataFrame, id_col: str) -> DataFrame:
+    """Deterministic WAV fixture generator: a ±A square wave whose
+    amplitude and length are closed-form functions of the id — so an
+    independent engine can predict duration/rms/peak WITHOUT decoding
+    (rms of a ±A square wave is exactly A). The payload itself is a
+    fully real RIFF/WAVE file built per-batch in Arrow stages."""
+    import numpy as np
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            payloads = []
+            for mid in batch["media_id"]:
+                amp = 1 + (int(mid) % 100) * 300
+                n = 4000 + (int(mid) % 7) * 2000
+                wave = np.full(n, amp, dtype=np.int16)
+                wave[1::2] = -amp
+                payloads.append(encode_wav(wave, 16000))
+            yield pd.DataFrame(
+                {
+                    "media_id": batch["media_id"],
+                    "mime": [WAV_MIME] * len(batch),
+                    "payload": payloads,
+                }
+            )
+
+    ids = df.select(F.col(id_col).alias("media_id"))
+    return ids.mapInPandas(gen, schema=MEDIA_SCHEMA)
+
+
 def fake_decode_features(payload: bytes) -> tuple[int, float, str]:
     """Deterministic stand-in for decode+feature-extract: byte length,
     byte mean, md5 fingerprint."""

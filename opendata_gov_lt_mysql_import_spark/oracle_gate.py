@@ -56,18 +56,23 @@ def duckdb_connect(sf_dir: str):
     return con
 
 
-def check_query(spark, con, sf_dir: str, name: str, fn, oracle: str | None):
-    """Run one query on both engines and compare. Returns None on
-    success, else a short failure description."""
+def check_query(spark, con, sf_dir: str, fn, oracle: str | None):
+    """Run one query on both engines and compare. Returns
+    ``(None, spark_row_count)`` on success, else
+    ``(failure_description, spark_row_count_or_-1)``."""
     try:
         sdf = fn(spark, sf_dir)
         spark_cols = sorted(sdf.columns)
         srows = sdf.collect()
     except Exception as e:  # noqa: BLE001
-        return f"spark error: {e}"
+        return f"spark error: {e}", -1
 
-    # driver-canonicalizer hazard: its pandas sort factorizes values;
-    # unhashable cells (lists) turn the row red even when values match
+    # driver-canonicalizer hazards: its pandas path (a) sorts over all
+    # result columns — unhashable cells like raw arrays turn a row red
+    # even when values match (round-1 lesson) — and (b) coerces datetime
+    # columns to datetime64[ns] — timestamps past 2262-04-11 raise
+    # OutOfBoundsDatetime before any comparison runs (round-3 lesson:
+    # the scd2 9999-12-31 sentinel)
     try:
         import pandas as pd
 
@@ -76,22 +81,30 @@ def check_query(spark, con, sf_dir: str, name: str, fn, oracle: str | None):
         )
         if len(pdf):
             pdf.sort_values(by=spark_cols)
-    except TypeError as e:
-        return f"driver-canonicalizer hazard: {e}"
+        dt_cols = [
+            f.name
+            for f in sdf.schema.fields
+            if f.dataType.typeName() in ("timestamp", "timestamp_ntz", "date")
+        ]
+        for c in dt_cols:
+            pd.to_datetime(pdf[c], errors="raise")
+    except (TypeError, ValueError) as e:
+        # pd.errors.OutOfBoundsDatetime subclasses ValueError
+        return f"driver-canonicalizer hazard: {e}", len(srows)
 
     if oracle is None:
-        return None  # rows-only query; reason pinned in test_registry
+        return None, len(srows)  # rows-only query; reason pinned in test_registry
 
     try:
         ddf = con.execute(oracle).fetch_df()
     except Exception as e:  # noqa: BLE001
-        return f"duckdb error: {e}"
+        return f"duckdb error: {e}", len(srows)
 
     duck_cols = sorted(ddf.columns)
     if spark_cols != duck_cols:
-        return f"columns differ spark={spark_cols} duck={duck_cols}"
+        return f"columns differ spark={spark_cols} duck={duck_cols}", len(srows)
     if len(srows) != len(ddf):
-        return f"rowcount spark={len(srows)} duck={len(ddf)}"
+        return f"rowcount spark={len(srows)} duck={len(ddf)}", len(srows)
     smap = Counter(_row_key([r[c] for c in spark_cols]) for r in srows)
     dmap = Counter(
         _row_key([rec[c] for c in duck_cols]) for rec in ddf.to_dict("records")
@@ -99,5 +112,5 @@ def check_query(spark, con, sf_dir: str, name: str, fn, oracle: str | None):
     if smap != dmap:
         sonly = list((smap - dmap).keys())[:2]
         donly = list((dmap - smap).keys())[:2]
-        return f"values differ; spark-only={sonly} duck-only={donly}"
-    return None
+        return f"values differ; spark-only={sonly} duck-only={donly}", len(srows)
+    return None, len(srows)

@@ -1427,6 +1427,41 @@ def multimodal_features_q(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "audio_features",
+    """
+    SELECT doc_id AS media_id,
+           CAST(250 + (doc_id % 7) * 125 AS BIGINT) AS duration_ms,
+           CAST(1 + (doc_id % 100) * 300 AS BIGINT) AS rms_i16,
+           CAST(1 + (doc_id % 100) * 300 AS BIGINT) AS peak_i16,
+           CAST(16000 AS BIGINT) AS sample_rate,
+           CAST(1 AS BIGINT) AS n_channels
+    FROM documents
+    """,
+)
+def audio_features_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Audio feature extraction through the driver gate: deterministic
+    ±A square-wave WAV payloads (amplitude/length closed-form in
+    doc_id) are REALLY encoded to RIFF/WAVE bytes and REALLY decoded
+    back (chunk walk + PCM16 parse, operators/multimodal.py) inside
+    Arrow mapInPandas stages; duration/rms/peak come from the decoded
+    samples. The oracle predicts them analytically — rms of a ±A square
+    wave is exactly A — so any header/parse/scaling bug breaks the
+    match. All-integer output: no float bridge hazards."""
+    from .operators.multimodal import attach_fake_audio, extract_audio_features
+
+    d = _spread(load_table(spark, sf, "documents"))
+    feats = extract_audio_features(attach_fake_audio(d, "doc_id"))
+    return feats.select(
+        "media_id",
+        F.round(F.col("duration_sec") * 1000).cast("long").alias("duration_ms"),
+        F.round(F.col("rms") * 32768).cast("long").alias("rms_i16"),
+        F.round(F.col("peak") * 32768).cast("long").alias("peak_i16"),
+        F.col("sample_rate").cast("long").alias("sample_rate"),
+        F.col("n_channels").cast("long").alias("n_channels"),
+    )
+
+
+@query(
     "tfidf_cosine_pairs",
     r"""
     WITH toks AS (

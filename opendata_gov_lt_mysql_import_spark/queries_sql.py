@@ -443,9 +443,10 @@ def rolling_7d_revenue(spark: SparkSession, sf: str) -> DataFrame:
           IS DISTINCT FROM event_type
     )
     SELECT user_id, event_type, ts AS valid_from,
-           coalesce(lead(ts) OVER (
+           strftime(coalesce(lead(ts) OVER (
                PARTITION BY user_id ORDER BY ts, event_id),
-               TIMESTAMP '9999-12-31 00:00:00') AS valid_to,
+               TIMESTAMP '9999-12-31 00:00:00'),
+               '%Y-%m-%dT%H:%M:%S.%f') AS valid_to,
            CAST(lead(ts) OVER (
                PARTITION BY user_id ORDER BY ts, event_id) IS NULL
                 AS BIGINT) AS is_current
@@ -472,14 +473,17 @@ def scd2_user_event_type(spark: SparkSession, sf: str) -> DataFrame:
     )
     w2 = Window.partitionBy("user_id").orderBy("ts", "event_id")
     nxt = F.lead("ts").over(w2)
-    # open intervals close at the SCD2 far-future sentinel, not NULL —
-    # null timestamps normalize differently across the pandas bridge
+    # valid_to is emitted as an ISO string (F7 convention): the open
+    # interval closes at the 9999-12-31 SCD2 sentinel, which overflows
+    # pandas' datetime64[ns] range — as a string it never crosses the
+    # timestamp bridge on either engine
     return chg.select(
         "user_id",
         "event_type",
         F.col("ts").alias("valid_from"),
-        F.coalesce(
-            nxt, F.lit("9999-12-31 00:00:00").cast("timestamp")
+        F.date_format(
+            F.coalesce(nxt, F.lit("9999-12-31 00:00:00").cast("timestamp")),
+            "yyyy-MM-dd'T'HH:mm:ss.SSSSSS",
         ).alias("valid_to"),
         nxt.isNull().cast("long").alias("is_current"),
     )

@@ -39,17 +39,33 @@ EVENT_SCHEMA = StructType(
 
 
 # JSON's default timestamp format truncates to milliseconds; fixture
-# events carry microseconds, so writers/readers must agree on this.
+# events carry microseconds. Kept for the JSON read path, but note the
+# current Spark JSON *writer* ignores timestampFormat entirely (emits
+# millis, no zone) — a JSON round-trip can never preserve microsecond
+# event times, which is why staging uses parquet.
 JSON_TS_FORMAT = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
 
 
-def read_event_stream(spark: SparkSession, path: str, fmt: str = "json") -> DataFrame:
+def read_event_stream(
+    spark: SparkSession, path: str, fmt: str = "parquet"
+) -> DataFrame:
     """File-source stream over an events directory (the streaming analog
-    of the staging source S11)."""
+    of the staging source S11).
+
+    Default format is parquet — matching the S10/S11 staging contract —
+    because it round-trips TimestampType at full microsecond fidelity.
+    JSON staging is supported for interop but loses sub-millisecond
+    precision on write (the writer ignores ``timestampFormat``)."""
     reader = spark.readStream.format(fmt).schema(EVENT_SCHEMA)
     if fmt == "json":
         reader = reader.option("timestampFormat", JSON_TS_FORMAT)
     return reader.load(path)
+
+
+def stage_events(events: DataFrame, path: str, n_files: int = 4) -> None:
+    """Stage a batch of events for streaming consumption (parquet,
+    microsecond-exact — the writer half of :func:`read_event_stream`)."""
+    events.coalesce(n_files).write.mode("append").parquet(path)
 
 
 def windowed_counts(
@@ -79,10 +95,18 @@ def windowed_counts(
 
 
 def run_to_memory(
-    stream_df: DataFrame, query_name: str, output_mode: str = "complete"
+    stream_df: DataFrame,
+    query_name: str,
+    output_mode: str = "complete",
+    expect_input: bool = True,
 ) -> None:
     """Drain a stream into an in-memory table with the availableNow
-    trigger (test/debug harness)."""
+    trigger (test/debug harness).
+
+    ``expect_input`` is a format-regression canary: a source whose rows
+    all fail to parse (e.g. a timestamp-format mismatch) yields an empty
+    aggregate that downstream comparisons report confusingly; asserting
+    the source actually delivered rows surfaces the real cause."""
     q = (
         stream_df.writeStream.format("memory")
         .queryName(query_name)
@@ -91,6 +115,12 @@ def run_to_memory(
         .start()
     )
     q.awaitTermination()
+    if expect_input:
+        n_in = sum(p["numInputRows"] for p in (q.recentProgress or []))
+        assert n_in > 0, (
+            f"stream '{query_name}' consumed 0 input rows — source "
+            "path empty or schema/format mismatch dropped every row"
+        )
 
 
 def foreach_batch_upsert(

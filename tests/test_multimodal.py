@@ -39,6 +39,71 @@ class TestMultimodal:
         with_comment = b"P6\n# a comment\n6 4\n255\n" + img.tobytes()
         assert np.array_equal(decode_ppm(with_comment), img)
 
+    def test_wav_roundtrip_and_features(self):
+        import numpy as np
+
+        from opendata_gov_lt_mysql_import_spark.operators.multimodal import (
+            audio_features,
+            decode_wav,
+            encode_wav,
+        )
+
+        # mono sine-ish ramp, stereo interleave, chunk tolerance
+        mono = (np.arange(-500, 500, dtype=np.int16)) * 30
+        arr, rate = decode_wav(encode_wav(mono, 8000))
+        assert rate == 8000 and arr.shape == (1000, 1)
+        assert np.array_equal(arr[:, 0], mono)
+
+        stereo = np.stack([mono, -mono], axis=1)
+        arr2, _ = decode_wav(encode_wav(stereo, 44100))
+        assert arr2.shape == (1000, 2)
+        assert np.array_equal(arr2, stereo)
+
+        # square wave ±A: rms == peak == A/32768 exactly
+        a = 12000
+        sq = np.full(4000, a, dtype=np.int16)
+        sq[1::2] = -a
+        dur, rms, peak, sr, ch = audio_features(encode_wav(sq, 16000))
+        assert (dur, sr, ch) == (0.25, 16000, 1)
+        assert rms == a / 32768.0 and peak == a / 32768.0
+
+    def test_wav_rejects_non_pcm(self):
+        from opendata_gov_lt_mysql_import_spark.operators.multimodal import (
+            decode_wav,
+        )
+
+        with pytest.raises(ValueError):
+            decode_wav(b"OggS" + b"\0" * 40)
+        # IEEE-float format tag (3) is a real WAV but not PCM16
+        import struct
+
+        hdr = (
+            b"RIFF" + struct.pack("<I", 36) + b"WAVE"
+            + b"fmt " + struct.pack("<IHHIIHH", 16, 3, 1, 16000, 64000, 4, 32)
+            + b"data" + struct.pack("<I", 0)
+        )
+        with pytest.raises(NotImplementedError):
+            decode_wav(hdr)
+
+    def test_audio_features_spark_stage(self, spark, sf_dir):
+        """attach_fake_audio → extract_audio_features over real Spark
+        batches: closed-form duration/rms/peak per media_id."""
+        from opendata_gov_lt_mysql_import_spark.operators.multimodal import (
+            attach_fake_audio,
+            extract_audio_features,
+        )
+
+        docs = load_table(spark, sf_dir, "documents").limit(40)
+        out = extract_audio_features(attach_fake_audio(docs, "doc_id")).collect()
+        assert len(out) == 40
+        for r in out:
+            amp = 1 + (r["media_id"] % 100) * 300
+            n = 4000 + (r["media_id"] % 7) * 2000
+            assert r["duration_sec"] == n / 16000
+            assert round(r["rms"] * 32768) == amp
+            assert round(r["peak"] * 32768) == amp
+            assert (r["sample_rate"], r["n_channels"]) == (16000, 1)
+
     def test_ppm_real_resize_and_features(self, spark):
         """End-to-end real-pixel path: PPM payloads through the Spark
         resize + feature stages; nearest-neighbor values and pixel means

@@ -18,6 +18,31 @@ from opendata_gov_lt_mysql_import_spark.oracle_gate import (
 SF_ORACLE = "/root/testdata/sf0.01"
 
 
+def test_gate_rejects_out_of_pandas_range_timestamps(spark):
+    """Driver-hazard probe: a result column holding the 9999-12-31 SCD2
+    sentinel must turn the gate red (the driver's canonicalizer coerces
+    datetimes to datetime64[ns], whose max is 2262-04-11) — this is the
+    in-CI replica of the round-3 scd2_user_event_type driver failure."""
+    from pyspark.sql import functions as F
+
+    def bad_query(spark, sf_dir):
+        return spark.range(1).select(
+            F.lit("9999-12-31 00:00:00").cast("timestamp").alias("valid_to")
+        )
+
+    err, nrows = check_query(spark, None, SF_ORACLE, bad_query, None)
+    assert err is not None and "hazard" in err
+    assert nrows == 1
+
+    def good_query(spark, sf_dir):
+        return spark.range(1).select(
+            F.lit("2024-01-01 00:00:00").cast("timestamp").alias("valid_to")
+        )
+
+    err, nrows = check_query(spark, None, SF_ORACLE, good_query, None)
+    assert err is None and nrows == 1
+
+
 @pytest.mark.slow
 def test_every_registry_query_matches_oracle(spark):
     queries = entrymod.queries()
@@ -25,7 +50,7 @@ def test_every_registry_query_matches_oracle(spark):
     con = duckdb_connect(SF_ORACLE)
     failures = {}
     for name, fn in queries.items():
-        err = check_query(spark, con, SF_ORACLE, name, fn, oracles.get(name))
+        err, _nrows = check_query(spark, con, SF_ORACLE, fn, oracles.get(name))
         if err is not None:
             failures[name] = err
     assert not failures, "\n".join(f"{k}: {v}" for k, v in failures.items())

@@ -16,13 +16,13 @@ from opendata_gov_lt_mysql_import_spark.streaming.sessionize import (
 
 
 @pytest.fixture(scope="module")
-def events_json_dir(spark, sf_dir, tmp_path_factory):
-    path = str(tmp_path_factory.mktemp("events_json_sess"))
-    from opendata_gov_lt_mysql_import_spark.streaming.events import JSON_TS_FORMAT
+def events_stage_dir(spark, sf_dir, tmp_path_factory):
+    # parquet staging: microsecond-exact ts round-trip (JSON staging
+    # can't preserve it — the JSON writer ignores timestampFormat)
+    from opendata_gov_lt_mysql_import_spark.streaming.events import stage_events
 
-    load_table(spark, sf_dir, "events").coalesce(4).write.mode("overwrite").option(
-        "timestampFormat", JSON_TS_FORMAT
-    ).json(path)
+    path = str(tmp_path_factory.mktemp("events_stage_sess"))
+    stage_events(load_table(spark, sf_dir, "events"), path)
     return path
 
 
@@ -35,9 +35,9 @@ class TestSessionize:
             assert r["session_end"] > r["session_start"]
             assert r["n_events"] >= 1
 
-    def test_stream_matches_batch(self, spark, sf_dir, events_json_dir):
+    def test_stream_matches_batch(self, spark, sf_dir, events_stage_dir):
         batch = sessionize(load_table(spark, sf_dir, "events"), gap="4 hours")
-        stream = sessionize(read_event_stream(spark, events_json_dir), gap="4 hours")
+        stream = sessionize(read_event_stream(spark, events_stage_dir), gap="4 hours")
         assert stream.isStreaming
         q = (
             stream.writeStream.format("memory")
@@ -59,8 +59,8 @@ class TestSessionize:
 
 
 class TestRunningUserTotals:
-    def test_stateful_totals_match_batch(self, spark, sf_dir, events_json_dir):
-        stream = read_event_stream(spark, events_json_dir)
+    def test_stateful_totals_match_batch(self, spark, sf_dir, events_stage_dir):
+        stream = read_event_stream(spark, events_stage_dir)
         totals = running_user_totals(stream)
         q = (
             totals.writeStream.format("memory")

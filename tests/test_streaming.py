@@ -9,28 +9,60 @@ from pyspark.sql import functions as F
 
 from opendata_gov_lt_mysql_import_spark.sources.parquet import load_table
 from opendata_gov_lt_mysql_import_spark.streaming.events import (
+    EVENT_SCHEMA,
     foreach_batch_upsert,
     read_event_stream,
     run_to_memory,
+    stage_events,
     windowed_counts,
 )
 
 
 @pytest.fixture(scope="module")
-def events_json_dir(spark, sf_dir, tmp_path_factory):
-    path = str(tmp_path_factory.mktemp("events_json"))
-    from opendata_gov_lt_mysql_import_spark.streaming.events import JSON_TS_FORMAT
-
-    load_table(spark, sf_dir, "events").coalesce(4).write.mode("overwrite").option(
-        "timestampFormat", JSON_TS_FORMAT
-    ).json(path)
+def events_stage_dir(spark, sf_dir, tmp_path_factory):
+    # parquet staging: microsecond-exact ts round-trip (JSON staging
+    # can't preserve it — the JSON writer ignores timestampFormat)
+    path = str(tmp_path_factory.mktemp("events_stage"))
+    stage_events(load_table(spark, sf_dir, "events"), path)
     return path
 
 
+class TestStagingRoundTrip:
+    """Format-regression canary (round-3 lesson): the previous JSON
+    staging parsed every ts to NULL because the JSON writer ignores
+    timestampFormat, and the parity tests failed with a confusing
+    691-session diff. These asserts fail with the real cause."""
+
+    def test_ts_roundtrip_microsecond_exact(self, spark, sf_dir, events_stage_dir):
+        ev = load_table(spark, sf_dir, "events")
+        stream = read_event_stream(spark, events_stage_dir)
+        run_to_memory(
+            stream.select("event_id", "ts"), "raw_events", output_mode="append"
+        )
+        out = spark.table("raw_events")
+        assert out.filter(F.col("ts").isNull()).count() == 0
+        assert out.count() == ev.count()
+        # microsecond fidelity: every staged ts equals its batch twin
+        mismatched = (
+            out.alias("s")
+            .join(ev.alias("b"), "event_id")
+            .filter(F.col("s.ts") != F.col("b.ts"))
+            .count()
+        )
+        assert mismatched == 0
+
+    def test_empty_source_trips_input_canary(self, spark, tmp_path):
+        empty = str(tmp_path / "empty_events")
+        spark.createDataFrame([], EVENT_SCHEMA).write.mode("overwrite").parquet(empty)
+        stream = read_event_stream(spark, empty)
+        with pytest.raises(AssertionError, match="0 input rows"):
+            run_to_memory(stream.groupBy("event_type").count(), "empty_canary")
+
+
 class TestWindowedCounts:
-    def test_stream_matches_batch(self, spark, sf_dir, events_json_dir):
+    def test_stream_matches_batch(self, spark, sf_dir, events_stage_dir):
         batch = windowed_counts(load_table(spark, sf_dir, "events"))
-        stream = windowed_counts(read_event_stream(spark, events_json_dir))
+        stream = windowed_counts(read_event_stream(spark, events_stage_dir))
         assert stream.isStreaming
         run_to_memory(stream, "win_counts")
         got = {
@@ -53,8 +85,8 @@ class TestWindowedCounts:
 
 
 class TestForeachBatchUpsert:
-    def test_microbatch_callback(self, spark, events_json_dir, tmp_path):
-        stream = read_event_stream(spark, events_json_dir)
+    def test_microbatch_callback(self, spark, events_stage_dir, tmp_path):
+        stream = read_event_stream(spark, events_stage_dir)
         out_dir = str(tmp_path / "out")
 
         def apply_fn(df, batch_id):
@@ -72,15 +104,12 @@ class TestStreamingDedup:
         self, spark, sf_dir, tmp_path
     ):
         from opendata_gov_lt_mysql_import_spark.streaming.dedup import streaming_dedup
-        from opendata_gov_lt_mysql_import_spark.streaming.events import JSON_TS_FORMAT
 
         # events written twice -> every row has exactly one duplicate
         ev = load_table(spark, sf_dir, "events")
         dup_dir = str(tmp_path / "dup_events")
         for i in range(2):
-            ev.coalesce(2).write.mode("append").option(
-                "timestampFormat", JSON_TS_FORMAT
-            ).json(dup_dir)
+            stage_events(ev, dup_dir, n_files=2)
 
         keys = ["ts", "user_id", "event_type"]
         stream = read_event_stream(spark, dup_dir)
@@ -99,13 +128,10 @@ class TestStreamingDedup:
         from opendata_gov_lt_mysql_import_spark.streaming.dedup import (
             streaming_content_dedup,
         )
-        from opendata_gov_lt_mysql_import_spark.streaming.events import JSON_TS_FORMAT
 
         ev = load_table(spark, sf_dir, "events")
-        d = str(tmp_path / "ev_json")
-        ev.coalesce(2).write.mode("overwrite").option(
-            "timestampFormat", JSON_TS_FORMAT
-        ).json(d)
+        d = str(tmp_path / "ev_stage")
+        stage_events(ev, d, n_files=2)
         stream = read_event_stream(spark, d)
         deduped = streaming_content_dedup(stream, "event_type", ts_col="ts")
         run_to_memory(deduped, "content_dedup_out", output_mode="append")

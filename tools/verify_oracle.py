@@ -36,14 +36,14 @@ def main() -> int:
     for name, fn in queries.items():
         if only and name not in only:
             continue
-        err = check_query(spark, con, sf_dir, name, fn, oracles.get(name))
+        err, nrows = check_query(spark, con, sf_dir, fn, oracles.get(name))
         if err is not None:
             failures.append(name)
             print(f"FAIL {name}: {err}")
         elif name not in oracles:
-            print(f"ok   {name}: rows-only (no oracle)")
+            print(f"ok   {name}: rows-only (no oracle), {nrows} rows")
         else:
-            print(f"ok   {name}")
+            print(f"ok   {name}: {nrows} rows")
 
     print(f"\n{len(failures)} failures" if failures else "\nALL MATCH")
     return 1 if failures else 0
