@@ -1462,6 +1462,44 @@ def audio_features_q(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "pagerank_one_iter",
+    """
+    WITH e AS (
+        SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+    ), d AS (
+        SELECT l_partkey, count(*) AS deg FROM e GROUP BY 1
+    )
+    SELECT e.l_suppkey AS suppkey,
+           round(0.15 + 0.85 * sum(1.0 / d.deg), 4) AS pagerank
+    FROM e JOIN d USING (l_partkey)
+    GROUP BY e.l_suppkey
+    """,
+)
+def pagerank_one_iter_q(spark: SparkSession, sf: str) -> DataFrame:
+    """One PageRank iteration (d=0.85, uniform unit prior) over the
+    part→supplier edge graph — graph message passing expressed as the
+    join+agg Spark idiom: out-degree agg, per-edge contribution join,
+    receiver-side sum. Complements dup_clusters' unweighted iterative
+    min-propagation with WEIGHTED propagation. At 100 TB: edges shuffle
+    once on sender for the degree join (AQE picks broadcast when the
+    degree side fits), once on receiver for the sum; a K-iteration loop
+    reuses the degree table and localCheckpoints each rank to cut
+    lineage, exactly as operators/dedup.py's component loop does."""
+    li = load_table(spark, sf, "lineitem")
+    e = li.select("l_partkey", "l_suppkey").distinct()
+    deg = e.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("deg"))
+    return (
+        e.join(deg, "l_partkey")
+        .groupBy(F.col("l_suppkey").alias("suppkey"))
+        .agg(
+            F.round(
+                F.lit(0.15) + F.lit(0.85) * F.sum(F.lit(1.0) / F.col("deg")), 4
+            ).alias("pagerank")
+        )
+    )
+
+
+@query(
     "tfidf_cosine_pairs",
     r"""
     WITH toks AS (

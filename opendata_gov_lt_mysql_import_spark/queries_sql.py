@@ -432,6 +432,52 @@ def rolling_7d_revenue(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# EWMA weights a(1-a)^j with a=1/2: every weight is an exact power of
+# two, so the weighted terms are exact FP scalings and both engines
+# produce bitwise-identical sums when the addition order matches (the
+# generated expression is the same left-to-right chain on both sides).
+_EWMA_WEIGHTS = [0.5** (j + 1) for j in range(8)]
+
+
+@query(
+    "events_ewma",
+    """
+    SELECT user_id, event_id, ts,
+           """
+    + " + ".join(
+        f"{w!r} * coalesce(lag(value, {j}) OVER w, 0.0)"
+        for j, w in enumerate(_EWMA_WEIGHTS)
+    )
+    + """ AS ewma_value
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def events_ewma(spark: SparkSession, sf: str) -> DataFrame:
+    """Exponentially-weighted moving average of event value per user
+    (trailing 8 events, a=1/2, zero-padded head) — the classic
+    time-series smoothing feature for training-data pipelines. The
+    recursive EWMA definition is unrolled into a fixed 8-term lag dot
+    product: one window (ONE shuffle on user_id, all 8 lags share the
+    same sort), whole-stage-codegen arithmetic, no state. At 100 TB the
+    trailing-K unroll is the scalable form — the infinite-history
+    closed form needs pow(1-a, -i) factors that overflow doubles."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    terms = None
+    for j, wt in enumerate(_EWMA_WEIGHTS):
+        t = F.lit(wt) * F.coalesce(F.lag("value", j).over(w), F.lit(0.0))
+        terms = t if terms is None else terms + t
+    # deliberately UNROUNDED: the 8-term chain is evaluated in the same
+    # left-to-right order on both engines over bitwise-equal inputs, so
+    # the doubles match exactly — while decimal rounding would DIVERGE
+    # (power-of-two weights make exact .5-at-digit-N ties common, and
+    # Spark/DuckDB break them differently)
+    return ev.select("user_id", "event_id", "ts", terms.alias("ewma_value"))
+
+
 @query(
     "scd2_user_event_type",
     """
@@ -513,9 +559,12 @@ def profile_orders(spark: SparkSession, sf: str) -> DataFrame:
     map-side) — at 100 TB switch the cardinalities to approx_count_
     distinct and the scan stays one pass with no Expand."""
     # compact fixture parquet arrives as ONE partition; the Expand for
-    # exact multi-column distinct then runs single-core. Spread first.
+    # exact multi-column distinct then runs single-core. Project to the
+    # profiled columns BEFORE spreading — Catalyst doesn't push the
+    # projection below an explicit round-robin Exchange, so an unpruned
+    # repartition would shuffle every column of the table.
     par = spark.sparkContext.defaultParallelism
-    o = load_table(spark, sf, "orders").repartition(par)
+    o = load_table(spark, sf, "orders").select(*_PROFILE_COLS).repartition(par)
     aggs = []
     for c in _PROFILE_COLS:
         aggs += [
