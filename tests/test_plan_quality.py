@@ -170,3 +170,28 @@ def test_decontamination_broadcasts_eval_grams(spark, sf_dir, queries):
 def test_hash_split_is_shuffle_free(spark, sf_dir, queries):
     plan = final_plan(queries["split_train_test"](spark, sf_dir))
     assert "Exchange" not in plan
+
+
+def test_j3_bridge_collect_is_single_exchange(spark, sf_dir, queries):
+    """collect_set dedups inside the map-side partial aggregate — the
+    bridge+collect must cost exactly ONE hash exchange (fact key), not
+    a distinct exchange followed by a group-by exchange."""
+    plan = final_plan(queries["j3_mn_collect"](spark, sf_dir))
+    final = plan.split("== Initial Plan ==")[0]
+    assert "BroadcastHashJoin" in final  # dim side broadcast
+    assert final.count("Exchange hashpartitioning") == 1, final
+
+
+def test_ewma_is_one_window_exchange(spark, sf_dir, queries):
+    """The 8-term lag dot product must share one user_id shuffle+sort —
+    per-lag windows would multiply sorts."""
+    plan = final_plan(queries["events_ewma"](spark, sf_dir))
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("Exchange hashpartitioning") == 1, final
+    assert final.count("Window") == 1, final
+
+
+def test_pagerank_has_no_cartesian(spark, sf_dir, queries):
+    plan = final_plan(queries["pagerank_one_iter"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
