@@ -82,3 +82,94 @@ def assign_contiguous_ids(
             yield out
 
     return ranged.mapInPandas(gen, schema=out_schema)
+
+
+def prefix_sum(
+    df: DataFrame,
+    value_col: str,
+    order_cols: list[str],
+    out_col: str = "running_total",
+    exclusive: bool = False,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Distributed running sum of ``value_col`` in the global order of
+    ``order_cols`` — ``sum() OVER (ORDER BY ...)`` without the
+    single-partition global window. Same two-pass shape as
+    :func:`assign_contiguous_ids`: range shuffle, per-partition subtotal
+    to the driver (one long per partition), vectorized within-partition
+    cumsum plus the partition's exclusive offset. ``exclusive=True``
+    yields the sum of strictly-preceding rows (0 for the first row)."""
+    spark = df.sparkSession
+    n = num_partitions or spark.sparkContext.defaultParallelism
+    ranged = (
+        df.repartitionByRange(n, *order_cols)
+        .sortWithinPartitions(*order_cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+
+    subtotals = {
+        r["_pid"]: r["s"]
+        for r in ranged.groupBy("_pid")
+        .agg(F.sum(F.col(value_col)).alias("s"))
+        .collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(subtotals):
+        offsets[pid] = acc
+        acc += subtotals[pid] or 0
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    out_schema = StructType(
+        [f for f in df.schema.fields] + [StructField(out_col, LongType(), False)]
+    )
+    in_cols = [f.name for f in df.schema.fields]
+
+    def gen(batches):
+        base = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if base is None:
+                base = offsets[int(pdf["_pid"].iloc[0])]
+            vals = pdf[value_col].fillna(0).astype("int64")
+            cum = vals.cumsum()
+            out = pdf[in_cols].copy()
+            out[out_col] = base + (cum - vals if exclusive else cum)
+            base += int(vals.sum())
+            yield out
+
+    return ranged.mapInPandas(gen, schema=out_schema)
+
+
+def shard_by_budget(
+    df: DataFrame,
+    value_col: str,
+    order_cols: list[str],
+    budget: int,
+    shard_col: str = "shard_id",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Budget-balanced shard assignment for training-data export: rows
+    are laid out in ``order_cols`` order and cut into shards of
+    ~``budget`` total ``value_col`` (tokens/chars/bytes) — each row
+    lands in the shard where its EXCLUSIVE running total falls, so no
+    shard starts past its budget and shard sizes stay within one row of
+    the target. Row-count repartition can't do this: 1000 tiny docs and
+    1000 book-length docs are "balanced" by count and 100x apart by
+    tokens. Cost: the prefix-sum range shuffle — nothing else."""
+    cum = prefix_sum(
+        df,
+        value_col,
+        order_cols,
+        out_col="_cum_excl",
+        exclusive=True,
+        num_partitions=num_partitions,
+    )
+    # integer division, NOT float-divide-then-cast: Spark's double→long
+    # cast truncates while DuckDB's rounds, so only `DIV`/`//` gives the
+    # same shard id on both engines
+    return cum.withColumn(
+        shard_col, F.expr(f"_cum_excl DIV {int(budget)}")
+    ).drop("_cum_excl")

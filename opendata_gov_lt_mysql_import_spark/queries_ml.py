@@ -1818,6 +1818,31 @@ def assign_row_ids_q(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "shard_by_token_budget",
+    """
+    SELECT doc_id, n_chars,
+           CAST((sum(n_chars) OVER (ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            - n_chars) // 20000 AS BIGINT) AS shard_id
+    FROM documents
+    """,
+)
+def shard_by_token_budget_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Budget-balanced export sharding: documents cut into ~20k-char
+    shards in doc_id order. The oracle's running-sum window is again the
+    single-partition plan that cannot scale; the Spark side computes the
+    SAME exclusive prefix sum distributed (range shuffle + per-partition
+    subtotals + vectorized cumsum, operators/global_ids.py) — one long
+    per partition is all the driver sees. Row-count repartition can't
+    balance by payload; this is the export stage every token-budgeted
+    training pipeline runs."""
+    from .operators.global_ids import shard_by_budget
+
+    d = load_table(spark, sf, "documents").select("doc_id", "n_chars")
+    return shard_by_budget(d, "n_chars", ["doc_id"], budget=20000)
+
+
+@query(
     "minhash_lsh_pairs_md5",
     f"""
     WITH docs AS ({_DUP_UNION_SQL}),
