@@ -1,0 +1,149 @@
+"""Versioned snapshot tables: atomic commits + time travel over plain
+parquet, dependency-free.
+
+A long-lived training corpus needs what Delta/Iceberg provide — readers
+never see half-written data, exports are reproducible ("train run X
+used table version 7"), and bad commits roll back by reading the prior
+version. Neither format's library is in this container, so this module
+implements the core mechanism directly: **copy-on-write manifests over
+immutable data files**.
+
+Layout:
+
+    table_dir/
+      data/<commit-uuid>/part-*.parquet   immutable once written
+      _manifests/v3.json                  file list + schema + parent
+
+A commit (1) writes new data files into a fresh ``data/<uuid>/`` dir,
+(2) builds a manifest listing the EXACT file paths of the new version
+(append = parent's files + new files; overwrite = new files only), and
+(3) publishes it with an atomic ``os.rename`` — the manifest either
+exists completely or not at all, so a reader enumerating versions never
+observes a torn commit. Data files are never mutated or deleted by
+commits; vacuuming unreferenced files is a separate maintenance pass.
+
+Readers load the manifest (latest or a pinned ``version``) and hand
+Spark the explicit file list with the recorded schema — no directory
+listing, no footer merge, no visibility of in-flight writer dirs.
+
+Scale notes: one manifest is a JSON file listing file paths — fine to
+millions of files per table at 100 TB (a few hundred MB of driver-side
+JSON at the extreme; real table formats shard manifests, noted here as
+the growth path). The data write itself is whatever parallelism the
+DataFrame carries; the commit-side work is O(#files) strings.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+_MANIFEST_DIR = "_manifests"
+
+
+def _manifest_path(table_dir: str, version: int) -> str:
+    return os.path.join(table_dir, _MANIFEST_DIR, f"v{version}.json")
+
+
+def current_version(table_dir: str) -> int | None:
+    """Latest committed version, or None for an empty/absent table."""
+    mdir = os.path.join(table_dir, _MANIFEST_DIR)
+    if not os.path.isdir(mdir):
+        return None
+    versions = [
+        int(f[1:-5])
+        for f in os.listdir(mdir)
+        if f.startswith("v") and f.endswith(".json")
+    ]
+    return max(versions) if versions else None
+
+
+def _load_manifest(table_dir: str, version: int) -> dict:
+    with open(_manifest_path(table_dir, version)) as fh:
+        return json.load(fh)
+
+
+def commit_snapshot(
+    df: DataFrame, table_dir: str, mode: str = "append"
+) -> int:
+    """Write ``df`` as a new table version and atomically publish it.
+
+    ``mode='append'`` stacks onto the parent version's file list;
+    ``mode='overwrite'`` starts the version from only the new files.
+    Returns the committed version number. Readers running concurrently
+    keep seeing the parent version until the rename lands."""
+    if mode not in ("append", "overwrite"):
+        raise ValueError(f"mode must be append|overwrite, got {mode!r}")
+    commit_id = uuid.uuid4().hex
+    data_dir = os.path.join(table_dir, "data", commit_id)
+    df.write.mode("error").parquet(data_dir)
+    new_files = sorted(
+        os.path.join("data", commit_id, f)
+        for f in os.listdir(data_dir)
+        if f.endswith(".parquet")
+    )
+
+    parent = current_version(table_dir)
+    files = list(new_files)
+    if mode == "append" and parent is not None:
+        files = _load_manifest(table_dir, parent)["files"] + files
+
+    version = 0 if parent is None else parent + 1
+    manifest = {
+        "version": version,
+        "parent": parent,
+        "mode": mode,
+        "schema": df.schema.json(),
+        "files": files,
+    }
+    mdir = os.path.join(table_dir, _MANIFEST_DIR)
+    os.makedirs(mdir, exist_ok=True)
+    tmp = os.path.join(mdir, f".v{version}.{commit_id}.tmp")
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh)
+    final = _manifest_path(table_dir, version)
+    if os.path.exists(final):
+        os.remove(tmp)
+        raise RuntimeError(
+            f"concurrent commit detected: version {version} already exists"
+        )
+    os.rename(tmp, final)  # atomic publish
+    return version
+
+
+def read_snapshot(
+    spark: SparkSession, table_dir: str, version: int | None = None
+) -> DataFrame:
+    """Read a table version (latest when ``version`` is None): the
+    manifest's explicit file list under its recorded schema — immune to
+    in-flight writers and stray files."""
+    v = current_version(table_dir) if version is None else version
+    if v is None or not os.path.exists(_manifest_path(table_dir, v)):
+        raise FileNotFoundError(f"no snapshot version {version} in {table_dir}")
+    m = _load_manifest(table_dir, v)
+    schema = StructType.fromJson(json.loads(m["schema"]))
+    if not m["files"]:
+        return spark.createDataFrame([], schema)
+    paths = [os.path.join(table_dir, f) for f in m["files"]]
+    return spark.read.schema(schema).parquet(*paths)
+
+
+def snapshot_history(table_dir: str) -> list[dict]:
+    """Commit log, oldest first: version, parent, mode, file count."""
+    v = current_version(table_dir)
+    out = []
+    for i in range((v + 1) if v is not None else 0):
+        m = _load_manifest(table_dir, i)
+        out.append(
+            {
+                "version": m["version"],
+                "parent": m["parent"],
+                "mode": m["mode"],
+                "n_files": len(m["files"]),
+            }
+        )
+    return out

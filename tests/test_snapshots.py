@@ -1,0 +1,68 @@
+"""Snapshot table format: atomic manifest commits, time travel,
+append/overwrite semantics (sources/snapshots.py)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from opendata_gov_lt_mysql_import_spark.sources.snapshots import (
+    commit_snapshot,
+    current_version,
+    read_snapshot,
+    snapshot_history,
+)
+
+
+class TestSnapshots:
+    def test_commit_read_time_travel(self, spark, tmp_path):
+        t = str(tmp_path / "tbl")
+        v0 = commit_snapshot(
+            spark.range(0, 100).withColumn("v", F.lit("a")), t
+        )
+        v1 = commit_snapshot(
+            spark.range(100, 150).withColumn("v", F.lit("b")), t
+        )
+        assert (v0, v1) == (0, 1)
+        assert current_version(t) == 1
+        # latest sees both commits (append default)
+        assert read_snapshot(spark, t).count() == 150
+        # time travel to v0
+        old = read_snapshot(spark, t, version=0)
+        assert old.count() == 100
+        assert old.agg(F.max("id")).collect()[0][0] == 99
+
+    def test_overwrite_resets_file_list(self, spark, tmp_path):
+        t = str(tmp_path / "tbl")
+        commit_snapshot(spark.range(0, 100), t)
+        commit_snapshot(spark.range(0, 7), t, mode="overwrite")
+        assert read_snapshot(spark, t).count() == 7
+        # parent version still fully readable (copy-on-write)
+        assert read_snapshot(spark, t, version=0).count() == 100
+        hist = snapshot_history(t)
+        assert [h["mode"] for h in hist] == ["append", "overwrite"]
+
+    def test_reader_ignores_uncommitted_files(self, spark, tmp_path):
+        t = str(tmp_path / "tbl")
+        commit_snapshot(spark.range(0, 10), t)
+        # a torn/in-flight writer drops files outside any manifest
+        stray = os.path.join(t, "data", "inflight")
+        spark.range(0, 999).write.parquet(stray)
+        assert read_snapshot(spark, t).count() == 10
+
+    def test_schema_is_pinned_per_version(self, spark, tmp_path):
+        t = str(tmp_path / "tbl")
+        commit_snapshot(spark.range(0, 5).withColumn("q", F.lit(1.5)), t)
+        df = read_snapshot(spark, t)
+        assert [f.name for f in df.schema.fields] == ["id", "q"]
+
+    def test_missing_version_raises(self, spark, tmp_path):
+        t = str(tmp_path / "tbl")
+        with pytest.raises(FileNotFoundError):
+            read_snapshot(spark, t)
+        commit_snapshot(spark.range(0, 1), t)
+        with pytest.raises(FileNotFoundError):
+            read_snapshot(spark, t, version=5)
