@@ -132,11 +132,38 @@ def read_snapshot(
     return spark.read.schema(schema).parquet(*paths)
 
 
+def vacuum(table_dir: str, keep_last: int = 2) -> list[str]:
+    """Delete data files referenced ONLY by versions older than the
+    ``keep_last`` most recent ones (and their manifests). The separate
+    maintenance pass that pairs with copy-on-write commits — never run
+    with readers pinned to vacuumed versions. Returns deleted paths."""
+    v = current_version(table_dir)
+    if v is None or keep_last < 1:
+        return []
+    keep_versions = range(max(0, v - keep_last + 1), v + 1)
+    keep_files = set()
+    for kv in keep_versions:
+        keep_files.update(_load_manifest(table_dir, kv)["files"])
+    deleted = []
+    for old in range(0, max(0, v - keep_last + 1)):
+        for f in _load_manifest(table_dir, old)["files"]:
+            if f not in keep_files:
+                p = os.path.join(table_dir, f)
+                if os.path.exists(p):
+                    os.remove(p)
+                    deleted.append(f)
+        os.remove(_manifest_path(table_dir, old))
+    return deleted
+
+
 def snapshot_history(table_dir: str) -> list[dict]:
-    """Commit log, oldest first: version, parent, mode, file count."""
+    """Commit log, oldest first: version, parent, mode, file count
+    (vacuumed versions are absent)."""
     v = current_version(table_dir)
     out = []
     for i in range((v + 1) if v is not None else 0):
+        if not os.path.exists(_manifest_path(table_dir, i)):
+            continue  # vacuumed
         m = _load_manifest(table_dir, i)
         out.append(
             {

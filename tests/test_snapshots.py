@@ -66,3 +66,45 @@ class TestSnapshots:
         commit_snapshot(spark.range(0, 1), t)
         with pytest.raises(FileNotFoundError):
             read_snapshot(spark, t, version=5)
+
+    def test_vacuum_frees_only_unreferenced_files(self, spark, tmp_path):
+        from opendata_gov_lt_mysql_import_spark.sources.snapshots import vacuum
+
+        t = str(tmp_path / "tbl")
+        commit_snapshot(spark.range(0, 50), t)                      # v0
+        commit_snapshot(spark.range(50, 60), t)                     # v1 (refs v0 files)
+        commit_snapshot(spark.range(0, 5), t, mode="overwrite")     # v2
+        commit_snapshot(spark.range(5, 9), t)                       # v3
+        deleted = vacuum(t, keep_last=2)  # keep v2, v3
+        # v0/v1 data (not referenced by v2/v3) is gone; v2/v3 intact
+        assert deleted
+        assert read_snapshot(spark, t).count() == 9
+        assert read_snapshot(spark, t, version=2).count() == 5
+        with pytest.raises(FileNotFoundError):
+            read_snapshot(spark, t, version=0)
+        assert [h["version"] for h in snapshot_history(t)] == [2, 3]
+
+    def test_streaming_foreach_batch_commits(self, spark, sf_dir, tmp_path):
+        """The production export path: a stream lands in the snapshot
+        table one atomic commit per micro-batch."""
+        from opendata_gov_lt_mysql_import_spark.streaming.events import (
+            foreach_batch_upsert,
+            read_event_stream,
+            stage_events,
+        )
+        from opendata_gov_lt_mysql_import_spark.sources.parquet import load_table
+
+        ev = load_table(spark, sf_dir, "events")
+        src = str(tmp_path / "src")
+        stage_events(ev, src)
+        t = str(tmp_path / "tbl")
+
+        def commit_batch(df, batch_id):
+            commit_snapshot(df, t)
+
+        q = foreach_batch_upsert(
+            read_event_stream(spark, src), commit_batch, str(tmp_path / "ckpt")
+        )
+        q.awaitTermination()
+        assert read_snapshot(spark, t).count() == ev.count()
+        assert current_version(t) >= 0
