@@ -98,7 +98,9 @@ def prefix_sum(
     :func:`assign_contiguous_ids`: range shuffle, per-partition subtotal
     to the driver (one long per partition), vectorized within-partition
     cumsum plus the partition's exclusive offset. ``exclusive=True``
-    yields the sum of strictly-preceding rows (0 for the first row)."""
+    yields the sum of strictly-preceding rows (0 for the first row).
+    ``value_col`` must be integral (token/char/byte counts); NULLs count
+    as 0 on both the subtotal and cumsum passes."""
     spark = df.sparkSession
     n = num_partitions or spark.sparkContext.defaultParallelism
     ranged = (
@@ -159,6 +161,8 @@ def shard_by_budget(
     the target. Row-count repartition can't do this: 1000 tiny docs and
     1000 book-length docs are "balanced" by count and 100x apart by
     tokens. Cost: the prefix-sum range shuffle — nothing else."""
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
     cum = prefix_sum(
         df,
         value_col,

@@ -75,7 +75,11 @@ def commit_snapshot(
     ``mode='append'`` stacks onto the parent version's file list;
     ``mode='overwrite'`` starts the version from only the new files.
     Returns the committed version number. Readers running concurrently
-    keep seeing the parent version until the rename lands."""
+    keep seeing the parent version until the rename lands. Writers are
+    assumed single-per-table (the usual pipeline shape); the existence
+    check before publish turns an accidental double-writer into an
+    error rather than a lost commit, but it is not a lock — true
+    multi-writer needs a coordination layer, as in the real formats."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
     commit_id = uuid.uuid4().hex
