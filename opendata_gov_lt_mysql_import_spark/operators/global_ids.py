@@ -33,6 +33,17 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import LongType, StructField, StructType
 
 
+def _reject_reserved(df: DataFrame, *names: str) -> None:
+    """Fail loudly instead of silently overwriting a user column with an
+    internal one (withColumn REPLACES same-named columns)."""
+    clash = [n for n in names if n in df.columns]
+    if clash:
+        raise ValueError(
+            f"input already has column(s) {clash} — rename them or pick a "
+            "different output column name"
+        )
+
+
 def assign_contiguous_ids(
     df: DataFrame,
     order_cols: list[str],
@@ -43,6 +54,7 @@ def assign_contiguous_ids(
     """Add ``id_col`` with dense ids ``start..start+N-1`` in the global
     order of ``order_cols`` (must form a total order for determinism).
     """
+    _reject_reserved(df, "_pid", id_col)
     spark = df.sparkSession
     n = num_partitions or spark.sparkContext.defaultParallelism
     ranged = (
@@ -101,6 +113,7 @@ def prefix_sum(
     yields the sum of strictly-preceding rows (0 for the first row).
     ``value_col`` must be integral (token/char/byte counts); NULLs count
     as 0 on both the subtotal and cumsum passes."""
+    _reject_reserved(df, "_pid", out_col)
     spark = df.sparkSession
     n = num_partitions or spark.sparkContext.defaultParallelism
     ranged = (
@@ -163,6 +176,7 @@ def shard_by_budget(
     tokens. Cost: the prefix-sum range shuffle — nothing else."""
     if budget <= 0:
         raise ValueError(f"budget must be positive, got {budget}")
+    _reject_reserved(df, "_cum_excl", shard_col)
     cum = prefix_sum(
         df,
         value_col,

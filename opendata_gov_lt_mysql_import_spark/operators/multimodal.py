@@ -181,6 +181,11 @@ def audio_features(payload: bytes) -> tuple[float, float, float, int, int]:
     [-1, 1] by the int16 full scale."""
     import numpy as np
 
+    if not payload:
+        # NULL/empty payload rows yield zero features instead of
+        # aborting the whole job inside an executor with a misleading
+        # "not RIFF/WAVE" error
+        return 0.0, 0.0, 0.0, 0, 0
     arr, rate = decode_wav(payload)
     x = arr.astype(np.float64) / 32768.0
     n = arr.shape[0]

@@ -110,12 +110,16 @@ def commit_snapshot(
     with open(tmp, "w") as fh:
         json.dump(manifest, fh)
     final = _manifest_path(table_dir, version)
-    if os.path.exists(final):
-        os.remove(tmp)
+    try:
+        # atomic first-wins publish: link() fails with EEXIST where
+        # rename() would silently replace a concurrent writer's manifest
+        os.link(tmp, final)
+    except FileExistsError:
         raise RuntimeError(
             f"concurrent commit detected: version {version} already exists"
-        )
-    os.rename(tmp, final)  # atomic publish
+        ) from None
+    finally:
+        os.remove(tmp)
     return version
 
 
@@ -147,9 +151,13 @@ def vacuum(table_dir: str, keep_last: int = 2) -> list[str]:
     keep_versions = range(max(0, v - keep_last + 1), v + 1)
     keep_files = set()
     for kv in keep_versions:
-        keep_files.update(_load_manifest(table_dir, kv)["files"])
+        if os.path.exists(_manifest_path(table_dir, kv)):
+            keep_files.update(_load_manifest(table_dir, kv)["files"])
     deleted = []
     for old in range(0, max(0, v - keep_last + 1)):
+        # versions removed by a previous vacuum are already gone
+        if not os.path.exists(_manifest_path(table_dir, old)):
+            continue
         for f in _load_manifest(table_dir, old)["files"]:
             if f not in keep_files:
                 p = os.path.join(table_dir, f)

@@ -117,10 +117,12 @@ def run_to_memory(
     q.awaitTermination()
     if expect_input:
         n_in = sum(p["numInputRows"] for p in (q.recentProgress or []))
-        assert n_in > 0, (
-            f"stream '{query_name}' consumed 0 input rows — source "
-            "path empty or schema/format mismatch dropped every row"
-        )
+        if n_in <= 0:
+            # RuntimeError, not assert: the canary must survive python -O
+            raise RuntimeError(
+                f"stream '{query_name}' consumed 0 input rows — source "
+                "path empty or schema/format mismatch dropped every row"
+            )
 
 
 def foreach_batch_upsert(

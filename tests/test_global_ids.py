@@ -108,3 +108,24 @@ class TestShardByBudget:
         # shards are contiguous 0..K
         ids = sorted(r["shard_id"] for r in agg)
         assert ids == list(range(len(ids)))
+
+
+class TestReservedColumns:
+    def test_internal_names_are_rejected_not_overwritten(self, spark):
+        from opendata_gov_lt_mysql_import_spark.operators.global_ids import (
+            assign_contiguous_ids,
+            prefix_sum,
+            shard_by_budget,
+        )
+        import pytest
+
+        df = spark.range(0, 10).withColumn("_pid", F.lit(7))
+        with pytest.raises(ValueError, match="_pid"):
+            assign_contiguous_ids(df, ["id"])
+        with pytest.raises(ValueError, match="_pid"):
+            prefix_sum(df.withColumn("v", F.lit(1)), "v", ["id"])
+        df2 = spark.range(0, 10).withColumn("v", F.lit(1)).withColumn(
+            "_cum_excl", F.lit(0)
+        )
+        with pytest.raises(ValueError, match="_cum_excl"):
+            shard_by_budget(df2, "v", ["id"], budget=10)

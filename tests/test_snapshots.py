@@ -108,3 +108,19 @@ class TestSnapshots:
         q.awaitTermination()
         assert read_snapshot(spark, t).count() == ev.count()
         assert current_version(t) >= 0
+
+    def test_vacuum_twice_and_after_new_commits(self, spark, tmp_path):
+        """Periodic maintenance: vacuum must be re-runnable after earlier
+        vacuums removed old manifests (regression: second vacuum crashed
+        loading already-deleted manifests)."""
+        from opendata_gov_lt_mysql_import_spark.sources.snapshots import vacuum
+
+        t = str(tmp_path / "tbl")
+        for i in range(3):
+            commit_snapshot(spark.range(i * 10, (i + 1) * 10), t, mode="overwrite")
+        vacuum(t, keep_last=2)       # removes v0
+        commit_snapshot(spark.range(99, 101), t, mode="overwrite")  # v3
+        deleted = vacuum(t, keep_last=2)  # must not crash on missing v0
+        assert deleted  # v1's files are now unreferenced
+        assert read_snapshot(spark, t).count() == 2
+        assert vacuum(t, keep_last=2) == []  # idempotent when clean

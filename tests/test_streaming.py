@@ -55,7 +55,7 @@ class TestStagingRoundTrip:
         empty = str(tmp_path / "empty_events")
         spark.createDataFrame([], EVENT_SCHEMA).write.mode("overwrite").parquet(empty)
         stream = read_event_stream(spark, empty)
-        with pytest.raises(AssertionError, match="0 input rows"):
+        with pytest.raises(RuntimeError, match="0 input rows"):
             run_to_memory(stream.groupBy("event_type").count(), "empty_canary")
 
 
