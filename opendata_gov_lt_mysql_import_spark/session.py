@@ -50,6 +50,9 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Python DataSource filter pushdown (snapshot_datasource.py
+        # prunes parquet row groups via pyarrow min/max stats)
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         # dimension tables in this workload are tiny; let Spark broadcast
         # aggressively (J1/J2-style joins should never shuffle the fact side)

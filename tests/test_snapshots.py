@@ -124,3 +124,49 @@ class TestSnapshots:
         assert deleted  # v1's files are now unreferenced
         assert read_snapshot(spark, t).count() == 2
         assert vacuum(t, keep_last=2) == []  # idempotent when clean
+
+
+class TestSnapshotDataSource:
+    """format('snapshot') — the Spark 4 Python DataSource tier over the
+    same manifests (sources/snapshot_datasource.py)."""
+
+    @pytest.fixture()
+    def table(self, spark, tmp_path):
+        from opendata_gov_lt_mysql_import_spark.sources.snapshot_datasource import (
+            SnapshotDataSource,
+        )
+
+        spark.dataSource.register(SnapshotDataSource)
+        t = str(tmp_path / "tbl")
+        commit_snapshot(
+            spark.range(0, 200).withColumn("grp", F.col("id") % 4), t
+        )
+        commit_snapshot(
+            spark.range(200, 260).withColumn("grp", F.col("id") % 4), t
+        )
+        return t
+
+    def test_reads_latest_and_pinned_versions(self, spark, table):
+        latest = spark.read.format("snapshot").option("path", table).load()
+        assert latest.count() == 260
+        v0 = (
+            spark.read.format("snapshot")
+            .option("path", table)
+            .option("version", 0)
+            .load()
+        )
+        assert v0.count() == 200
+        native = read_snapshot(spark, table, version=0)
+        assert v0.exceptAll(native).count() == 0
+        assert native.exceptAll(v0).count() == 0
+
+    def test_filters_and_projection_still_correct(self, spark, table):
+        df = (
+            spark.read.format("snapshot")
+            .option("path", table)
+            .load()
+            .filter((F.col("id") >= 100) & (F.col("id") < 150))
+            .select("id")
+        )
+        got = sorted(r["id"] for r in df.collect())
+        assert got == list(range(100, 150))
