@@ -4,7 +4,10 @@ parquet, dependency-free.
 A long-lived training corpus needs what Delta/Iceberg provide — readers
 never see half-written data, exports are reproducible ("train run X
 used table version 7"), and bad commits roll back by reading the prior
-version. Neither format's library is in this container, so this module
+version. (Nearest reference analog: the harvest queue stages immutable
+JSON objects per gather run and imports only committed ones,
+odgovlt.py:355-367 — immutable staged data + an explicit record of what
+a run consists of, here generalized to versioned file manifests.) Neither format's library is in this container, so this module
 implements the core mechanism directly: **copy-on-write manifests over
 immutable data files**.
 
