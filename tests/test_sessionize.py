@@ -89,3 +89,65 @@ class TestRunningUserTotals:
             fn, ftotal = final[uid]
             assert fn == n
             assert abs(ftotal - total) < 0.05
+
+
+class TestRunningUserStats:
+    """State V2 (transformWithStateInPandas) running moments vs batch.
+    Runs only where google.protobuf exists — the State V2 wire protocol
+    needs it and this container doesn't ship it; the plan-construction
+    test below runs everywhere."""
+
+    def test_plan_constructs_without_protobuf(self, spark, sf_dir):
+        # building the stateful plan (processor pickle, output schema,
+        # groupBy wiring) must not require the protobuf runtime
+        from opendata_gov_lt_mysql_import_spark.streaming.stateful import (
+            RUNNING_STATS_OUTPUT,
+            running_user_stats,
+        )
+
+        ev = load_table(spark, sf_dir, "events")
+        out = running_user_stats(ev.limit(10))
+        assert out.schema == RUNNING_STATS_OUTPUT
+
+    def test_stateful_stats_match_batch(self, spark, sf_dir, events_stage_dir):
+        from opendata_gov_lt_mysql_import_spark.streaming.stateful import (
+            running_user_stats,
+            state_v2_available,
+        )
+
+        if not state_v2_available():
+            pytest.skip("google.protobuf absent: State V2 server can't run")
+
+        stream = read_event_stream(spark, events_stage_dir)
+        stats = running_user_stats(stream)
+        q = (
+            stats.writeStream.format("memory")
+            .queryName("running_stats")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        final = {}
+        for r in spark.table("running_stats").collect():
+            # last emission per user (n_events only grows) = final stats
+            prev = final.get(r["user_id"])
+            if prev is None or r["n_events"] > prev[0]:
+                final[r["user_id"]] = (r["n_events"], r["mean_value"], r["var_value"])
+        batch = {
+            r["user_id"]: (r["n"], r["mean"], r["var"])
+            for r in load_table(spark, sf_dir, "events")
+            .groupBy("user_id")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.avg("value").alias("mean"),
+                F.var_pop("value").alias("var"),
+            )
+            .collect()
+        }
+        assert set(final) == set(batch)
+        for uid, (n, mean, var) in batch.items():
+            fn, fmean, fvar = final[uid]
+            assert fn == n
+            assert abs(fmean - mean) < 1e-6
+            assert abs(fvar - var) < 1e-4
