@@ -228,10 +228,10 @@ def exists_subquery(spark: SparkSession, sf: str) -> DataFrame:
     "percentile_price",
     """
     SELECT l_returnflag,
-           round(quantile_cont(l_extendedprice, 0.25), 2) AS p25,
-           round(quantile_cont(l_extendedprice, 0.50), 2) AS p50,
-           round(quantile_cont(l_extendedprice, 0.75), 2) AS p75,
-           round(quantile_cont(l_extendedprice, 0.99), 2) AS p99
+           round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+           round(quantile_cont(l_extendedprice, 0.50), 4) AS p50,
+           round(quantile_cont(l_extendedprice, 0.75), 4) AS p75,
+           round(quantile_cont(l_extendedprice, 0.99), 4) AS p99
     FROM lineitem GROUP BY l_returnflag
     """,
 )
@@ -241,12 +241,18 @@ def percentile_price(spark: SparkSession, sf: str) -> DataFrame:
     from ONE array-argument aggregate — one shared buffer per group
     instead of four independent sorted buffers (4× at sf0.1). The exact
     form needs the full group; at 100 TB swap in ``approx_percentile``
-    (KLL sketch, mergeable map-side) — same call shape, bounded memory."""
+    (KLL sketch, mergeable map-side) — same call shape, bounded memory.
+
+    Rounded at 4 decimals, NOT 2: interpolated percentiles of 2-decimal
+    money terminate at ≤4 decimals exactly (interp fraction has ≤2), so
+    round(,4) is tie-free — while round(,2) lands on exact half-cent
+    midpoints where Spark and DuckDB break ties differently (surfaced
+    at sf0.001: p50 52724.245 → 52724.24 vs 52724.25)."""
     li = load_table(spark, sf, "lineitem")
     qs = (0.25, 0.50, 0.75, 0.99)
     arr = F.percentile(F.col("l_extendedprice"), F.array(*[F.lit(q) for q in qs]))
     return li.groupBy("l_returnflag").agg(
-        *[F.round(arr[i], 2).alias(f"p{int(q * 100)}") for i, q in enumerate(qs)]
+        *[F.round(arr[i], 4).alias(f"p{int(q * 100)}") for i, q in enumerate(qs)]
     )
 
 
