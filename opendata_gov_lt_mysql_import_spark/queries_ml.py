@@ -1461,16 +1461,20 @@ def audio_features_q(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+_PR_SCALE = 10**12
+
+
 @query(
     "pagerank_one_iter",
-    """
+    f"""
     WITH e AS (
         SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
     ), d AS (
         SELECT l_partkey, count(*) AS deg FROM e GROUP BY 1
     )
     SELECT e.l_suppkey AS suppkey,
-           round(0.15 + 0.85 * sum(1.0 / d.deg), 4) AS pagerank
+           0.15 + 0.85 * (CAST(sum(CAST({_PR_SCALE} // d.deg AS BIGINT))
+                          AS DOUBLE) / {_PR_SCALE}.0) AS pagerank
     FROM e JOIN d USING (l_partkey)
     GROUP BY e.l_suppkey
     """,
@@ -1484,17 +1488,29 @@ def pagerank_one_iter_q(spark: SparkSession, sf: str) -> DataFrame:
     once on sender for the degree join (AQE picks broadcast when the
     degree side fits), once on receiver for the sum; a K-iteration loop
     reuses the degree table and localCheckpoints each rank to cut
-    lineage, exactly as operators/dedup.py's component loop does."""
+    lineage, exactly as operators/dedup.py's component loop does.
+
+    Contributions are FIXED-POINT: each edge carries the integer
+    ``SCALE DIV deg`` (quantization error ≤ deg·1e-12), so the shuffled
+    aggregate is exact-integer and immune to float summation order — a
+    float ``sum(1.0/deg)`` flipped its 4th decimal between runs purely
+    by partitioning (caught by the two-scale CI gate). The final rank
+    is a deterministic scalar from that integer, emitted UNROUNDED
+    (identical IEEE ops on identical inputs on both engines; decimal
+    rounding would reintroduce tie hazards)."""
     li = load_table(spark, sf, "lineitem")
     e = li.select("l_partkey", "l_suppkey").distinct()
     deg = e.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("deg"))
     return (
         e.join(deg, "l_partkey")
         .groupBy(F.col("l_suppkey").alias("suppkey"))
-        .agg(
-            F.round(
-                F.lit(0.15) + F.lit(0.85) * F.sum(F.lit(1.0) / F.col("deg")), 4
-            ).alias("pagerank")
+        .agg(F.sum(F.expr(f"{_PR_SCALE} DIV deg")).alias("_inflow"))
+        .select(
+            "suppkey",
+            (
+                F.lit(0.15)
+                + F.lit(0.85) * (F.col("_inflow") / F.lit(float(_PR_SCALE)))
+            ).alias("pagerank"),
         )
     )
 
