@@ -8,21 +8,31 @@ the normal reader surface —
 
 and with SQL via ``CREATE TABLE ... USING snapshot OPTIONS (...)``.
 
-The reader maps one input partition per manifest data file (the natural
-parallelism unit of the format), yields **pyarrow RecordBatches** (the
-Arrow fast path of the DataSource API — no per-row Python), and pushes
-supported comparison filters into pyarrow's parquet reader where they
-prune row groups via min/max statistics before any bytes decode.
-Because a reader that implements ``pushFilters`` hard-fails when
+The version is resolved ONCE per data source instance (schema and file
+list always come from the same manifest — a concurrent commit between
+planning and execution cannot mix versions). The reader maps one input
+partition per manifest data file, yields **pyarrow RecordBatches** (the
+Arrow fast path of the DataSource API — no per-row Python) under the
+manifest's DECLARED schema, so files from older commits that lack
+later-added columns null-fill and int32→int64 drifts upcast, exactly
+like :func:`..sources.snapshots.read_snapshot`.
+
+Filter pushdown prunes parquet row groups via pyarrow min/max stats.
+IMPORTANT CONTRACT: a filter accepted by ``pushFilters`` is REMOVED
+from Spark's post-scan evaluation, so pushdown must be exact — and
+IEEE comparisons in pyarrow disagree with Spark on NaN (Spark orders
+NaN greater than everything and NaN = NaN true; arrow drops it), so
+filters touching float/double columns are never accepted. Because a
+reader that implements ``pushFilters`` hard-fails when
 ``spark.sql.python.filterPushdown.enabled`` is false, the repo's
 session factory (session.py) sets that conf; sessions built elsewhere
 must do the same to use this source.
 
 This is the interop/SQL surface; for raw scan throughput the primary
-path remains :func:`..sources.snapshots.read_snapshot`, which hands the
-JVM parquet reader the explicit file list (whole-stage codegen, no
-Python in the loop). Same manifest, same files, two access tiers —
-mirroring how real table formats expose both a native reader and a
+path remains ``read_snapshot``, which hands the JVM parquet reader the
+explicit file list (whole-stage codegen, no Python in the loop). Same
+manifest resolution (``snapshots.resolve_snapshot``), two access tiers
+— mirroring how real table formats expose both a native reader and a
 catalog-integrated one.
 """
 
@@ -51,35 +61,29 @@ class SnapshotDataSource(DataSource):
     def name(cls) -> str:
         return "snapshot"
 
-    def _manifest(self) -> dict:
-        import os
+    def _resolved(self) -> dict:
+        if getattr(self, "_m", None) is None:
+            from .snapshots import resolve_snapshot
 
-        from .snapshots import _load_manifest, current_version
-
-        table_dir = self.options.get("path")
-        if not table_dir:
-            raise ValueError("snapshot source requires option('path', ...)")
-        v = self.options.get("version")
-        v = current_version(table_dir) if v is None else int(v)
-        if v is None:
-            raise FileNotFoundError(f"no snapshot versions in {table_dir}")
-        m = _load_manifest(table_dir, v)
-        m["_abs_files"] = [os.path.join(table_dir, f) for f in m["files"]]
-        return m
+            table_dir = self.options.get("path")
+            if not table_dir:
+                raise ValueError("snapshot source requires option('path', ...)")
+            v = self.options.get("version")
+            self._m = resolve_snapshot(table_dir, None if v is None else int(v))
+        return self._m
 
     def schema(self) -> StructType:
-        import json
-
-        return StructType.fromJson(json.loads(self._manifest()["schema"]))
+        return self._resolved()["_struct"]
 
     def reader(self, schema: StructType) -> "SnapshotReader":
-        return SnapshotReader(self._manifest()["_abs_files"], schema)
+        return SnapshotReader(self._resolved()["_abs_files"], schema)
 
 
 def _to_arrow_filter(f):
     """Translate a pushed Spark filter to a pyarrow dataset expression;
-    None = not translatable (Spark re-applies every filter anyway, so
-    pushdown is purely an optimization, never a correctness risk)."""
+    None = refuse (Spark then keeps evaluating it itself). Refusal is
+    the only safe answer for anything whose arrow semantics could
+    differ — accepted filters are NOT re-checked by Spark."""
     import pyarrow.dataset as pads
 
     if len(f.attribute) != 1:
@@ -109,20 +113,31 @@ class SnapshotFilePartition(InputPartition):
 
 class SnapshotReader(DataSourceReader):
     def __init__(self, files: list[str], schema: StructType):
+        from pyspark.sql.pandas.types import to_arrow_schema
+
         self._files = files
         self._schema = schema
+        self._arrow_schema = to_arrow_schema(schema)
+        # NaN ordering/equality differs between Spark and arrow — never
+        # accept pushdown on floating-point columns
+        self._float_cols = {
+            f.name
+            for f in schema.fields
+            if f.dataType.typeName() in ("float", "double")
+        }
         self._arrow_filter = None
 
     def pushFilters(self, filters):
         accepted = []
         for f in filters:
             expr = None
-            try:
-                expr = _to_arrow_filter(f)
-            except Exception:  # noqa: BLE001 — pushdown is best-effort
-                expr = None
+            if not (len(f.attribute) == 1 and f.attribute[0] in self._float_cols):
+                try:
+                    expr = _to_arrow_filter(f)
+                except Exception:  # noqa: BLE001 — pushdown is best-effort
+                    expr = None
             if expr is None:
-                yield f  # unsupported: Spark keeps evaluating it
+                yield f  # refused: Spark keeps evaluating it
             else:
                 accepted.append(expr)
         if accepted:
@@ -137,7 +152,12 @@ class SnapshotReader(DataSourceReader):
     def read(self, partition: SnapshotFilePartition):
         import pyarrow.dataset as pads
 
-        ds = pads.dataset(partition.path, format="parquet")
+        # the DECLARED schema, not the file's own: older files null-fill
+        # added columns and upcast compatible drifts, matching
+        # read_snapshot's declared-schema semantics
+        ds = pads.dataset(
+            partition.path, format="parquet", schema=self._arrow_schema
+        )
         # row groups whose min/max exclude the filter never decode
         scanner = ds.scanner(
             columns=[f.name for f in self._schema.fields],

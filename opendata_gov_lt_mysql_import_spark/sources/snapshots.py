@@ -126,21 +126,39 @@ def commit_snapshot(
     return version
 
 
+def resolve_snapshot(table_dir: str, version: int | None = None) -> dict:
+    """Pin one version (latest when None) and return its manifest with
+    ``_struct`` (decoded StructType) and ``_abs_files`` (absolute paths)
+    added — the single resolution step every reader tier shares, so the
+    schema and the file list always come from the SAME version."""
+    v = current_version(table_dir) if version is None else int(version)
+    if v is None or not os.path.exists(_manifest_path(table_dir, v)):
+        raise FileNotFoundError(f"no snapshot version {version} in {table_dir}")
+    m = _load_manifest(table_dir, v)
+    raw = StructType.fromJson(json.loads(m["schema"]))
+    # all-nullable on READ: an append commit that adds a column makes
+    # every pre-existing row NULL in it, so no non-nullability recorded
+    # at write time survives schema evolution (a non-nullable field here
+    # makes Spark's vectorized reader crash on the null-filled batches)
+    from pyspark.sql.types import StructField
+
+    m["_struct"] = StructType(
+        [StructField(f.name, f.dataType, True, f.metadata) for f in raw.fields]
+    )
+    m["_abs_files"] = [os.path.join(table_dir, f) for f in m["files"]]
+    return m
+
+
 def read_snapshot(
     spark: SparkSession, table_dir: str, version: int | None = None
 ) -> DataFrame:
     """Read a table version (latest when ``version`` is None): the
     manifest's explicit file list under its recorded schema — immune to
     in-flight writers and stray files."""
-    v = current_version(table_dir) if version is None else version
-    if v is None or not os.path.exists(_manifest_path(table_dir, v)):
-        raise FileNotFoundError(f"no snapshot version {version} in {table_dir}")
-    m = _load_manifest(table_dir, v)
-    schema = StructType.fromJson(json.loads(m["schema"]))
-    if not m["files"]:
-        return spark.createDataFrame([], schema)
-    paths = [os.path.join(table_dir, f) for f in m["files"]]
-    return spark.read.schema(schema).parquet(*paths)
+    m = resolve_snapshot(table_dir, version)
+    if not m["_abs_files"]:
+        return spark.createDataFrame([], m["_struct"])
+    return spark.read.schema(m["_struct"]).parquet(*m["_abs_files"])
 
 
 def vacuum(table_dir: str, keep_last: int = 2) -> list[str]:

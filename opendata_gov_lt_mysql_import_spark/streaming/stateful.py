@@ -3,11 +3,13 @@ the Spark 4 successor to ``applyInPandasWithState`` (typed state
 handles, timers, TTL; SPARK-46815 "State V2").
 
 Operator here: **online per-user running statistics** (count / mean /
-variance via Welford's update), the streaming twin of the batch
-``events_zscore_outliers`` query — instead of re-aggregating history
-each trigger, each user carries a 3-number state and every event's
-z-score is emitted against the statistics of all PRIOR events. Constant
-memory per key, one state row per user, no shuffle beyond the groupBy.
+variance via Welford's update) — instead of re-aggregating history each
+trigger, each user carries a 3-number state and emits its updated
+(n, mean, var) whenever it sees events; downstream can score new events
+against these moments (the streaming complement of the batch
+``events_zscore_outliers`` shape). Constant memory per key, one state
+row per user, no shuffle beyond the groupBy. Null values are ignored,
+matching SQL aggregate semantics (``avg``/``var_pop`` skip NULLs).
 
 The reference has no stateful surface (its harvest queue processes each
 staged object independently, odgovlt.py:355-407); this is the
@@ -81,7 +83,9 @@ def _make_processor():
                 self._stats.get() if self._stats.exists() else (0, 0.0, 0.0)
             )
             for pdf in rows:
-                for v in pdf["value"].fillna(0.0).astype(float):
+                # dropna, NOT fillna: SQL aggregates skip NULLs, and the
+                # batch twin (avg / var_pop) is the parity contract
+                for v in pdf["value"].dropna().astype(float):
                     # Welford: numerically stable single-pass moments
                     n += 1
                     delta = v - mean

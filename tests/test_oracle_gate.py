@@ -43,24 +43,27 @@ def test_gate_rejects_out_of_pandas_range_timestamps(spark):
     assert err is None and nrows == 1
 
 
+from conftest import SF_SMALL
+
+
 @pytest.mark.slow
 @pytest.mark.parametrize(
-    "sf_dir",
-    [SF_ORACLE, "/root/testdata/sf0.001"],
+    "gate_sf",
+    [SF_ORACLE, SF_SMALL],
     ids=["sf0.01-driver-scale", "sf0.001-alt-scale"],
 )
-def test_every_registry_query_matches_oracle(spark, sf_dir):
+def test_every_registry_query_matches_oracle(spark, gate_sf):
     """Both scales on purpose: sf0.01 is what the external driver runs;
     sf0.001 varies group sizes and interpolation positions, which is how
-    the percentile half-cent rounding tie was caught (a query can be
-    green at one scale and red at another for pure float-boundary
-    reasons, not logic)."""
+    the percentile half-cent rounding tie and the pagerank
+    summation-order flake were caught (a query can be green at one scale
+    and red at another for pure float-boundary reasons, not logic)."""
     queries = entrymod.queries()
     oracles = entrymod.oracle_sql()
-    con = duckdb_connect(sf_dir)
+    con = duckdb_connect(gate_sf)
     failures = {}
     for name, fn in queries.items():
-        err, _nrows = check_query(spark, con, sf_dir, fn, oracles.get(name))
+        err, _nrows = check_query(spark, con, gate_sf, fn, oracles.get(name))
         if err is not None:
             failures[name] = err
     assert not failures, "\n".join(f"{k}: {v}" for k, v in failures.items())

@@ -170,3 +170,60 @@ class TestSnapshotDataSource:
         )
         got = sorted(r["id"] for r in df.collect())
         assert got == list(range(100, 150))
+
+    def test_drifted_files_nullfill_under_declared_schema(self, spark, tmp_path):
+        """A later commit adds a column: reading the append version must
+        null-fill the older files (regression: projecting the manifest
+        schema against the old file's own schema raised ArrowInvalid)."""
+        from opendata_gov_lt_mysql_import_spark.sources.snapshot_datasource import (
+            SnapshotDataSource,
+        )
+
+        spark.dataSource.register(SnapshotDataSource)
+        t = str(tmp_path / "tbl")
+        commit_snapshot(spark.range(0, 20), t)
+        commit_snapshot(
+            spark.range(20, 30).withColumn("grp", F.lit(3)), t
+        )
+        df = spark.read.format("snapshot").option("path", t).load()
+        assert df.count() == 30
+        assert df.filter(F.col("grp").isNull()).count() == 20
+        assert df.filter(F.col("grp") == 3).count() == 10
+
+    def test_float_filters_keep_spark_nan_semantics(self, spark, tmp_path):
+        """Spark orders NaN above everything; arrow comparisons drop it.
+        Filters on float columns must NOT be pushed down (regression:
+        an accepted filter is removed from Spark's own evaluation, so
+        the arrow semantics silently won)."""
+        import math
+
+        from opendata_gov_lt_mysql_import_spark.sources.snapshot_datasource import (
+            SnapshotDataSource,
+        )
+
+        spark.dataSource.register(SnapshotDataSource)
+        t = str(tmp_path / "tbl")
+        commit_snapshot(
+            spark.createDataFrame(
+                [(1, 1.0), (2, float("nan")), (3, 200.0)], "id long, x double"
+            ),
+            t,
+        )
+        got = (
+            spark.read.format("snapshot")
+            .option("path", t)
+            .load()
+            .filter(F.col("x") > 100.0)
+            .collect()
+        )
+        ids = sorted(r["id"] for r in got)
+        assert ids == [2, 3]  # NaN > 100.0 is TRUE in Spark semantics
+        # non-float pushdown still prunes correctly
+        got2 = (
+            spark.read.format("snapshot")
+            .option("path", t)
+            .load()
+            .filter(F.col("id") >= 3)
+            .collect()
+        )
+        assert [r["id"] for r in got2] == [3]
