@@ -86,9 +86,11 @@ def _to_arrow_filter(f):
     differ — accepted filters are NOT re-checked by Spark."""
     import pyarrow.dataset as pads
 
-    if len(f.attribute) != 1:
-        return None  # nested column paths not handled
-    col = pads.field(f.attribute[0])
+    attr = getattr(f, "attribute", None)
+    if attr is None or len(attr) != 1:
+        # Not/And/Or wrappers carry no `attribute`; nested paths unhandled
+        return None
+    col = pads.field(attr[0])
     if isinstance(f, EqualTo):
         return col == f.value
     if isinstance(f, GreaterThan):
@@ -131,7 +133,16 @@ class SnapshotReader(DataSourceReader):
         accepted = []
         for f in filters:
             expr = None
-            if not (len(f.attribute) == 1 and f.attribute[0] in self._float_cols):
+            # Spark may push shapes with no `attribute` at all (Not/And/Or
+            # wrappers from != or negated predicates) — anything we can't
+            # positively identify as a single non-float column is refused,
+            # never raised on, because a pushFilters error fails the read.
+            attr = getattr(f, "attribute", None)
+            if (
+                attr is not None
+                and len(attr) == 1
+                and attr[0] not in self._float_cols
+            ):
                 try:
                     expr = _to_arrow_filter(f)
                 except Exception:  # noqa: BLE001 — pushdown is best-effort

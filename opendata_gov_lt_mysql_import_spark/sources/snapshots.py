@@ -70,19 +70,70 @@ def _load_manifest(table_dir: str, version: int) -> dict:
         return json.load(fh)
 
 
+# integer/float widening chains — an append whose column type sits
+# EARLIER in the chain than the parent's declared type is fine (the
+# declared type stays the parent's, readers upcast the narrower files);
+# a LATER type widens the declared type; anything off-chain is drift.
+_WIDENING = {
+    "byte": 0, "short": 1, "integer": 2, "long": 3,
+    "float": 10, "double": 11,
+}
+
+
+def _merged_append_schema(parent_struct: StructType, new_struct: StructType):
+    """Union of parent + new schemas for an append commit, keeping the
+    widest compatible type per column; raises on incompatible drift.
+
+    Without this, an append missing a parent column silently DROPPED
+    that column from every read of the new version (the manifest only
+    recorded the incoming df's schema), and a narrowed type (parent
+    bigint files declared int) broke the vectorized reader."""
+    from pyspark.sql.types import StructField
+
+    new_by_name = {f.name: f for f in new_struct.fields}
+    fields = []
+    for pf in parent_struct.fields:
+        nf = new_by_name.pop(pf.name, None)
+        if nf is None:
+            fields.append(pf)  # column absent in the append → null-fills
+            continue
+        if nf.dataType == pf.dataType:
+            fields.append(pf)
+            continue
+        pt, nt = pf.dataType.typeName(), nf.dataType.typeName()
+        pw, nw = _WIDENING.get(pt), _WIDENING.get(nt)
+        if pw is None or nw is None or (pw >= 10) != (nw >= 10):
+            raise ValueError(
+                f"append schema drift on column {pf.name!r}: "
+                f"{pt} -> {nt} is not a compatible widening"
+            )
+        fields.append(pf if pw >= nw else nf)
+    fields.extend(new_by_name[f.name] for f in new_struct.fields
+                  if f.name in new_by_name)
+    return StructType(fields)
+
+
 def commit_snapshot(
-    df: DataFrame, table_dir: str, mode: str = "append"
+    df: DataFrame, table_dir: str, mode: str = "append", max_retries: int = 5
 ) -> int:
     """Write ``df`` as a new table version and atomically publish it.
 
-    ``mode='append'`` stacks onto the parent version's file list;
-    ``mode='overwrite'`` starts the version from only the new files.
-    Returns the committed version number. Readers running concurrently
-    keep seeing the parent version until the rename lands. Writers are
-    assumed single-per-table (the usual pipeline shape); the existence
-    check before publish turns an accidental double-writer into an
-    error rather than a lost commit, but it is not a lock — true
-    multi-writer needs a coordination layer, as in the real formats."""
+    ``mode='append'`` stacks onto the parent version's file list and
+    records the UNION of the parent and incoming schemas (widest
+    compatible type per column; incompatible drift raises);
+    ``mode='overwrite'`` starts the version from only the new files
+    under the incoming schema. Returns the committed version number.
+    Readers running concurrently keep seeing the parent version until
+    the publish lands.
+
+    Concurrency: publish is an atomic first-wins ``os.link`` (where
+    ``rename`` would silently replace a concurrent writer's manifest).
+    On losing the race this writer RETRIES optimistically — re-resolves
+    the new parent, rebuilds the manifest (append re-stacks onto the
+    winner's file list), and re-publishes, up to ``max_retries`` times.
+    The data files are immutable and written once, so retries only
+    redo O(#files) driver-side strings. Mirrors the reference harvest
+    queue's per-object idempotent restart (odgovlt.py:355-367)."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
     commit_id = uuid.uuid4().hex
@@ -94,36 +145,44 @@ def commit_snapshot(
         if f.endswith(".parquet")
     )
 
-    parent = current_version(table_dir)
-    files = list(new_files)
-    if mode == "append" and parent is not None:
-        files = _load_manifest(table_dir, parent)["files"] + files
-
-    version = 0 if parent is None else parent + 1
-    manifest = {
-        "version": version,
-        "parent": parent,
-        "mode": mode,
-        "schema": df.schema.json(),
-        "files": files,
-    }
     mdir = os.path.join(table_dir, _MANIFEST_DIR)
     os.makedirs(mdir, exist_ok=True)
-    tmp = os.path.join(mdir, f".v{version}.{commit_id}.tmp")
-    with open(tmp, "w") as fh:
-        json.dump(manifest, fh)
-    final = _manifest_path(table_dir, version)
-    try:
-        # atomic first-wins publish: link() fails with EEXIST where
-        # rename() would silently replace a concurrent writer's manifest
-        os.link(tmp, final)
-    except FileExistsError:
-        raise RuntimeError(
-            f"concurrent commit detected: version {version} already exists"
-        ) from None
-    finally:
-        os.remove(tmp)
-    return version
+    for attempt in range(max_retries + 1):
+        parent = current_version(table_dir)
+        files = list(new_files)
+        schema_json = df.schema.json()
+        if mode == "append" and parent is not None:
+            pm = _load_manifest(table_dir, parent)
+            files = pm["files"] + files
+            schema_json = _merged_append_schema(
+                StructType.fromJson(json.loads(pm["schema"])), df.schema
+            ).json()
+
+        version = 0 if parent is None else parent + 1
+        manifest = {
+            "version": version,
+            "parent": parent,
+            "mode": mode,
+            "schema": schema_json,
+            "files": files,
+        }
+        tmp = os.path.join(mdir, f".v{version}.{commit_id}.tmp")
+        with open(tmp, "w") as fh:
+            json.dump(manifest, fh)
+        final = _manifest_path(table_dir, version)
+        try:
+            # atomic first-wins publish: link() fails with EEXIST where
+            # rename() would silently replace a concurrent manifest
+            os.link(tmp, final)
+            return version
+        except FileExistsError:
+            continue  # lost the race — re-resolve parent and retry
+        finally:
+            os.remove(tmp)
+    raise RuntimeError(
+        f"commit_snapshot lost the publish race {max_retries + 1} times "
+        f"in {table_dir} — pathological contention, coordinate writers"
+    )
 
 
 def resolve_snapshot(table_dir: str, version: int | None = None) -> dict:
@@ -161,11 +220,22 @@ def read_snapshot(
     return spark.read.schema(m["_struct"]).parquet(*m["_abs_files"])
 
 
-def vacuum(table_dir: str, keep_last: int = 2) -> list[str]:
+def vacuum(
+    table_dir: str,
+    keep_last: int = 2,
+    orphan_grace_seconds: float = 24 * 3600,
+) -> list[str]:
     """Delete data files referenced ONLY by versions older than the
-    ``keep_last`` most recent ones (and their manifests). The separate
-    maintenance pass that pairs with copy-on-write commits — never run
-    with readers pinned to vacuumed versions. Returns deleted paths."""
+    ``keep_last`` most recent ones (and their manifests), plus ORPHANED
+    files — written but never published (aborted commits, lost publish
+    races, schema-drift rejections) — once older than
+    ``orphan_grace_seconds`` (the grace window keeps vacuum from racing
+    an in-flight commit whose manifest hasn't landed yet). Emptied
+    ``data/<commit>/`` dirs are removed. The separate maintenance pass
+    that pairs with copy-on-write commits — never run with readers
+    pinned to vacuumed versions. Returns deleted paths."""
+    import time
+
     v = current_version(table_dir)
     if v is None or keep_last < 1:
         return []
@@ -186,6 +256,42 @@ def vacuum(table_dir: str, keep_last: int = 2) -> list[str]:
                     os.remove(p)
                     deleted.append(f)
         os.remove(_manifest_path(table_dir, old))
+    # orphan sweep: a data/<commit>/ dir NONE of whose files any
+    # surviving manifest references is an aborted/never-published
+    # commit (or fully vacuumed) — reclaim it wholesale once past the
+    # grace window. Live dirs are untouched, including their _SUCCESS /
+    # .crc sidecars, which are never manifest-listed.
+    cutoff = time.time() - orphan_grace_seconds
+    data_root = os.path.join(table_dir, "data")
+    if os.path.isdir(data_root):
+        for commit_dir in sorted(os.listdir(data_root)):
+            cpath = os.path.join(data_root, commit_dir)
+            if not os.path.isdir(cpath):
+                continue
+            names = sorted(os.listdir(cpath))
+            live = any(
+                os.path.join("data", commit_dir, n) in keep_files
+                for n in names
+            )
+            if live:
+                continue
+            # freshness from file mtimes (dir mtime only when empty —
+            # removing old-version files above already bumped dir mtime)
+            fresh = (
+                any(
+                    os.path.getmtime(os.path.join(cpath, n)) > cutoff
+                    for n in names
+                )
+                if names
+                else os.path.getmtime(cpath) > cutoff
+            )
+            if fresh:
+                continue  # possibly an in-flight commit — next pass
+            for n in names:
+                os.remove(os.path.join(cpath, n))
+                if n.endswith(".parquet"):
+                    deleted.append(os.path.join("data", commit_dir, n))
+            os.rmdir(cpath)
     return deleted
 
 

@@ -84,6 +84,108 @@ class TestSnapshots:
             read_snapshot(spark, t, version=0)
         assert [h["version"] for h in snapshot_history(t)] == [2, 3]
 
+    def test_append_schema_union_keeps_parent_columns(self, spark, tmp_path):
+        """An append missing a parent column must NOT drop that column
+        from reads of the new version (regression: the manifest recorded
+        only the incoming df's schema)."""
+        t = str(tmp_path / "tbl")
+        commit_snapshot(spark.range(0, 10).withColumn("grp", F.lit(7)), t)
+        commit_snapshot(spark.range(10, 15), t)  # no grp column
+        df = read_snapshot(spark, t)
+        assert [f.name for f in df.schema.fields] == ["id", "grp"]
+        assert df.count() == 15
+        assert df.filter(F.col("grp") == 7).count() == 10
+        assert df.filter(F.col("grp").isNull()).count() == 5
+
+    def test_append_type_widening_and_drift(self, spark, tmp_path):
+        t = str(tmp_path / "tbl")
+        commit_snapshot(
+            spark.range(0, 4).select(F.col("id").cast("long").alias("k")), t
+        )
+        # narrower append: declared type stays the parent's bigint
+        commit_snapshot(
+            spark.range(4, 6).select(F.col("id").cast("int").alias("k")), t
+        )
+        df = read_snapshot(spark, t)
+        assert df.schema["k"].dataType.typeName() == "long"
+        assert df.count() == 6
+        # widening append: declared type widens int->long
+        t2 = str(tmp_path / "tbl2")
+        commit_snapshot(
+            spark.range(0, 3).select(F.col("id").cast("int").alias("k")), t2
+        )
+        commit_snapshot(
+            spark.range(3, 5).select(F.col("id").cast("long").alias("k")), t2
+        )
+        assert read_snapshot(spark, t2).schema["k"].dataType.typeName() == "long"
+        # incompatible drift raises
+        with pytest.raises(ValueError, match="schema drift"):
+            commit_snapshot(
+                spark.range(5, 6).select(
+                    F.col("id").cast("string").alias("k")
+                ),
+                t2,
+            )
+
+    def test_concurrent_commit_retries_and_both_land(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """Two writers race one version: the loser must re-resolve the
+        new parent and land as the NEXT version with no lost files
+        (regression: losing the publish race raised RuntimeError)."""
+        t = str(tmp_path / "tbl")
+        commit_snapshot(spark.range(0, 10), t)  # v0
+        real_link = os.link
+        state = {"raced": False}
+
+        def racy_link(src, dst, *a, **kw):
+            # just before the original writer publishes, a competitor
+            # wins the same version number
+            if not state["raced"] and os.sep + "_manifests" + os.sep in dst:
+                state["raced"] = True
+                commit_snapshot(spark.range(100, 105), t)
+            return real_link(src, dst, *a, **kw)
+
+        monkeypatch.setattr(os, "link", racy_link)
+        v = commit_snapshot(spark.range(200, 207), t)
+        assert v == 2  # competitor took v1; this writer retried onto it
+        df = read_snapshot(spark, t)
+        assert df.count() == 10 + 5 + 7  # nothing lost
+        assert read_snapshot(spark, t, version=1).count() == 15
+
+    def test_vacuum_reclaims_aborted_commit_dirs(self, spark, tmp_path):
+        """data/<uuid>/ dirs written but never published (aborted or
+        race-lost commits) are reclaimed once past the grace window;
+        fresh dirs (possibly in-flight) survive."""
+        from opendata_gov_lt_mysql_import_spark.sources.snapshots import vacuum
+
+        t = str(tmp_path / "tbl")
+        commit_snapshot(spark.range(0, 10), t)
+        orphan = os.path.join(t, "data", "deadbeef")
+        spark.range(0, 99).write.parquet(orphan)
+        # default 24h grace: fresh orphan must survive
+        vacuum(t, keep_last=2)
+        assert os.path.isdir(orphan)
+        # zero grace: orphan dir reclaimed wholesale, live data intact
+        deleted = vacuum(t, keep_last=2, orphan_grace_seconds=0)
+        assert any("deadbeef" in d for d in deleted)
+        assert not os.path.exists(orphan)
+        assert read_snapshot(spark, t).count() == 10
+
+    def test_vacuum_rmdirs_emptied_commit_dirs(self, spark, tmp_path):
+        from opendata_gov_lt_mysql_import_spark.sources.snapshots import vacuum
+
+        t = str(tmp_path / "tbl")
+        commit_snapshot(spark.range(0, 10), t, mode="overwrite")   # v0
+        commit_snapshot(spark.range(0, 3), t, mode="overwrite")    # v1
+        commit_snapshot(spark.range(0, 4), t, mode="overwrite")    # v2
+        vacuum(t, keep_last=2, orphan_grace_seconds=0)  # drops v0
+        data_root = os.path.join(t, "data")
+        # exactly the two live commit dirs remain; v0's dir is gone,
+        # sidecars (_SUCCESS) and all
+        assert len(os.listdir(data_root)) == 2
+        assert read_snapshot(spark, t).count() == 4
+
     def test_streaming_foreach_batch_commits(self, spark, sf_dir, tmp_path):
         """The production export path: a stream lands in the snapshot
         table one atomic commit per micro-batch."""
@@ -227,3 +329,20 @@ class TestSnapshotDataSource:
             .collect()
         )
         assert [r["id"] for r in got2] == [3]
+
+    def test_negated_filters_do_not_crash_the_read(self, spark, table):
+        """Spark pushes Not(child) shapes (from != or negated
+        predicates) that carry no `attribute` field — the reader must
+        refuse them, not raise (regression: AttributeError inside
+        pushFilters failed the whole read with
+        PYTHON_DATA_SOURCE_ERROR)."""
+        base = spark.read.format("snapshot").option("path", table).load()
+        assert base.filter(F.col("grp") != 2).count() == 260 - 65
+        got = sorted(
+            r["id"]
+            for r in base.filter(
+                ~((F.col("id") >= 5) | (F.col("id") % 2 == 0))
+            ).collect()
+        )
+        assert got == [1, 3]
+        assert base.filter(~F.col("id").isin(0, 1, 2)).count() == 257
