@@ -125,32 +125,52 @@ def main() -> None:
     # accumulate or flatter later runs. Full-evaluation checksum
     # protocol (BASELINE.md) unchanged.
     timings: dict[str, float] = {}
+    spread: dict[str, dict[str, float]] = {}
     for name in HEADLINE:
         fn = queries[name]
-        best = None
+        runs: list[float] = []
         n = 0
         for _ in range(3):
             spark.catalog.clearCache()
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
             n = force_eval(df)
-            dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
-        timings[name] = round(best, 4)
+            runs.append(time.perf_counter() - t0)
+        runs.sort()
+        timings[name] = round(runs[0], 4)
+        # min/median/max across the 3 runs: a wide max/min ratio marks a
+        # noisy entry (shared-box background load), so a regressed *min*
+        # with tight spread is a real regression and a regressed min with
+        # huge spread is measurement noise — distinguishable at a glance
+        spread[name] = {
+            "min": round(runs[0], 4),
+            "med": round(runs[1], 4),
+            "max": round(runs[2], 4),
+        }
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
 
     total = round(sum(timings.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_query_wall_clock_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
+    out = {
+        "metric": "headline_query_wall_clock_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "spread": spread,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    # sf-scaling appendix: tools/bench_scaling.py runs the most expensive
+    # entries at sf0.1 vs a key-consistent 2x dataset and commits the
+    # ratios; embed the committed result so every BENCH_r{N} carries it.
+    appendix = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "SCALING.json"
     )
+    if os.path.exists(appendix):
+        try:
+            with open(appendix) as fh:
+                out["scaling_appendix"] = json.load(fh)
+        except (OSError, json.JSONDecodeError):
+            pass
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -66,8 +66,12 @@ DRIVER_TOP50: tuple[str, ...] = (
     "j1_left_join_default",
     "j2_dim_chain",
     "j3_mn_collect",
-    "j4_anti_existence",
+    # j4_semi_existence covers the J4-J6 existence-probe semantics in the
+    # window; the anti twin stays registered + full-gate-verified, its
+    # slot rotated (round 5) to the round-4 token-budget sharder so new
+    # beyond-reference surface earns driver-green rows too
     "j4_semi_existence",
+    "shard_by_token_budget",
     "j7_stale_anti",
     "a1_groupby_collect",
     "a2_distinct",

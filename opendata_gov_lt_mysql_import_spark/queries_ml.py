@@ -862,33 +862,36 @@ def tfidf_top_keywords_q(spark: SparkSession, sf: str) -> DataFrame:
     hash aggregations (tf by (doc, token); df by token) + a broadcast
     of the tiny df/n side back onto tf + a per-doc window top-k. The
     document-frequency table is vocabulary-sized (≪ corpus), so the
-    re-join is broadcastable at any corpus scale."""
+    re-join is broadcastable at any corpus scale.
+
+    tf feeds two consumers (dfreq + the join probe) with NO pin: the
+    DAG scheduler dedups identical shuffle map stages, so the
+    explode+partial-agg map runs once and the second consumer reads
+    the same shuffle files (verified by skipped-stage counts; the
+    eager localCheckpoint this replaces serialized the whole job on a
+    driver-side materialization barrier for no recompute saved). The
+    corpus size n joins in as a broadcast 1-row aggregate instead of a
+    separate .count() action — the query is a single job."""
     from pyspark.sql import Window
 
     from .operators.textanalysis import tokens
 
     d = load_table(spark, sf, "documents")
-    n_docs = d.count()
     tok = (
         d.select("doc_id", F.explode(tokens(F.col("text"))).alias("token"))
         .filter(F.col("token") != "")
     )
     # tf rows are (doc, token)-distinct by construction, so document
     # frequency is a plain count over tf — no second pass over the
-    # exploded stream. tf feeds two consumers (dfreq + the join), so
-    # pin it with localCheckpoint: under AQE's concurrent stage
-    # submission a lazy persist would let both consumers race through
-    # the uncached explode.
-    tf = (
-        tok.groupBy("doc_id", "token")
-        .agg(F.count(F.lit(1)).alias("tf"))
-        .localCheckpoint(eager=True)
-    )
+    # exploded stream.
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
-    score = F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))
+    n_docs = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    score = F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df"))
     w = Window.partitionBy("doc_id").orderBy(F.desc(score), F.asc("token"))
     return (
         tf.join(F.broadcast(dfreq), "token")
+        .crossJoin(F.broadcast(n_docs))
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 3)
         .select("doc_id", "token", F.round(score, 4).alias("tfidf"))
@@ -1512,6 +1515,35 @@ def pagerank_one_iter_q(spark: SparkSession, sf: str) -> DataFrame:
                 + F.lit(0.85) * (F.col("_inflow") / F.lit(float(_PR_SCALE)))
             ).alias("pagerank"),
         )
+    )
+
+
+@query("pagerank_k", None)
+def pagerank_k_q(spark: SparkSession, sf: str) -> DataFrame:
+    """K=5 PageRank iterations (operators/graph.py) over the undirected
+    part↔supplier graph: node ids namespace the two key spaces
+    (part→2k, supplier→2k+1), edges mirrored so no node dangles and
+    total rank mass is conserved at N exactly — the pytest-pinned
+    invariant. Rows-only in the driver (iterative float fixed-point;
+    per-iteration results are not SQL-expressible without a recursive
+    CTE over floats whose summation order DuckDB and Spark won't agree
+    on — pagerank_one_iter is the oracle-checked single-step twin).
+    Returns suppliers only, rank descending then key."""
+    from .operators.graph import pagerank
+
+    li = load_table(spark, sf, "lineitem")
+    e = li.select(
+        (F.col("l_partkey") * 2).alias("src"),
+        (F.col("l_suppkey") * 2 + 1).alias("dst"),
+    )
+    ranks = pagerank(e, k=5, undirected=True)
+    return (
+        ranks.filter(F.col("node") % 2 == 1)
+        .select(
+            ((F.col("node") - 1) / 2).cast("long").alias("suppkey"),
+            "rank",
+        )
+        .orderBy(F.desc("rank"), F.asc("suppkey"))
     )
 
 

@@ -107,9 +107,27 @@ def _make_processor():
     return RunningStatsProcessor()
 
 
-def running_user_stats(events: DataFrame) -> DataFrame:
+def running_user_stats(
+    events: DataFrame, require_runtime: bool = True
+) -> DataFrame:
     """Per-user running (count, mean, population variance) emitted each
-    micro-batch the user appears in — State V2 transformWithStateInPandas."""
+    micro-batch the user appears in — State V2 transformWithStateInPandas.
+
+    Fails fast (RuntimeError) when the State-V2 runtime can't execute
+    here (``google.protobuf`` absent), instead of handing back a plan
+    that dies mid-stream in the state server; ``running_user_totals``
+    (sessionize.py, applyInPandasWithState) is the fully-supported
+    stateful path in that environment. Pass ``require_runtime=False``
+    to build the plan anyway (schema/wiring tests, or sessions that
+    ship the plan to a cluster that does have protobuf)."""
+    if require_runtime and not state_v2_available():
+        raise RuntimeError(
+            "State V2 (transformWithStateInPandas) cannot execute here: "
+            "google.protobuf is not installed (its state-server wire "
+            "protocol requires it). Use running_user_totals "
+            "(streaming.sessionize, applyInPandasWithState) instead, or "
+            "install protobuf."
+        )
     return events.groupBy("user_id").transformWithStateInPandas(
         statefulProcessor=_make_processor(),
         outputStructType=RUNNING_STATS_OUTPUT,

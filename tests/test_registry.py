@@ -15,6 +15,9 @@ ROWS_ONLY = {
     "approx_percentile_price": "KLL sketch estimate is engine-specific",
     "sample_stratified_by_lang": "Bernoulli draws are engine-specific",
     "pack_sequences": "greedy first-fit packing order is engine-specific",
+    "pagerank_k": "iterative float fixed-point; summation order across "
+    "K rounds is engine-specific (pagerank_one_iter is the "
+    "oracle-checked single-step twin; invariants in tests/test_graph.py)",
 }
 
 

@@ -106,7 +106,7 @@ class TestRunningUserStats:
         )
 
         ev = load_table(spark, sf_dir, "events")
-        out = running_user_stats(ev.limit(10))
+        out = running_user_stats(ev.limit(10), require_runtime=False)
         assert out.schema == RUNNING_STATS_OUTPUT
 
     def test_stateful_stats_match_batch(self, spark, sf_dir, events_stage_dir):
@@ -116,7 +116,13 @@ class TestRunningUserStats:
         )
 
         if not state_v2_available():
-            pytest.skip("google.protobuf absent: State V2 server can't run")
+            # documented-unsupported here: the operator must fail fast
+            # with a clear pointer to the supported stateful path, not
+            # hand back a plan that dies mid-stream in the state server
+            ev = load_table(spark, sf_dir, "events")
+            with pytest.raises(RuntimeError, match="running_user_totals"):
+                running_user_stats(ev)
+            return
 
         stream = read_event_stream(spark, events_stage_dir)
         stats = running_user_stats(stream)

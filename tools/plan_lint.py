@@ -46,6 +46,14 @@ WHITELIST: dict[str, dict[str, str]] = {
     "bloom_semi_join_orders": {
         "bnl_join": "1-row bloom-bitmap aggregate cross-joined onto the probe side"
     },
+    "tfidf_top_keywords": {
+        "bnl_join": "1-row corpus-count aggregate cross-joined onto tf "
+        "(replaces a separate .count() driver action)"
+    },
+    "corpus_terms_suite": {
+        "bnl_join": "embeds tfidf_top_keywords (1-row corpus-count "
+        "cross-join, see that entry)"
+    },
     "nearest_centroid_assign": {
         "bnl_join": "K-row centroid frame cross-joined for broadcast argmin"
     },
