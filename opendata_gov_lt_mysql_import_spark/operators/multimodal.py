@@ -2,11 +2,14 @@
 
 Image/audio/video payloads are opaque ``binary`` columns with a typed
 metadata struct; decode / feature-extraction / resize / frame-sampling
-run as Arrow-batched ``mapInPandas`` stages. The decode step itself is
-STUBBED in this environment (no image/audio libraries in the container)
-behind ``NotImplementedError`` with a deterministic fake used by tests —
-the Spark-side contract (schema, partitioning, UDF signature, batch
-shape) is real and tested.
+run as Arrow-batched ``mapInPandas`` stages. Three REAL dependency-free
+codecs are live — binary PPM (P6), uncompressed 24/32-bit BMP, and
+RIFF/WAVE PCM16 — with real pixel/sample decode, feature extraction,
+and nearest-neighbor resize; only compressed formats (JPEG/PNG/MP3/
+video), which require codec libraries absent from this container, stay
+behind ``NotImplementedError`` with a deterministic fake used by tests.
+The Spark-side contract (schema, partitioning, UDF signature, batch
+shape) is identical on both paths.
 
 Scale notes: binary payloads ride in the same parquet row groups as their
 metadata; ``spark.sql.files.maxPartitionBytes`` governs scan parallelism.
@@ -103,16 +106,76 @@ def resize_ppm(payload: bytes, width: int, height: int) -> bytes:
     return encode_ppm(img[rows][:, cols])
 
 
+BMP_MIME = "image/bmp"
+
+
+def decode_bmp(payload: bytes):
+    """REAL image decode, zero dependencies: uncompressed (BI_RGB)
+    24/32-bit BMP → HxWx3 uint8 RGB array. Handles the 4-byte row
+    padding, BGR byte order, and both bottom-up (positive height, the
+    common case) and top-down (negative height) layouts."""
+    import struct
+
+    import numpy as np
+
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    (data_off,) = struct.unpack_from("<I", payload, 10)
+    w, h = struct.unpack_from("<ii", payload, 18)
+    (bits,) = struct.unpack_from("<H", payload, 28)
+    (compression,) = struct.unpack_from("<I", payload, 30)
+    if compression != 0 or bits not in (24, 32):
+        raise NotImplementedError(
+            f"only uncompressed 24/32-bit BMP is supported "
+            f"(compression={compression}, bits={bits})"
+        )
+    top_down = h < 0
+    h = abs(h)
+    bpp = bits // 8
+    stride = (w * bpp + 3) & ~3  # rows pad to 4-byte boundaries
+    rows = np.frombuffer(
+        payload, dtype=np.uint8, count=stride * h, offset=data_off
+    ).reshape(h, stride)
+    px = rows[:, : w * bpp].reshape(h, w, bpp)
+    rgb = px[:, :, 2::-1]  # BGR(A) → RGB, alpha dropped
+    return rgb if top_down else rgb[::-1]
+
+
+def encode_bmp(arr) -> bytes:
+    """HxWx3 uint8 RGB array → uncompressed 24-bit bottom-up BMP (the
+    fixture encoder and the re-encode half of the real resize path)."""
+    import struct
+
+    import numpy as np
+
+    a = np.asarray(arr, dtype=np.uint8)
+    h, w, _ = a.shape
+    stride = (w * 3 + 3) & ~3
+    body = np.zeros((h, stride), dtype=np.uint8)
+    body[:, : w * 3] = a[::-1, :, ::-1].reshape(h, w * 3)  # bottom-up BGR
+    data = body.tobytes()
+    header = (
+        b"BM"
+        + struct.pack("<IHHI", 54 + len(data), 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data), 2835, 2835, 0, 0)
+    )
+    return header + data
+
+
 def decode_image(payload: bytes) -> object:
-    """Image decode: REAL for uncompressed binary PPM (pure numpy);
-    compressed formats (JPEG/PNG/…) require a codec library not present
-    in this container and stay stubbed — swap in Pillow/ffmpeg here when
+    """Image decode: REAL for the uncompressed formats (binary PPM and
+    BI_RGB BMP — pure numpy, dispatched on the magic bytes); compressed
+    formats (JPEG/PNG/…) require a codec library not present in this
+    container and stay stubbed — swap in Pillow/ffmpeg here when
     available. The plumbing (schema, batching) is identical either way."""
     if payload[:2] == b"P6":
         return decode_ppm(payload)
+    if payload[:2] == b"BM":
+        return decode_bmp(payload)
     raise NotImplementedError(
-        "compressed image decode requires an imaging library; PPM payloads "
-        "decode natively, or use fake_decode_features for opaque bytes"
+        "compressed image decode requires an imaging library; PPM and BMP "
+        "payloads decode natively, or use fake_decode_features for opaque "
+        "bytes"
     )
 
 
@@ -301,10 +364,22 @@ RESIZE_SCHEMA = StructType(
 )
 
 
+def resize_bmp(payload: bytes, width: int, height: int) -> bytes:
+    """Real nearest-neighbor resize for BMP payloads, pure numpy —
+    decode, index with scaled row/column grids, re-encode as 24-bit."""
+    import numpy as np
+
+    img = decode_bmp(payload)
+    src_h, src_w = img.shape[:2]
+    rows = (np.arange(height) * src_h // height).clip(0, src_h - 1)
+    cols = (np.arange(width) * src_w // width).clip(0, src_w - 1)
+    return encode_bmp(img[rows][:, cols])
+
+
 def resize_media(media: DataFrame, width: int, height: int) -> DataFrame:
     """Resize stage: Arrow-batched mapInPandas with a fixed output
-    geometry. PPM payloads get a REAL nearest-neighbor pixel resize
-    (pure numpy); other mimes fall back to the deterministic byte
+    geometry. PPM and BMP payloads get a REAL nearest-neighbor pixel
+    resize (pure numpy); other mimes fall back to the deterministic byte
     truncation/padding stand-in (codec libraries absent), keeping batch
     shapes, schema, and downstream contracts identical on both paths."""
 
@@ -316,6 +391,8 @@ def resize_media(media: DataFrame, width: int, height: int) -> DataFrame:
                 b = bytes(p) if p is not None else b""
                 if mime == PPM_MIME:
                     out.append(resize_ppm(b, width, height))
+                elif mime == BMP_MIME:
+                    out.append(resize_bmp(b, width, height))
                 else:
                     out.append(b[:target].ljust(target, b"\0"))
             yield pd.DataFrame(

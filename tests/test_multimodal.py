@@ -141,6 +141,79 @@ class TestMultimodal:
         for i, a in imgs.items():
             assert abs(feats[i]["byte_mean"] - float(a.mean())) < 1e-9
 
+    def test_bmp_decode_roundtrip_and_padding(self):
+        import numpy as np
+
+        from opendata_gov_lt_mysql_import_spark.operators.multimodal import (
+            decode_bmp,
+            encode_bmp,
+        )
+
+        # width 6 → row stride 18 → padded to 20: exercises the 4-byte
+        # row alignment both ways
+        img = (np.arange(4 * 6 * 3, dtype=np.uint8)).reshape(4, 6, 3)
+        assert np.array_equal(decode_bmp(encode_bmp(img)), img)
+        # width 4 → stride 12, no padding
+        img2 = np.full((3, 4, 3), 77, dtype=np.uint8)
+        assert np.array_equal(decode_bmp(encode_bmp(img2)), img2)
+        # decode_image dispatches on the BM magic
+        assert np.array_equal(decode_image(encode_bmp(img)), img)
+
+    def test_bmp_rejects_compressed_and_paletted(self):
+        import struct
+
+        from opendata_gov_lt_mysql_import_spark.operators.multimodal import (
+            decode_bmp,
+            encode_bmp,
+        )
+        import numpy as np
+
+        good = bytearray(encode_bmp(np.zeros((2, 2, 3), dtype=np.uint8)))
+        rle = bytearray(good)
+        struct.pack_into("<I", rle, 30, 1)  # BI_RLE8
+        with pytest.raises(NotImplementedError):
+            decode_bmp(bytes(rle))
+        pal = bytearray(good)
+        struct.pack_into("<H", pal, 28, 8)  # 8-bit paletted
+        with pytest.raises(NotImplementedError):
+            decode_bmp(bytes(pal))
+        with pytest.raises(ValueError):
+            decode_bmp(b"XX not a bmp")
+
+    def test_bmp_real_resize_and_features(self, spark):
+        """BMP payloads through the Spark resize + real-decode feature
+        stages — the second fully-live image codec next to PPM."""
+        import numpy as np
+
+        from opendata_gov_lt_mysql_import_spark.operators.multimodal import (
+            BMP_MIME,
+            decode_bmp,
+            encode_bmp,
+            extract_media_features,
+        )
+
+        imgs = {
+            1: np.full((4, 4, 3), 200, dtype=np.uint8),
+            2: np.arange(8 * 6 * 3, dtype=np.uint64).reshape(8, 6, 3).astype(np.uint8),
+        }
+        media = spark.createDataFrame(
+            [(i, BMP_MIME, bytearray(encode_bmp(a))) for i, a in imgs.items()],
+            "media_id long, mime string, payload binary",
+        )
+        resized = {r["media_id"]: r for r in resize_media(media, 3, 5).collect()}
+        for i, a in imgs.items():
+            out = decode_bmp(bytes(resized[i]["payload"]))
+            assert out.shape == (5, 3, 3)
+            rows = (np.arange(5) * a.shape[0] // 5).clip(0, a.shape[0] - 1)
+            cols = (np.arange(3) * a.shape[1] // 3).clip(0, a.shape[1] - 1)
+            assert np.array_equal(out, a[rows][:, cols])
+        feats = {
+            r["media_id"]: r
+            for r in extract_media_features(media, use_real_decode=True).collect()
+        }
+        for i, a in imgs.items():
+            assert abs(feats[i]["byte_mean"] - float(a.mean())) < 1e-9
+
     def test_media_schema(self, spark, sf_dir):
         docs = load_table(spark, sf_dir, "documents")
         media = attach_fake_media(docs, "doc_id", "text")

@@ -172,6 +172,60 @@ class TestSnapshots:
         assert not os.path.exists(orphan)
         assert read_snapshot(spark, t).count() == 10
 
+    def test_manifest_scales_to_10k_files(self, spark, tmp_path):
+        """Manifest ceiling probe: a version listing 10k data files must
+        resolve fast and read correctly. One manifest is a flat JSON
+        path list (~60 bytes/file → ~600 KB here, ~60 MB at 1M files);
+        sources/snapshots.py names manifest SHARDING as the growth path
+        past that — this pins the documented ceiling with numbers."""
+        import json as _json
+        import time as _time
+
+        from opendata_gov_lt_mysql_import_spark.sources.snapshots import (
+            _load_manifest,
+            _manifest_path,
+            resolve_snapshot,
+        )
+
+        t = str(tmp_path / "tbl")
+        commit_snapshot(
+            spark.range(0, 7).withColumn("g", F.lit(1)).coalesce(1), t
+        )  # v0: one data file holding all 7 rows
+        # simulate a 10k-file table: hardlink the committed file under
+        # 10k names inside a new commit dir and publish v1 by hand (the
+        # write path would produce exactly this shape from a 10k-task df)
+        src = os.path.join(t, _load_manifest(t, 0)["files"][0])
+        cdir = os.path.join(t, "data", "bigcommit")
+        os.makedirs(cdir)
+        rels = []
+        for i in range(10_000):
+            rel = os.path.join("data", "bigcommit", f"part-{i:05d}.parquet")
+            os.link(src, os.path.join(t, rel))
+            rels.append(rel)
+        m0 = _load_manifest(t, 0)
+        with open(_manifest_path(t, 1), "w") as fh:
+            _json.dump(
+                {
+                    "version": 1,
+                    "parent": 0,
+                    "mode": "overwrite",
+                    "schema": m0["schema"],
+                    "files": rels,
+                },
+                fh,
+            )
+        t0 = _time.perf_counter()
+        m = resolve_snapshot(t)
+        resolve_s = _time.perf_counter() - t0
+        assert len(m["_abs_files"]) == 10_000
+        # driver-side resolution is O(#files) string work — sub-second
+        # on any box; generous bound absorbs shared-box noise
+        assert resolve_s < 5.0, f"manifest resolution took {resolve_s:.1f}s"
+        assert os.path.getsize(_manifest_path(t, 1)) < 1_000_000
+        df = read_snapshot(spark, t)
+        assert df.count() == 7 * 10_000
+        assert df.filter(F.col("g") == 1).count() == 7 * 10_000
+
     def test_vacuum_rmdirs_emptied_commit_dirs(self, spark, tmp_path):
         from opendata_gov_lt_mysql_import_spark.sources.snapshots import vacuum
 
