@@ -61,6 +61,10 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # write TIMESTAMP_MICROS, not legacy INT96: INT96 carries no
+        # parquet min/max statistics, which kills timestamp predicate
+        # pushdown and the snapshot manifests' file-skipping stats
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     )
     if master:
         builder = builder.master(master)

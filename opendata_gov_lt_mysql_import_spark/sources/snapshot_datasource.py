@@ -28,6 +28,22 @@ reader that implements ``pushFilters`` hard-fails when
 session factory (session.py) sets that conf; sessions built elsewhere
 must do the same to use this source.
 
+Beyond arrow row-group pruning, ``partitions()`` performs manifest-level
+FILE skipping: per-file min/max stats recorded at commit time prove
+whole files irrelevant to a pushed conjunct, so a skipped file's footer
+is never even opened — the tier that matters most at large file counts.
+
+KNOWN SPARK LIFECYCLE HAZARD (4.1.2, framework-level): the Python
+DataSource scan is cached per loaded DataFrame and re-built only for
+queries that push filters — a FILTERLESS query on a previously-filtered
+DataFrame object reuses the previous query's scan (stale filters and
+all). This hits ANY pushFilters-implementing source, including the
+stock example in the pyspark docs (pinned by
+tests/test_snapshots.py::test_spark_scan_reuse_hazard). Use
+:func:`load_snapshot_df` (fresh load per call) instead of holding one
+``load()`` result across differently-filtered queries; the primary
+``read_snapshot`` path (JVM parquet reader) is unaffected.
+
 This is the interop/SQL surface; for raw scan throughput the primary
 path remains ``read_snapshot``, which hands the JVM parquet reader the
 explicit file list (whole-stage codegen, no Python in the loop). Same
@@ -41,16 +57,31 @@ from __future__ import annotations
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    EqualNullSafe,
     EqualTo,
     GreaterThan,
     GreaterThanOrEqual,
+    In,
     InputPartition,
     IsNotNull,
     IsNull,
     LessThan,
     LessThanOrEqual,
+    Not,
 )
 from pyspark.sql.types import StructType
+
+
+def load_snapshot_df(spark, table_dir: str, version: int | None = None):
+    """Sanctioned accessor for the DataSource tier: a FRESH
+    ``format("snapshot").load()`` per call, so every query plans its
+    own scan — see the module docstring's Spark scan-reuse hazard.
+    Registers the source on first use."""
+    spark.dataSource.register(SnapshotDataSource)
+    r = spark.read.format("snapshot").option("path", table_dir)
+    if version is not None:
+        r = r.option("version", int(version))
+    return r.load()
 
 
 class SnapshotDataSource(DataSource):
@@ -76,23 +107,42 @@ class SnapshotDataSource(DataSource):
         return self._resolved()["_struct"]
 
     def reader(self, schema: StructType) -> "SnapshotReader":
-        return SnapshotReader(self._resolved()["_abs_files"], schema)
+        m = self._resolved()
+        return SnapshotReader(
+            m["_abs_files"], schema, m["files"], m.get("stats", {})
+        )
 
 
-def _to_arrow_filter(f):
+def _to_arrow_filter(f, float_cols):
     """Translate a pushed Spark filter to a pyarrow dataset expression;
     None = refuse (Spark then keeps evaluating it itself). Refusal is
     the only safe answer for anything whose arrow semantics could
-    differ — accepted filters are NOT re-checked by Spark."""
+    differ — accepted filters are NOT re-checked by Spark.
+
+    ``Not(child)`` recurses: Spark's three-valued NOT maps exactly onto
+    arrow's (null child → null → row dropped on both engines), so a
+    negation is pushable iff its child is. ``In`` is pushable unless
+    the value set contains NULL (SQL ``x IN (1, NULL)`` drops NULL x;
+    arrow's null-matching would keep it). Float/double columns are
+    refused everywhere, including under Not — NaN ordering differs."""
     import pyarrow.dataset as pads
 
+    if isinstance(f, Not):
+        child = _to_arrow_filter(f.child, float_cols)
+        return None if child is None else ~child
     attr = getattr(f, "attribute", None)
     if attr is None or len(attr) != 1:
-        # Not/And/Or wrappers carry no `attribute`; nested paths unhandled
+        # unknown wrapper shapes; nested column paths unhandled
+        return None
+    if attr[0] in float_cols:
         return None
     col = pads.field(attr[0])
     if isinstance(f, EqualTo):
         return col == f.value
+    if isinstance(f, EqualNullSafe):
+        # x <=> NULL is IS NULL; x <=> v keeps exactly the x == v rows
+        # (the null row is dropped either way: false here, null there)
+        return col.is_null() if f.value is None else col == f.value
     if isinstance(f, GreaterThan):
         return col > f.value
     if isinstance(f, GreaterThanOrEqual):
@@ -101,6 +151,18 @@ def _to_arrow_filter(f):
         return col < f.value
     if isinstance(f, LessThanOrEqual):
         return col <= f.value
+    if isinstance(f, In):
+        # OR-of-equalities, NOT arrow isin: the is_in kernel maps a
+        # NULL input to FALSE, which flips to TRUE under Not and keeps
+        # rows SQL's 3-valued NOT IN drops; (col==v1)|(col==v2) yields
+        # NULL for NULL input on both engines. Long lists refused (the
+        # expression tree is per-value; Spark evaluates those itself).
+        if any(v is None for v in f.value) or not f.value or len(f.value) > 64:
+            return None
+        expr = col == f.value[0]
+        for v in f.value[1:]:
+            expr = expr | (col == v)
+        return expr
     if isinstance(f, IsNull):
         return col.is_null()
     if isinstance(f, IsNotNull):
@@ -113,13 +175,64 @@ class SnapshotFilePartition(InputPartition):
         self.path = path
 
 
+def _file_may_match(f, stats) -> bool:
+    """Conservative file-skip test: False ONLY when the file's manifest
+    stats PROVE no row can satisfy filter ``f`` (then the file never
+    opens); True on any uncertainty. Sound per-conjunct: Spark pushes a
+    conjunction, so one impossible conjunct kills the whole file."""
+    from .snapshots import _norm_stat_value
+
+    attr = getattr(f, "attribute", None)
+    if attr is None or len(attr) != 1 or stats is None:
+        return True
+    col_stats = stats.get(attr[0])
+    if not col_stats:
+        return True
+    lo, hi, has_nulls = col_stats
+    if isinstance(f, IsNull):
+        return bool(has_nulls)
+    if isinstance(f, IsNotNull):
+        return True  # stats exist => at least one non-null value
+    try:
+        if isinstance(f, In):
+            vs = [_norm_stat_value(v) for v in f.value if v is not None]
+            return any(lo <= v <= hi for v in vs)
+        v = _norm_stat_value(f.value)
+        if v is None:
+            return True
+        if isinstance(f, (EqualTo, EqualNullSafe)):
+            return lo <= v <= hi
+        if isinstance(f, GreaterThan):
+            return hi > v
+        if isinstance(f, GreaterThanOrEqual):
+            return hi >= v
+        if isinstance(f, LessThan):
+            return lo < v
+        if isinstance(f, LessThanOrEqual):
+            return lo <= v
+    except TypeError:
+        return True  # incomparable types (schema drift) — never skip
+    return True
+
+
 class SnapshotReader(DataSourceReader):
-    def __init__(self, files: list[str], schema: StructType):
+    def __init__(
+        self,
+        files: list[str],
+        schema: StructType,
+        rel_files: list[str] | None = None,
+        stats: dict | None = None,
+    ):
         from pyspark.sql.pandas.types import to_arrow_schema
 
         self._files = files
         self._schema = schema
         self._arrow_schema = to_arrow_schema(schema)
+        # per-file manifest stats for file-level skipping (keyed by the
+        # manifest-relative path, parallel to `files`)
+        self._rel_files = rel_files or [None] * len(files)
+        self._stats = stats or {}
+        self._skip_filters: list = []
         # NaN ordering/equality differs between Spark and arrow — never
         # accept pushdown on floating-point columns
         self._float_cols = {
@@ -130,23 +243,25 @@ class SnapshotReader(DataSourceReader):
         self._arrow_filter = None
 
     def pushFilters(self, filters):
+        # defensive reset: Spark re-runs pushdown on a freshly unpickled
+        # reader per filtered query, but never carry state across calls
+        self._skip_filters = []
+        self._arrow_filter = None
         accepted = []
         for f in filters:
-            expr = None
-            # Spark may push shapes with no `attribute` at all (Not/And/Or
-            # wrappers from != or negated predicates) — anything we can't
-            # positively identify as a single non-float column is refused,
-            # never raised on, because a pushFilters error fails the read.
-            attr = getattr(f, "attribute", None)
-            if (
-                attr is not None
-                and len(attr) == 1
-                and attr[0] not in self._float_cols
-            ):
-                try:
-                    expr = _to_arrow_filter(f)
-                except Exception:  # noqa: BLE001 — pushdown is best-effort
-                    expr = None
+            # every conjunct also drives manifest-stats FILE skipping in
+            # partitions() — sound even for filters refused below, since
+            # refusal only returns row-level evaluation to Spark while
+            # skipping needs just per-file impossibility proofs
+            self._skip_filters.append(f)
+            # anything the translator can't positively map (unknown
+            # wrapper shapes, float columns, NULL-containing IN lists)
+            # is refused, never raised on — a pushFilters error fails
+            # the whole read
+            try:
+                expr = _to_arrow_filter(f, self._float_cols)
+            except Exception:  # noqa: BLE001 — pushdown is best-effort
+                expr = None
             if expr is None:
                 yield f  # refused: Spark keeps evaluating it
             else:
@@ -158,7 +273,22 @@ class SnapshotReader(DataSourceReader):
             self._arrow_filter = combined
 
     def partitions(self):
-        return [SnapshotFilePartition(p) for p in self._files]
+        # manifest-level file skipping: a file whose min/max stats prove
+        # a pushed conjunct impossible never becomes a partition (the
+        # tier above arrow row-group pruning; at large file counts the
+        # skipped file's footer is never even opened)
+        out = []
+        for abs_path, rel in zip(self._files, self._rel_files):
+            stats = self._stats.get(rel) if rel else None
+            if all(
+                _file_may_match(f, stats) for f in self._skip_filters
+            ):
+                out.append(SnapshotFilePartition(abs_path))
+        if not out:
+            # Spark requires >= 1 partition; an empty scan of the first
+            # file under the declared schema yields zero rows cheaply
+            return [SnapshotFilePartition(self._files[0])] if self._files else []
+        return out
 
     def read(self, partition: SnapshotFilePartition):
         import pyarrow.dataset as pads

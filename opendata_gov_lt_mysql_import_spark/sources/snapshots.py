@@ -113,8 +113,68 @@ def _merged_append_schema(parent_struct: StructType, new_struct: StructType):
     return StructType(fields)
 
 
+def _norm_stat_value(v):
+    """Normalize a stats/filter value to a JSON-safe totally-ordered
+    scalar: datetimes → UTC epoch micros, dates → ordinal day. Both the
+    write-side stats and the read-side filter values go through this,
+    so comparisons are always like-typed."""
+    import datetime as dt
+
+    if isinstance(v, dt.datetime):
+        if v.tzinfo is None:
+            v = v.replace(tzinfo=dt.timezone.utc)
+        return int(v.timestamp() * 1_000_000)
+    if isinstance(v, dt.date):
+        return v.toordinal()
+    return v
+
+
+def _collect_file_stats(abs_path: str) -> dict:
+    """Per-file column stats for manifest-level file skipping:
+    {col: [min, max, has_nulls]} over the file's row groups, only for
+    stats-safe scalar types — strings are excluded (parquet footer
+    min/max may be truncated), floats are excluded (NaN ordering
+    differs between engines), nested paths have no scalar order. A
+    column absent from the dict means 'unknown — never skip on it'."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(abs_path).metadata
+    out: dict[str, list] = {}
+    for rg in range(md.num_row_groups):
+        for ci in range(md.num_columns):
+            col = md.row_group(rg).column(ci)
+            name = col.path_in_schema
+            if "." in name:  # nested
+                continue
+            st = col.statistics
+            if (
+                st is None
+                or not st.has_min_max
+                or str(st.physical_type) in ("BYTE_ARRAY", "FLOAT", "DOUBLE")
+            ):
+                out[name] = None  # poisoned: some row group lacks stats
+                continue
+            if out.get(name, ...) is None:
+                continue
+            lo, hi = _norm_stat_value(st.min), _norm_stat_value(st.max)
+            nulls = bool(st.null_count) if st.has_null_count else True
+            if name not in out:
+                out[name] = [lo, hi, nulls]
+            else:
+                cur = out[name]
+                cur[0] = min(cur[0], lo)
+                cur[1] = max(cur[1], hi)
+                cur[2] = cur[2] or nulls
+    return {k: v for k, v in out.items() if v is not None}
+
+
 def commit_snapshot(
-    df: DataFrame, table_dir: str, mode: str = "append", max_retries: int = 5
+    df: DataFrame,
+    table_dir: str,
+    mode: str = "append",
+    max_retries: int = 5,
+    cluster_by: list[str] | None = None,
+    target_files: int | None = None,
 ) -> int:
     """Write ``df`` as a new table version and atomically publish it.
 
@@ -133,9 +193,26 @@ def commit_snapshot(
     winner's file list), and re-publishes, up to ``max_retries`` times.
     The data files are immutable and written once, so retries only
     redo O(#files) driver-side strings. Mirrors the reference harvest
-    queue's per-object idempotent restart (odgovlt.py:355-367)."""
+    queue's per-object idempotent restart (odgovlt.py:355-367).
+
+    ``cluster_by``: range-partition + sort the data on these columns
+    before writing, so each file owns a DISJOINT value range and the
+    manifest min/max stats actually prune (unsorted writes spread every
+    value across every file, making file skipping a no-op) — the
+    Z-order-lite knob of real table formats. ``target_files`` caps the
+    written file count (clustered writes default to the current shuffle
+    parallelism)."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
+    if cluster_by:
+        cols = [df[c] for c in cluster_by]
+        df = (
+            df.repartitionByRange(target_files, *cols)
+            if target_files
+            else df.repartitionByRange(*cols)
+        ).sortWithinPartitions(*cols)
+    elif target_files:
+        df = df.coalesce(target_files)
     commit_id = uuid.uuid4().hex
     data_dir = os.path.join(table_dir, "data", commit_id)
     df.write.mode("error").parquet(data_dir)
@@ -144,16 +221,25 @@ def commit_snapshot(
         for f in os.listdir(data_dir)
         if f.endswith(".parquet")
     )
+    # per-file min/max stats power manifest-level FILE skipping in the
+    # readers (the tier above parquet row-group pruning — at large file
+    # counts a pruned file never even opens); collection is O(footers)
+    new_stats = {
+        rel: _collect_file_stats(os.path.join(table_dir, rel))
+        for rel in new_files
+    }
 
     mdir = os.path.join(table_dir, _MANIFEST_DIR)
     os.makedirs(mdir, exist_ok=True)
     for attempt in range(max_retries + 1):
         parent = current_version(table_dir)
         files = list(new_files)
+        stats = dict(new_stats)
         schema_json = df.schema.json()
         if mode == "append" and parent is not None:
             pm = _load_manifest(table_dir, parent)
             files = pm["files"] + files
+            stats = {**pm.get("stats", {}), **stats}
             schema_json = _merged_append_schema(
                 StructType.fromJson(json.loads(pm["schema"])), df.schema
             ).json()
@@ -165,6 +251,7 @@ def commit_snapshot(
             "mode": mode,
             "schema": schema_json,
             "files": files,
+            "stats": stats,
         }
         tmp = os.path.join(mdir, f".v{version}.{commit_id}.tmp")
         with open(tmp, "w") as fh:
@@ -218,6 +305,143 @@ def read_snapshot(
     if not m["_abs_files"]:
         return spark.createDataFrame([], m["_struct"])
     return spark.read.schema(m["_struct"]).parquet(*m["_abs_files"])
+
+
+def read_snapshot_pruned(
+    spark: SparkSession,
+    table_dir: str,
+    filters: list[tuple] | None = None,
+    version: int | None = None,
+) -> DataFrame:
+    """JVM-path read with manifest-level file skipping: ``filters`` is
+    a list of ``(column, op, value)`` conjuncts (ops: = > >= < <= in),
+    evaluated against the per-file min/max stats — files whose stats
+    prove a conjunct impossible are dropped from the scan list BEFORE
+    Spark ever sees them, then the same predicates are re-applied
+    row-level (so the result equals ``read_snapshot(...).filter(...)``
+    exactly; skipping is a pure scan-size optimization). Use with
+    ``commit_snapshot(cluster_by=...)`` writes, which give files
+    disjoint ranges. The DataSource tier does this automatically via
+    pushFilters; this is the whole-stage-codegen twin."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.datasource import (
+        EqualTo,
+        GreaterThan,
+        GreaterThanOrEqual,
+        In,
+        LessThan,
+        LessThanOrEqual,
+    )
+
+    from .snapshot_datasource import _file_may_match
+
+    _OPS = {
+        "=": EqualTo,
+        ">": GreaterThan,
+        ">=": GreaterThanOrEqual,
+        "<": LessThan,
+        "<=": LessThanOrEqual,
+        "in": In,
+    }
+    m = resolve_snapshot(table_dir, version)
+    parsed = []
+    for col, op, value in filters or []:
+        if op not in _OPS:
+            raise ValueError(f"unsupported op {op!r} (use = > >= < <= in)")
+        parsed.append(
+            _OPS[op]((col,), tuple(value) if op == "in" else value)
+        )
+    stats = m.get("stats", {})
+    kept = [
+        ap
+        for ap, rel in zip(m["_abs_files"], m["files"])
+        if all(_file_may_match(f, stats.get(rel)) for f in parsed)
+    ]
+    if not kept:
+        df = spark.createDataFrame([], m["_struct"])
+    else:
+        df = spark.read.schema(m["_struct"]).parquet(*kept)
+    # re-apply row-level so skipped-file certainty is the only thing
+    # manifest stats ever decide
+    for col, op, value in filters or []:
+        c = F.col(col)
+        df = df.filter(
+            c.isin(list(value))
+            if op == "in"
+            else {"=": c == value, ">": c > value, ">=": c >= value,
+                  "<": c < value, "<=": c <= value}[op]
+        )
+    return df
+
+
+def read_snapshot_changes(
+    spark: SparkSession,
+    table_dir: str,
+    from_version: int,
+    to_version: int | None = None,
+) -> DataFrame:
+    """Incremental read: the rows ADDED after ``from_version`` up to and
+    including ``to_version`` (default latest) — i.e., the files present
+    in the target manifest but not in the base one. The incremental-
+    consumption pattern for append-only tables (each downstream run
+    processes only the delta, the scale-correct alternative to
+    re-scanning history; reference analog: the harvest queue imports
+    only newly staged objects, odgovlt.py:355-367).
+
+    Only valid across APPEND lineage: if any version in
+    (from_version, to_version] is an overwrite (or compaction), the
+    file-set diff no longer means "added rows" and this raises — fall
+    back to a full read of the target version."""
+    base = resolve_snapshot(table_dir, from_version)
+    target = resolve_snapshot(table_dir, to_version)
+    if target["version"] < base["version"]:
+        raise ValueError(
+            f"to_version {target['version']} precedes from_version "
+            f"{base['version']}"
+        )
+    for v in range(base["version"] + 1, target["version"] + 1):
+        if os.path.exists(_manifest_path(table_dir, v)):
+            if _load_manifest(table_dir, v)["mode"] != "append":
+                raise ValueError(
+                    f"version {v} is not an append: file-set diff does "
+                    "not mean added rows — read the full version instead"
+                )
+        else:
+            raise FileNotFoundError(
+                f"version {v} was vacuumed: incremental lineage broken"
+            )
+    base_files = set(base["files"])
+    added = [
+        ap
+        for ap, rel in zip(target["_abs_files"], target["files"])
+        if rel not in base_files
+    ]
+    if not added:
+        return spark.createDataFrame([], target["_struct"])
+    return spark.read.schema(target["_struct"]).parquet(*added)
+
+
+def compact_snapshot(
+    spark: SparkSession,
+    table_dir: str,
+    target_files: int = 8,
+    cluster_by: list[str] | None = None,
+) -> int:
+    """Maintenance OPTIMIZE: rewrite the CURRENT version's data into
+    ``target_files`` larger files (optionally re-clustered) and commit
+    the result as a new overwrite version — identical rows, fewer/
+    better-organized files. Older versions stay readable (copy-on-
+    write); reclaim the superseded small files later with vacuum. The
+    small-file problem is the canonical failure mode of long-running
+    append pipelines at scale."""
+    df = read_snapshot(spark, table_dir)
+    return commit_snapshot(
+        df,
+        table_dir,
+        mode="overwrite",
+        cluster_by=cluster_by,
+        target_files=target_files,
+    )
 
 
 def vacuum(

@@ -282,6 +282,114 @@ class TestSnapshots:
         assert vacuum(t, keep_last=2) == []  # idempotent when clean
 
 
+class TestSnapshotMaintenance:
+    """cluster_by writes, predicate-pruned JVM reads, compaction."""
+
+    def test_clustered_write_gives_disjoint_file_ranges(self, spark, tmp_path):
+        from opendata_gov_lt_mysql_import_spark.sources.snapshots import (
+            resolve_snapshot,
+        )
+
+        t = str(tmp_path / "tbl")
+        # shuffled input: without cluster_by every file would span the
+        # whole id range and nothing could ever be skipped
+        df = spark.range(0, 10_000).withColumn(
+            "shuffle_key", F.xxhash64("id")
+        ).orderBy("shuffle_key").drop("shuffle_key")
+        commit_snapshot(df, t, cluster_by=["id"], target_files=4)
+        m = resolve_snapshot(t)
+        assert len(m["files"]) == 4
+        ranges = sorted(
+            (m["stats"][f]["id"][0], m["stats"][f]["id"][1])
+            for f in m["files"]
+        )
+        for (lo1, hi1), (lo2, _) in zip(ranges, ranges[1:]):
+            assert hi1 < lo2  # disjoint, ordered ranges
+        assert ranges[0][0] == 0 and ranges[-1][1] == 9999
+
+    def test_read_snapshot_pruned_matches_full_filter(self, spark, tmp_path):
+        from opendata_gov_lt_mysql_import_spark.sources.snapshots import (
+            read_snapshot_pruned,
+            resolve_snapshot,
+        )
+
+        t = str(tmp_path / "tbl")
+        commit_snapshot(
+            spark.range(0, 10_000).withColumn("v", F.col("id") * 2),
+            t,
+            cluster_by=["id"],
+            target_files=8,
+        )
+        got = read_snapshot_pruned(spark, t, [("id", ">=", 9000)])
+        assert got.count() == 1000
+        assert got.agg(F.min("id")).collect()[0][0] == 9000
+        # the pruned scan reads fewer files than the manifest lists
+        m = resolve_snapshot(t)
+        n_scanned = len(got.inputFiles())
+        assert n_scanned < len(m["files"])
+        # equality + in + multiple conjuncts
+        assert read_snapshot_pruned(spark, t, [("id", "=", 5)]).count() == 1
+        assert (
+            read_snapshot_pruned(
+                spark, t, [("id", "in", (1, 5000, 9999))]
+            ).count()
+            == 3
+        )
+        assert (
+            read_snapshot_pruned(
+                spark, t, [("id", ">=", 100), ("id", "<", 200)]
+            ).count()
+            == 100
+        )
+        # impossible predicate → empty, zero files
+        empty = read_snapshot_pruned(spark, t, [("id", ">", 10_000_000)])
+        assert empty.count() == 0
+
+    def test_incremental_read_yields_only_added_rows(self, spark, tmp_path):
+        from opendata_gov_lt_mysql_import_spark.sources.snapshots import (
+            read_snapshot_changes,
+        )
+
+        t = str(tmp_path / "tbl")
+        commit_snapshot(spark.range(0, 100), t)          # v0
+        commit_snapshot(spark.range(100, 150), t)        # v1
+        commit_snapshot(spark.range(150, 180), t)        # v2
+        delta = read_snapshot_changes(spark, t, from_version=0)
+        assert delta.count() == 80
+        assert delta.agg(F.min("id"), F.max("id")).collect()[0] == (100, 179)
+        assert read_snapshot_changes(spark, t, 0, 1).count() == 50
+        assert read_snapshot_changes(spark, t, 2, 2).count() == 0
+        with pytest.raises(ValueError, match="precedes"):
+            read_snapshot_changes(spark, t, 2, 0)
+        # overwrite breaks append lineage → explicit error
+        commit_snapshot(spark.range(0, 5), t, mode="overwrite")  # v3
+        with pytest.raises(ValueError, match="not an append"):
+            read_snapshot_changes(spark, t, 1)
+
+    def test_compaction_preserves_rows_and_shrinks_files(self, spark, tmp_path):
+        from opendata_gov_lt_mysql_import_spark.sources.snapshots import (
+            compact_snapshot,
+            resolve_snapshot,
+            snapshot_history,
+        )
+
+        t = str(tmp_path / "tbl")
+        for i in range(5):  # many small append commits = many files
+            commit_snapshot(spark.range(i * 100, (i + 1) * 100), t)
+        before = resolve_snapshot(t)
+        v = compact_snapshot(spark, t, target_files=2, cluster_by=["id"])
+        after = resolve_snapshot(t)
+        assert after["version"] == v
+        assert len(after["files"]) == 2
+        assert len(after["files"]) < len(before["files"])
+        new = read_snapshot(spark, t)
+        assert new.count() == 500
+        assert new.agg(F.sum("id")).collect()[0][0] == sum(range(500))
+        # pre-compaction version still time-travels (copy-on-write)
+        assert read_snapshot(spark, t, version=v - 1).count() == 500
+        assert snapshot_history(t)[-1]["mode"] == "overwrite"
+
+
 class TestSnapshotDataSource:
     """format('snapshot') — the Spark 4 Python DataSource tier over the
     same manifests (sources/snapshot_datasource.py)."""
@@ -384,6 +492,119 @@ class TestSnapshotDataSource:
         )
         assert [r["id"] for r in got2] == [3]
 
+    def test_file_skipping_prunes_partitions(self, spark, tmp_path):
+        """Manifest min/max stats prove whole files irrelevant — pruned
+        files never become partitions (the tier above row-group
+        pruning); results stay exact."""
+        from pyspark.sql.datasource import GreaterThanOrEqual, In
+
+        from opendata_gov_lt_mysql_import_spark.sources.snapshot_datasource import (
+            SnapshotReader,
+            load_snapshot_df,
+        )
+        from opendata_gov_lt_mysql_import_spark.sources.snapshots import (
+            resolve_snapshot,
+        )
+
+        t = str(tmp_path / "tbl")
+        commit_snapshot(spark.range(0, 100).coalesce(1), t)
+        commit_snapshot(spark.range(1000, 1100).coalesce(1), t)
+
+        def reader():
+            m = resolve_snapshot(t)
+            return SnapshotReader(
+                m["_abs_files"], m["_struct"], m["files"], m.get("stats", {})
+            ), len(m["_abs_files"])
+
+        r, nfiles = reader()
+        assert nfiles == 2
+        list(r.pushFilters([GreaterThanOrEqual(("id",), 1000)]))
+        assert len(r.partitions()) == 1
+        r, _ = reader()
+        list(r.pushFilters([In(("id",), (5, 7))]))
+        assert len(r.partitions()) == 1
+        r, _ = reader()  # no filters → no skipping
+        assert len(r.partitions()) == 2
+        # end-to-end: counts exact under pruning
+        assert (
+            load_snapshot_df(spark, t).filter(F.col("id") >= 1000).count()
+            == 100
+        )
+        assert load_snapshot_df(spark, t).filter(F.col("id") > 5000).count() == 0
+        assert load_snapshot_df(spark, t).count() == 200
+
+    def test_file_stats_respect_timestamps_and_nulls(self, spark, tmp_path):
+        import datetime as dt
+
+        from pyspark.sql.datasource import EqualTo, IsNull, LessThan
+
+        from opendata_gov_lt_mysql_import_spark.sources.snapshot_datasource import (
+            _file_may_match,
+        )
+        from opendata_gov_lt_mysql_import_spark.sources.snapshots import (
+            resolve_snapshot,
+        )
+
+        t = str(tmp_path / "tbl")
+        commit_snapshot(
+            spark.createDataFrame(
+                [
+                    (1, dt.datetime(2024, 1, 1), 1.5),
+                    (2, dt.datetime(2024, 6, 1), float("nan")),
+                ],
+                "id long, ts timestamp, x double",
+            ).coalesce(1),
+            t,
+        )
+        m = resolve_snapshot(t)
+        stats = m["stats"][m["files"][0]]
+        assert "id" in stats and "ts" in stats
+        assert "x" not in stats  # floats never recorded (NaN ordering)
+        # timestamp pruning through the epoch-micros normalization
+        assert not _file_may_match(
+            LessThan(("ts",), dt.datetime(2023, 1, 1)), stats
+        )
+        assert _file_may_match(
+            LessThan(("ts",), dt.datetime(2024, 3, 1)), stats
+        )
+        # no nulls in the file → IS NULL can skip it
+        assert not _file_may_match(IsNull(("id",)), stats)
+        assert _file_may_match(EqualTo(("id",), 2), stats)
+        assert not _file_may_match(EqualTo(("id",), 3), stats)
+
+    def test_spark_scan_reuse_hazard_canary(self, spark, table):
+        """FRAMEWORK CANARY (Spark 4.1.2): a filterless query on a
+        previously-filtered loaded DataFrame reuses the previous scan —
+        stale pushed filters and all. This hits any pushFilters source
+        (including the pyspark docs example). When a Spark upgrade fixes
+        the lifecycle, this test FAILS → delete it and the hazard notes
+        in snapshot_datasource.py. load_snapshot_df (fresh load per
+        query) is the sanctioned accessor meanwhile."""
+        base = spark.read.format("snapshot").option("path", table).load()
+        assert base.count() == 260
+        assert base.filter(F.col("id") >= 200).count() == 60
+        stale = base.count()  # rides the cached filtered scan
+        assert stale == 60, (
+            "Spark appears to have fixed the python-datasource scan "
+            "reuse lifecycle — remove this canary and the documented "
+            f"hazard (got {stale}, the pre-fix behavior returns 60)"
+        )
+
+    def test_load_snapshot_df_fresh_loads_are_exact(self, spark, table):
+        from opendata_gov_lt_mysql_import_spark.sources.snapshot_datasource import (
+            load_snapshot_df,
+        )
+
+        assert load_snapshot_df(spark, table).count() == 260
+        assert (
+            load_snapshot_df(spark, table)
+            .filter(F.col("id") >= 200)
+            .count()
+            == 60
+        )
+        assert load_snapshot_df(spark, table).count() == 260  # not poisoned
+        assert load_snapshot_df(spark, table, version=0).count() == 200
+
     def test_negated_filters_do_not_crash_the_read(self, spark, table):
         """Spark pushes Not(child) shapes (from != or negated
         predicates) that carry no `attribute` field — the reader must
@@ -400,3 +621,40 @@ class TestSnapshotDataSource:
         )
         assert got == [1, 3]
         assert base.filter(~F.col("id").isin(0, 1, 2)).count() == 257
+
+    def test_in_not_and_nullsafe_pushdown_semantics(self, spark, tmp_path):
+        """In / Not(child) / EqualNullSafe are pushed down (exact arrow
+        twins); three-valued logic over NULL rows must match Spark
+        exactly since accepted filters are never re-checked."""
+        from opendata_gov_lt_mysql_import_spark.sources.snapshot_datasource import (
+            SnapshotDataSource,
+        )
+
+        spark.dataSource.register(SnapshotDataSource)
+        t = str(tmp_path / "tbl")
+        commit_snapshot(
+            spark.createDataFrame(
+                [(1, 10), (2, None), (3, 30), (4, 40)], "id long, x long"
+            ),
+            t,
+        )
+        base = spark.read.format("snapshot").option("path", t).load()
+        # IN drops the NULL row
+        assert sorted(
+            r["id"] for r in base.filter(F.col("x").isin(10, 30)).collect()
+        ) == [1, 3]
+        # NOT IN drops the NULL row too (3-valued logic)
+        assert sorted(
+            r["id"] for r in base.filter(~F.col("x").isin(10, 30)).collect()
+        ) == [4]
+        # null-safe equality keeps exactly the NULL row
+        assert [
+            r["id"] for r in base.filter(F.col("x").eqNullSafe(None)).collect()
+        ] == [2]
+        assert [
+            r["id"] for r in base.filter(F.col("x").eqNullSafe(30)).collect()
+        ] == [3]
+        # NOT(x > 10) drops the NULL row
+        assert sorted(
+            r["id"] for r in base.filter(~(F.col("x") > 10)).collect()
+        ) == [1]
