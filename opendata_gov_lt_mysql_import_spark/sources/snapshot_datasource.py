@@ -57,6 +57,7 @@ from __future__ import annotations
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     EqualNullSafe,
     EqualTo,
     GreaterThan,
@@ -111,6 +112,12 @@ class SnapshotDataSource(DataSource):
         return SnapshotReader(
             m["_abs_files"], schema, m["files"], m.get("stats", {})
         )
+
+    def streamReader(self, schema: StructType) -> "SnapshotStreamReader":
+        table_dir = self.options.get("path")
+        if not table_dir:
+            raise ValueError("snapshot source requires option('path', ...)")
+        return SnapshotStreamReader(table_dir, schema)
 
 
 def _to_arrow_filter(f, float_cols):
@@ -305,3 +312,81 @@ class SnapshotReader(DataSourceReader):
             filter=self._arrow_filter,
         )
         yield from scanner.to_batches()
+
+
+class SnapshotStreamReader(DataSourceStreamReader):
+    """Streaming consumption of an append-only snapshot table —
+    ``spark.readStream.format("snapshot")`` (the Delta-streaming-source
+    analog over this format). Offsets are version numbers; each
+    micro-batch reads exactly the files ADDED between the checkpointed
+    version and the current one (manifest set-diff, one partition per
+    new file, Arrow RecordBatch reads). The batch twin is
+    :func:`..sources.snapshots.read_snapshot_changes`.
+
+    The first batch from a fresh checkpoint loads the table's CURRENT
+    files (initial backfill); from then on lineage must be append-only:
+    an overwrite (or a vacuumed manifest) inside a batch range raises,
+    because a file diff across an overwrite does not mean added rows.
+    Rows ride under the schema pinned at stream start — later appends
+    with drifted files null-fill/upcast exactly like the batch reader."""
+
+    def __init__(self, table_dir: str, schema: StructType):
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        self._table_dir = table_dir
+        self._schema = schema
+        self._arrow_schema = to_arrow_schema(schema)
+
+    def initialOffset(self) -> dict:
+        return {"version": -1}
+
+    def latestOffset(self) -> dict:
+        from .snapshots import current_version
+
+        v = current_version(self._table_dir)
+        return {"version": -1 if v is None else v}
+
+    def partitions(self, start: dict, end: dict):
+        from .snapshots import _load_manifest, _manifest_path, resolve_snapshot
+        import os
+
+        sv, ev = int(start["version"]), int(end["version"])
+        if ev <= sv:
+            return []
+        target = resolve_snapshot(self._table_dir, ev)
+        if sv < 0:
+            added = target["_abs_files"]  # initial backfill: current state
+        else:
+            for v in range(sv + 1, ev + 1):
+                if not os.path.exists(_manifest_path(self._table_dir, v)):
+                    raise FileNotFoundError(
+                        f"snapshot stream: version {v} was vacuumed — "
+                        "incremental lineage broken, restart the stream"
+                    )
+                if _load_manifest(self._table_dir, v)["mode"] != "append":
+                    raise ValueError(
+                        f"snapshot stream: version {v} is not an append "
+                        "— streaming requires append-only lineage"
+                    )
+            base_files = set(
+                resolve_snapshot(self._table_dir, sv)["files"]
+            )
+            added = [
+                ap
+                for ap, rel in zip(target["_abs_files"], target["files"])
+                if rel not in base_files
+            ]
+        return [SnapshotFilePartition(p) for p in added]
+
+    def read(self, partition: SnapshotFilePartition):
+        import pyarrow.dataset as pads
+
+        ds = pads.dataset(
+            partition.path, format="parquet", schema=self._arrow_schema
+        )
+        yield from ds.scanner(
+            columns=[f.name for f in self._schema.fields]
+        ).to_batches()
+
+    def commit(self, end: dict) -> None:
+        pass  # offsets are durable versions; nothing to acknowledge

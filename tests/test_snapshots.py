@@ -390,6 +390,76 @@ class TestSnapshotMaintenance:
         assert snapshot_history(t)[-1]["mode"] == "overwrite"
 
 
+class TestSnapshotStreaming:
+    """readStream over snapshot tables: version offsets, incremental
+    file-diff micro-batches, append-only lineage enforcement."""
+
+    def test_stream_backfills_then_reads_only_deltas(self, spark, tmp_path):
+        from opendata_gov_lt_mysql_import_spark.sources.snapshot_datasource import (
+            SnapshotDataSource,
+        )
+
+        spark.dataSource.register(SnapshotDataSource)
+        t = str(tmp_path / "tbl")
+        commit_snapshot(spark.range(0, 100), t)
+        commit_snapshot(spark.range(100, 150), t)
+        out = str(tmp_path / "out")
+        ckpt = str(tmp_path / "ckpt")
+
+        def run_stream():
+            q = (
+                spark.readStream.format("snapshot")
+                .option("path", t)
+                .load()
+                .writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+        run_stream()  # initial backfill: current table state
+        assert spark.read.parquet(out).count() == 150
+        commit_snapshot(spark.range(150, 180), t)
+        commit_snapshot(spark.range(180, 190), t)
+        run_stream()  # from checkpoint: only the two new commits
+        got = spark.read.parquet(out)
+        assert got.count() == 190  # 150 backfill + 40 delta, no re-reads
+        assert got.select("id").distinct().count() == 190
+
+    def test_stream_rejects_overwrite_lineage(self, spark, tmp_path):
+        from pyspark.errors.exceptions.captured import StreamingQueryException
+
+        from opendata_gov_lt_mysql_import_spark.sources.snapshot_datasource import (
+            SnapshotDataSource,
+        )
+
+        spark.dataSource.register(SnapshotDataSource)
+        t = str(tmp_path / "tbl")
+        commit_snapshot(spark.range(0, 50), t)
+        out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+        def run_stream():
+            q = (
+                spark.readStream.format("snapshot")
+                .option("path", t)
+                .load()
+                .writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+        run_stream()
+        assert spark.read.parquet(out).count() == 50
+        commit_snapshot(spark.range(0, 7), t, mode="overwrite")
+        with pytest.raises(StreamingQueryException, match="not an append"):
+            run_stream()
+
+
 class TestSnapshotDataSource:
     """format('snapshot') — the Spark 4 Python DataSource tier over the
     same manifests (sources/snapshot_datasource.py)."""
