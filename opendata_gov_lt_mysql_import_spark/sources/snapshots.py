@@ -42,7 +42,7 @@ import json
 import os
 import uuid
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.types import StructType
 
 _MANIFEST_DIR = "_manifests"
@@ -305,6 +305,226 @@ def read_snapshot(
     if not m["_abs_files"]:
         return spark.createDataFrame([], m["_struct"])
     return spark.read.schema(m["_struct"]).parquet(*m["_abs_files"])
+
+
+def _write_commit_files(df: DataFrame, table_dir: str) -> tuple[str, list, dict]:
+    """Write df into a fresh data/<uuid>/ dir; return (commit_id,
+    relative file list, per-file stats)."""
+    commit_id = uuid.uuid4().hex
+    data_dir = os.path.join(table_dir, "data", commit_id)
+    df.write.mode("error").parquet(data_dir)
+    rels = sorted(
+        os.path.join("data", commit_id, f)
+        for f in os.listdir(data_dir)
+        if f.endswith(".parquet")
+    )
+    stats = {
+        rel: _collect_file_stats(os.path.join(table_dir, rel)) for rel in rels
+    }
+    return commit_id, rels, stats
+
+
+def _publish_once(table_dir: str, manifest: dict, tag: str) -> None:
+    """Single-attempt atomic publish; raises on a concurrent commit.
+    Used by rewriting transactions (merge/delete), whose row work was
+    computed against a SPECIFIC parent — unlike append/overwrite they
+    cannot re-stack onto a different winner, so a lost race must abort
+    (the orphaned data dir is reclaimed by vacuum)."""
+    mdir = os.path.join(table_dir, _MANIFEST_DIR)
+    os.makedirs(mdir, exist_ok=True)
+    version = manifest["version"]
+    tmp = os.path.join(mdir, f".v{version}.{tag}.tmp")
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh)
+    try:
+        os.link(tmp, _manifest_path(table_dir, version))
+    except FileExistsError:
+        raise RuntimeError(
+            f"concurrent commit beat this transaction to version "
+            f"{version} in {table_dir}; its rewrite is based on version "
+            f"{manifest['parent']} — re-run against the new state"
+        ) from None
+    finally:
+        os.remove(tmp)
+
+
+def merge_snapshot(
+    spark: SparkSession,
+    table_dir: str,
+    source: DataFrame,
+    on: str | list[str],
+) -> int:
+    """MERGE (upsert): target rows whose key matches a source row are
+    replaced by the source row; unmatched source rows are inserted.
+    Publishes a new ``mode='merge'`` version.
+
+    Scale shape: only files whose manifest min/max MAY contain a source
+    key are rewritten — on a single stats-covered key column the
+    affected set is bounded by the source's [min, max] key range, so
+    merges into a ``cluster_by(key)`` table touch a handful of files
+    while every other file carries forward by reference (the
+    copy-on-write granularity of real table formats). The rewrite is
+    one anti-join (kept = affected ⟕̸ source keys) + a union; Spark
+    broadcasts the key side when small. Source columns must match the
+    declared schema by name."""
+    keys = [on] if isinstance(on, str) else list(on)
+    m = resolve_snapshot(table_dir)
+    declared = [f.name for f in m["_struct"].fields]
+    if sorted(c.lower() for c in source.columns) != sorted(
+        c.lower() for c in declared
+    ):
+        raise ValueError(
+            f"merge source columns {sorted(source.columns)} must match "
+            f"the declared schema {sorted(declared)}"
+        )
+    source = source.select(*declared)
+
+    # stats-scoped affected-file set, tiered by source size: a small
+    # source (the common upsert shape — a daily batch against a big
+    # table) collects its distinct keys once and each file is tested
+    # EXACTLY against its [min, max] via bisect, so scattered keys only
+    # touch their own files; a huge source falls back to the overall
+    # key-range overlap; multi-column keys affect everything. Cap keeps
+    # the driver collect bounded.
+    stats = m.get("stats", {})
+    affected, kept_files = [], []
+    key_set, key_range = None, None
+    if len(keys) == 1:
+        distinct = source.select(keys[0]).where(
+            F.col(keys[0]).isNotNull()
+        ).distinct()
+        if distinct.limit(100_001).count() <= 100_000:
+            key_set = sorted(
+                _norm_stat_value(r[0]) for r in distinct.collect()
+            )
+        else:
+            row = source.agg(
+                F.min(keys[0]).alias("lo"), F.max(keys[0]).alias("hi")
+            ).collect()[0]
+            if row["lo"] is not None:
+                key_range = (
+                    _norm_stat_value(row["lo"]),
+                    _norm_stat_value(row["hi"]),
+                )
+    for rel in m["files"]:
+        st = (stats.get(rel) or {}).get(keys[0]) if len(keys) == 1 else None
+        untouched = False
+        if st is not None:
+            if key_set is not None:
+                import bisect
+
+                i = bisect.bisect_left(key_set, st[0])  # noqa: import cached
+                untouched = i >= len(key_set) or key_set[i] > st[1]
+            elif key_range is not None:
+                untouched = st[1] < key_range[0] or st[0] > key_range[1]
+        (kept_files if untouched else affected).append(rel)
+
+    pieces = []
+    if affected:
+        old = spark.read.schema(m["_struct"]).parquet(
+            *(os.path.join(table_dir, f) for f in affected)
+        )
+        pieces.append(old.join(source.select(*keys).distinct(), keys, "left_anti"))
+    pieces.append(source)
+    rewritten = pieces[0]
+    for p in pieces[1:]:
+        rewritten = rewritten.unionByName(p)
+
+    commit_id, new_rels, new_stats = _write_commit_files(rewritten, table_dir)
+    version = m["version"] + 1
+    _publish_once(
+        table_dir,
+        {
+            "version": version,
+            "parent": m["version"],
+            "mode": "merge",
+            "schema": m["schema"],
+            "files": kept_files + new_rels,
+            "stats": {
+                **{k: v for k, v in stats.items() if k in set(kept_files)},
+                **new_stats,
+            },
+        },
+        commit_id,
+    )
+    return version
+
+
+def delete_snapshot_rows(
+    spark: SparkSession,
+    table_dir: str,
+    filters: list[tuple],
+) -> int:
+    """DELETE the rows matching ALL ``(column, op, value)`` conjuncts
+    (same mini-language as :func:`read_snapshot_pruned`); publishes a
+    new ``mode='delete'`` version. Files whose stats prove no row can
+    match carry forward BY REFERENCE; only possibly-matching files are
+    rewritten without the matching rows."""
+    from pyspark.sql.datasource import (
+        EqualTo,
+        GreaterThan,
+        GreaterThanOrEqual,
+        In,
+        LessThan,
+        LessThanOrEqual,
+    )
+
+    from .snapshot_datasource import _file_may_match
+
+    _OPS = {"=": EqualTo, ">": GreaterThan, ">=": GreaterThanOrEqual,
+            "<": LessThan, "<=": LessThanOrEqual, "in": In}
+    if not filters:
+        raise ValueError("refusing to delete with no filters (use overwrite)")
+    m = resolve_snapshot(table_dir)
+    parsed = [
+        _OPS[op]((col,), tuple(v) if op == "in" else v)
+        for col, op, v in filters
+    ]
+    stats = m.get("stats", {})
+    affected = [
+        rel
+        for rel in m["files"]
+        if all(_file_may_match(f, stats.get(rel)) for f in parsed)
+    ]
+    kept_files = [rel for rel in m["files"] if rel not in set(affected)]
+
+    def _cond(df):
+        c = None
+        for col, op, v in filters:
+            cc = (
+                F.col(col).isin(list(v))
+                if op == "in"
+                else {"=": F.col(col) == v, ">": F.col(col) > v,
+                      ">=": F.col(col) >= v, "<": F.col(col) < v,
+                      "<=": F.col(col) <= v}[op]
+            )
+            c = cc if c is None else c & cc
+        return c
+
+    if not affected:
+        return m["version"]  # nothing can match; no new version needed
+    old = spark.read.schema(m["_struct"]).parquet(
+        *(os.path.join(table_dir, f) for f in affected)
+    )
+    survivors = old.filter(~F.coalesce(_cond(old), F.lit(False)))
+    commit_id, new_rels, new_stats = _write_commit_files(survivors, table_dir)
+    version = m["version"] + 1
+    _publish_once(
+        table_dir,
+        {
+            "version": version,
+            "parent": m["version"],
+            "mode": "delete",
+            "schema": m["schema"],
+            "files": kept_files + new_rels,
+            "stats": {
+                **{k: v for k, v in stats.items() if k in set(kept_files)},
+                **new_stats,
+            },
+        },
+        commit_id,
+    )
+    return version
 
 
 def read_snapshot_pruned(

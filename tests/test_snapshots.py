@@ -390,6 +390,113 @@ class TestSnapshotMaintenance:
         assert snapshot_history(t)[-1]["mode"] == "overwrite"
 
 
+class TestSnapshotMergeDelete:
+    """MERGE (upsert) and DELETE with stats-scoped file rewrites."""
+
+    def _clustered_table(self, spark, tmp_path, n=10_000, files=8):
+        t = str(tmp_path / "tbl")
+        commit_snapshot(
+            spark.range(0, n).withColumn("v", F.col("id") * 10),
+            t,
+            cluster_by=["id"],
+            target_files=files,
+        )
+        return t
+
+    def test_merge_upserts_and_rewrites_only_affected_files(
+        self, spark, tmp_path
+    ):
+        from opendata_gov_lt_mysql_import_spark.sources.snapshots import (
+            merge_snapshot,
+            resolve_snapshot,
+        )
+
+        t = self._clustered_table(spark, tmp_path)
+        before = resolve_snapshot(t)
+        # source touches only the low end of the key space: 3 updates
+        # + 2 inserts, all with id < 20
+        src = spark.createDataFrame(
+            [(5, -1), (6, -2), (7, -3), (10_000, -4), (10_001, -5)],
+            "id long, v long",
+        )
+        v = merge_snapshot(spark, t, src, on="id")
+        after = resolve_snapshot(t)
+        assert after["version"] == v and after["mode"] == "merge"
+        df = read_snapshot(spark, t)
+        assert df.count() == 10_002  # 10000 - 3 replaced + 3 + 2 new
+        got = {r["id"]: r["v"] for r in df.filter(F.col("id").isin(5, 6, 7, 42, 10_000, 10_001)).collect()}
+        assert got == {5: -1, 6: -2, 7: -3, 42: 420, 10_000: -4, 10_001: -5}
+        # untouched key ranges carried forward BY REFERENCE
+        carried = set(before["files"]) & set(after["files"])
+        assert len(carried) >= 6  # only low-range + (insert-range) files rewritten
+        # parent version still time-travels to the pre-merge state
+        old = read_snapshot(spark, t, version=v - 1)
+        assert old.count() == 10_000
+        assert old.filter(F.col("id") == 5).collect()[0]["v"] == 50
+
+    def test_merge_validates_columns(self, spark, tmp_path):
+        from opendata_gov_lt_mysql_import_spark.sources.snapshots import (
+            merge_snapshot,
+        )
+
+        t = self._clustered_table(spark, tmp_path, n=100, files=2)
+        with pytest.raises(ValueError, match="must match"):
+            merge_snapshot(
+                spark, t, spark.range(0, 5), on="id"
+            )  # missing column v
+
+    def test_delete_removes_rows_and_keeps_unaffected_files(
+        self, spark, tmp_path
+    ):
+        from opendata_gov_lt_mysql_import_spark.sources.snapshots import (
+            delete_snapshot_rows,
+            resolve_snapshot,
+        )
+
+        t = self._clustered_table(spark, tmp_path)
+        before = resolve_snapshot(t)
+        v = delete_snapshot_rows(
+            spark, t, [("id", ">=", 100), ("id", "<", 200)]
+        )
+        after = resolve_snapshot(t)
+        assert after["mode"] == "delete" and after["version"] == v
+        df = read_snapshot(spark, t)
+        assert df.count() == 9_900
+        assert df.filter((F.col("id") >= 100) & (F.col("id") < 200)).count() == 0
+        assert df.filter(F.col("id") == 99).count() == 1
+        carried = set(before["files"]) & set(after["files"])
+        assert len(carried) >= 6  # the 100-199 range lives in ~1 file
+        # no-op delete (range provably absent) publishes no new version
+        assert delete_snapshot_rows(spark, t, [("id", ">", 10**9)]) == v
+        with pytest.raises(ValueError, match="no filters"):
+            delete_snapshot_rows(spark, t, [])
+
+    def test_merge_conflict_aborts_cleanly(self, spark, tmp_path, monkeypatch):
+        """A commit landing between merge planning and publish must
+        abort the merge (its rewrite is against a stale parent), not
+        re-stack like append retries do."""
+        from opendata_gov_lt_mysql_import_spark.sources import snapshots as S
+
+        t = self._clustered_table(spark, tmp_path, n=100, files=2)
+        real_link = os.link
+        state = {"raced": False}
+
+        def racy_link(src, dst, *a, **kw):
+            if not state["raced"] and os.sep + "_manifests" + os.sep in dst:
+                state["raced"] = True
+                commit_snapshot(spark.range(200, 205).withColumn(
+                    "v", F.col("id")), t)
+            return real_link(src, dst, *a, **kw)
+
+        monkeypatch.setattr(os, "link", racy_link)
+        src = spark.createDataFrame([(5, -1)], "id long, v long")
+        with pytest.raises(RuntimeError, match="re-run against the new state"):
+            S.merge_snapshot(spark, t, src, on="id")
+        # the winner's commit is intact; no torn state
+        assert read_snapshot(spark, t).count() == 105
+        assert read_snapshot(spark, t).filter(F.col("id") == 5).collect()[0]["v"] == 50
+
+
 class TestSnapshotStreaming:
     """readStream over snapshot tables: version offsets, incremental
     file-diff micro-batches, append-only lineage enforcement."""
