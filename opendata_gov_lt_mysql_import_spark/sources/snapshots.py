@@ -175,6 +175,7 @@ def commit_snapshot(
     max_retries: int = 5,
     cluster_by: list[str] | None = None,
     target_files: int | None = None,
+    _txn_id: str | None = None,
 ) -> int:
     """Write ``df`` as a new table version and atomically publish it.
 
@@ -253,6 +254,8 @@ def commit_snapshot(
             "files": files,
             "stats": stats,
         }
+        if _txn_id is not None:
+            manifest["txn_id"] = _txn_id  # commit_snapshot_idempotent
         tmp = os.path.join(mdir, f".v{version}.{commit_id}.tmp")
         with open(tmp, "w") as fh:
             json.dump(manifest, fh)
@@ -270,6 +273,28 @@ def commit_snapshot(
         f"commit_snapshot lost the publish race {max_retries + 1} times "
         f"in {table_dir} — pathological contention, coordinate writers"
     )
+
+
+def commit_snapshot_idempotent(
+    df: DataFrame,
+    table_dir: str,
+    txn_id: str,
+    mode: str = "append",
+    **kwargs,
+) -> int:
+    """Exactly-once commit for restartable writers (foreachBatch):
+    ``txn_id`` (e.g. ``f"{query_id}-{batch_id}"``) is recorded in the
+    manifest; if the CURRENT version already carries it, the commit is
+    a no-op returning that version — a micro-batch replayed after a
+    sink crash lands once. The check is current-version-only by design:
+    structured streaming replays only the LAST unacknowledged batch, so
+    deeper history scans would cost O(versions) for nothing."""
+    v = current_version(table_dir)
+    if v is not None and _load_manifest(table_dir, v).get("txn_id") == txn_id:
+        return v
+    # txn_id rides INSIDE the atomically-published manifest — there is
+    # no publish-then-stamp window for a crash to lose the marker in
+    return commit_snapshot(df, table_dir, mode=mode, _txn_id=txn_id, **kwargs)
 
 
 def resolve_snapshot(table_dir: str, version: int | None = None) -> dict:

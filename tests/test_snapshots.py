@@ -240,6 +240,27 @@ class TestSnapshots:
         assert len(os.listdir(data_root)) == 2
         assert read_snapshot(spark, t).count() == 4
 
+    def test_idempotent_commit_dedupes_replayed_batches(self, spark, tmp_path):
+        """foreachBatch exactly-once: a replayed (query, batch) commit
+        is a no-op; distinct txn ids land as distinct versions."""
+        from opendata_gov_lt_mysql_import_spark.sources.snapshots import (
+            commit_snapshot_idempotent,
+        )
+
+        t = str(tmp_path / "tbl")
+        v0 = commit_snapshot_idempotent(spark.range(0, 10), t, "q1-0")
+        v_replay = commit_snapshot_idempotent(spark.range(0, 10), t, "q1-0")
+        assert (v0, v_replay) == (0, 0)
+        assert read_snapshot(spark, t).count() == 10  # not doubled
+        v1 = commit_snapshot_idempotent(spark.range(10, 15), t, "q1-1")
+        assert v1 == 1
+        assert read_snapshot(spark, t).count() == 15
+        # replay of the acknowledged batch after a newer one: structured
+        # streaming never does this (only the LAST batch replays), and
+        # the current-version-only check documents that contract
+        assert commit_snapshot_idempotent(spark.range(10, 15), t, "q1-1") == 1
+        assert read_snapshot(spark, t).count() == 15
+
     def test_streaming_foreach_batch_commits(self, spark, sf_dir, tmp_path):
         """The production export path: a stream lands in the snapshot
         table one atomic commit per micro-batch."""
