@@ -195,3 +195,18 @@ def test_pagerank_has_no_cartesian(spark, sf_dir, queries):
     plan = final_plan(queries["pagerank_one_iter"](spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_tfidf_is_single_dag_without_checkpoint_barrier(spark, sf_dir, queries):
+    """tfidf must stay one declarative DAG: the dfreq side re-joined as
+    a broadcast, the corpus count folded in as a broadcast 1-row
+    aggregate, and NO materialization barrier (a localCheckpoint would
+    surface as a Scan ExistingRDD and serialize the job on a driver
+    sync — the round-4 bench-noise amplifier)."""
+    plan = final_plan(queries["tfidf_top_keywords"](spark, sf_dir))
+    assert "Scan ExistingRDD" not in plan, "checkpoint barrier returned"
+    assert "BroadcastHashJoin" in plan or "BroadcastQueryStage" in plan
+    assert "CartesianProduct" not in plan
+    # map-side partial aggregation below the tf exchange
+    final = plan.split("+- == Initial Plan ==")[0]
+    assert "partial_count" in final or final.count("HashAggregate") >= 2
