@@ -20,6 +20,7 @@ from opendata_gov_lt_mysql_import_spark.sources.snapshots import (
     merge_snapshot,
     read_snapshot,
     snapshot_history,
+    vacuum,
 )
 
 
@@ -57,7 +58,16 @@ def test_random_op_sequences_match_model(spark, tmp_path, seed):
     history[v] = dict(model)
 
     for step in range(10):
-        op = rng.choice(["append", "merge", "delete", "overwrite", "compact"])
+        op = rng.choice(
+            ["append", "merge", "delete", "overwrite", "compact", "vacuum"]
+        )
+        if op == "vacuum":
+            vacuum(t, keep_last=2, orphan_grace_seconds=0)
+            # versions older than the last 2 are gone; stop checking them
+            for gone in [hv for hv in history if hv <= v - 2]:
+                del history[gone]
+            assert _table_state(spark, t) == model, f"seed={seed} vacuum"
+            continue
         if op == "append":
             rows = {
                 i: rng.randrange(1000) for i in fresh_ids(rng.randint(1, 20))
