@@ -54,6 +54,10 @@ WHITELIST: dict[str, dict[str, str]] = {
         "bnl_join": "embeds tfidf_top_keywords (1-row corpus-count "
         "cross-join, see that entry)"
     },
+    "unigram_logprob_score": {
+        "bnl_join": "1-row token-total aggregate cross-joined onto the "
+        "token stream (same shape as tfidf's corpus count)"
+    },
     "nearest_centroid_assign": {
         "bnl_join": "K-row centroid frame cross-joined for broadcast argmin"
     },
