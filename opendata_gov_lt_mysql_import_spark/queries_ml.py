@@ -557,6 +557,97 @@ def dup_clusters_q(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "dedup_keep_best",
+    rf"""
+    WITH RECURSIVE docs AS ({_DUP_UNION_SQL}),
+    t AS (SELECT doc_id, str_split_regex(trim(text), '\s+') AS toks FROM docs),
+    g AS (
+      SELECT doc_id,
+             list_sort(list_distinct(list_transform(
+               generate_series(1, greatest(len(toks) - 1, 1)),
+               i -> CASE WHEN i + 1 <= len(toks)
+                         THEN toks[i] || ' ' || toks[i+1]
+                         ELSE toks[i] END))) AS grams
+      FROM t
+    ),
+    p AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM g a JOIN g b ON a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.grams, b.grams))
+            / CAST(len(list_distinct(a.grams || b.grams)) AS DOUBLE) >= 0.5
+    ),
+    e AS (SELECT id_a AS a, id_b AS b FROM p
+          UNION ALL
+          SELECT id_b, id_a FROM p),
+    reach(id, r) AS (
+      SELECT a, a FROM e
+      UNION
+      SELECT e.a, reach.r FROM e JOIN reach ON reach.id = e.b
+    ),
+    clusters AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id),
+    labeled AS (
+      SELECT d.doc_id,
+             coalesce(c.cluster, d.doc_id) AS cluster,
+             length(trim(d.text)) AS q
+      FROM docs d LEFT JOIN clusters c ON c.id = d.doc_id
+    )
+    SELECT cluster, keep_id, n_members FROM (
+      SELECT cluster, doc_id AS keep_id,
+             row_number() OVER (
+               PARTITION BY cluster ORDER BY q DESC, doc_id
+             ) AS rn,
+             CAST(count(*) OVER (PARTITION BY cluster) AS BIGINT)
+               AS n_members
+      FROM labeled
+    ) WHERE rn = 1
+    """,
+)
+def dedup_keep_best_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Quality-aware canonical selection: label every document with its
+    duplicate cluster (near-dup graph components; singletons form their
+    own cluster) and keep the BEST member — longest trimmed text, ties
+    to the lowest id — instead of dup_clusters' arbitrary
+    keep-lowest-id. The canonical last stage of a dedup pipeline:
+    clusters chain A~B~C, so the keep decision must be per-component,
+    not per-pair. Per-cluster window (partitioned — never global);
+    component labeling is the same iterative min-propagation as
+    dup_clusters."""
+    from pyspark.sql import Window
+
+    from .operators.dedup import connected_components
+
+    d = _documents_with_dups(spark, sf)
+    pairs = blocked_jaccard_pairs(
+        d.withColumn("_b", F.lit(1)),
+        text_col="text",
+        id_col="doc_id",
+        block_col="_b",
+        n=2,
+        min_jaccard=0.5,
+    )
+    clusters = connected_components(pairs)
+    labeled = (
+        d.select("doc_id", F.length(F.trim(F.col("text"))).alias("q"))
+        .join(clusters, F.col("doc_id") == clusters["id"], "left")
+        .select(
+            "doc_id",
+            F.coalesce("cluster", F.col("doc_id")).alias("cluster"),
+            "q",
+        )
+    )
+    w = Window.partitionBy("cluster")
+    return (
+        labeled.withColumn(
+            "rn",
+            F.row_number().over(w.orderBy(F.desc("q"), F.asc("doc_id"))),
+        )
+        .withColumn("n_members", F.count(F.lit(1)).over(w))
+        .filter(F.col("rn") == 1)
+        .select("cluster", F.col("doc_id").alias("keep_id"), "n_members")
+    )
+
+
+@query(
     "events_sessionize",
     """
     WITH o AS (
