@@ -1665,6 +1665,89 @@ def unigram_logprob_score_q(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@query(
+    "corpus_slice_cosine",
+    r"""
+    WITH toks AS (
+        SELECT lang,
+               unnest(string_split_regex(trim(text), '\s+')) AS token
+        FROM documents
+    ), c AS (
+        SELECT lang, token, count(*) AS c
+        FROM toks WHERE token <> '' GROUP BY 1, 2
+    ), n AS (
+        SELECT lang, sqrt(CAST(sum(c * c) AS DOUBLE)) AS nrm FROM c GROUP BY 1
+    ), d AS (
+        SELECT a.lang AS lang_a, b.lang AS lang_b,
+               sum(a.c * b.c) AS dot,
+               CAST(count(*) AS BIGINT) AS n_shared
+        FROM c a JOIN c b ON a.token = b.token AND a.lang < b.lang
+        GROUP BY 1, 2
+    )
+    SELECT lang_a, lang_b,
+           round(CAST(dot AS DOUBLE) / (na.nrm * nb.nrm), 4) AS cosine,
+           n_shared
+    FROM d
+    JOIN n na ON na.lang = d.lang_a
+    JOIN n nb ON nb.lang = d.lang_b
+    """,
+)
+def corpus_slice_cosine_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Token-distribution similarity between corpus slices (languages):
+    cosine between per-slice token-count vectors + shared-vocabulary
+    size — the cheap drift/contamination monitor for mixture pipelines
+    (a slice whose cosine to its sibling collapses changed character).
+
+    Deterministic BY CONSTRUCTION: the dot product and norms are exact
+    integer sums (no float summation-order hazard — the PageRank
+    lesson); floats appear only in the final sqrt/divide, identical
+    IEEE ops on identical integers on both engines. Scale shape: the
+    token stream partial-aggregates to a vocabulary-sized (lang, token)
+    table; the pair join runs on that small table, never the corpus."""
+    from .operators.textanalysis import tokens
+
+    d = load_table(spark, sf, "documents")
+    c = (
+        d.select("lang", F.explode(tokens(F.col("text"))).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("lang", "token")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    n = c.groupBy("lang").agg(
+        F.sqrt(F.sum(F.col("c") * F.col("c")).cast("double")).alias("nrm")
+    )
+    a, b = c.alias("a"), c.alias("b")
+    pair = (
+        a.join(
+            b,
+            (F.col("a.token") == F.col("b.token"))
+            & (F.col("a.lang") < F.col("b.lang")),
+        )
+        .groupBy(
+            F.col("a.lang").alias("lang_a"), F.col("b.lang").alias("lang_b")
+        )
+        .agg(
+            F.sum(F.col("a.c") * F.col("b.c")).alias("dot"),
+            F.count(F.lit(1)).alias("n_shared"),
+        )
+    )
+    na, nb = n.alias("na"), n.alias("nb")
+    return (
+        pair.join(F.broadcast(na), F.col("na.lang") == F.col("lang_a"))
+        .join(F.broadcast(nb), F.col("nb.lang") == F.col("lang_b"))
+        .select(
+            "lang_a",
+            "lang_b",
+            F.round(
+                F.col("dot").cast("double")
+                / (F.col("na.nrm") * F.col("nb.nrm")),
+                4,
+            ).alias("cosine"),
+            "n_shared",
+        )
+    )
+
+
 @query("pagerank_k", None)
 def pagerank_k_q(spark: SparkSession, sf: str) -> DataFrame:
     """K=5 PageRank iterations (operators/graph.py) over the undirected
