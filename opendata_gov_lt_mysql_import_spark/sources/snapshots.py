@@ -32,8 +32,16 @@ listing, no footer merge, no visibility of in-flight writer dirs.
 Scale notes: one manifest is a JSON file listing file paths — fine to
 millions of files per table at 100 TB (a few hundred MB of driver-side
 JSON at the extreme; real table formats shard manifests, noted here as
-the growth path). The data write itself is whatever parallelism the
-DataFrame carries; the commit-side work is O(#files) strings.
+the growth path; tests pin the 10k-file point). The data write itself
+is whatever parallelism the DataFrame carries; the commit-side work is
+O(#files) strings.
+
+Metadata-store assumption: the atomic first-wins publish relies on
+POSIX ``os.link`` semantics (local disk, NFS, most cluster filesystems).
+Object stores have no link(2) — there the publish primitive swaps for a
+conditional put (S3 If-None-Match, GCS x-goog-if-generation-match:0) or
+a small coordination table, exactly as Delta's LogStore abstracts it;
+everything above the publish call is storage-agnostic.
 """
 
 from __future__ import annotations
