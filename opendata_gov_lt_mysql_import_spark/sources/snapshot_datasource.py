@@ -54,8 +54,11 @@ catalog-integrated one.
 
 from __future__ import annotations
 
+from dataclasses import dataclass, field
+
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceArrowWriter,
     DataSourceReader,
     DataSourceStreamReader,
     EqualNullSafe,
@@ -69,6 +72,7 @@ from pyspark.sql.datasource import (
     LessThan,
     LessThanOrEqual,
     Not,
+    WriterCommitMessage,
 )
 from pyspark.sql.types import StructType
 
@@ -118,6 +122,12 @@ class SnapshotDataSource(DataSource):
         if not table_dir:
             raise ValueError("snapshot source requires option('path', ...)")
         return SnapshotStreamReader(table_dir, schema)
+
+    def writer(self, schema: StructType, overwrite: bool) -> "SnapshotWriter":
+        table_dir = self.options.get("path")
+        if not table_dir:
+            raise ValueError("snapshot sink requires option('path', ...)")
+        return SnapshotWriter(table_dir, schema, overwrite)
 
 
 def _to_arrow_filter(f, float_cols):
@@ -390,3 +400,93 @@ class SnapshotStreamReader(DataSourceStreamReader):
 
     def commit(self, end: dict) -> None:
         pass  # offsets are durable versions; nothing to acknowledge
+
+
+@dataclass
+class SnapshotFileMessage(WriterCommitMessage):
+    """One written data file (or None for an empty partition)."""
+
+    rel_path: str | None = None
+    stats: dict = field(default_factory=dict)
+    n_rows: int = 0
+
+
+class SnapshotWriter(DataSourceArrowWriter):
+    """``df.write.format("snapshot").mode("append"|"overwrite")
+    .option("path", t).save()`` — the DataFrame-writer tier over the
+    same manifests as :func:`..sources.snapshots.commit_snapshot`.
+
+    Executor tasks stream their Arrow batches straight into one parquet
+    file each inside a fresh ``data/<commit>/`` dir (no driver
+    materialization) and send back (path, min/max stats) as the commit
+    message; the driver-side ``commit`` publishes the manifest through
+    the shared optimistic-retry core, so DataFrame-API writes get the
+    same atomicity, schema-union appends, stats-powered file skipping,
+    and race semantics as the functional API. ``abort`` removes the
+    partially-written commit dir (vacuum would reclaim it anyway)."""
+
+    def __init__(self, table_dir: str, schema: StructType, overwrite: bool):
+        import uuid
+
+        self._table_dir = table_dir
+        self._schema = schema
+        self._mode = "overwrite" if overwrite else "append"
+        self._commit_id = uuid.uuid4().hex  # shared by all write tasks
+
+    def write(self, iterator):
+        import os
+        import uuid
+
+        import pyarrow.parquet as pq
+
+        from pyspark import TaskContext
+
+        from .snapshots import _collect_file_stats
+
+        tc = TaskContext.get()
+        part = tc.partitionId() if tc is not None else 0
+        rel = os.path.join(
+            "data",
+            self._commit_id,
+            f"part-{part:05d}-{uuid.uuid4().hex}.parquet",
+        )
+        abs_path = os.path.join(self._table_dir, rel)
+        os.makedirs(os.path.dirname(abs_path), exist_ok=True)
+        writer, n = None, 0
+        try:
+            for batch in iterator:
+                if writer is None:
+                    writer = pq.ParquetWriter(abs_path, batch.schema)
+                writer.write_batch(batch)
+                n += batch.num_rows
+        finally:
+            if writer is not None:
+                writer.close()
+        if writer is None:
+            return SnapshotFileMessage()  # empty partition: no file
+        return SnapshotFileMessage(rel, _collect_file_stats(abs_path), n)
+
+    def commit(self, messages):
+        from .snapshots import publish_new_files
+
+        files = sorted(m.rel_path for m in messages if m and m.rel_path)
+        stats = {
+            m.rel_path: m.stats for m in messages if m and m.rel_path
+        }
+        publish_new_files(
+            self._table_dir,
+            files,
+            stats,
+            self._schema,
+            self._mode,
+            tag=self._commit_id,
+        )
+
+    def abort(self, messages):
+        import os
+        import shutil
+
+        shutil.rmtree(
+            os.path.join(self._table_dir, "data", self._commit_id),
+            ignore_errors=True,
+        )

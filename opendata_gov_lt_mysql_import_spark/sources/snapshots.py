@@ -238,19 +238,40 @@ def commit_snapshot(
         for rel in new_files
     }
 
+    return publish_new_files(
+        table_dir, new_files, new_stats, df.schema, mode,
+        max_retries=max_retries, txn_id=_txn_id, tag=commit_id,
+    )
+
+
+def publish_new_files(
+    table_dir: str,
+    new_files: list[str],
+    new_stats: dict,
+    schema: StructType,
+    mode: str,
+    max_retries: int = 5,
+    txn_id: str | None = None,
+    tag: str = "w",
+) -> int:
+    """Publish already-written data files as a new version — the shared
+    optimistic-retry commit core behind :func:`commit_snapshot` and the
+    DataFrame-writer API (snapshot_datasource.SnapshotWriter). Append
+    re-stacks onto whatever parent wins a race; see commit_snapshot for
+    the full semantics."""
     mdir = os.path.join(table_dir, _MANIFEST_DIR)
     os.makedirs(mdir, exist_ok=True)
     for attempt in range(max_retries + 1):
         parent = current_version(table_dir)
         files = list(new_files)
         stats = dict(new_stats)
-        schema_json = df.schema.json()
+        schema_json = schema.json()
         if mode == "append" and parent is not None:
             pm = _load_manifest(table_dir, parent)
             files = pm["files"] + files
             stats = {**pm.get("stats", {}), **stats}
             schema_json = _merged_append_schema(
-                StructType.fromJson(json.loads(pm["schema"])), df.schema
+                StructType.fromJson(json.loads(pm["schema"])), schema
             ).json()
 
         version = 0 if parent is None else parent + 1
@@ -262,9 +283,9 @@ def commit_snapshot(
             "files": files,
             "stats": stats,
         }
-        if _txn_id is not None:
-            manifest["txn_id"] = _txn_id  # commit_snapshot_idempotent
-        tmp = os.path.join(mdir, f".v{version}.{commit_id}.tmp")
+        if txn_id is not None:
+            manifest["txn_id"] = txn_id  # commit_snapshot_idempotent
+        tmp = os.path.join(mdir, f".v{version}.{tag}.tmp")
         with open(tmp, "w") as fh:
             json.dump(manifest, fh)
         final = _manifest_path(table_dir, version)
@@ -278,7 +299,7 @@ def commit_snapshot(
         finally:
             os.remove(tmp)
     raise RuntimeError(
-        f"commit_snapshot lost the publish race {max_retries + 1} times "
+        f"snapshot publish lost the race {max_retries + 1} times "
         f"in {table_dir} — pathological contention, coordinate writers"
     )
 

@@ -518,6 +518,132 @@ class TestSnapshotMergeDelete:
         assert read_snapshot(spark, t).filter(F.col("id") == 5).collect()[0]["v"] == 50
 
 
+class TestSnapshotDataFrameWriter:
+    """df.write.format('snapshot') — the DataFrame-writer tier."""
+
+    @pytest.fixture(autouse=True)
+    def _register(self, spark):
+        from opendata_gov_lt_mysql_import_spark.sources.snapshot_datasource import (
+            SnapshotDataSource,
+        )
+
+        spark.dataSource.register(SnapshotDataSource)
+
+    def test_write_append_overwrite_roundtrip(self, spark, tmp_path):
+        from opendata_gov_lt_mysql_import_spark.sources.snapshots import (
+            snapshot_history,
+        )
+
+        t = str(tmp_path / "tbl")
+        (
+            spark.range(0, 100)
+            .withColumn("v", F.col("id") * 2)
+            .write.format("snapshot")
+            .option("path", t)
+            .mode("append")
+            .save()
+        )
+        assert read_snapshot(spark, t).count() == 100
+        (
+            spark.range(100, 130)
+            .withColumn("v", F.col("id") * 2)
+            .write.format("snapshot")
+            .option("path", t)
+            .mode("append")
+            .save()
+        )
+        df = read_snapshot(spark, t)
+        assert df.count() == 130
+        assert df.agg(F.sum("v")).collect()[0][0] == sum(2 * i for i in range(130))
+        (
+            spark.range(0, 7)
+            .write.format("snapshot")
+            .option("path", t)
+            .mode("overwrite")
+            .save()
+        )
+        assert read_snapshot(spark, t).count() == 7
+        assert read_snapshot(spark, t, version=1).count() == 130
+        assert [h["mode"] for h in snapshot_history(t)] == [
+            "append", "append", "overwrite",
+        ]
+
+    def test_written_files_carry_stats_and_prune(self, spark, tmp_path):
+        from opendata_gov_lt_mysql_import_spark.sources.snapshots import (
+            read_snapshot_pruned,
+            resolve_snapshot,
+        )
+
+        t = str(tmp_path / "tbl")
+        (
+            spark.range(0, 10_000)
+            .repartitionByRange(4, "id")
+            .sortWithinPartitions("id")
+            .write.format("snapshot")
+            .option("path", t)
+            .mode("append")
+            .save()
+        )
+        m = resolve_snapshot(t)
+        assert len(m["files"]) == 4
+        assert all("id" in m["stats"][f] for f in m["files"])
+        got = read_snapshot_pruned(spark, t, [("id", ">=", 9000)])
+        assert got.count() == 1000
+        assert len(got.inputFiles()) < 4  # manifest stats pruned files
+
+    def test_append_via_writer_unions_schema(self, spark, tmp_path):
+        t = str(tmp_path / "tbl")
+        (
+            spark.range(0, 10)
+            .withColumn("grp", F.lit(7))
+            .write.format("snapshot")
+            .option("path", t)
+            .mode("append")
+            .save()
+        )
+        (
+            spark.range(10, 15)  # no grp column
+            .write.format("snapshot")
+            .option("path", t)
+            .mode("append")
+            .save()
+        )
+        df = read_snapshot(spark, t)
+        assert [f.name for f in df.schema.fields] == ["id", "grp"]
+        assert df.filter(F.col("grp").isNull()).count() == 5
+
+    def test_failed_write_publishes_nothing(self, spark, tmp_path):
+        import os
+
+        from pyspark.sql.types import LongType
+
+        t = str(tmp_path / "tbl")
+        commit_snapshot(spark.range(0, 10), t)
+
+        @F.udf(returnType=LongType())
+        def boom(x):
+            if x == 5:
+                raise ValueError("injected failure")
+            return x
+
+        with pytest.raises(Exception, match="injected failure"):
+            (
+                spark.range(0, 10)
+                .select(boom("id").alias("id"))
+                .write.format("snapshot")
+                .option("path", t)
+                .mode("append")
+                .save()
+            )
+        # table state untouched; no manifest landed
+        assert read_snapshot(spark, t).count() == 10
+        from opendata_gov_lt_mysql_import_spark.sources.snapshots import (
+            current_version,
+        )
+
+        assert current_version(t) == 0
+
+
 class TestSnapshotStreaming:
     """readStream over snapshot tables: version offsets, incremental
     file-diff micro-batches, append-only lineage enforcement."""
