@@ -60,6 +60,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceArrowWriter,
     DataSourceReader,
+    DataSourceStreamArrowWriter,
     DataSourceStreamReader,
     EqualNullSafe,
     EqualTo,
@@ -128,6 +129,16 @@ class SnapshotDataSource(DataSource):
         if not table_dir:
             raise ValueError("snapshot sink requires option('path', ...)")
         return SnapshotWriter(table_dir, schema, overwrite)
+
+    def streamWriter(
+        self, schema: StructType, overwrite: bool
+    ) -> "SnapshotStreamWriter":
+        table_dir = self.options.get("path")
+        if not table_dir:
+            raise ValueError("snapshot sink requires option('path', ...)")
+        return SnapshotStreamWriter(
+            table_dir, schema, self.options.get("txnAppId")
+        )
 
 
 def _to_arrow_filter(f, float_cols):
@@ -490,3 +501,93 @@ class SnapshotWriter(DataSourceArrowWriter):
             os.path.join(self._table_dir, "data", self._commit_id),
             ignore_errors=True,
         )
+
+
+class SnapshotStreamWriter(DataSourceStreamArrowWriter):
+    """``writeStream.format("snapshot")`` — one atomic append version
+    per micro-batch, no foreachBatch glue needed.
+
+    Exactly-once: pass ``.option("txnAppId", "<stable job name>")`` and
+    each micro-batch commits with txn id ``<app>-<batchId>`` recorded in
+    the manifest — a batch replayed after a crash-restart is recognized
+    and skipped (its re-written files become vacuum-reclaimable
+    orphans), exactly the Delta txnAppId/txnVersion idiom. Without the
+    option, commits are still atomic per batch but replays append twice
+    (at-least-once); the app id must be stable across restarts, which
+    is why it cannot default to a generated uuid."""
+
+    def __init__(self, table_dir: str, schema: StructType, txn_app: str | None):
+        self._table_dir = table_dir
+        self._schema = schema
+        self._txn_app = txn_app
+
+    def write(self, iterator):
+        import os
+        import uuid
+
+        import pyarrow.parquet as pq
+
+        from .snapshots import _collect_file_stats
+
+        # one single-file commit dir per task: micro-batch tasks cannot
+        # coordinate a shared dir name (the writer pickles per batch),
+        # and manifests list files, not dirs, so the layout is free
+        rel = os.path.join(
+            "data", uuid.uuid4().hex, "part-00000.parquet"
+        )
+        abs_path = os.path.join(self._table_dir, rel)
+        os.makedirs(os.path.dirname(abs_path), exist_ok=True)
+        writer, n = None, 0
+        try:
+            for batch in iterator:
+                if writer is None:
+                    writer = pq.ParquetWriter(abs_path, batch.schema)
+                writer.write_batch(batch)
+                n += batch.num_rows
+        finally:
+            if writer is not None:
+                writer.close()
+        if writer is None:
+            os.rmdir(os.path.dirname(abs_path))
+            return SnapshotFileMessage()
+        return SnapshotFileMessage(rel, _collect_file_stats(abs_path), n)
+
+    def commit(self, messages, batchId: int) -> None:
+        from .snapshots import (
+            _load_manifest,
+            current_version,
+            publish_new_files,
+        )
+
+        txn_id = f"{self._txn_app}-{batchId}" if self._txn_app else None
+        if txn_id is not None:
+            v = current_version(self._table_dir)
+            if (
+                v is not None
+                and _load_manifest(self._table_dir, v).get("txn_id") == txn_id
+            ):
+                return  # replayed batch already landed — exactly-once
+        files = sorted(m.rel_path for m in messages if m and m.rel_path)
+        stats = {m.rel_path: m.stats for m in messages if m and m.rel_path}
+        publish_new_files(
+            self._table_dir,
+            files,
+            stats,
+            self._schema,
+            "append",
+            txn_id=txn_id,
+            tag=f"b{batchId}",
+        )
+
+    def abort(self, messages, batchId: int) -> None:
+        import os
+        import shutil
+
+        for m in messages:
+            if m and m.rel_path:
+                shutil.rmtree(
+                    os.path.dirname(
+                        os.path.join(self._table_dir, m.rel_path)
+                    ),
+                    ignore_errors=True,
+                )

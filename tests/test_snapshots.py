@@ -682,6 +682,85 @@ class TestSnapshotStreaming:
         assert got.count() == 190  # 150 backfill + 40 delta, no re-reads
         assert got.select("id").distinct().count() == 190
 
+    def test_stream_writer_snapshot_to_snapshot(self, spark, tmp_path):
+        """Full native pipeline: readStream from one snapshot table,
+        writeStream into another — one atomic append version per
+        micro-batch, no foreachBatch glue."""
+        from opendata_gov_lt_mysql_import_spark.sources.snapshot_datasource import (
+            SnapshotDataSource,
+        )
+
+        spark.dataSource.register(SnapshotDataSource)
+        src = str(tmp_path / "src")
+        dst = str(tmp_path / "dst")
+        ckpt = str(tmp_path / "ckpt")
+        commit_snapshot(spark.range(0, 100), src)
+
+        def run():
+            q = (
+                spark.readStream.format("snapshot")
+                .option("path", src)
+                .load()
+                .writeStream.format("snapshot")
+                .option("path", dst)
+                .option("txnAppId", "mirror-job")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+        run()
+        assert read_snapshot(spark, dst).count() == 100
+        commit_snapshot(spark.range(100, 140), src)
+        run()
+        out = read_snapshot(spark, dst)
+        assert out.count() == 140
+        assert out.select("id").distinct().count() == 140
+
+    def test_stream_writer_exactly_once_on_replayed_batch(self, spark, tmp_path):
+        """A micro-batch replayed with the same (txnAppId, batchId) must
+        be recognized via the manifest txn id and skipped."""
+        from pyspark.sql.types import StructType
+
+        from opendata_gov_lt_mysql_import_spark.sources.snapshot_datasource import (
+            SnapshotFileMessage,
+            SnapshotStreamWriter,
+        )
+        from opendata_gov_lt_mysql_import_spark.sources.snapshots import (
+            _collect_file_stats,
+            current_version,
+        )
+
+        t = str(tmp_path / "tbl")
+        commit_snapshot(spark.range(0, 10).coalesce(1), t)
+        schema = read_snapshot(spark, t).schema
+        w = SnapshotStreamWriter(t, schema, "job")
+        # fabricate a task-written file the way write() would
+        import os
+        import shutil
+
+        src_rel = None
+        from opendata_gov_lt_mysql_import_spark.sources.snapshots import (
+            _load_manifest,
+        )
+
+        src_rel = _load_manifest(t, 0)["files"][0]
+        rel = os.path.join("data", "replayme", "part-00000.parquet")
+        os.makedirs(os.path.join(t, "data", "replayme"))
+        shutil.copy(os.path.join(t, src_rel), os.path.join(t, rel))
+        msg = SnapshotFileMessage(
+            rel, _collect_file_stats(os.path.join(t, rel)), 10
+        )
+        w.commit([msg], batchId=7)
+        assert current_version(t) == 1
+        assert read_snapshot(spark, t).count() == 20
+        w.commit([msg], batchId=7)  # replay: must be a no-op
+        assert current_version(t) == 1
+        assert read_snapshot(spark, t).count() == 20
+        w.commit([msg], batchId=8)  # next batch commits normally
+        assert current_version(t) == 2
+
     def test_stream_rejects_overwrite_lineage(self, spark, tmp_path):
         from pyspark.errors.exceptions.captured import StreamingQueryException
 
