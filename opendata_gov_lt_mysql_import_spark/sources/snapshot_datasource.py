@@ -6,7 +6,12 @@ the normal reader surface —
     spark.read.format("snapshot").option("path", t) \
          .option("version", 2).load()
 
-and with SQL via ``CREATE TABLE ... USING snapshot OPTIONS (...)``.
+and with SQL via :func:`register_snapshot_view` (a temp view over a
+fresh load). ``CREATE TABLE ... USING snapshot`` DDL parses and stores
+the table, but Spark 4.1.2 does NOT replay catalog options/location
+into python-datasource READS (the reader receives empty options and
+must fail) — a framework gap pinned by the catalog-options canary test;
+when an upgrade fixes it, the DDL route lights up unchanged.
 
 The version is resolved ONCE per data source instance (schema and file
 list always come from the same manifest — a concurrent commit between
@@ -90,6 +95,28 @@ def load_snapshot_df(spark, table_dir: str, version: int | None = None):
     return r.load()
 
 
+def register_snapshot_view(
+    spark, name: str, table_dir: str, version: int | None = None
+) -> None:
+    """The supported SQL surface: a temp view over a fresh DataSource
+    load — ``SELECT ... FROM <name>`` with pushdown + file skipping.
+    Re-register (cheap) to move to a newer version; each registration
+    pins the version resolved at that moment."""
+    load_snapshot_df(spark, table_dir, version).createOrReplaceTempView(name)
+
+
+def _local_path(p: str) -> str:
+    """The SQL surface (CREATE TABLE ... USING snapshot OPTIONS (path
+    '/x')) hands the path through as a ``file:`` URI while the reader
+    API passes it verbatim — normalize both to a filesystem path."""
+    if p.startswith("file:"):
+        from urllib.parse import unquote, urlparse
+
+        parsed = urlparse(p)
+        return unquote(parsed.path) or p[5:]
+    return p
+
+
 class SnapshotDataSource(DataSource):
     """``format("snapshot")`` — options: ``path`` (table dir, required),
     ``version`` (int, default latest)."""
@@ -98,15 +125,26 @@ class SnapshotDataSource(DataSource):
     def name(cls) -> str:
         return "snapshot"
 
+    def _table_dir(self) -> str:
+        table_dir = self.options.get("path")
+        if not table_dir:
+            raise ValueError(
+                "snapshot source requires option('path', ...) — note that "
+                "Spark 4.1.2 does NOT replay CREATE TABLE ... USING "
+                "snapshot OPTIONS/LOCATION into python-datasource reads "
+                "(empty options reach the reader); use "
+                "register_snapshot_view() for the SQL surface"
+            )
+        return _local_path(table_dir)
+
     def _resolved(self) -> dict:
         if getattr(self, "_m", None) is None:
             from .snapshots import resolve_snapshot
 
-            table_dir = self.options.get("path")
-            if not table_dir:
-                raise ValueError("snapshot source requires option('path', ...)")
             v = self.options.get("version")
-            self._m = resolve_snapshot(table_dir, None if v is None else int(v))
+            self._m = resolve_snapshot(
+                self._table_dir(), None if v is None else int(v)
+            )
         return self._m
 
     def schema(self) -> StructType:
@@ -119,25 +157,16 @@ class SnapshotDataSource(DataSource):
         )
 
     def streamReader(self, schema: StructType) -> "SnapshotStreamReader":
-        table_dir = self.options.get("path")
-        if not table_dir:
-            raise ValueError("snapshot source requires option('path', ...)")
-        return SnapshotStreamReader(table_dir, schema)
+        return SnapshotStreamReader(self._table_dir(), schema)
 
     def writer(self, schema: StructType, overwrite: bool) -> "SnapshotWriter":
-        table_dir = self.options.get("path")
-        if not table_dir:
-            raise ValueError("snapshot sink requires option('path', ...)")
-        return SnapshotWriter(table_dir, schema, overwrite)
+        return SnapshotWriter(self._table_dir(), schema, overwrite)
 
     def streamWriter(
         self, schema: StructType, overwrite: bool
     ) -> "SnapshotStreamWriter":
-        table_dir = self.options.get("path")
-        if not table_dir:
-            raise ValueError("snapshot sink requires option('path', ...)")
         return SnapshotStreamWriter(
-            table_dir, schema, self.options.get("txnAppId")
+            self._table_dir(), schema, self.options.get("txnAppId")
         )
 
 

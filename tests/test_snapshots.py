@@ -1008,6 +1008,43 @@ class TestSnapshotDataSource:
         assert load_snapshot_df(spark, table).count() == 260  # not poisoned
         assert load_snapshot_df(spark, table, version=0).count() == 200
 
+    def test_sql_view_surface_and_catalog_canary(self, spark, tmp_path):
+        """register_snapshot_view is the SQL route (full SQL incl.
+        pushdown); the CREATE TABLE ... USING snapshot catalog route is
+        a FRAMEWORK CANARY — Spark 4.1.2 replays empty options into
+        python-datasource reads, so the DDL parses but the first SELECT
+        fails with our explicit message. When a Spark upgrade starts
+        replaying options, this test FAILS → drop the canary and
+        advertise the DDL route."""
+        from opendata_gov_lt_mysql_import_spark.sources.snapshot_datasource import (
+            register_snapshot_view,
+        )
+
+        t = str(tmp_path / "tbl")
+        commit_snapshot(
+            spark.range(0, 50).withColumn("v", F.col("id") * 3), t
+        )
+        register_snapshot_view(spark, "snap_view", t)
+        assert (
+            spark.sql("SELECT count(*) AS n FROM snap_view").collect()[0]["n"]
+            == 50
+        )
+        assert (
+            spark.sql(
+                "SELECT sum(v) AS s FROM snap_view WHERE id >= 40"
+            ).collect()[0]["s"]
+            == sum(3 * i for i in range(40, 50))
+        )
+        spark.catalog.dropTempView("snap_view")
+        # --- catalog canary ---
+        spark.sql("DROP TABLE IF EXISTS snap_canary")
+        spark.sql(f"CREATE TABLE snap_canary USING snapshot OPTIONS (path '{t}')")
+        try:
+            with pytest.raises(Exception, match="register_snapshot_view"):
+                spark.sql("SELECT count(*) FROM snap_canary").collect()
+        finally:
+            spark.sql("DROP TABLE IF EXISTS snap_canary")
+
     def test_negated_filters_do_not_crash_the_read(self, spark, table):
         """Spark pushes Not(child) shapes (from != or negated
         predicates) that carry no `attribute` field — the reader must
