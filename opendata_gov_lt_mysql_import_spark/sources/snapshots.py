@@ -772,6 +772,20 @@ def vacuum(
                 for n in names
             )
             if live:
+                # a retried/speculative write task can leave an extra
+                # (never-committed) parquet inside a LIVE commit dir —
+                # reclaim unreferenced parquet files past the grace
+                # window; sidecars (_SUCCESS/.crc) stay
+                for n in names:
+                    rel = os.path.join("data", commit_dir, n)
+                    p = os.path.join(cpath, n)
+                    if (
+                        n.endswith(".parquet")
+                        and rel not in keep_files
+                        and os.path.getmtime(p) <= cutoff
+                    ):
+                        os.remove(p)
+                        deleted.append(rel)
                 continue
             # freshness from file mtimes (dir mtime only when empty —
             # removing old-version files above already bumped dir mtime)

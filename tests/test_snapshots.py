@@ -226,6 +226,34 @@ class TestSnapshots:
         assert df.count() == 7 * 10_000
         assert df.filter(F.col("g") == 1).count() == 7 * 10_000
 
+    def test_vacuum_reclaims_task_retry_leftovers_in_live_dirs(
+        self, spark, tmp_path
+    ):
+        """A retried/speculative write task leaves an uncommitted
+        parquet INSIDE a live commit dir; vacuum must reclaim it (past
+        grace) without touching the committed files or sidecars."""
+        import shutil
+
+        from opendata_gov_lt_mysql_import_spark.sources.snapshots import (
+            _load_manifest,
+            vacuum,
+        )
+
+        t = str(tmp_path / "tbl")
+        commit_snapshot(spark.range(0, 10).coalesce(1), t)
+        committed = _load_manifest(t, 0)["files"][0]
+        leftover = os.path.join(
+            os.path.dirname(os.path.join(t, committed)),
+            "part-00001-retryleftover.parquet",
+        )
+        shutil.copy(os.path.join(t, committed), leftover)
+        vacuum(t, keep_last=2)  # fresh → grace protects it
+        assert os.path.exists(leftover)
+        deleted = vacuum(t, keep_last=2, orphan_grace_seconds=0)
+        assert any("retryleftover" in d for d in deleted)
+        assert not os.path.exists(leftover)
+        assert read_snapshot(spark, t).count() == 10
+
     def test_vacuum_rmdirs_emptied_commit_dirs(self, spark, tmp_path):
         from opendata_gov_lt_mysql_import_spark.sources.snapshots import vacuum
 
