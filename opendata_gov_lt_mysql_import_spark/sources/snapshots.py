@@ -420,7 +420,9 @@ def merge_snapshot(
     copy-on-write granularity of real table formats). The rewrite is
     one anti-join (kept = affected ⟕̸ source keys) + a union; Spark
     broadcasts the key side when small. Source columns must match the
-    declared schema by name."""
+    declared schema by name. (Reference analog: the harvester's
+    per-object update-or-create against CKAN, odgovlt.py:387-407 —
+    here set-oriented and file-granular instead of row-at-a-time.)"""
     keys = [on] if isinstance(on, str) else list(on)
     m = resolve_snapshot(table_dir)
     declared = [f.name for f in m["_struct"].fields]
