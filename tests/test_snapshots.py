@@ -153,6 +153,43 @@ class TestSnapshots:
         assert df.count() == 10 + 5 + 7  # nothing lost
         assert read_snapshot(spark, t, version=1).count() == 15
 
+    def test_truly_concurrent_appends_all_land(self, spark, tmp_path):
+        """Real multi-threaded appenders (no monkeypatch): every commit
+        must land as a distinct version with no lost rows — the
+        optimistic publish-retry under actual racing."""
+        import threading
+
+        t = str(tmp_path / "tbl")
+        commit_snapshot(spark.range(0, 10).coalesce(1), t)
+        errors = []
+
+        def appender(base):
+            try:
+                for k in range(3):
+                    lo = 1000 * base + 100 * k
+                    commit_snapshot(
+                        spark.range(lo, lo + 50).coalesce(1), t
+                    )
+            except Exception as exc:  # pragma: no cover
+                errors.append(exc)
+
+        threads = [
+            threading.Thread(target=appender, args=(i + 1,)) for i in range(4)
+        ]
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join()
+        assert not errors
+        df = read_snapshot(spark, t)
+        assert df.count() == 10 + 4 * 3 * 50
+        assert df.select("id").distinct().count() == 10 + 4 * 3 * 50
+        from opendata_gov_lt_mysql_import_spark.sources.snapshots import (
+            current_version,
+        )
+
+        assert current_version(t) == 12  # 1 seed + 12 appends
+
     def test_vacuum_reclaims_aborted_commit_dirs(self, spark, tmp_path):
         """data/<uuid>/ dirs written but never published (aborted or
         race-lost commits) are reclaimed once past the grace window;
