@@ -2,14 +2,20 @@
 
 The reference walks the category tree with driver-side DFS recursion
 (``sync_group_tree``, /root/reference/odgovlt.py:260-290) over an
-in-memory ``defaultdict`` adjacency index (odgovlt.py:302-306). Spark has
-no recursive CTE (≤3.x / 4.x line used here), so the closure is an
-iterative loop of self-joins — each iteration extends every node's
-root-path by one level; terminates when no frontier rows remain (or at
-``max_levels``). The per-level frame is tiny relative to facts, but the
-loop is written scale-safe anyway: no ``collect()`` of the tree, localCheckpoint
-between levels to truncate lineage, and the result is a flat
-``(id, root_id, depth, path)`` closure any downstream join can broadcast.
+in-memory ``defaultdict`` adjacency index (odgovlt.py:302-306). Here the
+closure is an iterative loop of self-joins — each iteration extends every
+node's root-path by one level; terminates when no frontier rows remain
+(or at ``max_levels``). The per-level frame is tiny relative to facts,
+but the loop is written scale-safe anyway: no ``collect()`` of the tree,
+localCheckpoint between levels to truncate lineage, and the result is a
+flat ``(id, root_id, depth, path)`` closure any downstream join can
+broadcast.
+
+Spark 4.1 also ships native ``WITH RECURSIVE`` (UnionLoop execution);
+``w1_tree_closure_recursive`` in queries_sql.py is the declarative twin
+and the preferred form when no path-array accumulation or explicit
+per-level lineage truncation is needed. This manual operator stays for
+those two cases (and for Spark <4.0 portability of the pattern).
 """
 
 from __future__ import annotations

@@ -853,3 +853,157 @@ def approx_percentile_price(spark: SparkSession, sf: str) -> DataFrame:
             for i, q in enumerate(qs)
         ]
     )
+
+
+@query(
+    "w1_tree_closure_recursive",
+    """
+    WITH RECURSIVE nodes AS (
+        SELECT CAST(r_regionkey + 1 AS BIGINT) AS id, CAST(0 AS BIGINT) AS parent_id
+        FROM region
+        UNION ALL
+        SELECT CAST(n_nationkey + 100 AS BIGINT), CAST(n_regionkey + 1 AS BIGINT)
+        FROM nation
+    ), walk AS (
+        SELECT id, parent_id, id AS root_id, 1 AS depth FROM nodes WHERE parent_id = 0
+        UNION ALL
+        SELECT n.id, n.parent_id, w.root_id, w.depth + 1
+        FROM nodes n JOIN walk w ON n.parent_id = w.id
+    )
+    SELECT id, parent_id, root_id, CAST(depth AS BIGINT) AS depth FROM walk
+    """,
+)
+def w1_tree_closure_recursive(spark: SparkSession, sf: str) -> DataFrame:
+    """W1 via Spark 4's native ``WITH RECURSIVE`` (UnionLoop execution) —
+    the SQL twin of the hand-rolled iterative self-join in
+    operators/hierarchy.py (reference recursion: odgovlt.py:260-290,
+    driver-side DFS over an in-memory adjacency dict).
+
+    Spark 4.1 executes the recursive member as an iterated loop with the
+    anchor cached between steps, so the physical behavior matches the
+    manual loop (per-level joins, terminate on empty frontier) while the
+    plan stays fully declarative — Catalyst prunes/pushes into each
+    iteration. Preferred at scale over the manual loop when no per-level
+    checkpointing or path-array accumulation is needed; the manual
+    operator remains for path/name-path construction and explicit
+    lineage truncation on deep (>100-level) hierarchies.
+    """
+    register_views(spark, sf)
+    return spark.sql(
+        """
+        WITH RECURSIVE walk AS (
+            SELECT id, parent_id, id AS root_id, CAST(1 AS BIGINT) AS depth
+            FROM (
+                SELECT CAST(r_regionkey + 1 AS BIGINT) AS id,
+                       CAST(0 AS BIGINT) AS parent_id
+                FROM region
+                UNION ALL
+                SELECT CAST(n_nationkey + 100 AS BIGINT),
+                       CAST(n_regionkey + 1 AS BIGINT)
+                FROM nation
+            )
+            WHERE parent_id = 0
+            UNION ALL
+            SELECT n.id, n.parent_id, w.root_id, w.depth + CAST(1 AS BIGINT)
+            FROM (
+                SELECT CAST(r_regionkey + 1 AS BIGINT) AS id,
+                       CAST(0 AS BIGINT) AS parent_id
+                FROM region
+                UNION ALL
+                SELECT CAST(n_nationkey + 100 AS BIGINT),
+                       CAST(n_regionkey + 1 AS BIGINT)
+                FROM nation
+            ) n
+            JOIN walk w ON n.parent_id = w.id
+        )
+        SELECT id, parent_id, root_id, depth FROM walk
+        """
+    )
+
+
+@query(
+    "dq_constraint_report",
+    """
+    SELECT 'o_orderkey_not_null' AS check_name, 'o_orderkey' AS col_name,
+           CAST(count(CASE WHEN o_orderkey IS NULL THEN 1 END) AS BIGINT) AS violations,
+           count(CASE WHEN o_orderkey IS NULL THEN 1 END) = 0 AS passed
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderkey_unique', 'o_orderkey',
+           CAST(count(o_orderkey) - count(DISTINCT o_orderkey) AS BIGINT),
+           count(o_orderkey) - count(DISTINCT o_orderkey) = 0
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice_in_range', 'o_totalprice',
+           CAST(count(CASE WHEN o_totalprice IS NOT NULL
+                            AND (o_totalprice < 0 OR o_totalprice > 450000)
+                           THEN 1 END) AS BIGINT),
+           count(CASE WHEN o_totalprice IS NOT NULL
+                       AND (o_totalprice < 0 OR o_totalprice > 450000)
+                      THEN 1 END) = 0
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus_in_set', 'o_orderstatus',
+           CAST(count(CASE WHEN o_orderstatus IS NOT NULL
+                            AND o_orderstatus NOT IN ('O', 'F', 'P')
+                           THEN 1 END) AS BIGINT),
+           count(CASE WHEN o_orderstatus IS NOT NULL
+                       AND o_orderstatus NOT IN ('O', 'F', 'P')
+                      THEN 1 END) = 0
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority_matches', 'o_orderpriority',
+           CAST(count(CASE WHEN o_orderpriority IS NOT NULL
+                            AND NOT regexp_matches(o_orderpriority, '^[1-5]-[A-Z ]+$')
+                           THEN 1 END) AS BIGINT),
+           count(CASE WHEN o_orderpriority IS NOT NULL
+                       AND NOT regexp_matches(o_orderpriority, '^[1-5]-[A-Z ]+$')
+                      THEN 1 END) = 0
+    FROM orders
+    UNION ALL
+    SELECT 'min_rows', '*',
+           CAST(greatest(1000 - count(*), 0) AS BIGINT),
+           greatest(1000 - count(*), 0) = 0
+    FROM orders
+    UNION ALL
+    SELECT 'o_custkey_fk', 'o_custkey',
+           CAST(count(*) AS BIGINT),
+           count(*) = 0
+    FROM orders o
+    WHERE o.o_custkey IS NOT NULL
+      AND NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+    """,
+)
+def dq_constraint_report(spark: SparkSession, sf: str) -> DataFrame:
+    """Deequ-style data-quality gate: six declarative constraints
+    compiled to ONE aggregation pass over orders (single scan, map-side
+    partial counters, 1-row exchange) plus a broadcast-anti-join
+    referential-integrity row — the validation shape that replaces the
+    reference's row-at-a-time skip-bad-objects loop (odgovlt.py:355-367)
+    at fact-table scale. Uniform report: every metric is a violation
+    count, pipeline gate = ``filter(~passed).isEmpty()``."""
+    from .operators.validation import (
+        foreign_key_check,
+        in_range,
+        in_set,
+        matches,
+        min_rows,
+        not_null,
+        unique,
+        validation_report,
+    )
+
+    o = load_table(spark, sf, "orders")
+    c = load_table(spark, sf, "customer")
+    return validation_report(
+        o,
+        [
+            not_null("o_orderkey"),
+            unique("o_orderkey"),
+            in_range("o_totalprice", 0, 450000),
+            in_set("o_orderstatus", ["O", "F", "P"]),
+            matches("o_orderpriority", "^[1-5]-[A-Z ]+$"),
+            min_rows(1000),
+        ],
+        fk_checks=[foreign_key_check(o, "o_custkey", c, "c_custkey")],
+    )

@@ -74,6 +74,33 @@ class TestTreeClosure:
         assert closure.count() == 10
         assert closure.agg(F.max("depth")).first()[0] == 10
 
+    def test_recursive_cte_matches_manual_loop(self, spark):
+        """Spark 4.1 native WITH RECURSIVE produces the same closure as
+        the iterative self-join operator (the two W1 forms must agree)."""
+        tree = _reference_tree(spark)
+        manual = {
+            (r["id"], r["root_id"], r["depth"])
+            for r in tree_closure(tree, root_parent=0).collect()
+        }
+        tree.createOrReplaceTempView("_rec_tree")
+        sql = {
+            (r["id"], r["root_id"], r["depth"])
+            for r in spark.sql(
+                """
+                WITH RECURSIVE walk AS (
+                    SELECT id, id AS root_id, 1 AS depth
+                    FROM _rec_tree WHERE parent_id = 0
+                    UNION ALL
+                    SELECT t.id, w.root_id, w.depth + 1
+                    FROM _rec_tree t JOIN walk w ON t.parent_id = w.id
+                )
+                SELECT * FROM walk
+                """
+            ).collect()
+        }
+        assert manual == sql
+
+
 
 class TestJoins:
     def test_left_join_defaults(self, spark):
