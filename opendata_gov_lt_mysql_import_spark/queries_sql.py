@@ -1007,3 +1007,62 @@ def dq_constraint_report(spark: SparkSession, sf: str) -> DataFrame:
         ],
         fk_checks=[foreign_key_check(o, "o_custkey", c, "c_custkey")],
     )
+
+
+@query(
+    "matview_incremental_refresh",
+    """
+    SELECT CAST(o_custkey % 97 AS BIGINT) AS grp,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents,
+           CAST(min(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS lo_cents,
+           CAST(max(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS hi_cents
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def matview_incremental_refresh(spark: SparkSession, sf: str) -> DataFrame:
+    """End-to-end incremental materialized-view maintenance
+    (plans/matview.py): orders is committed to a snapshot table in three
+    appends, the grouped aggregate is refreshed from CDC deltas after
+    each, and the final state must equal a one-shot GROUP BY over the
+    whole table — the oracle IS that one-shot query. Measures use exact
+    integer cents so three-fold incremental merging is bit-identical to
+    the single pass (float sums would be summation-order-sensitive).
+
+    Scale story: each refresh shuffles only the append delta plus the
+    group-cardinality state, never source history; the exactly-once
+    marker rides in the view manifest's txn id. Reference analog: the
+    delta-only harvest queue, odgovlt.py:355-367."""
+    import shutil
+    import tempfile
+
+    from .plans.matview import AggSpec, IncrementalAggregate
+    from .sources.snapshots import commit_snapshot
+
+    o = load_table(spark, sf, "orders").select(
+        (F.col("o_custkey") % 97).cast("long").alias("grp"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    root = tempfile.mkdtemp(prefix="matview_q_")
+    try:
+        mv = IncrementalAggregate(
+            source_dir=f"{root}/src",
+            view_dir=f"{root}/view",
+            group_cols=["grp"],
+            aggs=[
+                AggSpec("n", "count"),
+                AggSpec("total_cents", "sum", "cents"),
+                AggSpec("lo_cents", "min", "cents"),
+                AggSpec("hi_cents", "max", "cents"),
+            ],
+        )
+        for slice_id in range(3):
+            commit_snapshot(
+                o.filter(F.col("grp") % 3 == slice_id), mv.source_dir
+            )
+            mv.refresh(spark)
+        # detach the result from the temp files so they can be removed
+        return mv.read(spark).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
