@@ -1066,3 +1066,278 @@ def matview_incremental_refresh(spark: SparkSession, sf: str) -> DataFrame:
         return mv.read(spark).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-shaped analytics breadth (adapted to the fixture's TPC-H-lite
+# schema: no partsupp/shipmode/comment columns). These pin the join-heavy
+# plan shapes the flagship q1/q3/q5 don't cover: two-role dimension
+# joins (q7), top-k over a 4-way join (q10), outer-join double
+# aggregation (q13), semi-join on an aggregated predicate (q18),
+# OR-of-ANDs pushdown (q19), and anti-join + scalar subquery (q22).
+# ---------------------------------------------------------------------------
+
+@query(
+    "q7_volume_shipping",
+    """
+    SELECT supp_nation, cust_nation, l_year, round(sum(volume), 2) AS revenue
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             CAST(year(l_shipdate) AS BIGINT) AS l_year,
+             l_extendedprice * (1 - l_discount) AS volume
+      FROM lineitem, orders, customer, supplier,
+           nation n1, nation n2
+      WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+        AND l_suppkey = s_suppkey
+        AND s_nationkey = n1.n_nationkey AND c_nationkey = n2.n_nationkey
+        AND ((n1.n_name = 'NATION_18' AND n2.n_name = 'NATION_19')
+          OR (n1.n_name = 'NATION_19' AND n2.n_name = 'NATION_18'))
+    ) shipping
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+)
+def q7_volume_shipping(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q7: bilateral shipping volume between two nations by year.
+    The same dimension (nation) plays two roles — supplier side and
+    customer side — so it joins twice under different aliases; both are
+    broadcast (25 rows), and the nation-pair filter reaches the dim
+    scans, shrinking supplier/customer before the fact join. One real
+    shuffle (lineitem⋈orders); everything else is broadcast-hash."""
+    li = load_table(spark, sf, "lineitem")
+    o = load_table(spark, sf, "orders")
+    c = load_table(spark, sf, "customer")
+    s = load_table(spark, sf, "supplier")
+    n = load_table(spark, sf, "nation").select("n_nationkey", "n_name")
+    n1 = F.broadcast(n.filter(F.col("n_name").isin("NATION_18", "NATION_19"))
+                     .withColumnRenamed("n_name", "supp_nation"))
+    n2 = F.broadcast(n.filter(F.col("n_name").isin("NATION_18", "NATION_19"))
+                     .withColumnRenamed("n_name", "cust_nation"))
+    supp = s.join(n1, s["s_nationkey"] == n1["n_nationkey"]).select(
+        "s_suppkey", "supp_nation"
+    )
+    cust = c.join(n2, c["c_nationkey"] == n2["n_nationkey"]).select(
+        "c_custkey", "cust_nation"
+    )
+    joined = (
+        li.join(o.select("o_orderkey", "o_custkey"),
+                li["l_orderkey"] == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supp), li["l_suppkey"] == F.col("s_suppkey"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+    )
+    return joined.groupBy(
+        "supp_nation", "cust_nation",
+        F.year("l_shipdate").cast("long").alias("l_year"),
+    ).agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue")
+    )
+
+
+@query(
+    "q10_returned_items",
+    """
+    SELECT c_custkey, c_name, n_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer, orders, lineitem, nation
+    WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def q10_returned_items(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q10: top-20 customers by revenue lost to returns. The
+    returnflag filter pushes into the lineitem scan (reads ~1/3 of the
+    fact), the 4-way join broadcasts customer-side dims, and the top-k
+    is TakeOrderedAndProject — no global sort. Order key is the ROUNDED
+    revenue + custkey so the boundary at rank 20 is cross-engine
+    deterministic (raw float sums order-differ)."""
+    li = load_table(spark, sf, "lineitem").filter(F.col("l_returnflag") == "R")
+    o = load_table(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf, "customer").select("c_custkey", "c_name", "c_nationkey")
+    n = load_table(spark, sf, "nation").select("n_nationkey", "n_name")
+    joined = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+    )
+    return (
+        joined.groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+@query(
+    "q13_customer_distribution",
+    """
+    SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+    FROM (
+      SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+      FROM customer LEFT OUTER JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey
+    ) c_orders
+    GROUP BY c_count
+    """,
+)
+def q13_customer_distribution(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q13: distribution of non-urgent order counts per customer.
+    The outer join keeps zero-order customers (count(o_orderkey) skips
+    the null rows — 0, not 1), then a second tiny aggregation histograms
+    the counts. Shuffle 1 is on custkey; shuffle 2 moves only
+    |distinct counts| rows."""
+    c = load_table(spark, sf, "customer").select("c_custkey")
+    o = load_table(spark, sf, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    ).select("o_custkey", "o_orderkey")
+    per_cust = (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("long").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).cast("long").alias("custdist")
+    )
+
+
+@query(
+    "q18_large_orders",
+    """
+    SELECT c_custkey, o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS o_date,
+           round(o_totalprice, 2) AS total,
+           CAST(sum(l_quantity) AS BIGINT) AS sum_qty
+    FROM customer, orders, lineitem
+    WHERE o_orderkey IN (
+        SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+        HAVING sum(l_quantity) > 180
+      )
+      AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+    GROUP BY c_custkey, o_orderkey, o_date, total
+    """,
+)
+def q18_large_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q18: orders whose total quantity exceeds a threshold — a
+    semi-join against an AGGREGATED predicate. The qualifying-key set is
+    built by one groupBy and semi-joined back (Catalyst turns the IN on
+    the already-aggregated frame into a shuffled semi hash join keyed on
+    l_orderkey — the same key as the main aggregation, so AQE reuses the
+    partitioning). Quantities are integer-valued doubles: sums are exact
+    in FP, the >180 boundary cannot flip cross-engine. Order date rides
+    as an ISO string (timestamp bridge hazard)."""
+    li = load_table(spark, sf, "lineitem").select("l_orderkey", "l_quantity")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 180)
+        .select("l_orderkey")
+    )
+    o = load_table(spark, sf, "orders").join(
+        big, F.col("o_orderkey") == big["l_orderkey"], "left_semi"
+    )
+    c = load_table(spark, sf, "customer").select("c_custkey")
+    joined = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+    )
+    return joined.groupBy(
+        "c_custkey",
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_date"),
+        F.round("o_totalprice", 2).alias("total"),
+    ).agg(F.sum("l_quantity").cast("long").alias("sum_qty"))
+
+
+@query(
+    "q19_discounted_revenue",
+    """
+    SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem, part
+    WHERE p_partkey = l_partkey AND (
+      (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+        AND l_quantity BETWEEN 1 AND 11)
+      OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+        AND l_quantity BETWEEN 10 AND 20)
+      OR (p_brand = 'Brand#5' AND p_size BETWEEN 1 AND 15
+        AND l_quantity BETWEEN 20 AND 30)
+    )
+    """,
+)
+def q19_discounted_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q19: OR-of-ANDs across both join sides. Catalyst extracts
+    the common single-side conjuncts: the part-only disjunction
+    (brand/size) prunes the broadcast side BEFORE the join and the
+    lineitem-only quantity disjunction pushes into the fact scan; only
+    the cross-side residual evaluates post-join. One broadcast join,
+    zero shuffles besides the 1-row final agg."""
+    li = load_table(spark, sf, "lineitem")
+    p = load_table(spark, sf, "part").select("p_partkey", "p_brand", "p_size")
+    joined = li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+    q = F.col("l_quantity")
+    cond = (
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 5)
+         & q.between(1, 11))
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 10)
+           & q.between(10, 20))
+        | ((F.col("p_brand") == "Brand#5") & F.col("p_size").between(1, 15)
+           & q.between(20, 30))
+    )
+    return joined.filter(cond).agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue")
+    )
+
+
+@query(
+    "q22_dormant_customers",
+    """
+    SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+           CAST(count(*) AS BIGINT) AS numcust,
+           round(sum(c_acctbal), 2) AS totacctbal
+    FROM customer c
+    WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+      AND NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey AND o.o_orderdate >= TIMESTAMP '2001-01-01'
+      )
+    GROUP BY c_nationkey
+    """,
+)
+def q22_dormant_customers(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q22-shaped: wealthy customers (above the positive-balance
+    mean) with no RECENT orders, counted per nation. Anti join against
+    the date-filtered orders (filter pushed to the scan shrinks the
+    build side) + a scalar subquery threshold computed once and folded
+    into the filter as a literal. Every fixture customer has SOME order,
+    so the dormancy cut is date-scoped — a pure no-orders NOT EXISTS is
+    vacuously empty here."""
+    c = load_table(spark, sf, "customer")
+    recent = (
+        load_table(spark, sf, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2001-01-01").cast("timestamp"))
+        .select("o_custkey")
+    )
+    avg_bal = (
+        c.filter(F.col("c_acctbal") > 0)
+        .agg(F.avg("c_acctbal"))
+        .collect()[0][0]
+    )
+    return (
+        c.filter(F.col("c_acctbal") > avg_bal)
+        .join(recent, c["c_custkey"] == recent["o_custkey"], "left_anti")
+        .groupBy(F.col("c_nationkey").cast("long").alias("nationkey"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+    )
