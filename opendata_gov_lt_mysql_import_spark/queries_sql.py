@@ -1341,3 +1341,40 @@ def q22_dormant_customers(spark: SparkSession, sf: str) -> DataFrame:
             F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
         )
     )
+
+
+@query(
+    "events_gap_fill_hourly",
+    """
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS bucket_ts,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ), span AS (
+      SELECT event_type, min(bucket_ts) AS lo, max(bucket_ts) AS hi
+      FROM hourly GROUP BY 1
+    ), grid AS (
+      SELECT event_type, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket_ts
+      FROM span
+    )
+    SELECT g.event_type, strftime(g.bucket_ts, '%Y-%m-%d %H:00') AS hour,
+           CAST(coalesce(h.n, 0) AS BIGINT) AS n
+    FROM grid g LEFT JOIN hourly h
+      ON g.event_type = h.event_type AND g.bucket_ts = h.bucket_ts
+    """,
+)
+def events_gap_fill_hourly(spark: SparkSession, sf: str) -> DataFrame:
+    """Dense hourly event counts per type with zero-filled gaps
+    (operators/timeseries.py): aggregate-then-densify — the calendar
+    explode runs against the aggregated dimension-sized frame, never the
+    raw facts, so grid cost is |types| x |hours| at any fact scale.
+    Bucket timestamps ride as strings (bridge hazard)."""
+    from .operators.timeseries import gap_fill
+
+    ev = load_table(spark, sf, "events")
+    dense = gap_fill(ev, key_col="event_type", ts_col="ts", bucket="hour")
+    return dense.select(
+        "event_type",
+        F.date_format("bucket_ts", "yyyy-MM-dd HH:00").alias("hour"),
+        "n",
+    )
