@@ -1378,3 +1378,63 @@ def events_gap_fill_hourly(spark: SparkSession, sf: str) -> DataFrame:
         F.date_format("bucket_ts", "yyyy-MM-dd HH:00").alias("hour"),
         "n",
     )
+
+
+@query(
+    "events_view_click_pairs",
+    """
+    SELECT v.user_id,
+           v.event_id AS view_id,
+           c.event_id AS click_id,
+           CAST(date_diff('second', v.ts, c.ts) AS BIGINT) AS lag_sec
+    FROM events v JOIN events c ON v.user_id = c.user_id
+    WHERE v.event_type = 'view' AND c.event_type = 'click'
+      AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 30 MINUTE
+    """,
+)
+def events_view_click_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Batch twin of the stream-stream interval join
+    (streaming/joins.py): every (view, click) attribution pair within a
+    30-minute horizon per user. The IDENTICAL expression runs on two
+    live streams with watermarks (state O(rate x horizon), eviction via
+    the time-range condition) — parity pinned in
+    tests/test_stream_joins.py; this registry row pins the values."""
+    from .streaming.joins import paired_view_clicks
+
+    ev = load_table(spark, sf, "events")
+    return paired_view_clicks(
+        ev.filter(F.col("event_type") == "view"),
+        ev.filter(F.col("event_type") == "click"),
+    ).select("user_id", "view_id", "click_id", "lag_sec")
+
+
+@query(
+    "udtf_tokenize_head",
+    """
+    SELECT d.doc_id, t.i - 1 AS pos, t.tok AS token
+    FROM documents d,
+         LATERAL (
+           SELECT unnest(list_slice(string_split_regex(trim(d.text), '\\s+'), 1, 40)) AS tok,
+                  generate_subscripts(list_slice(string_split_regex(trim(d.text), '\\s+'), 1, 40), 1) AS i
+         ) t
+    WHERE d.doc_id < 100
+    """,
+)
+def udtf_tokenize_head(spark: SparkSession, sf: str) -> DataFrame:
+    """Python UDTF (Spark 4 table-function API, Arrow-batched) emitting
+    the head-40 tokens of each document with positions, invoked through
+    SQL LATERAL — the engine's row→many-rows extension point
+    (functions/udtfs.py; scale notes there: prefer JVM
+    posexplode(split()) unless emission is imperative). The doc_id cap
+    bounds the gate's collected comparison, not the operator."""
+    from .functions.udtfs import register_udtfs
+
+    register_udtfs(spark)
+    load_table(spark, sf, "documents").createOrReplaceTempView("_udtf_docs")
+    return spark.sql(
+        """
+        SELECT d.doc_id, t.pos, t.token
+        FROM _udtf_docs d, LATERAL tokenize_head(d.text, 40) t
+        WHERE d.doc_id < 100
+        """
+    )
