@@ -3,7 +3,8 @@
 Image/audio/video payloads are opaque ``binary`` columns with a typed
 metadata struct; decode / feature-extraction / resize / frame-sampling
 run as Arrow-batched ``mapInPandas`` stages. Three REAL dependency-free
-codecs are live — binary PPM (P6), uncompressed 24/32-bit BMP, and
+codecs are live — binary PPM (P6), binary PGM (P5 grayscale),
+uncompressed 24/32-bit BMP, and
 RIFF/WAVE PCM16 — with real pixel/sample decode, feature extraction,
 and nearest-neighbor resize; only compressed formats (JPEG/PNG/MP3/
 video), which require codec libraries absent from this container, stay
@@ -106,6 +107,54 @@ def resize_ppm(payload: bytes, width: int, height: int) -> bytes:
     return encode_ppm(img[rows][:, cols])
 
 
+PGM_MIME = "image/x-portable-graymap"
+
+
+def decode_pgm(payload: bytes):
+    """REAL grayscale decode, zero dependencies: binary PGM (P5) → HxW
+    uint8 numpy array. Same header grammar as PPM (P5, width, height,
+    maxval; comments allowed), one whitespace byte, then raw gray."""
+    import numpy as np
+
+    if payload[:2] != b"P5":
+        raise ValueError("not a binary PGM (P5) payload")
+    pos, tokens = 2, []
+    while len(tokens) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":
+            while pos < len(payload) and payload[pos : pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        tokens.append(int(payload[start:pos]))
+    pos += 1
+    w, h, maxval = tokens
+    if maxval > 255:
+        raise ValueError("16-bit PGM not supported")
+    data = np.frombuffer(payload, dtype=np.uint8, count=w * h, offset=pos)
+    return data.reshape(h, w)
+
+
+def encode_pgm(arr) -> bytes:
+    """HxW uint8 array → binary PGM payload."""
+    h, w = arr.shape
+    return b"P5\n%d %d\n255\n" % (w, h) + arr.astype("uint8").tobytes()
+
+
+def resize_pgm(payload: bytes, width: int, height: int) -> bytes:
+    """Real nearest-neighbor resize for PGM payloads, pure numpy."""
+    import numpy as np
+
+    img = decode_pgm(payload)
+    src_h, src_w = img.shape
+    rows = (np.arange(height) * src_h // height).clip(0, src_h - 1)
+    cols = (np.arange(width) * src_w // width).clip(0, src_w - 1)
+    return encode_pgm(img[rows][:, cols])
+
+
 BMP_MIME = "image/bmp"
 
 
@@ -170,10 +219,13 @@ def decode_image(payload: bytes) -> object:
     available. The plumbing (schema, batching) is identical either way."""
     if payload[:2] == b"P6":
         return decode_ppm(payload)
+    if payload[:2] == b"P5":
+        return decode_pgm(payload)
     if payload[:2] == b"BM":
         return decode_bmp(payload)
     raise NotImplementedError(
-        "compressed image decode requires an imaging library; PPM and BMP "
+        "compressed image decode requires an imaging library; PPM, PGM and "
+        "BMP "
         "payloads decode natively, or use fake_decode_features for opaque "
         "bytes"
     )
@@ -391,6 +443,8 @@ def resize_media(media: DataFrame, width: int, height: int) -> DataFrame:
                 b = bytes(p) if p is not None else b""
                 if mime == PPM_MIME:
                     out.append(resize_ppm(b, width, height))
+                elif mime == PGM_MIME:
+                    out.append(resize_pgm(b, width, height))
                 elif mime == BMP_MIME:
                     out.append(resize_bmp(b, width, height))
                 else:

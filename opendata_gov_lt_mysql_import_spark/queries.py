@@ -92,14 +92,19 @@ DRIVER_TOP50: tuple[str, ...] = (
     "olap_grouping_suite",
     "sql_surface_suite",
     "stats_suite",
-    # event-stream operators
-    "events_hourly_rollup",
+    # event-stream operators (events_hourly_rollup rotated out round 5:
+    # events_gap_fill_hourly subsumes the hourly aggregate and adds the
+    # densify step; the rollup stays registered + full-gate-verified as
+    # the streaming batch twin)
+    "events_gap_fill_hourly",
     "events_sessionize",
     "events_asof_last_order",
     "events_range_join_recent",
     "events_behavior_suite",
     "funnel_view_click_purchase",
-    "cohort_retention",
+    # cohort_retention slot rotated (round 5) to the one-pass declarative
+    # data-quality gate; cohort stays registered + full-gate-verified
+    "dq_constraint_report",
     # scale join strategies
     "salted_join_revenue",
     "bloom_semi_join_orders",
@@ -116,7 +121,10 @@ DRIVER_TOP50: tuple[str, ...] = (
     "dup_clusters",
     "minhash_lsh_pairs_md5",
     "simhash_pairs_md5",
-    "incremental_dedup",
+    # incremental_dedup slot rotated (round 5) to the CDC-refreshed
+    # materialized aggregate - the same batch-vs-history increment idea
+    # generalized to stored state; incremental_dedup stays registered
+    "matview_incremental_refresh",
     # similarity / multimodal families
     "ann_topk_suite",
     "emb_dup_pairs",

@@ -1438,3 +1438,34 @@ def udtf_tokenize_head(spark: SparkSession, sf: str) -> DataFrame:
         WHERE d.doc_id < 100
         """
     )
+
+
+@query(
+    "events_value_trend",
+    """
+    SELECT event_type,
+           round(regr_slope(value, epoch(ts) / 3600.0), 8) AS slope_per_hour,
+           round(regr_intercept(value, epoch(ts) / 3600.0), 4) AS intercept,
+           round(regr_r2(value, epoch(ts) / 3600.0), 8) AS r2,
+           CAST(regr_count(value, epoch(ts) / 3600.0) AS BIGINT) AS n
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def events_value_trend(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-type linear trend of event value over time via the built-in
+    REGRESSION aggregates (regr_slope/intercept/r2) — a distributed
+    least-squares fit in ONE aggregation pass (the moment sums are
+    mergeable partials; no Python, no second scan). x is microsecond-
+    exact epoch hours (NTZ ts -> TIMESTAMP under the session's pinned
+    UTC -> double seconds with fraction, matching DuckDB's fractional
+    epoch()). The monitoring shape for drift detection over
+    any metric column at any scale."""
+    ev = load_table(spark, sf, "events")
+    x = F.col("ts").cast("timestamp").cast("double") / 3600.0
+    return ev.groupBy("event_type").agg(
+        F.round(F.regr_slope(F.col("value"), x), 8).alias("slope_per_hour"),
+        F.round(F.regr_intercept(F.col("value"), x), 4).alias("intercept"),
+        F.round(F.regr_r2(F.col("value"), x), 8).alias("r2"),
+        F.regr_count(F.col("value"), x).cast("long").alias("n"),
+    )

@@ -255,3 +255,62 @@ class TestMultimodal:
             assert r["n_bytes"] == len(payload)
             assert r["fingerprint"] == hashlib.md5(payload).hexdigest()
             assert abs(r["byte_mean"] - sum(payload) / len(payload)) < 1e-9
+
+
+class TestPgmCodec:
+    def test_roundtrip_and_comment_header(self):
+        import numpy as np
+
+        from opendata_gov_lt_mysql_import_spark.operators.multimodal import (
+            decode_image,
+            decode_pgm,
+            encode_pgm,
+        )
+
+        rng = np.random.default_rng(7)
+        img = rng.integers(0, 256, size=(5, 9), dtype=np.uint8)
+        payload = encode_pgm(img)
+        assert np.array_equal(decode_pgm(payload), img)
+        # dispatch on magic bytes through the generic entry
+        assert np.array_equal(decode_image(payload), img)
+        with_comment = payload[:2] + b"\n# gray\n" + payload[3:]
+        assert np.array_equal(decode_pgm(with_comment), img)
+
+    def test_resize_nearest_neighbor(self):
+        import numpy as np
+
+        from opendata_gov_lt_mysql_import_spark.operators.multimodal import (
+            decode_pgm,
+            encode_pgm,
+            resize_pgm,
+        )
+
+        img = np.arange(16, dtype=np.uint8).reshape(4, 4)
+        small = decode_pgm(resize_pgm(encode_pgm(img), 2, 2))
+        assert small.shape == (2, 2)
+        # nearest-neighbor picks the top-left of each 2x2 block
+        assert np.array_equal(small, img[::2, ::2])
+
+    def test_spark_resize_stage_handles_pgm(self, spark):
+        import numpy as np
+
+        from opendata_gov_lt_mysql_import_spark.operators.multimodal import (
+            PGM_MIME,
+            decode_pgm,
+            encode_pgm,
+            resize_media,
+        )
+
+        rng = np.random.default_rng(11)
+        imgs = {i: rng.integers(0, 256, size=(6, 8), dtype=np.uint8) for i in range(3)}
+        media = spark.createDataFrame(
+            [(i, PGM_MIME, bytearray(encode_pgm(a))) for i, a in imgs.items()],
+            "media_id long, mime string, payload binary",
+        )
+        resized = {r["media_id"]: r for r in resize_media(media, 4, 3).collect()}
+        for i, a in imgs.items():
+            out = decode_pgm(bytes(resized[i]["payload"]))
+            assert out.shape == (3, 4)
+            rows = (np.arange(3) * 6 // 3).clip(0, 5)
+            cols = (np.arange(4) * 8 // 4).clip(0, 7)
+            assert np.array_equal(out, a[rows][:, cols])

@@ -210,3 +210,55 @@ def test_tfidf_is_single_dag_without_checkpoint_barrier(spark, sf_dir, queries):
     # map-side partial aggregation below the tf exchange
     final = plan.split("+- == Initial Plan ==")[0]
     assert "partial_count" in final or final.count("HashAggregate") >= 2
+
+
+def test_q10_takeordered_and_pushed_returnflag(spark, sf_dir, queries):
+    plan = final_plan(queries["q10_returned_items"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan  # top-20 never global-sorts
+    assert "l_returnflag" in plan.split("PushedFilters")[1].split("]")[0], (
+        "returnflag filter must reach the lineitem scan"
+    )
+
+
+def test_q19_or_of_ands_prunes_both_sides(spark, sf_dir, queries):
+    """Catalyst must split the OR-of-ANDs: the part-only disjunction
+    filters the broadcast side pre-join and the lineitem-only quantity
+    disjunction pushes into the fact scan."""
+    plan = final_plan(queries["q19_discounted_revenue"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+    pushed = plan.split("PushedFilters")
+    # both scans carry pushed Or filters (lineitem quantity, part brand)
+    assert any("l_quantity" in seg.split("]")[0] for seg in pushed[1:])
+    assert any("p_brand" in seg.split("]")[0] for seg in pushed[1:])
+
+
+def test_q18_semi_join_reuses_orderkey_partitioning(spark, sf_dir, queries):
+    """The aggregated-predicate semi join and the main aggregation both
+    key on l_orderkey; no cartesian/BNL anywhere."""
+    plan = final_plan(queries["q18_large_orders"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_gap_fill_explodes_aggregated_frame_only(spark, sf_dir, queries):
+    """The calendar explode must sit ABOVE the aggregation (dense grid
+    generated from the dimension-sized span frame, never the raw
+    facts)."""
+    plan = final_plan(queries["events_gap_fill_hourly"](spark, sf_dir))
+    assert "Generate explode" in plan
+    gen_pos = plan.index("Generate explode")
+    # at least one hash aggregate (the sparse bucket counts) below it
+    assert "HashAggregate" in plan[gen_pos:], (
+        "span/grid must derive from the aggregated frame"
+    )
+
+
+def test_dq_report_scalar_checks_one_scan(spark, sf_dir, queries):
+    """Six declarative constraints must compile into a single scan of
+    orders (plus the FK branch's own scan) — one scan per N rules is
+    the whole point."""
+    plan = final_plan(queries["dq_constraint_report"](spark, sf_dir))
+    # AQE printing repeats the tree under "== Initial Plan ==" — count
+    # scans only in the final section
+    final_section = plan.split("== Initial Plan ==")[0]
+    assert final_section.count("FileScan parquet") <= 3  # orders, orders-FK, customer
