@@ -84,6 +84,19 @@ HEADLINE = [
     "decontaminate_hits",
     "posting_lists",
     "events_zscore_outliers",
+    # round-5 surface: new plan shapes measured from the round they land
+    "q7_volume_shipping",
+    "q10_returned_items",
+    "q13_customer_distribution",
+    "q18_large_orders",
+    "q19_discounted_revenue",
+    "q22_dormant_customers",
+    "w1_tree_closure_recursive",
+    "dq_constraint_report",
+    "events_gap_fill_hourly",
+    "events_view_click_pairs",
+    "events_value_trend",
+    "matview_incremental_refresh",
 ]
 
 

@@ -1469,3 +1469,32 @@ def events_value_trend(spark: SparkSession, sf: str) -> DataFrame:
         F.round(F.regr_r2(F.col("value"), x), 8).alias("r2"),
         F.regr_count(F.col("value"), x).cast("long").alias("n"),
     )
+
+
+@query("hll_sketch_rollup_merge", None)
+def hll_sketch_rollup_merge(spark: SparkSession, sf: str) -> DataFrame:
+    """The sketch-STORE pattern behind every 100 TB distinct-count
+    dashboard: per-day HLL sketches of user_id are materialized once
+    (groupBy day → hll_sketch_agg binary — mergeable partials, bounded
+    bytes per cell), then any date-range distinct-user question is a
+    LOSSLESS hll_union_agg over the stored sketches — no rescan of the
+    raw events, ever. One-shot estimates (approx_distinct_users) answer
+    one question; stored sketches answer all of them at rollup cost.
+
+    Rows-only: sketch estimates are engine-specific (DataSketches HLL).
+    tests/test_operators.py pins (a) merge losslessness — the union of
+    daily sketches estimates EXACTLY the one-shot whole-table sketch —
+    and (b) <2% relative error vs exact count_distinct."""
+    ev = load_table(spark, sf, "events")
+    daily = ev.groupBy(
+        F.col("event_type"), F.date_trunc("day", "ts").alias("day")
+    ).agg(F.hll_sketch_agg("user_id").alias("sketch"))
+    return (
+        daily.groupBy("event_type")
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sketch"))
+            .cast("long")
+            .alias("distinct_users_est"),
+            F.count(F.lit(1)).cast("long").alias("days_merged"),
+        )
+    )

@@ -631,3 +631,48 @@ def test_approx_percentile_within_one_percent_of_exact(spark, sf_dir):
             assert abs(a[col] - e[col]) <= 0.01 * abs(e[col]) + 1e-9, (
                 flag, col, a[col], e[col],
             )
+
+
+class TestHllSketchRollup:
+    """Stored-sketch rollup invariants (hll_sketch_rollup_merge): daily
+    HLL sketches must merge LOSSLESSLY (union of partials == one-shot
+    sketch, exactly) and track exact distinct counts within 2%."""
+
+    def test_merge_lossless_and_error_bound(self, spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from opendata_gov_lt_mysql_import_spark.sources.parquet import load_table
+
+        ev = load_table(spark, sf_dir, "events")
+        daily = ev.groupBy(
+            "event_type", F.date_trunc("day", "ts").alias("day")
+        ).agg(F.hll_sketch_agg("user_id").alias("sketch"))
+        merged = {
+            r["event_type"]: r["est"]
+            for r in daily.groupBy("event_type")
+            .agg(
+                F.hll_sketch_estimate(F.hll_union_agg("sketch"))
+                .cast("long")
+                .alias("est")
+            )
+            .collect()
+        }
+        oneshot = {
+            r["event_type"]: r["est"]
+            for r in ev.groupBy("event_type")
+            .agg(
+                F.hll_sketch_estimate(F.hll_sketch_agg("user_id"))
+                .cast("long")
+                .alias("est")
+            )
+            .collect()
+        }
+        exact = {
+            r["event_type"]: r["n"]
+            for r in ev.groupBy("event_type")
+            .agg(F.count_distinct("user_id").alias("n"))
+            .collect()
+        }
+        assert merged == oneshot  # lossless merge: union of partials
+        for t, n in exact.items():
+            assert abs(merged[t] - n) / n < 0.02

@@ -18,6 +18,9 @@ ROWS_ONLY = {
     "pagerank_k": "iterative float fixed-point; summation order across "
     "K rounds is engine-specific (pagerank_one_iter is the "
     "oracle-checked single-step twin; invariants in tests/test_graph.py)",
+    "hll_sketch_rollup_merge": "DataSketches HLL estimates are "
+    "engine-specific (merge-losslessness + error bound pinned in "
+    "tests/test_operators.py)",
 }
 
 
