@@ -97,6 +97,7 @@ HEADLINE = [
     "events_view_click_pairs",
     "events_value_trend",
     "matview_incremental_refresh",
+    "semantic_dedup",
 ]
 
 

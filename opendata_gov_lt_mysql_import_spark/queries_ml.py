@@ -452,6 +452,8 @@ def emb_dup_pairs_q(spark: SparkSession, sf: str) -> DataFrame:
     """Embedding near-dup pairs blocked by label (the brute-force-within-
     block verifier; at scale the block key is an LSH/IVF bucket)."""
     emb = load_table(spark, sf, "embeddings")
+    from pyspark.sql import Window
+
     pairs = cosine_dup_pairs(emb, block_col="label", min_sim=0.3)
     return pairs.select("id_a", "id_b", F.round(F.col("sim"), 4).alias("sim"))
 
@@ -2509,4 +2511,103 @@ def corpus_export_pipeline_q(spark: SparkSession, sf: str) -> DataFrame:
     clean_train = decontaminate(train, test, text_col="text", id_col="doc_id", n=5)
     return clean_train.select("doc_id", "split").unionByName(
         test.select("doc_id", "split")
+    )
+
+
+@query(
+    "semantic_dedup",
+    """
+    WITH RECURSIVE cells AS (
+      SELECT label, vec_id,
+             generate_subscripts(embedding, 1) AS dim,
+             CAST(unnest(embedding) AS DOUBLE) AS x
+      FROM embeddings
+    ),
+    cent AS (
+      SELECT label, dim, avg(x) AS c FROM cells GROUP BY label, dim
+    ),
+    coscent AS (
+      SELECT cells.label, vec_id,
+             round(sum(x * c) / (sqrt(sum(x * x)) * sqrt(sum(c * c))), 4)
+               AS cos_centroid
+      FROM cells JOIN cent ON cells.label = cent.label AND cells.dim = cent.dim
+      GROUP BY cells.label, vec_id
+    ),
+    p AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM embeddings a JOIN embeddings b
+        ON a.label = b.label AND a.vec_id < b.vec_id
+      WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                   CAST(b.embedding AS DOUBLE[])) >= 0.3
+    ),
+    e AS (SELECT id_a AS a, id_b AS b FROM p
+          UNION ALL
+          SELECT id_b, id_a FROM p),
+    reach(id, r) AS (
+      SELECT a, a FROM e
+      UNION
+      SELECT e.a, reach.r FROM e JOIN reach ON reach.id = e.b
+    ),
+    comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id)
+    SELECT cc.vec_id, cc.label,
+           CAST(coalesce(comp.component, cc.vec_id) AS BIGINT) AS component,
+           cc.cos_centroid,
+           (comp.id IS NULL OR row_number() OVER (
+              PARTITION BY coalesce(comp.component, cc.vec_id)
+              ORDER BY cc.cos_centroid, cc.vec_id) = 1) AS keep
+    FROM coscent cc LEFT JOIN comp ON cc.vec_id = comp.id
+    """,
+)
+def semantic_dedup_q(spark: SparkSession, sf: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic deduplication by
+    embedding-cluster pruning, composed entirely from shipped operators —
+    (1) per-cluster centroid = dimension-cell mean (posexplode + (label,
+    dim) agg: K x D cells shuffle, never N x D x N pairs), (2) each
+    member's cosine-to-centroid, (3) within-cluster near-dup pairs >=
+    0.3 cosine (blocked exact verify — at scale the block is an
+    LSH/IVF bucket, see emb_dup_pairs), (4) connected components over
+    the pair graph (near-dups chain), (5) keep ONE member per
+    component: the LOWEST centroid-similarity one (the paper's rule —
+    prefer the least-prototypical example; ROUNDED cosine + vec_id
+    ordering so the rank-1 boundary is cross-engine exact). Singletons
+    keep themselves. Oracle: the full pipeline as one recursive-CTE SQL
+    program."""
+    from .operators.dedup import connected_components
+    from .operators.similarity import cosine_dup_pairs
+
+    emb = load_table(spark, sf, "embeddings")
+    cells = emb.select(
+        "label", "vec_id", F.posexplode("embedding").alias("dim", "_xf")
+    ).select("label", "vec_id", "dim", F.col("_xf").cast("double").alias("x"))
+    cent = cells.groupBy("label", "dim").agg(F.avg("x").alias("c"))
+    coscent = (
+        cells.join(cent, ["label", "dim"])
+        .groupBy("label", "vec_id")
+        .agg(
+            F.round(
+                F.sum(F.col("x") * F.col("c"))
+                / (F.sqrt(F.sum(F.col("x") * F.col("x")))
+                   * F.sqrt(F.sum(F.col("c") * F.col("c")))),
+                4,
+            ).alias("cos_centroid")
+        )
+    )
+    from pyspark.sql import Window
+
+    pairs = cosine_dup_pairs(emb, block_col="label", min_sim=0.3)
+    comp = connected_components(pairs).withColumnRenamed("cluster", "component")
+    labeled = coscent.join(comp, coscent["vec_id"] == comp["id"], "left").select(
+        coscent["vec_id"],
+        "label",
+        F.coalesce(F.col("component"), coscent["vec_id"]).cast("long").alias("component"),
+        "cos_centroid",
+        F.col("id").isNull().alias("_singleton"),
+    )
+    w = Window.partitionBy("component").orderBy("cos_centroid", "vec_id")
+    return labeled.select(
+        "vec_id",
+        "label",
+        "component",
+        "cos_centroid",
+        (F.col("_singleton") | (F.row_number().over(w) == 1)).alias("keep"),
     )

@@ -676,3 +676,24 @@ class TestHllSketchRollup:
         assert merged == oneshot  # lossless merge: union of partials
         for t, n in exact.items():
             assert abs(merged[t] - n) / n < 0.02
+
+
+class TestSemanticDedup:
+    def test_keep_exactly_one_per_component(self, spark, sf_dir):
+        import __spark_entry__ as entrymod
+        from pyspark.sql import functions as F
+
+        out = entrymod.queries()["semantic_dedup"](spark, sf_dir)
+        # exactly one kept member per component
+        per_comp = out.groupBy("component").agg(
+            F.sum(F.col("keep").cast("int")).alias("kept"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        assert per_comp.filter(F.col("kept") != 1).isEmpty()
+        # the kept member has the component's LOWEST (rounded) centroid
+        # similarity — the SemDeDup keep-least-prototypical rule
+        mins = out.groupBy("component").agg(F.min("cos_centroid").alias("lo"))
+        kept = out.filter("keep").join(mins, "component")
+        assert kept.filter(F.col("cos_centroid") != F.col("lo")).isEmpty()
+        # every input row appears exactly once
+        assert out.count() == out.select("vec_id").distinct().count()
