@@ -33,3 +33,27 @@ def stage_read(spark: SparkSession, path: str, schema) -> DataFrame:
         F.from_json("content", schema, {"timestampFormat": DATETIME_FORMAT}).alias("row"),
     )
     return parsed.select("guid", "row.*")
+
+
+def read_csv_legacy_encoding(
+    spark: SparkSession,
+    path: str,
+    schema,
+    encoding: str,
+    **options: str,
+) -> DataFrame:
+    """CSV read in a legacy single-byte charset (the upstream
+    opendata.gov.lt catalog is Lithuanian text that historically shipped
+    as windows-1257/ISO-8859-13 exports).
+
+    Spark 4 restricts CSV ``encoding`` to a short allow-list unless
+    ``spark.sql.legacy.javaCharsets`` is on; this helper enables that
+    session flag (left enabled — it only WIDENS the accepted charset
+    set, it never changes the decoding of the allow-listed ones) and
+    reads under the declared schema. Decoding happens in the JVM scan,
+    so the path stays distributed and pushdown-capable."""
+    spark.conf.set("spark.sql.legacy.javaCharsets", "true")
+    reader = spark.read.schema(schema).option("encoding", encoding)
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.csv(path)

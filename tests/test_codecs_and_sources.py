@@ -327,3 +327,69 @@ class TestSchemaEvolution:
         r = out.collect()[0]
         assert (r["doc_id"], r["quality"]) == (7, 1.0)
         assert "Exchange" not in out._jdf.queryExecution().executedPlan().toString()
+
+
+class TestTextSourceFormats:
+    """Interop source formats beyond parquet/JSON: legacy-encoded CSV
+    (the upstream opendata.gov.lt MySQL catalog is Lithuanian text that
+    historically shipped in windows-1257) and ORC."""
+
+    def test_csv_windows_1257_lithuanian(self, spark, tmp_path):
+        rows = [
+            (1, "Radiacinės saugos centras"),
+            (2, "Šiaulių universitetas ąčęėįšųūž"),
+        ]
+        raw = "id;title\n" + "\n".join(f"{i};{t}" for i, t in rows) + "\n"
+        p = tmp_path / "lt_csv"
+        p.mkdir()
+        (p / "data.csv").write_bytes(raw.encode("windows-1257"))
+        from opendata_gov_lt_mysql_import_spark.sources.staging import (
+            read_csv_legacy_encoding,
+        )
+
+        df = read_csv_legacy_encoding(
+            spark, str(p), "id long, title string", "windows-1257",
+            header="true", sep=";",
+        )
+        got = {r["id"]: r["title"] for r in df.collect()}
+        assert got == dict(rows)  # byte-exact decode of Lithuanian text
+
+        # and the decoded text flows straight into the slugify pipeline
+        from opendata_gov_lt_mysql_import_spark.functions.text import slugify_udf
+
+        slugs = {
+            r["id"]: r["slug"]
+            for r in df.select("id", slugify_udf()(F.col("title")).alias("slug")).collect()
+        }
+        assert slugs[1].startswith("radiacines-saugos-centras")
+        assert "siauliu-universitetas" in slugs[2]
+
+    def test_orc_roundtrip_with_predicate_pushdown(self, spark, sf_dir, tmp_path):
+        from opendata_gov_lt_mysql_import_spark.sources.parquet import load_table
+
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderstatus", "o_totalprice"
+        )
+        path = str(tmp_path / "orders_orc")
+        orders.write.mode("overwrite").orc(path)
+        back = spark.read.orc(path)
+        assert back.count() == orders.count()
+        # pushdown reaches the ORC scan
+        plan = back.filter(F.col("o_orderstatus") == "F")._jdf.queryExecution().sparkPlan().toString()
+        assert "o_orderstatus" in plan.split("PushedFilters")[-1].split("]")[0]
+        want = orders.filter(F.col("o_orderstatus") == "F").count()
+        assert back.filter(F.col("o_orderstatus") == "F").count() == want
+
+    def test_csv_roundtrip_quoting_and_nulls(self, spark, tmp_path):
+        df = spark.createDataFrame(
+            [(1, 'has,comma and "quotes"'), (2, None), (3, "plain")],
+            "id long, title string",
+        )
+        path = str(tmp_path / "csv_rt")
+        df.coalesce(1).write.mode("overwrite").option("header", "true").csv(path)
+        back = (
+            spark.read.option("header", "true")
+            .schema("id long, title string")
+            .csv(path)
+        )
+        assert {tuple(r) for r in back.collect()} == {tuple(r) for r in df.collect()}
