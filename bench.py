@@ -97,7 +97,7 @@ HEADLINE = [
     "events_view_click_pairs",
     "events_value_trend",
     "matview_incremental_refresh",
-    "semantic_dedup",
+    "semantic_dedup_arrow",
 ]
 
 

@@ -697,3 +697,79 @@ class TestSemanticDedup:
         assert kept.filter(F.col("cos_centroid") != F.col("lo")).isEmpty()
         # every input row appears exactly once
         assert out.count() == out.select("vec_id").distinct().count()
+
+
+class TestEntityResolution:
+    def test_planted_clones_resolve_to_source(self, spark, sf_dir):
+        import __spark_entry__ as entrymod
+        from pyspark.sql import functions as F
+
+        out = entrymod.queries()["entity_resolution_customers"](spark, sf_dir)
+        clones = out.filter(F.col("entity_id") >= 1000000)
+        # recall = 1.0: every planted clone links back to its source id
+        wrong = clones.filter(
+            F.col("canonical_id") != F.col("entity_id") - 1000000
+        )
+        assert wrong.isEmpty()
+        assert clones.filter(~F.col("is_duplicate")).isEmpty()
+        # sources of clones are marked duplicates too (same component)
+        srcs = out.filter(
+            (F.col("entity_id") < 1000000) & (F.col("entity_id") % 7 == 0)
+        )
+        assert srcs.filter(~F.col("is_duplicate")).isEmpty()
+
+    def test_no_cross_entity_merges(self, spark, sf_dir):
+        """Precision guard: no component may contain two DIFFERENT
+        original customers (ids both < 1000000 with different values) -
+        the trigram+balance rule must not merge distinct entities."""
+        import __spark_entry__ as entrymod
+        from pyspark.sql import functions as F
+
+        out = entrymod.queries()["entity_resolution_customers"](spark, sf_dir)
+        originals = out.filter(F.col("entity_id") < 1000000)
+        comp_sizes = originals.groupBy("canonical_id").agg(
+            F.count(F.lit(1)).alias("n_originals")
+        )
+        assert comp_sizes.filter(F.col("n_originals") > 1).isEmpty()
+
+
+class TestConnectedComponentsPaths:
+    def test_distributed_path_equals_driver_path(self, spark):
+        """driver_threshold=0 forces the pointer-jumping loop; both
+        paths must produce identical component labels on a graph with
+        chains, a cycle, and singletder components."""
+        import random
+
+        from pyspark.sql import functions as F
+
+        from opendata_gov_lt_mysql_import_spark.operators.dedup import (
+            connected_components,
+        )
+
+        rng = random.Random(13)
+        edges = [(i, i + 1) for i in range(0, 40)]          # long chain
+        edges += [(100, 101), (101, 102), (102, 100)]        # cycle
+        edges += [(rng.randint(200, 260), rng.randint(200, 260)) for _ in range(40)]
+        pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+        driver = {
+            (r["id"], r["cluster"])
+            for r in connected_components(pairs).collect()
+        }
+        dist = {
+            (r["id"], r["cluster"])
+            for r in connected_components(pairs, driver_threshold=0).collect()
+        }
+        assert driver == dist
+        # the 41-node chain must fully collapse (pointer jumping would
+        # not converge in 25 sweeps without path halving... but plain
+        # propagation wouldn't: diameter 40 > max_iter)
+        chain = {c for i, c in driver if i <= 40}
+        assert chain == {0}
+
+    def test_arrow_semantic_dedup_matches_exact(self, spark, sf_dir):
+        import __spark_entry__ as entrymod
+
+        q = entrymod.queries()
+        exact = {tuple(r) for r in q["semantic_dedup"](spark, sf_dir).collect()}
+        arrow = {tuple(r) for r in q["semantic_dedup_arrow"](spark, sf_dir).collect()}
+        assert exact == arrow

@@ -18,6 +18,9 @@ ROWS_ONLY = {
     "pagerank_k": "iterative float fixed-point; summation order across "
     "K rounds is engine-specific (pagerank_one_iter is the "
     "oracle-checked single-step twin; invariants in tests/test_graph.py)",
+    "semantic_dedup_arrow": "BLAS gram-matrix pair scores can differ in "
+    "the last ulp exactly at the 0.3 threshold (semantic_dedup is the "
+    "oracle-exact HOF twin; set-equality pinned in tests/test_operators.py)",
     "hll_sketch_rollup_merge": "DataSketches HLL estimates are "
     "engine-specific (merge-losslessness + error bound pinned in "
     "tests/test_operators.py)",

@@ -62,6 +62,14 @@ TOP = [
     "minhash_lsh_pairs",
     "q3_top_revenue",
     "q1_pricing_summary",
+    # round-5 heavy entries
+    "matview_incremental_refresh",
+    "w1_tree_closure_recursive",
+    "q18_large_orders",
+    "q10_returned_items",
+    "dq_constraint_report",
+    "events_gap_fill_hourly",
+    "semantic_dedup",
 ]
 
 
