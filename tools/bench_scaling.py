@@ -69,7 +69,7 @@ TOP = [
     "q10_returned_items",
     "dq_constraint_report",
     "events_gap_fill_hourly",
-    "semantic_dedup",
+    "semantic_dedup_arrow",
 ]
 
 
