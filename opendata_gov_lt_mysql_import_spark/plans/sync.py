@@ -271,3 +271,27 @@ def apply_sync_jdbc(
             f"DELETE FROM {table} WHERE {key} IN (SELECT {key} FROM {stage})",
         )
     return counts
+
+
+def export_with_observed_metrics(df, path: str, metrics: dict | None = None):
+    """Write ``df`` as parquet while collecting pipeline metrics IN THE
+    SAME JOB via ``DataFrame.observe`` — the zero-extra-pass health
+    check every production export wants. A naive pipeline runs the
+    export and then a second aggregate scan for row counts / null rates;
+    ``observe`` piggybacks the aggregates on the write job's own pass,
+    so a 100 TB export pays nothing for its own metrics.
+
+    ``metrics``: name -> aggregate Column over df's columns (defaults to
+    a row count). Returns the observed metrics row as a dict after the
+    write completes. Reference analog: the harvest loop counts imported
+    objects as a side effect of importing them (odgovlt.py:355-367) —
+    same single-pass idea, set-oriented.
+    """
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    metrics = metrics or {"rows": F.count(F.lit(1))}
+    obs = Observation("export_metrics")
+    observed = df.observe(obs, *[c.alias(n) for n, c in metrics.items()])
+    observed.write.mode("overwrite").parquet(path)
+    return dict(obs.get)

@@ -1498,3 +1498,42 @@ def hll_sketch_rollup_merge(spark: SparkSession, sf: str) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("days_merged"),
         )
     )
+
+
+@query(
+    "unpivot_order_measures",
+    """
+    SELECT o_orderkey, measure, round(val, 2) AS val
+    FROM (
+      SELECT o_orderkey,
+             round(o_totalprice, 2) AS total_price,
+             round(o_totalprice * 2, 2) AS doubled,
+             CAST(o_shippriority_missing AS DOUBLE) AS ship_priority
+      FROM (SELECT o_orderkey, o_totalprice, 0 AS o_shippriority_missing
+            FROM orders WHERE o_orderkey < 1000)
+    ) wide
+    UNPIVOT (val FOR measure IN (total_price, doubled, ship_priority))
+    """,
+)
+def unpivot_order_measures(spark: SparkSession, sf: str) -> DataFrame:
+    """Native wide→tall melt via ``DataFrame.unpivot`` (Spark 3.4+ ids/
+    values API — the inverse of pivot, and the engine primitive the dq
+    report's ``stack`` expression hand-rolls). Map-only: no shuffle, row
+    count multiplies by |values| during the same scan. The doubled
+    measure is x2 (exact in binary at 2dp) - a x0.21 derivation rounds
+    onto half-cent ties where the engines' round() disagree. DuckDB oracle
+    uses its UNPIVOT form. Key-capped so the driver comparison stays
+    bounded; the operator itself is unbounded."""
+    o = load_table(spark, sf, "orders").filter(F.col("o_orderkey") < 1000)
+    wide = o.select(
+        "o_orderkey",
+        F.round("o_totalprice", 2).alias("total_price"),
+        F.round(F.col("o_totalprice") * 2, 2).alias("doubled"),
+        F.lit(0.0).alias("ship_priority"),
+    )
+    return wide.unpivot(
+        ids=["o_orderkey"],
+        values=["total_price", "doubled", "ship_priority"],
+        variableColumnName="measure",
+        valueColumnName="val",
+    ).select("o_orderkey", "measure", F.round("val", 2).alias("val"))

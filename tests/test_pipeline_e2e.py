@@ -254,3 +254,35 @@ class TestDiffSync:
         assert len(kinds["create"]) == 5
         assert kinds["update"][0]["name"] == "testas2-2"
         assert kinds["delete"][0]["name"] == "nebeliko-99"
+
+
+class TestObservedExport:
+    def test_metrics_ride_the_write_job(self, spark, sf_dir, tmp_path):
+        from pyspark.sql import functions as F
+
+        from opendata_gov_lt_mysql_import_spark.plans.sync import (
+            export_with_observed_metrics,
+        )
+        from opendata_gov_lt_mysql_import_spark.sources.parquet import load_table
+
+        o = load_table(spark, sf_dir, "orders")
+        path = str(tmp_path / "export")
+        got = export_with_observed_metrics(
+            o,
+            path,
+            {
+                "rows": F.count(F.lit(1)),
+                "null_keys": F.count(F.when(F.col("o_orderkey").isNull(), 1)),
+                "total": F.round(F.sum("o_totalprice"), 2),
+            },
+        )
+        want = o.agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.count(F.when(F.col("o_orderkey").isNull(), 1)).alias("null_keys"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        ).collect()[0]
+        assert got["rows"] == want["rows"] and got["rows"] > 0
+        assert got["null_keys"] == 0
+        assert abs(got["total"] - want["total"]) < 0.01
+        # the export itself landed intact
+        assert spark.read.parquet(path).count() == got["rows"]
