@@ -75,3 +75,43 @@ def split_sql_case(id_expr: str, weights: dict[str, float], seed: int = 42) -> s
         f" WHEN {key} < '{t}' THEN '{label}'" for label, t in pairs[:-1]
     )
     return f"CASE{whens} ELSE '{pairs[-1][0]}' END"
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    id_col: str = "id",
+    seed: int = 42,
+) -> DataFrame:
+    """Weighted random sample WITHOUT replacement of ``k`` rows, fully
+    distributed (Efraimidis–Spirakis A-ES): each row gets the key
+    ``-ln(u)/w`` with ``u`` a deterministic md5-derived uniform in
+    (0,1), and the sample is the k SMALLEST keys — a TakeOrdered top-k,
+    no global sort, no sequential reservoir, no driver state. Inclusion
+    probability is proportional to weight; changing ``seed`` redraws.
+
+    Determinism: u comes from the same md5 keying as hash_split (the
+    first 15 hex chars as a 60-bit integer over 2^60), so a given
+    (id, seed) always draws the same u — reproducible samples across
+    runs and engines, append-stable like the split machinery.
+
+    The statistical contract (inclusion frequency tracks weight across
+    seeds) is pinned in tests/test_splits.py; rows-only at the driver
+    gate because ln/pow are libm-dependent in the last ulp.
+    """
+    key_hex = F.md5(
+        F.concat_ws("#", F.col(id_col).cast("string"), F.lit(str(seed)))
+    )
+    u = (F.conv(F.substring(key_hex, 1, 15), 16, 10).cast("double") + 0.5) / F.lit(
+        float(1 << 60)
+    )
+    w = F.col(weight_col).cast("double")
+    es_key = -F.log(u) / w
+    return (
+        df.filter(w > 0)
+        .withColumn("_es_key", es_key)
+        .orderBy("_es_key", F.col(id_col))
+        .limit(k)
+        .drop("_es_key")
+    )

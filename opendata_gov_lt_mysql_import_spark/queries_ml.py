@@ -2700,3 +2700,20 @@ def entity_resolution_customers(spark: SparkSession, sf: str) -> DataFrame:
         recs, id_col="id", name_col="name", block_col="block",
         numeric_col="num", min_name_sim=0.7, max_numeric_delta=1.0,
     )
+
+
+@query("weighted_sample_orders", None)
+def weighted_sample_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """Weighted sample without replacement (Efraimidis–Spirakis A-ES,
+    operators/splits.py): 100 orders drawn with probability ∝
+    o_totalprice via deterministic md5-derived uniforms — a TakeOrdered
+    top-k on the transformed key, no global sort, reproducible per
+    seed. The high-value-upsampling shape for training-mixture curation.
+    Rows-only (ln is libm-ulp-dependent); statistical inclusion contract
+    pinned in tests/test_splits.py."""
+    from .operators.splits import weighted_sample
+
+    o = load_table(spark, sf, "orders").select(
+        F.col("o_orderkey").alias("id"), F.col("o_totalprice").alias("w")
+    )
+    return weighted_sample(o, "w", 100, seed=42)

@@ -18,6 +18,9 @@ ROWS_ONLY = {
     "pagerank_k": "iterative float fixed-point; summation order across "
     "K rounds is engine-specific (pagerank_one_iter is the "
     "oracle-checked single-step twin; invariants in tests/test_graph.py)",
+    "weighted_sample_orders": "A-ES keys use -ln(u)/w; ln differs in the "
+    "last ulp across libms so the top-k boundary is engine-specific "
+    "(inclusion-probability contract pinned in tests/test_splits.py)",
     "semantic_dedup_arrow": "BLAS gram-matrix pair scores can differ in "
     "the last ulp exactly at the 0.3 threshold (semantic_dedup is the "
     "oracle-exact HOF twin; set-equality pinned in tests/test_operators.py)",

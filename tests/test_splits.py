@@ -63,3 +63,48 @@ class TestHashSplit:
         hexes = [p[1] for p in pairs]
         assert all(len(h) == 32 for h in hexes)
         assert hexes == sorted(hexes)
+
+
+class TestWeightedSample:
+    def test_inclusion_tracks_weight(self, spark):
+        """A weight-4 item must be sampled ~4x as often as a weight-1
+        item across seeds (A-ES guarantee), and draws are deterministic
+        per seed."""
+        from pyspark.sql import functions as F
+
+        from opendata_gov_lt_mysql_import_spark.operators.splits import (
+            weighted_sample,
+        )
+
+        rows = [(i, 4.0 if i < 10 else 1.0) for i in range(110)]
+        df = spark.createDataFrame(rows, "id long, w double").cache()
+        df.count()
+        heavy_hits = light_hits = 0
+        for seed in range(40):
+            picked = {
+                r["id"] for r in weighted_sample(df, "w", 20, seed=seed).collect()
+            }
+            assert len(picked) == 20
+            heavy_hits += sum(1 for i in picked if i < 10)
+            light_hits += sum(1 for i in picked if i >= 10)
+        # expected inclusion ratio per item: heavy ~4x light
+        per_heavy = heavy_hits / 10
+        per_light = light_hits / 100
+        assert 2.5 < per_heavy / per_light < 6.0
+        # determinism: same seed -> same sample
+        s1 = {r["id"] for r in weighted_sample(df, "w", 20, seed=7).collect()}
+        s2 = {r["id"] for r in weighted_sample(df, "w", 20, seed=7).collect()}
+        assert s1 == s2
+
+    def test_zero_weight_never_sampled(self, spark):
+        from opendata_gov_lt_mysql_import_spark.operators.splits import (
+            weighted_sample,
+        )
+
+        df = spark.createDataFrame(
+            [(1, 0.0), (2, 1.0), (3, 1.0)], "id long, w double"
+        )
+        for seed in range(5):
+            assert 1 not in {
+                r["id"] for r in weighted_sample(df, "w", 2, seed=seed).collect()
+            }
