@@ -2717,3 +2717,87 @@ def weighted_sample_orders(spark: SparkSession, sf: str) -> DataFrame:
         F.col("o_orderkey").alias("id"), F.col("o_totalprice").alias("w")
     )
     return weighted_sample(o, "w", 100, seed=42)
+
+
+@query(
+    "stratified_exact_quota",
+    """
+    SELECT doc_id, lang
+    FROM (
+      SELECT doc_id, lang,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR) || '#17'), doc_id
+             ) AS rk
+      FROM documents
+    ) ranked
+    WHERE rk <= 50
+    """,
+)
+def stratified_exact_quota(spark: SparkSession, sf: str) -> DataFrame:
+    """Stratified sampling with EXACT per-stratum quotas: rank rows
+    inside each stratum by a deterministic md5 draw and keep the first
+    50 — every language contributes exactly min(50, n) documents, where
+    Bernoulli stratified sampling (sample_stratified_by_lang) only hits
+    quotas in expectation. md5 is engine-portable, so unlike the
+    Bernoulli form this is fully oracle-checked. One shuffle (the
+    per-stratum window); at extreme stratum skew swap the window for
+    the TakeOrdered-per-key pattern."""
+    d = load_table(spark, sf, "documents")
+    from pyspark.sql import Window
+
+    rk = F.row_number().over(
+        Window.partitionBy("lang").orderBy(
+            F.md5(F.concat_ws("#", F.col("doc_id").cast("string"), F.lit("17"))),
+            F.col("doc_id"),
+        )
+    )
+    return d.select("doc_id", "lang", rk.alias("rk")).filter(
+        F.col("rk") <= 50
+    ).select("doc_id", "lang")
+
+
+@query(
+    "kfold_assign",
+    """
+    SELECT CAST(fold AS BIGINT) AS fold,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(min(doc_id) AS BIGINT) AS min_id,
+           CAST(max(doc_id) AS BIGINT) AS max_id
+    FROM (
+      SELECT doc_id,
+             CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#cv'), 1, 15)
+                  AS BIGINT) % 5 AS BIGINT) AS fold
+      FROM documents
+    ) folds
+    GROUP BY fold
+    """,
+)
+def kfold_assign(spark: SparkSession, sf: str) -> DataFrame:
+    """K-fold cross-validation assignment: fold = md5-derived 60-bit
+    integer mod k — pure map projection (zero shuffle for the
+    assignment itself), deterministic, append-stable, and identical
+    across engines; the report aggregates fold sizes. The same keying
+    discipline as hash_split, extended to k-way rotation."""
+    d = load_table(spark, sf, "documents")
+    fold = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws("#", F.col("doc_id").cast("string"), F.lit("cv"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 5
+    )
+    return (
+        d.select("doc_id", fold.alias("fold"))
+        .groupBy("fold")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.min("doc_id").cast("long").alias("min_id"),
+            F.max("doc_id").cast("long").alias("max_id"),
+        )
+    )
