@@ -1537,3 +1537,69 @@ def unpivot_order_measures(spark: SparkSession, sf: str) -> DataFrame:
         variableColumnName="measure",
         valueColumnName="val",
     ).select("o_orderkey", "measure", F.round("val", 2).alias("val"))
+
+
+from .queries import _FIXCASE_SQL  # noqa: E402
+
+
+@query(
+    "sql_udf_fixcase_tags",
+    f"""
+    SELECT c_custkey,
+           {_FIXCASE_SQL.format(c='c_name')} AS fixed_name,
+           lower(trim(regexp_replace(c_mktsegment, '[^a-zA-Z0-9 ]+', ' ')))
+             AS tag_name,
+           length(c_mktsegment) BETWEEN 2 AND 100 AS tag_ok
+    FROM customer
+    """,
+)
+def sql_udf_fixcase_tags(spark: SparkSession, sf: str) -> DataFrame:
+    """The F1/F3/P8 scalar library consumed from PLAIN SQL via Spark 4
+    SQL UDFs (functions/sql_udfs.py — CREATE FUNCTION ... RETURN).
+    SQL UDFs are Catalyst macros: the bodies inline into this plan, so
+    the query stays one codegen'd projection over the scan, unlike a
+    Python UDF fence. Oracle re-expresses the same semantics in
+    DuckDB's dialect (fixture segments are ASCII, so the (?U) unicode
+    classes and DuckDB's ASCII regex agree here; the unicode behavior
+    itself is pinned against Lithuanian goldens in
+    tests/test_functions_text.py)."""
+    from .functions.sql_udfs import register_sql_functions
+
+    register_sql_functions(spark)
+    load_table(spark, sf, "customer").createOrReplaceTempView("_sqludf_cust")
+    return spark.sql(
+        """
+        SELECT c_custkey,
+               fixcase(c_name) AS fixed_name,
+               lower(tagify(c_mktsegment)) AS tag_name,
+               tag_ok(c_mktsegment) AS tag_ok
+        FROM _sqludf_cust
+        """
+    )
+
+
+@query(
+    "variant_props_extract",
+    """
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+           json_extract_string(props, '$.missing') IS NOT NULL AS has_missing
+    FROM events
+    """,
+)
+def variant_props_extract(spark: SparkSession, sf: str) -> DataFrame:
+    """Semi-structured access through Spark 4's VARIANT type:
+    ``parse_json`` builds the binary variant once per row, then
+    ``try_variant_get`` does typed path extraction — the open-schema
+    column pattern (one parse, many cheap typed probes; absent paths
+    yield NULL instead of failing, which is what an evolving event
+    payload needs). At rest, store the VARIANT column in parquet and
+    probes avoid re-parsing entirely. Oracle: DuckDB JSON path
+    extraction over the same payloads."""
+    ev = load_table(spark, sf, "events")
+    v = F.parse_json("props")
+    return ev.select(
+        "event_id",
+        F.try_variant_get(v, "$.k", "bigint").alias("k"),
+        F.try_variant_get(v, "$.missing", "string").isNotNull().alias("has_missing"),
+    )
