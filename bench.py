@@ -98,6 +98,10 @@ HEADLINE = [
     "events_value_trend",
     "matview_incremental_refresh",
     "semantic_dedup_arrow",
+    "q8_market_share",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
 ]
 
 
