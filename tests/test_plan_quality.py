@@ -262,3 +262,30 @@ def test_dq_report_scalar_checks_one_scan(spark, sf_dir, queries):
     # scans only in the final section
     final_section = plan.split("== Initial Plan ==")[0]
     assert final_section.count("FileScan parquet") <= 3  # orders, orders-FK, customer
+
+
+def test_q8_single_aggregation_for_share_ratio(spark, sf_dir, queries):
+    """Numerator and denominator of the market share must come from ONE
+    aggregate (no second scan/agg for the denominator), and every
+    dimension joins as broadcast."""
+    plan = final_plan(queries["q8_market_share"](spark, sf_dir))
+    final_section = plan.split("== Initial Plan ==")[0]
+    assert "SortMergeJoin" not in final_section
+    assert final_section.count("BroadcastHashJoin") >= 3
+
+
+def test_q17_decorrelates_to_aggregate_join(spark, sf_dir, queries):
+    """The correlated scalar subquery must rewrite to a per-partkey
+    aggregate joined back — no per-row subquery execution shape."""
+    plan = final_plan(queries["q17_small_quantity_revenue"](spark, sf_dir))
+    final_section = plan.split("== Initial Plan ==")[0]
+    assert "HashAggregate" in final_section  # the decorrelated avg
+    assert "CartesianProduct" not in final_section
+    assert "BroadcastNestedLoopJoin" not in final_section
+
+
+def test_q15_max_filter_is_broadcast_equality(spark, sf_dir, queries):
+    plan = final_plan(queries["q15_top_supplier"](spark, sf_dir))
+    final_section = plan.split("== Initial Plan ==")[0]
+    assert "BroadcastHashJoin" in final_section
+    assert "SortMergeJoin" not in final_section
