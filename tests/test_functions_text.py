@@ -153,3 +153,51 @@ class TestTransliterate:
             assert transliterate("привет") == ""
         else:
             assert transliterate("привет") == "privet"
+
+
+class TestSqlUdfLibrary:
+    """functions/sql_udfs.py: the SQL-UDF forms must agree with the
+    Python/Column forms on the SAME golden inputs, including the
+    unicode-sensitive Lithuanian cases the driver oracle (ASCII
+    fixture) never exercises."""
+
+    def test_sql_udfs_match_python_goldens(self, spark):
+        from opendata_gov_lt_mysql_import_spark.functions.sql_udfs import (
+            register_sql_functions,
+        )
+
+        register_sql_functions(spark)
+        cases = ["Testas9", "VMI", "A", "1b", "a1", "Šiluma", "ŠILUMA"]
+        got = {
+            r["s"]: r["f"]
+            for r in spark.createDataFrame([(c,) for c in cases], "s string")
+            .selectExpr("s", "fixcase(s) AS f")
+            .collect()
+        }
+        for c in cases:
+            assert got[c] == fixcase(c), c
+
+        tag_cases = [
+            "licencijuojamos; veiklos... teritorija",
+            "šilumos tiekėjai",
+        ]
+        got_t = {
+            r["s"]: r["t"]
+            for r in spark.createDataFrame([(c,) for c in tag_cases], "s string")
+            .selectExpr("s", "tagify(s) AS t")
+            .collect()
+        }
+        for c in tag_cases:
+            assert got_t[c] == tagify(c), c
+
+    def test_sql_udf_inlines_into_plan(self, spark):
+        """SQL UDFs are macros: the call must leave no UDF/python node in
+        the physical plan — just the inlined CASE expression."""
+        from opendata_gov_lt_mysql_import_spark.functions.sql_udfs import (
+            register_sql_functions,
+        )
+
+        register_sql_functions(spark)
+        df = spark.range(5).selectExpr("fixcase(CAST(id AS STRING)) AS f")
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
