@@ -827,3 +827,64 @@ def snapshot_history(table_dir: str) -> list[dict]:
             }
         )
     return out
+
+
+def snapshot_version_diff(
+    spark: SparkSession,
+    table_dir: str,
+    from_version: int,
+    to_version: int | None = None,
+    key_cols: list[str] | None = None,
+) -> DataFrame:
+    """Row-level change feed between two versions — the answer for
+    NON-append lineage where ``read_snapshot_changes`` correctly refuses
+    (merge/delete/compact/overwrite rewrote files, so a file diff no
+    longer means added rows).
+
+    Without ``key_cols``: set semantics — full-row anti-joins both ways
+    yield ``insert`` and ``delete`` rows (a compaction that only moved
+    rows between files diffs to empty, as it should). With ``key_cols``:
+    rows present on both sides under the key but differing elsewhere
+    are emitted as ``update_postimage``/``update_preimage`` pairs (the
+    Delta CDF vocabulary), not as delete+insert.
+
+    Cost: one shuffle per side keyed on the join columns over only the
+    two pinned versions' files — no history walk. For day-over-day
+    reconciliation at scale prefer append lineage + CDC reads; this is
+    the audit tool for rewriting transactions.
+    """
+    old = read_snapshot(spark, table_dir, from_version)
+    new = read_snapshot(spark, table_dir, to_version)
+    cols = new.columns
+    if not key_cols:
+        ins = new.join(old, cols, "left_anti").select(
+            F.lit("insert").alias("_change_type"), *cols
+        )
+        dels = old.join(new, cols, "left_anti").select(
+            F.lit("delete").alias("_change_type"), *cols
+        )
+        return ins.unionByName(dels)
+    non_key = [c for c in cols if c not in key_cols]
+    ins = new.join(old.select(*key_cols), key_cols, "left_anti").select(
+        F.lit("insert").alias("_change_type"), *cols
+    )
+    dels = old.join(new.select(*key_cols), key_cols, "left_anti").select(
+        F.lit("delete").alias("_change_type"), *cols
+    )
+    both_new = new.alias("n").join(old.alias("o"), key_cols)
+    changed = both_new.filter(
+        ~F.struct(*[F.col(f"n.{c}") for c in non_key]).eqNullSafe(
+            F.struct(*[F.col(f"o.{c}") for c in non_key])
+        )
+    )
+    post = changed.select(
+        F.lit("update_postimage").alias("_change_type"),
+        *[F.col(c) for c in key_cols],
+        *[F.col(f"n.{c}") for c in non_key],
+    )
+    pre = changed.select(
+        F.lit("update_preimage").alias("_change_type"),
+        *[F.col(c) for c in key_cols],
+        *[F.col(f"o.{c}") for c in non_key],
+    )
+    return ins.unionByName(dels).unionByName(post).unionByName(pre)

@@ -1163,3 +1163,68 @@ class TestSnapshotDataSource:
         assert sorted(
             r["id"] for r in base.filter(~(F.col("x") > 10)).collect()
         ) == [1]
+
+
+class TestSnapshotVersionDiff:
+    def test_merge_diff_emits_cdf_rows(self, spark, tmp_path):
+        from opendata_gov_lt_mysql_import_spark.sources.snapshots import (
+            commit_snapshot,
+            merge_snapshot,
+            snapshot_version_diff,
+        )
+
+        t = str(tmp_path / "t")
+        v0 = commit_snapshot(
+            spark.createDataFrame(
+                [(1, "a"), (2, "b"), (3, "c")], "id long, v string"
+            ),
+            t,
+        )
+        v1 = merge_snapshot(
+            spark,
+            t,
+            spark.createDataFrame([(2, "B"), (4, "d")], "id long, v string"),
+            on=["id"],
+        )
+        diff = snapshot_version_diff(spark, t, v0, v1, key_cols=["id"])
+        got = {(r["_change_type"], r["id"], r["v"]) for r in diff.collect()}
+        assert got == {
+            ("insert", 4, "d"),
+            ("update_postimage", 2, "B"),
+            ("update_preimage", 2, "b"),
+        }
+
+    def test_compaction_diffs_to_empty(self, spark, tmp_path):
+        from opendata_gov_lt_mysql_import_spark.sources.snapshots import (
+            commit_snapshot,
+            compact_snapshot,
+            snapshot_version_diff,
+        )
+
+        t = str(tmp_path / "t")
+        v0 = commit_snapshot(spark.range(0, 100).toDF("id"), t)
+        commit_snapshot(spark.range(100, 200).toDF("id"), t, mode="append")
+        v2 = compact_snapshot(spark, t, target_files=1)
+        # compaction moved every row to new files; row-set diff vs the
+        # pre-compaction content it rewrote must be exactly the appended rows
+        diff01 = snapshot_version_diff(spark, t, v0, v2)
+        got = {(r["_change_type"], r["id"]) for r in diff01.collect()}
+        assert got == {("insert", i) for i in range(100, 200)}
+        assert snapshot_version_diff(spark, t, v2 - 1, v2).isEmpty()
+
+    def test_delete_diff(self, spark, tmp_path):
+        from opendata_gov_lt_mysql_import_spark.sources.snapshots import (
+            commit_snapshot,
+            delete_snapshot_rows,
+            snapshot_version_diff,
+        )
+
+        t = str(tmp_path / "t")
+        v0 = commit_snapshot(
+            spark.createDataFrame([(i, i % 3) for i in range(30)], "id long, g long"),
+            t,
+        )
+        v1 = delete_snapshot_rows(spark, t, [("g", "=", 1)])
+        diff = snapshot_version_diff(spark, t, v0, v1)
+        got = {(r["_change_type"], r["id"]) for r in diff.collect()}
+        assert got == {("delete", i) for i in range(30) if i % 3 == 1}
