@@ -1778,3 +1778,84 @@ def q17_small_quantity_revenue(spark: SparkSession, sf: str) -> DataFrame:
           )
         """
     )
+
+
+@query(
+    "events_robust_stats",
+    """
+    WITH med AS (
+      SELECT event_type, median(value) AS med
+      FROM events GROUP BY event_type
+    ),
+    mad AS (
+      SELECT e.event_type, m.med,
+             median(abs(e.value - m.med)) AS mad
+      FROM events e JOIN med m ON e.event_type = m.event_type
+      GROUP BY e.event_type, m.med
+    ),
+    bounds AS (
+      SELECT event_type,
+             quantile_cont(value, 0.05) AS p5,
+             quantile_cont(value, 0.95) AS p95
+      FROM events GROUP BY event_type
+    )
+    SELECT d.event_type,
+           round(d.med, 4) AS med,
+           round(d.mad, 4) AS mad,
+           CAST(count(CASE WHEN abs(e.value - d.med) > 3 * d.mad THEN 1 END)
+                AS BIGINT) AS n_outliers,
+           round(avg(CASE WHEN e.value >= b.p5 AND e.value <= b.p95
+                          THEN e.value END), 4) AS trimmed_mean
+    FROM events e
+    JOIN mad d ON e.event_type = d.event_type
+    JOIN bounds b ON e.event_type = b.event_type
+    GROUP BY d.event_type, d.med, d.mad
+    """,
+)
+def events_robust_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Robust per-group statistics — the outlier-resistant twin of the
+    z-score family: exact median, MAD (median absolute deviation),
+    3-MAD outlier counts, and a p5-p95 trimmed mean. Three grouped
+    exact-percentile aggregates over ONE cached scan shape (medians and
+    bounds are dimension-sized frames broadcast back onto the stream;
+    the fact table is never self-joined). At 100 TB swap the exact
+    percentile for approx_percentile exactly as percentile_price /
+    approx_percentile_price document. Exact interpolating percentile
+    matches DuckDB's quantile_cont/median semantics."""
+    ev = load_table(spark, sf, "events")
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    mad = (
+        ev.join(F.broadcast(med), "event_type")
+        .groupBy("event_type", "med")
+        .agg(F.expr("percentile(abs(value - med), 0.5)").alias("mad"))
+    )
+    bounds = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.05)").alias("p5"),
+        F.expr("percentile(value, 0.95)").alias("p95"),
+    )
+    joined = ev.join(F.broadcast(mad), "event_type").join(
+        F.broadcast(bounds), "event_type"
+    )
+    return joined.groupBy("event_type", "med", "mad").agg(
+        F.count(
+            F.when(F.abs(F.col("value") - F.col("med")) > 3 * F.col("mad"), 1)
+        ).cast("long").alias("n_outliers"),
+        F.round(
+            F.avg(
+                F.when(
+                    (F.col("value") >= F.col("p5"))
+                    & (F.col("value") <= F.col("p95")),
+                    F.col("value"),
+                )
+            ),
+            4,
+        ).alias("trimmed_mean"),
+    ).select(
+        "event_type",
+        F.round("med", 4).alias("med"),
+        F.round("mad", 4).alias("mad"),
+        "n_outliers",
+        "trimmed_mean",
+    )
