@@ -84,3 +84,35 @@ def package_document(
             extras_entry(CODE_KEY, F.col("KODAS")),
         ).alias("extras"),
     )
+
+
+def denormalize_star(
+    fact: DataFrame,
+    dims: list[tuple[DataFrame, str, str, str]],
+    broadcast_dims: bool = True,
+) -> DataFrame:
+    """Flatten a star schema into one wide frame: left-join each
+    dimension ``(dim_df, fact_key, dim_key, prefix)`` onto the fact,
+    prefixing dim columns to avoid collisions. The export shape for
+    training-data and BI delivery — and the join plan is the point: with
+    ``broadcast_dims`` every join is a broadcast-hash (the fact never
+    shuffles, however many dims are attached), which is exactly how a
+    100 TB fact should be widened. Left joins keep orphan fact rows
+    (dim columns null) so the denormalize never silently drops facts —
+    pair with validation.foreign_key_check to gate instead."""
+    out = fact
+    for dim, fact_key, dim_key, prefix in dims:
+        renamed = dim.select(
+            F.col(dim_key).alias(f"_dk_{prefix}"),
+            *[
+                F.col(c).alias(f"{prefix}_{c}")
+                for c in dim.columns
+                if c != dim_key
+            ],
+        )
+        if broadcast_dims:
+            renamed = F.broadcast(renamed)
+        out = out.join(
+            renamed, out[fact_key] == renamed[f"_dk_{prefix}"], "left"
+        ).drop(f"_dk_{prefix}")
+    return out

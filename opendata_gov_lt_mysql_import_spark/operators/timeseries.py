@@ -59,3 +59,36 @@ def gap_fill(
         "bucket_ts",
         F.coalesce(F.col(agg_name), F.lit(0)).cast("long").alias(agg_name),
     )
+
+
+def build_calendar_dim(start: str, end: str) -> "DataFrame":
+    """Calendar dimension for [start, end] (inclusive, ISO dates):
+    one row per day with year/quarter/month/day/day-of-week/ISO-week/
+    weekend flag. Generated JVM-side from a single-row ``sequence``
+    explode — no driver loop, no data source; |days| rows regardless of
+    any fact's size, so it always broadcasts. Join it to a date-keyed
+    fact for fiscal rollups the raw date functions can't express
+    (trading-day logic slots in here as extra flag columns)."""
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession()
+    days = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit(start).cast("date"),
+                F.lit(end).cast("date"),
+                F.expr("interval 1 day"),
+            )
+        ).alias("date")
+    )
+    dow = F.dayofweek("date")  # 1=Sunday ... 7=Saturday
+    return days.select(
+        "date",
+        F.year("date").cast("long").alias("year"),
+        F.quarter("date").cast("long").alias("quarter"),
+        F.month("date").cast("long").alias("month"),
+        F.dayofmonth("date").cast("long").alias("day"),
+        dow.cast("long").alias("day_of_week"),
+        F.weekofyear("date").cast("long").alias("iso_week"),
+        dow.isin(1, 7).alias("is_weekend"),
+    )

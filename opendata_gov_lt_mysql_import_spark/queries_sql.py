@@ -1859,3 +1859,77 @@ def events_robust_stats(spark: SparkSession, sf: str) -> DataFrame:
         "n_outliers",
         "trimmed_mean",
     )
+
+
+@query(
+    "star_wide_orders",
+    """
+    SELECT o.o_orderkey,
+           round(o.o_totalprice, 2) AS total,
+           c.c_name AS cust_c_name,
+           c.c_mktsegment AS cust_c_mktsegment,
+           n.n_name AS nat_n_name
+    FROM orders o
+    LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+    """,
+)
+def star_wide_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """Star-schema denormalization (operators/projections.py
+    denormalize_star): orders widened with customer and nation, every
+    dim a broadcast left join — the fact never shuffles regardless of
+    how many dims attach, and orphan facts survive with null dim
+    columns (gate with validation.foreign_key_check instead of
+    dropping). The export shape for training-data / BI delivery."""
+    from .operators.projections import denormalize_star
+
+    o = load_table(spark, sf, "orders").select(
+        "o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("total")
+    )
+    c = load_table(spark, sf, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment", "c_nationkey"
+    )
+    n = load_table(spark, sf, "nation").select("n_nationkey", "n_name")
+    wide = denormalize_star(
+        o,
+        [
+            (c, "o_custkey", "c_custkey", "cust"),
+            (n, "cust_c_nationkey", "n_nationkey", "nat"),
+        ],
+    )
+    return wide.select(
+        "o_orderkey", "total", "cust_c_name", "cust_c_mktsegment", "nat_n_name"
+    )
+
+
+@query(
+    "calendar_weekend_revenue",
+    """
+    SELECT CAST(year(o_orderdate) AS BIGINT) AS y,
+           dayofweek(o_orderdate) IN (0, 6) AS is_weekend,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(o_totalprice), 2) AS total
+    FROM orders
+    GROUP BY 1, 2
+    """,
+)
+def calendar_weekend_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """Weekend/weekday revenue split through a GENERATED calendar
+    dimension (operators/timeseries.py build_calendar_dim: one
+    sequence-explode row per day, always broadcastable) joined onto the
+    date-keyed fact — the fiscal-rollup pattern for flags no raw date
+    function expresses. The oracle derives the same flags directly from
+    dayofweek, cross-checking the calendar's correctness."""
+    from .operators.timeseries import build_calendar_dim
+
+    cal = build_calendar_dim("1995-01-01", "2001-12-31")
+    o = load_table(spark, sf, "orders")
+    joined = o.join(
+        F.broadcast(cal), F.to_date("o_orderdate") == cal["date"], "left"
+    )
+    return joined.groupBy(
+        F.col("year").alias("y"), F.col("is_weekend")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
