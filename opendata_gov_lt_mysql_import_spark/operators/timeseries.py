@@ -92,3 +92,34 @@ def build_calendar_dim(start: str, end: str) -> "DataFrame":
         F.weekofyear("date").cast("long").alias("iso_week"),
         dow.isin(1, 7).alias("is_weekend"),
     )
+
+
+def make_lag_features(
+    df: DataFrame,
+    key_col: str,
+    order_col: str,
+    value_col: str,
+    lags: tuple[int, ...] = (1, 2, 3),
+    roll_windows: tuple[int, ...] = (3,),
+) -> DataFrame:
+    """Supervised-learning feature frame for per-key time series: lag
+    columns (``lag_i``) and trailing rolling means (``roll_mean_w``,
+    current row inclusive) over one shared window spec — ONE shuffle +
+    ONE sort serves every feature column, however many lags are asked
+    for (each feature is another expression over the same sorted
+    partition stream, not another exchange). The standard forecasting /
+    next-event training-set shape; early rows keep NULL lags so the
+    consumer decides the warm-up policy instead of silently losing
+    rows."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key_col).orderBy(order_col)
+    out = df
+    for i in lags:
+        out = out.withColumn(f"lag_{i}", F.lag(value_col, i).over(w))
+    for n in roll_windows:
+        out = out.withColumn(
+            f"roll_mean_{n}",
+            F.avg(value_col).over(w.rowsBetween(-(n - 1), 0)),
+        )
+    return out

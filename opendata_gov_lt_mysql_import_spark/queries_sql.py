@@ -1933,3 +1933,51 @@ def calendar_weekend_revenue(spark: SparkSession, sf: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n"),
         F.round(F.sum("o_totalprice"), 2).alias("total"),
     )
+
+
+@query(
+    "events_lag_features",
+    """
+    WITH daily AS (
+      SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+             round(sum(value), 4) AS v
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, day, v,
+           coalesce(lag(v, 1) OVER w, -1) AS lag_1,
+           coalesce(lag(v, 2) OVER w, -1) AS lag_2,
+           round(avg(v) OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4)
+             AS roll_mean_3
+    FROM daily
+    WINDOW w AS (PARTITION BY event_type ORDER BY day)
+    """,
+)
+def events_lag_features(spark: SparkSession, sf: str) -> DataFrame:
+    """Forecasting training-set features (operators/timeseries.py
+    make_lag_features): per-type daily totals with lag-1/lag-2 and a
+    trailing 3-day mean — all features ride ONE window exchange+sort.
+    Daily totals are ROUNDED before windowing so both engines lag/avg
+    over identical inputs (raw float sums are summation-order-
+    sensitive); warm-up lags are sentinel-coalesced to -1 in THIS
+    registry row only because NULL doubles cross the DuckDB pandas
+    bridge as NaN (hash-unequal to None) - the operator itself keeps
+    NULLs so consumers choose the warm-up policy."""
+    from .operators.timeseries import make_lag_features
+
+    ev = load_table(spark, sf, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+    ).agg(F.round(F.sum("value"), 4).alias("v"))
+    feats = make_lag_features(
+        daily, key_col="event_type", order_col="day", value_col="v",
+        lags=(1, 2), roll_windows=(3,),
+    )
+    return feats.select(
+        "event_type",
+        "day",
+        "v",
+        F.coalesce("lag_1", F.lit(-1.0)).alias("lag_1"),
+        F.coalesce("lag_2", F.lit(-1.0)).alias("lag_2"),
+        F.round("roll_mean_3", 4).alias("roll_mean_3"),
+    )

@@ -50,3 +50,40 @@ class TestGapFill:
         days = sorted(r["bucket_ts"].day for r in out.collect())
         assert days == [1, 2, 3, 4]
         assert out.filter(F.col("n") == 0).count() == 2
+
+
+class TestLagFeatures:
+    def test_single_window_exchange(self, spark, sf_dir):
+        """However many lag/roll features are requested, the frame must
+        ride ONE exchange + ONE sort."""
+        import re
+
+        import __spark_entry__ as entrymod
+
+        df = entrymod.queries()["events_lag_features"](spark, sf_dir)
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        final = plan.split("== Initial Plan ==")[0]
+        # exchanges: one for the daily groupBy, one for the window
+        assert final.count("Exchange hashpartitioning") <= 2
+        assert len(re.findall(r"\bSort \[", final)) == 1
+
+    def test_lag_semantics(self, spark):
+        from datetime import datetime
+
+        from opendata_gov_lt_mysql_import_spark.operators.timeseries import (
+            make_lag_features,
+        )
+
+        rows = [("a", 1, 10.0), ("a", 2, 20.0), ("a", 3, 30.0), ("b", 1, 5.0)]
+        df = spark.createDataFrame(rows, "k string, t int, v double")
+        out = {
+            (r["k"], r["t"]): (r["lag_1"], r["roll_mean_3"])
+            for r in make_lag_features(
+                df, "k", "t", "v", lags=(1,), roll_windows=(3,)
+            ).collect()
+        }
+        assert out[("a", 1)] == (None, 10.0)
+        assert out[("a", 2)] == (10.0, 15.0)
+        assert out[("a", 3)] == (20.0, 20.0)
+        assert out[("b", 1)] == (None, 5.0)  # window never crosses keys
