@@ -2801,3 +2801,89 @@ def kfold_assign(spark: SparkSession, sf: str) -> DataFrame:
             F.max("doc_id").cast("long").alias("max_id"),
         )
     )
+
+
+@query(
+    "negative_sample_parts",
+    """
+    WITH cand_items AS (
+      SELECT p_partkey FROM part
+      WHERE md5(CAST(p_partkey AS VARCHAR) || '#ns') < '28'
+    ),
+    positives AS (
+      SELECT DISTINCT o.o_custkey, l.l_partkey
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    ),
+    scored AS (
+      SELECT c.c_custkey, i.p_partkey,
+             md5(CAST(c.c_custkey AS VARCHAR) || '|' || CAST(i.p_partkey AS VARCHAR))
+               AS rk
+      FROM customer c CROSS JOIN cand_items i
+      WHERE NOT EXISTS (
+        SELECT 1 FROM positives p
+        WHERE p.o_custkey = c.c_custkey AND p.l_partkey = i.p_partkey
+      )
+    )
+    SELECT c_custkey, p_partkey
+    FROM (
+      SELECT c_custkey, p_partkey,
+             row_number() OVER (PARTITION BY c_custkey ORDER BY rk, p_partkey)
+               AS rn
+      FROM scored
+    ) ranked
+    WHERE rn <= 3
+    """,
+)
+def negative_sample_parts(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic negative sampling for recommender-style training
+    pairs: 3 parts per customer they NEVER ordered. The scale recipe:
+    (1) a small md5-hash SLICE of the item dim is the candidate pool
+    (bounded rows — broadcastable at any item-catalog size; the
+    '< \"28\"' hex prefix keeps ~1/6 of items), (2) candidates
+    cross-attach map-side to every user (the only cross join is
+    user x bounded-slice, linter-whitelisted), (3) positives — the
+    distinct (user, item) interaction pairs — anti-join away on their
+    natural key, (4) per-user md5 ranking picks a reproducible,
+    append-stable top-3. No randomness, no full user x catalog blow-up;
+    re-salting the slice redraws the pool."""
+    c = load_table(spark, sf, "customer").select("c_custkey")
+    p = load_table(spark, sf, "part").select("p_partkey")
+    cand = p.filter(
+        F.md5(F.concat(F.col("p_partkey").cast("string"), F.lit("#ns"))) < "28"
+    )
+    o = load_table(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
+    positives = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select("o_custkey", "l_partkey")
+        .distinct()
+    )
+    scored = (
+        c.crossJoin(F.broadcast(cand))
+        .join(
+            positives,
+            (F.col("c_custkey") == positives["o_custkey"])
+            & (F.col("p_partkey") == positives["l_partkey"]),
+            "left_anti",
+        )
+        .withColumn(
+            "rk",
+            F.md5(
+                F.concat(
+                    F.col("c_custkey").cast("string"),
+                    F.lit("|"),
+                    F.col("p_partkey").cast("string"),
+                )
+            ),
+        )
+    )
+    from pyspark.sql import Window
+
+    rn = F.row_number().over(
+        Window.partitionBy("c_custkey").orderBy("rk", "p_partkey")
+    )
+    return (
+        scored.withColumn("rn", rn)
+        .filter(F.col("rn") <= 3)
+        .select("c_custkey", "p_partkey")
+    )

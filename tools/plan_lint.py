@@ -54,6 +54,11 @@ WHITELIST: dict[str, dict[str, str]] = {
         "bnl_join": "embeds tfidf_top_keywords (1-row corpus-count "
         "cross-join, see that entry)"
     },
+    "negative_sample_parts": {
+        "bnl_join": "user x bounded-candidate cross attach: the item side "
+        "is an md5-prefix SLICE of the dim (broadcast, ~1/6 of items at "
+        "any catalog size), never the full catalog"
+    },
     "unigram_logprob_score": {
         "bnl_join": "1-row token-total aggregate cross-joined onto the "
         "token stream (same shape as tfidf's corpus count)"
