@@ -2887,3 +2887,69 @@ def negative_sample_parts(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .select("c_custkey", "p_partkey")
     )
+
+
+@query(
+    "hard_negatives",
+    """
+    WITH q AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings WHERE vec_id < 50
+    ),
+    c AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings
+    ),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neg_id,
+             round(list_cosine_similarity(q.v, c.v), 4) AS sim
+      FROM q JOIN c ON q.label <> c.label
+    )
+    SELECT query_id, neg_id, sim
+    FROM (
+      SELECT query_id, neg_id, sim,
+             row_number() OVER (
+               PARTITION BY query_id ORDER BY sim DESC, neg_id
+             ) AS rn
+      FROM scored
+    ) ranked
+    WHERE rn <= 2
+    """,
+)
+def hard_negatives(spark: SparkSession, sf: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: per query vector,
+    the top-2 most-similar vectors of a DIFFERENT label (the negatives
+    that actually teach the margin — random negatives are trivially
+    easy). Demo form scores query-slice x corpus exactly (bounded query
+    set, HOF cosine for oracle parity, ROUNDED sim ordering so rank
+    boundaries are engine-exact); the 100 TB path swaps the exact score
+    for the IVF/LSH candidate generators already shipped
+    (operators/similarity.py) and verifies only candidates — the same
+    generate-then-verify shape as the dedup family."""
+    from .operators.similarity import cosine
+
+    emb = load_table(spark, sf, "embeddings")
+    q = emb.filter(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("q_label"),
+        F.col("embedding").alias("q_v"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neg_id"),
+        F.col("label").alias("c_label"),
+        F.col("embedding").alias("c_v"),
+    )
+    scored = q.join(c, F.col("q_label") != F.col("c_label")).select(
+        "query_id",
+        "neg_id",
+        F.round(cosine(F.col("q_v"), F.col("c_v")), 4).alias("sim"),
+    )
+    from pyspark.sql import Window
+
+    rn = F.row_number().over(
+        Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neg_id"))
+    )
+    return (
+        scored.withColumn("rn", rn).filter(F.col("rn") <= 2)
+        .select("query_id", "neg_id", "sim")
+    )

@@ -1981,3 +1981,49 @@ def events_lag_features(spark: SparkSession, sf: str) -> DataFrame:
         F.coalesce("lag_2", F.lit(-1.0)).alias("lag_2"),
         F.round("roll_mean_3", 4).alias("roll_mean_3"),
     )
+
+
+@query(
+    "orders_custkey_skew_report",
+    """
+    WITH freq AS (
+      SELECT o_custkey AS key, CAST(count(*) AS BIGINT) AS n
+      FROM orders GROUP BY o_custkey
+    ),
+    stats AS (
+      SELECT CAST(max(n) AS BIGINT) AS max_n,
+             round(avg(n), 4) AS avg_n,
+             CAST(count(*) AS BIGINT) AS n_keys
+      FROM freq
+    )
+    SELECT f.key, f.n, s.max_n, s.avg_n, s.n_keys,
+           round(f.n / s.avg_n, 4) AS skew_factor
+    FROM freq f CROSS JOIN stats s
+    ORDER BY f.n DESC, f.key
+    LIMIT 10
+    """,
+)
+def orders_custkey_skew_report(spark: SparkSession, sf: str) -> DataFrame:
+    """Join-key skew diagnosis — the report you run BEFORE deciding
+    between a plain shuffle join, AQE skew splitting, and explicit
+    salting (operators/joins.salted_join): per-key frequencies (one
+    partial-aggregated shuffle), global stats as a 1-row broadcast, and
+    the top-10 hottest keys with their skew factor (n / avg). At 100 TB
+    this exact frame decides the salting fan-out; the reference never
+    needs it because it processes row-at-a-time — skew is purely a
+    shuffle-era problem."""
+    o = load_table(spark, sf, "orders")
+    freq = o.groupBy(F.col("o_custkey").alias("key")).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    stats = freq.agg(
+        F.max("n").cast("long").alias("max_n"),
+        F.round(F.avg("n"), 4).alias("avg_n"),
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+    )
+    return (
+        freq.crossJoin(F.broadcast(stats))
+        .withColumn("skew_factor", F.round(F.col("n") / F.col("avg_n"), 4))
+        .orderBy(F.col("n").desc(), F.col("key"))
+        .limit(10)
+    )

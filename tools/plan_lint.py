@@ -54,6 +54,16 @@ WHITELIST: dict[str, dict[str, str]] = {
         "bnl_join": "embeds tfidf_top_keywords (1-row corpus-count "
         "cross-join, see that entry)"
     },
+    "orders_custkey_skew_report": {
+        "bnl_join": "1-row global-stats aggregate cross-joined onto the "
+        "per-key frequency frame (same shape as tfidf's corpus count)"
+    },
+    "hard_negatives": {
+        "bnl_join": "bounded 50-row query slice broadcast against the "
+        "corpus under a label-inequality condition; the 100 TB form "
+        "swaps exact scoring for the shipped IVF/LSH candidate "
+        "generators (docstring)"
+    },
     "negative_sample_parts": {
         "bnl_join": "user x bounded-candidate cross attach: the item side "
         "is an md5-prefix SLICE of the dim (broadcast, ~1/6 of items at "
