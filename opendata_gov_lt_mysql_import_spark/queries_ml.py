@@ -2953,3 +2953,66 @@ def hard_negatives(spark: SparkSession, sf: str) -> DataFrame:
         scored.withColumn("rn", rn).filter(F.col("rn") <= 2)
         .select("query_id", "neg_id", "sim")
     )
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer training: BPE merge learning (operators/bpe.py)
+# ---------------------------------------------------------------------------
+
+@query(
+    "bpe_pair_counts",
+    r"""
+    WITH words AS (
+        SELECT unnest(string_split_regex(trim(text), '\s+')) AS word
+        FROM documents
+    ), wf AS (
+        SELECT word, count(*) AS freq FROM words WHERE word <> '' GROUP BY 1
+    ), pairs AS (
+        SELECT substring(word, CAST(i AS INT), 1) AS lhs,
+               substring(word, CAST(i AS INT) + 1, 1) AS rhs,
+               freq
+        FROM wf, unnest(generate_series(1, length(word) - 1)) AS s(i)
+    )
+    SELECT lhs, rhs, CAST(SUM(freq) AS BIGINT) AS pair_count
+    FROM pairs GROUP BY 1, 2
+    ORDER BY pair_count DESC, lhs, rhs
+    LIMIT 20
+    """,
+)
+def bpe_pair_counts_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Step 0 of BPE merge learning: top-20 adjacent character pairs
+    weighted by word frequency — the argmax feed of the first merge.
+    The corpus-wide pass happens once (explode tokens → word-freq
+    table, one partial-aggregated shuffle); the pair expansion then
+    runs on the VOCABULARY-sized frame, which is why BPE learning is
+    cheap at 100 TB: iterations never rescan the corpus. Full
+    deterministic ordering (count desc, then pair lexicographic) makes
+    the LIMIT row set engine-exact."""
+    from .operators.bpe import pair_counts, with_symbols, word_freqs
+
+    d = load_table(spark, sf, "documents")
+    return (
+        pair_counts(with_symbols(word_freqs(d, "text")))
+        .select(
+            F.col("left").alias("lhs"),
+            F.col("right").alias("rhs"),
+            "pair_count",
+        )
+        .orderBy(F.desc("pair_count"), F.asc("lhs"), F.asc("rhs"))
+        .limit(20)
+    )
+
+
+@query("bpe_learn_merges", None)
+def bpe_learn_merges_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Eight full BPE merge rounds (Sennrich et al. 2016) over the
+    corpus: per round, adjacent-pair argmax (1-row collect, ties broken
+    count-desc then lexicographic — deterministic across engines) and a
+    pure-`aggregate` greedy non-overlapping rewrite of the vocabulary's
+    symbol arrays. Rows-only: the k-round iteration is not one SQL
+    query; the merge sequence is golden-pinned against a pure-Python
+    BPE reference in tests/test_bpe.py, and round 1 equals the
+    oracle-checked `bpe_pair_counts` argmax by construction."""
+    from .operators.bpe import learn_bpe
+
+    return learn_bpe(load_table(spark, sf, "documents"), "text", 8)
