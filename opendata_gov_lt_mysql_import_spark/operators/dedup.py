@@ -810,6 +810,45 @@ def minhash_signatures_arrow(
     )
 
 
+def _md5_signatures(
+    df: DataFrame, text_col: str, id_col: str, n_gram: int, k: int
+) -> DataFrame:
+    """(id, sig: array<string> of k md5 permutation minima) — the
+    engine-neutral signature builder shared by the one-shot pair finder
+    and the incremental batch-vs-history probe. HOF-only, codegen'd."""
+    grams = word_ngrams(F.col(text_col), n_gram)
+
+    def perm_min(p: int) -> Column:
+        # NB: the lambda must take exactly one arg — F.transform treats a
+        # two-arg callable as (element, index), so a `lambda g, p=p`
+        # default would be silently clobbered by the array index.
+        salt = F.lit(f"#{p}")
+        return F.array_min(F.transform(grams, lambda g: F.md5(F.concat(g, salt))))
+
+    sig = F.array(*[perm_min(p) for p in range(k)])
+    return df.select(F.col(id_col), sig.alias("sig"))
+
+
+def _md5_banded(sigs: DataFrame, id_col: str, k: int, bands: int) -> DataFrame:
+    """Explode signatures to the banded LSH index (id, b, bkey) — the
+    compact probe-able state of the corpus (bands rows per doc, three
+    slim columns; the text never travels with it)."""
+    assert k % bands == 0
+    rows = k // bands
+    band_key = F.md5(
+        F.concat(
+            *[
+                F.element_at(F.col("sig"), F.col("b") * rows + r + 1)
+                for r in range(rows)
+            ],
+            F.concat(F.lit("@"), F.col("b").cast("string")),
+        )
+    )
+    return sigs.select(
+        id_col, F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("b"), "sig"
+    ).select(id_col, "b", band_key.alias("bkey"))
+
+
 def minhash_md5_pairs(
     df: DataFrame,
     text_col: str,
@@ -832,29 +871,10 @@ def minhash_md5_pairs(
     signature components equal, an exact integer on both engines (the
     Jaccard estimate is n_match/k; kept unscaled to avoid float hashing).
     """
-    assert k % bands == 0
-    rows = k // bands
-    grams = word_ngrams(F.col(text_col), n_gram)
-
-    def perm_min(p: int) -> Column:
-        # NB: the lambda must take exactly one arg — F.transform treats a
-        # two-arg callable as (element, index), so a `lambda g, p=p`
-        # default would be silently clobbered by the array index.
-        salt = F.lit(f"#{p}")
-        return F.array_min(F.transform(grams, lambda g: F.md5(F.concat(g, salt))))
-
-    sig = F.array(*[perm_min(p) for p in range(k)])
-    sigs = df.select(F.col(id_col), sig.alias("sig")).localCheckpoint(eager=True)
-
-    band_key = F.md5(
-        F.concat(
-            *[F.element_at(F.col("sig"), F.col("b") * rows + r + 1) for r in range(rows)],
-            F.concat(F.lit("@"), F.col("b").cast("string")),
-        )
-    )
-    banded = sigs.select(
-        id_col, F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("b"), "sig"
-    ).select(id_col, "b", band_key.alias("bkey"))
+    sigs = _md5_signatures(
+        df, text_col, id_col, n_gram, k
+    ).localCheckpoint(eager=True)
+    banded = _md5_banded(sigs, id_col, k, bands)
 
     a, c = banded.alias("a"), banded.alias("c")
     pairs = (
@@ -880,6 +900,79 @@ def minhash_md5_pairs(
         pairs.join(sa, "id_a")
         .join(sb, "id_b")
         .select("id_a", "id_b", n_match.alias("n_match"))
+    )
+
+
+def minhash_history_index(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n_gram: int = 3,
+    k: int = 16,
+    bands: int = 8,
+) -> DataFrame:
+    """Build the carry-forward near-dup state for a corpus: one row per
+    (doc, band) with the band bucket key AND the full signature —
+    (id, b, bkey, sig). This is what a daily pipeline persists (e.g. as
+    a snapshot table bucketed by ``bkey``): slim columns, bands× the doc
+    count, no text. The 100 TB history is shingled exactly once in its
+    life; every later increment probes this index instead."""
+    sigs = _md5_signatures(df, text_col, id_col, n_gram, k)
+    return _md5_banded(sigs, id_col, k, bands).join(sigs, id_col)
+
+
+def incremental_minhash_neardup(
+    new_df: DataFrame,
+    history_index: DataFrame,
+    text_col: str,
+    id_col: str,
+    n_gram: int = 3,
+    k: int = 16,
+    bands: int = 8,
+) -> DataFrame:
+    """Near-dup screen of a new ingest batch against the historical
+    LSH index — the daily-increment twin of :func:`minhash_md5_pairs`
+    (same signatures, same banding, so a batch⋈history collision means
+    exactly what an in-corpus collision means).
+
+    Returns (new_id, hist_id, n_match): each new doc paired with every
+    history doc sharing ≥1 band bucket, with the exact count of equal
+    signature components (Jaccard estimate = n_match/k; threshold is the
+    caller's policy knob).
+
+    Scale shape: the batch is signed (one pass over the *batch* only),
+    its banded keys probe the index with a hash join on (b, bkey) — the
+    batch side is the small side, so AQE broadcasts it and the 100 TB
+    history's index streams map-side with NO shuffle; with the index
+    pre-bucketed by bkey even that scan prunes to matching buckets.
+    History signatures ride along in the index, so verification needs no
+    second join against history state and the history text is never
+    read. Batch-internal duplicates are the one-shot finder's job
+    (:func:`minhash_md5_pairs` on the batch) — this op is the cross
+    half, mirroring :func:`incremental_exact_dedup`."""
+    batch_sigs = _md5_signatures(
+        new_df, text_col, id_col, n_gram, k
+    ).localCheckpoint(eager=True)
+    batch_banded = _md5_banded(batch_sigs, id_col, k, bands).select(
+        F.col(id_col).alias("new_id"), "b", "bkey"
+    )
+    hist = history_index.select(
+        F.col(id_col).alias("hist_id"),
+        "b",
+        "bkey",
+        F.col("sig").alias("sig_h"),
+    )
+    cand = (
+        batch_banded.join(hist, ["b", "bkey"])
+        .select("new_id", "hist_id", "sig_h")
+        .dropDuplicates(["new_id", "hist_id"])
+    )
+    sb = batch_sigs.select(F.col(id_col).alias("new_id"), F.col("sig").alias("sig_b"))
+    n_match = F.size(
+        F.filter(F.zip_with("sig_b", "sig_h", lambda x, y: x == y), lambda v: v)
+    ).cast("long")
+    return cand.join(sb, "new_id").select(
+        "new_id", "hist_id", n_match.alias("n_match")
     )
 
 

@@ -3016,3 +3016,72 @@ def bpe_learn_merges_q(spark: SparkSession, sf: str) -> DataFrame:
     from .operators.bpe import learn_bpe
 
     return learn_bpe(load_table(spark, sf, "documents"), "text", 8)
+
+
+@query(
+    "incremental_neardup_lsh",
+    """
+    WITH docs AS (
+      SELECT doc_id, text, 0 AS is_new FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, text, 1 AS is_new
+      FROM documents WHERE doc_id < 100
+    ),
+    toks AS (
+      SELECT doc_id, is_new, str_split_regex(trim(text), '\\s+') AS toks
+      FROM docs
+    ),
+    grams AS (
+      SELECT doc_id, is_new, list_distinct(list_transform(
+               generate_series(1, greatest(len(toks) - 2, 1)),
+               i -> array_to_string(toks[i:i+2], ' '))) AS gs
+      FROM toks
+    ),
+    sigs AS (
+      SELECT doc_id, is_new, list_transform(range(0, 16),
+               p -> list_min(list_transform(gs,
+                      g -> md5(g || '#' || CAST(p AS VARCHAR))))) AS sig
+      FROM grams
+    ),
+    banded AS (
+      SELECT doc_id, is_new, t.b AS b,
+             md5(sig[2*t.b + 1] || sig[2*t.b + 2]
+                 || '@' || CAST(t.b AS VARCHAR)) AS bkey
+      FROM sigs CROSS JOIN (SELECT unnest(range(0, 8)) AS b) t
+    ),
+    pairs AS (
+      SELECT DISTINCT n.doc_id AS new_id, h.doc_id AS hist_id
+      FROM banded n
+      JOIN banded h ON n.b = h.b AND n.bkey = h.bkey
+      WHERE n.is_new = 1 AND h.is_new = 0
+    )
+    SELECT p.new_id, p.hist_id,
+           CAST(len(list_filter(range(1, 17),
+                    i -> sa.sig[i] = sb.sig[i])) AS BIGINT) AS n_match
+    FROM pairs p
+    JOIN sigs sa ON sa.doc_id = p.new_id
+    JOIN sigs sb ON sb.doc_id = p.hist_id
+    """,
+)
+def incremental_neardup_lsh_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Daily-increment near-dup: a new ingest batch (the standard
+    +1,000,000 clone set) screened against the historical corpus's
+    persisted LSH index — the batch-vs-history twin of
+    ``minhash_lsh_pairs_md5`` and the approximate sibling of
+    ``incremental_dedup``. The history is shingled once into
+    (id, band, bucket-key, signature) state; the increment signs only
+    the BATCH and probes with a hash join whose small side is the batch
+    (AQE broadcasts it — the history index never shuffles, and the
+    history *text* is never read). Engine-neutral md5 machinery makes
+    the whole incremental path oracle-exact, pairs and match counts."""
+    from .operators.dedup import (
+        incremental_minhash_neardup,
+        minhash_history_index,
+    )
+
+    d = load_table(spark, sf, "documents")
+    batch = d.filter(F.col("doc_id") < 100).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(1000000)
+    )
+    idx = minhash_history_index(_spread(d), "text", "doc_id")
+    return incremental_minhash_neardup(_spread(batch), idx, "text", "doc_id")

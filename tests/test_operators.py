@@ -773,3 +773,42 @@ class TestConnectedComponentsPaths:
         exact = {tuple(r) for r in q["semantic_dedup"](spark, sf_dir).collect()}
         arrow = {tuple(r) for r in q["semantic_dedup_arrow"](spark, sf_dir).collect()}
         assert exact == arrow
+
+
+class TestIncrementalNearDup:
+    """incremental_minhash_neardup == the cross (batch x history) slice
+    of the one-shot finder on the union — same signatures, same bands,
+    so the two paths must agree pair-for-pair and count-for-count."""
+
+    def test_matches_one_shot_cross_slice(self, spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from opendata_gov_lt_mysql_import_spark.operators.dedup import (
+            incremental_minhash_neardup,
+            minhash_history_index,
+            minhash_md5_pairs,
+        )
+        from opendata_gov_lt_mysql_import_spark.sources.parquet import load_table
+
+        d = load_table(spark, sf_dir, "documents")
+        batch = d.filter(F.col("doc_id") < 100).withColumn(
+            "doc_id", F.col("doc_id") + F.lit(1000000)
+        )
+        idx = minhash_history_index(d, "text", "doc_id")
+        inc = {
+            (r["new_id"], r["hist_id"], r["n_match"])
+            for r in incremental_minhash_neardup(
+                batch, idx, "text", "doc_id"
+            ).collect()
+        }
+        oneshot = {
+            (r["id_b"], r["id_a"], r["n_match"])
+            for r in minhash_md5_pairs(
+                d.unionByName(batch), "text", "doc_id"
+            ).collect()
+            if r["id_b"] >= 1000000 > r["id_a"]
+        }
+        assert inc == oneshot
+        # every clone collides with its source at a full 16/16 match
+        full = {(n, h) for n, h, m in inc if m == 16}
+        assert {(i + 1000000, i) for i in range(100)} <= full
