@@ -720,6 +720,56 @@ def compact_snapshot(
     )
 
 
+def zorder_snapshot(
+    spark: SparkSession,
+    table_dir: str,
+    cols: tuple[str, str],
+    target_files: int = 8,
+    bits: int = 6,
+) -> int:
+    """Maintenance ``OPTIMIZE ZORDER BY (c1, c2)``: rewrite the current
+    version with rows ordered along a Morton curve over quantile-binned
+    (c1, c2) and commit it as a new overwrite version.
+
+    1-D clustering (``compact_snapshot(cluster_by=[c])``) makes file
+    min/max stats selective for ONE column and useless for the other;
+    the Z-curve keeps BOTH dimensions locally dense, so manifest-level
+    file skipping fires for filters on either column — the multi-
+    dimensional layout knob of real table formats (Delta OPTIMIZE
+    ZORDER, Iceberg sort orders), built from pieces already here:
+    :func:`opendata_gov_lt_mysql_import_spark.sources.compact.zorder_key`
+    bit-interleave + the stats-collecting commit path.
+
+    Binning is RANK-based: per column, ``2^bits - 1`` approxQuantile
+    cut points (a bounded driver-side list of scalars — never rows), so
+    skewed domains still spread across the full curve where equi-width
+    ``width_bucket`` binning would collapse to a few cells. Bin lookup
+    is a JVM HOF count over the literal boundary array (O(2^bits) per
+    row, codegen'd, no Python); nulls land in bin 0. The rewrite itself
+    is one range-shuffle on the interleaved key — same cost as a plain
+    clustered compaction."""
+    df = read_snapshot(spark, table_dir)
+    c1, c2 = cols
+    probs = [i / (1 << bits) for i in range(1, 1 << bits)]
+    cuts = {c: df.approxQuantile(c, probs, 0.001) for c in (c1, c2)}
+
+    def bin_of(col_name: str):
+        arr = F.array(*[F.lit(float(b)) for b in cuts[col_name]])
+        v = F.col(col_name).cast("double")
+        return F.size(F.filter(arr, lambda b: b <= v)).cast("long")
+
+    from .compact import zorder_key
+
+    z = zorder_key(bin_of(c1), bin_of(c2), bits=bits)
+    out = (
+        df.withColumn("__z", z)
+        .repartitionByRange(target_files, F.col("__z"))
+        .sortWithinPartitions("__z")
+        .drop("__z")
+    )
+    return commit_snapshot(out, table_dir, mode="overwrite")
+
+
 def vacuum(
     table_dir: str,
     keep_last: int = 2,

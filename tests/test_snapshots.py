@@ -1228,3 +1228,103 @@ class TestSnapshotVersionDiff:
         diff = snapshot_version_diff(spark, t, v0, v1)
         got = {(r["_change_type"], r["id"]) for r in diff.collect()}
         assert got == {("delete", i) for i in range(30) if i % 3 == 1}
+
+
+class TestZOrderSnapshot:
+    """OPTIMIZE ZORDER: identical rows, and manifest file skipping
+    fires on BOTH clustered dimensions (1-D clustering's blind spot)."""
+
+    @staticmethod
+    def _kept_files(table_dir, col, lo, hi):
+        from pyspark.sql.datasource import GreaterThanOrEqual, LessThanOrEqual
+
+        from opendata_gov_lt_mysql_import_spark.sources.snapshot_datasource import (
+            _file_may_match,
+        )
+        from opendata_gov_lt_mysql_import_spark.sources.snapshots import (
+            resolve_snapshot,
+        )
+
+        m = resolve_snapshot(table_dir)
+        preds = [GreaterThanOrEqual((col,), lo), LessThanOrEqual((col,), hi)]
+        return sum(
+            1
+            for f in m["files"]
+            if all(_file_may_match(p, m["stats"][f]) for p in preds)
+        ), len(m["files"])
+
+    def test_zorder_skips_on_both_dimensions(self, spark, tmp_path):
+        from opendata_gov_lt_mysql_import_spark.sources.snapshots import (
+            read_snapshot,
+            read_snapshot_pruned,
+            zorder_snapshot,
+        )
+
+        t = str(tmp_path / "ztbl")
+        # two independent uniform dimensions, written in shuffled order
+        # so the unclustered commit has useless (full-span) file stats
+        df = (
+            spark.range(0, 20_000)
+            .withColumn("x", (F.col("id") % 100).cast("long"))
+            .withColumn("y", ((F.col("id") * 37) % 100).cast("long"))
+            .withColumn("sk", F.xxhash64("id"))
+            .orderBy("sk")
+            .drop("sk")
+        )
+        commit_snapshot(df, t, target_files=16)
+        before = {tuple(r) for r in read_snapshot(spark, t).collect()}
+        k0x, n0 = self._kept_files(t, "x", 0, 9)
+        k0y, _ = self._kept_files(t, "y", 0, 9)
+        assert (k0x, k0y) == (n0, n0)  # unclustered: nothing skippable
+
+        from opendata_gov_lt_mysql_import_spark.sources.snapshots import (
+            current_version,
+        )
+
+        v_parent = current_version(t)
+        v = zorder_snapshot(spark, t, ("x", "y"), target_files=16)
+        assert v == v_parent + 1
+        after = {tuple(r) for r in read_snapshot(spark, t).collect()}
+        assert after == before
+
+        kx, n = self._kept_files(t, "x", 0, 9)
+        ky, _ = self._kept_files(t, "y", 0, 9)
+        # a 10% slice of either dimension must prune at least half the
+        # files — the whole point of the 2-D curve
+        assert kx <= n // 2 and ky <= n // 2, (kx, ky, n)
+
+        # pruned read equals full-scan filter exactly
+        got = {
+            tuple(r)
+            for r in read_snapshot_pruned(
+                spark, t, [("y", ">=", 0), ("y", "<=", 9)]
+            ).collect()
+        }
+        want = {t2 for t2 in before if 0 <= t2[2] <= 9}
+        assert got == want
+
+    def test_one_d_clustering_cannot_skip_other_dim(self, spark, tmp_path):
+        from opendata_gov_lt_mysql_import_spark.sources.snapshots import (
+            compact_snapshot,
+            zorder_snapshot,
+        )
+
+        t = str(tmp_path / "tbl1d")
+        df = (
+            spark.range(0, 20_000)
+            .withColumn("x", (F.col("id") % 100).cast("long"))
+            .withColumn("y", ((F.col("id") * 37) % 100).cast("long"))
+            .withColumn("sk", F.xxhash64("id"))
+            .orderBy("sk")
+            .drop("sk")
+        )
+        commit_snapshot(df, t, target_files=8)
+        compact_snapshot(spark, t, target_files=8, cluster_by=["x"])
+        k1y, n1 = self._kept_files(t, "y", 0, 9)
+        # x-clustering leaves y stats (near-)full-span: at most one
+        # boundary file can incidentally miss the slice
+        assert k1y >= n1 - 1
+        zorder_snapshot(spark, t, ("x", "y"), target_files=8)
+        k2y, n2 = self._kept_files(t, "y", 0, 9)
+        # the curve is what buys the second dimension
+        assert k2y <= n2 // 2 < k1y
