@@ -2027,3 +2027,263 @@ def orders_custkey_skew_report(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy(F.col("n").desc(), F.col("key"))
         .limit(10)
     )
+
+
+@query(
+    "q4_priority_late_orders",
+    """
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+    FROM orders o
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o_orderdate < TIMESTAMP '1997-10-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey
+          AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY
+      )
+    GROUP BY o_orderpriority
+    """,
+)
+def q4_priority_late_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q4-shaped: orders per priority that had at least one
+    line item shipped >30 days after ordering (the fixture's stand-in
+    for commitdate < receiptdate). The correlated EXISTS decorrelates
+    to a LEFT SEMI hash join whose condition carries the cross-table
+    date predicate; the quarter filter on o_orderdate is pushed to the
+    orders scan, so the semi join probes with the small filtered side.
+    One shuffle pair on orderkey; the agg output is priority-sized."""
+    o = load_table(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-10-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf, "lineitem").select("l_orderkey", "l_shipdate")
+    return (
+        o.join(
+            li,
+            (o["o_orderkey"] == li["l_orderkey"])
+            & (
+                li["l_shipdate"]
+                > o["o_orderdate"] + F.expr("INTERVAL 30 DAYS")
+            ),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("long").alias("order_count"))
+    )
+
+
+@query(
+    "q9_nation_year_profit",
+    """
+    SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+           CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                         AS BIGINT)) AS BIGINT) AS revenue_cents
+    FROM lineitem, orders, supplier, nation, part
+    WHERE l_orderkey = o_orderkey AND l_suppkey = s_suppkey
+      AND s_nationkey = n_nationkey AND l_partkey = p_partkey
+      AND p_name LIKE '%widget%'
+    GROUP BY 1, 2
+    """,
+)
+def q9_nation_year_profit(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q9-shaped: revenue on widget parts by supplier nation and
+    order year (the fixture has no partsupp/supplycost, so profit
+    degrades to discounted revenue — the join tree is the point).
+    Plan: the p_name LIKE filter prunes part BEFORE it broadcasts;
+    supplier⋈nation folds into one broadcast dim; the only real
+    shuffle is lineitem⋈orders on orderkey, then one partial-agged
+    group-by on (nation, year). Dimension order follows size, not
+    query text — Catalyst reorders around the broadcast hints. Revenue
+    is integer cents: float sums are summation-order-sensitive and this
+    group-by's sums land exactly on cent boundaries at sf0.01."""
+    li = load_table(spark, sf, "lineitem")
+    o = load_table(spark, sf, "orders").select("o_orderkey", "o_orderdate")
+    p = load_table(spark, sf, "part").filter(
+        F.col("p_name").like("%widget%")
+    ).select("p_partkey")
+    s = load_table(spark, sf, "supplier").select("s_suppkey", "s_nationkey")
+    n = load_table(spark, sf, "nation").select("n_nationkey", "n_name")
+    sn = F.broadcast(s.join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"]))
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .join(sn, li["l_suppkey"] == sn["s_suppkey"])
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(
+            F.sum(
+                F.round(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+                ).cast("long")
+            ).alias("revenue_cents")
+        )
+    )
+
+
+@query(
+    "q11_important_parts",
+    """
+    WITH pv AS (
+      SELECT l_partkey,
+             CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                           AS BIGINT)) AS BIGINT) AS value_cents
+      FROM lineitem GROUP BY 1
+    )
+    SELECT CAST(l_partkey AS BIGINT) AS partkey, value_cents
+    FROM pv
+    WHERE value_cents > (SELECT avg(value_cents) * 1.3 FROM pv)
+    """,
+)
+def q11_important_parts(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q11-shaped: parts whose traded value exceeds 1.3x the
+    average part's (global-share HAVING via scalar subquery; no
+    partsupp in the fixture, so value = lineitem discounted revenue;
+    the share threshold is scale-relative so the result stays non-
+    trivial from sf0.001 to 100 TB).
+    Values are INTEGER CENTS end to end — per-row round-to-cents, then
+    integer sums — so both the per-part values and the global threshold
+    are bit-identical across engines and the > boundary cannot float-
+    flip. Spark computes the per-part agg ONCE: the scalar total
+    re-aggregates the same frame (shuffle-stage dedup makes the map
+    side shared), collected as one bounded row and folded into the
+    filter as a literal."""
+    li = load_table(spark, sf, "lineitem")
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    pv = li.groupBy("l_partkey").agg(F.sum(cents).alias("value_cents"))
+    thresh = pv.agg(F.avg("value_cents") * 1.3).collect()[0][0]
+    return pv.filter(F.col("value_cents") > thresh).select(
+        F.col("l_partkey").cast("long").alias("partkey"), "value_cents"
+    )
+
+
+@query(
+    "q12_priority_by_linestatus",
+    """
+    SELECT l_linestatus,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+      AND l_shipdate < TIMESTAMP '1999-01-01'
+    GROUP BY l_linestatus
+    """,
+)
+def q12_priority_by_linestatus(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q12-shaped: 1998 shipments split high/low priority per
+    line status (l_linestatus stands in for l_shipmode). The year
+    filter reaches the lineitem scan (PushedFilters on l_shipdate);
+    the conditional counts are one pass — two CASE sums in a single
+    partial-aggregated group-by, not two filtered joins."""
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    li = load_table(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1999-01-01").cast("timestamp"))
+    ).select("l_orderkey", "l_linestatus")
+    o = load_table(spark, sf, "orders").select("o_orderkey", "o_orderpriority")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).cast("long").alias(
+                "high_line_count"
+            ),
+            F.sum(F.when(hi, 0).otherwise(1)).cast("long").alias(
+                "low_line_count"
+            ),
+        )
+    )
+
+
+@query(
+    "q16_supplier_part_counts",
+    """
+    SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size,
+           CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_brand <> 'Brand#13' AND p_size IN (5, 10, 15, 20, 25)
+    GROUP BY 1, 2, 3
+    """,
+)
+def q16_supplier_part_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q16-shaped: distinct supplier counts per surviving
+    (brand, type, size) — supplier diversity of the catalog (lineitem
+    supplies the part↔supplier pairs; the fixture has no partsupp).
+    The brand/size predicates prune part before broadcast; the count
+    DISTINCT runs as a two-phase agg (partial distinct below the
+    exchange), never a row-level distinct of the whole join."""
+    p = load_table(spark, sf, "part").filter(
+        (F.col("p_brand") != "Brand#13")
+        & F.col("p_size").isin(5, 10, 15, 20, 25)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    li = load_table(spark, sf, "lineitem").select("l_partkey", "l_suppkey")
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .groupBy("p_brand", "p_type", F.col("p_size").cast("long").alias("p_size"))
+        .agg(F.count_distinct("l_suppkey").cast("long").alias("supplier_cnt"))
+    )
+
+
+@query(
+    "q21_waiting_suppliers",
+    """
+    WITH flag AS (
+      SELECT l_orderkey, l_suppkey,
+             max(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+                      THEN 1 ELSE 0 END) AS is_late
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY 1, 2
+    ),
+    per_order AS (
+      SELECT l_orderkey, count(*) AS n_supp,
+             CAST(sum(is_late) AS BIGINT) AS n_late
+      FROM flag GROUP BY 1
+    )
+    SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+    FROM flag f
+    JOIN per_order p ON f.l_orderkey = p.l_orderkey
+    JOIN supplier ON f.l_suppkey = s_suppkey
+    WHERE f.is_late = 1 AND p.n_supp > 1 AND p.n_late = 1
+    GROUP BY s_name
+    """,
+)
+def q21_waiting_suppliers(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q21-shaped: suppliers who were the SOLE late shipper on
+    multi-supplier orders (late = shipped >60 days after ordering).
+    The classic EXISTS / NOT-EXISTS pair decorrelates into per-order
+    aggregates: one (order, supplier) late-flag agg, one per-order
+    rollup of supplier/late counts, then a self-join back — three
+    shuffles all on the SAME orderkey key (AQE reuses the layout),
+    versus the naive form's two correlated per-row subqueries. The
+    25-row supplier dim broadcasts onto the result."""
+    li = load_table(spark, sf, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    o = load_table(spark, sf, "orders").select("o_orderkey", "o_orderdate")
+    late = F.when(
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"),
+        1,
+    ).otherwise(0)
+    flag = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max(late).alias("is_late"))
+    )
+    per_order = flag.groupBy(F.col("l_orderkey").alias("po_orderkey")).agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.sum("is_late").cast("long").alias("n_late"),
+    )
+    s = load_table(spark, sf, "supplier").select("s_suppkey", "s_name")
+    return (
+        flag.filter(F.col("is_late") == 1)
+        .join(per_order, F.col("l_orderkey") == F.col("po_orderkey"))
+        .filter((F.col("n_supp") > 1) & (F.col("n_late") == 1))
+        .join(F.broadcast(s), F.col("l_suppkey") == s["s_suppkey"])
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).cast("long").alias("numwait"))
+    )
