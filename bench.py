@@ -102,6 +102,14 @@ HEADLINE = [
     "q14_promo_revenue",
     "q15_top_supplier",
     "q17_small_quantity_revenue",
+    "q4_priority_late_orders",
+    "q9_nation_year_profit",
+    "q11_important_parts",
+    "q12_priority_by_linestatus",
+    "q16_supplier_part_counts",
+    "q21_waiting_suppliers",
+    "bpe_pair_counts",
+    "incremental_neardup_lsh",
 ]
 
 
