@@ -108,6 +108,7 @@ HEADLINE = [
     "q12_priority_by_linestatus",
     "q16_supplier_part_counts",
     "q21_waiting_suppliers",
+    "q2_min_cost_supplier",
     "bpe_pair_counts",
     "incremental_neardup_lsh",
 ]

@@ -2287,3 +2287,66 @@ def q21_waiting_suppliers(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).cast("long").alias("numwait"))
     )
+
+
+@query(
+    "q2_min_cost_supplier",
+    """
+    WITH ps AS (
+      SELECT l_partkey, l_suppkey,
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                  AS BIGINT) AS cost_cents
+      FROM lineitem GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT l_partkey, l_suppkey, cost_cents,
+             row_number() OVER (
+               PARTITION BY l_partkey ORDER BY cost_cents, l_suppkey
+             ) AS rn
+      FROM ps
+    )
+    SELECT CAST(r.l_partkey AS BIGINT) AS partkey, p_brand,
+           s_name, s_acctbal, r.cost_cents
+    FROM ranked r
+    JOIN part ON r.l_partkey = p_partkey
+    JOIN supplier ON r.l_suppkey = s_suppkey
+    WHERE r.rn = 1 AND p_size <= 10
+    """,
+)
+def q2_min_cost_supplier(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q2-shaped: per small part, the cheapest supplier (no
+    partsupp in the fixture, so supply cost = that supplier's observed
+    lineitem revenue for the part, in exact integer cents — float sums
+    would tie-break nondeterministically across engines). The classic
+    correlated MIN subquery becomes a per-part window top-1 over the
+    (part, supplier)-aggregated frame: one shuffle for the agg, the
+    window rides the same partitioning, and both dims broadcast onto
+    the one-row-per-part result. The p_size filter prunes part before
+    its broadcast."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf, "lineitem")
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias(
+            "cost_cents"
+        )
+    )
+    w = Window.partitionBy("l_partkey").orderBy("cost_cents", "l_suppkey")
+    best = ps.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    p = load_table(spark, sf, "part").filter(F.col("p_size") <= 10).select(
+        "p_partkey", "p_brand"
+    )
+    s = load_table(spark, sf, "supplier").select(
+        "s_suppkey", "s_name", "s_acctbal"
+    )
+    return (
+        best.join(F.broadcast(p), best["l_partkey"] == p["p_partkey"])
+        .join(F.broadcast(s), best["l_suppkey"] == s["s_suppkey"])
+        .select(
+            F.col("l_partkey").cast("long").alias("partkey"),
+            "p_brand",
+            "s_name",
+            "s_acctbal",
+            "cost_cents",
+        )
+    )
