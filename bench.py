@@ -109,6 +109,7 @@ HEADLINE = [
     "q16_supplier_part_counts",
     "q21_waiting_suppliers",
     "q2_min_cost_supplier",
+    "q20_promotable_suppliers",
     "bpe_pair_counts",
     "incremental_neardup_lsh",
 ]

@@ -2350,3 +2350,55 @@ def q2_min_cost_supplier(spark: SparkSession, sf: str) -> DataFrame:
             "cost_cents",
         )
     )
+
+
+@query(
+    "q20_promotable_suppliers",
+    """
+    WITH sq AS (
+      SELECT l_suppkey, l_partkey,
+             CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+        AND l_shipdate < TIMESTAMP '1999-01-01'
+      GROUP BY 1, 2
+    )
+    SELECT s_name, s_acctbal
+    FROM supplier
+    WHERE s_suppkey IN (
+      SELECT l_suppkey FROM sq
+      JOIN part ON l_partkey = p_partkey
+      WHERE p_name LIKE '%bolt%' AND qty > 50
+    )
+    """,
+)
+def q20_promotable_suppliers(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q20-shaped: suppliers who moved real volume (>50 units in
+    1998) of bolt parts — the nested IN-over-aggregated-subquery shape
+    (no partsupp availqty in the fixture, so the threshold is absolute
+    rather than half-of-shipped). Plan: the year filter is pushed to
+    the lineitem scan, the (supplier, part) agg is the only shuffle,
+    the LIKE-pruned part dim broadcasts onto it, and the outer IN
+    decorrelates to a LEFT SEMI join probing the 25-row supplier dim.
+    Quantities are whole-unit doubles in the fixture — cast to BIGINT
+    before summing so the >50 boundary is integer-exact on both
+    engines."""
+    li = load_table(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1999-01-01").cast("timestamp"))
+    )
+    sq = li.groupBy("l_suppkey", "l_partkey").agg(
+        F.sum(F.col("l_quantity").cast("long")).alias("qty")
+    )
+    p = load_table(spark, sf, "part").filter(
+        F.col("p_name").like("%bolt%")
+    ).select("p_partkey")
+    movers = (
+        sq.join(F.broadcast(p), sq["l_partkey"] == p["p_partkey"])
+        .filter(F.col("qty") > 50)
+        .select("l_suppkey")
+    )
+    s = load_table(spark, sf, "supplier")
+    return s.join(
+        movers, s["s_suppkey"] == movers["l_suppkey"], "left_semi"
+    ).select("s_name", "s_acctbal")
