@@ -173,3 +173,63 @@ def bpe_segment(df: DataFrame, text_col: str, merges: list[tuple[str, str]]):
     for left, right in merges:
         col = fold_merge(col, left, right)
     return df.withColumn("bpe_tokens", F.flatten(col))
+
+
+def bpe_segment_arrow(df: DataFrame, text_col: str, merges: list[tuple[str, str]]):
+    """Production encoder twin of :func:`bpe_segment` for large merge
+    lists: the exact-semantics fold path nests one Catalyst array
+    expression per merge (analysis goes quadratic around k≈100), so
+    real vocabularies (k in the tens of thousands) encode in an
+    Arrow-batched ``mapInPandas`` instead — the merge list ships once
+    per task in the closure, and a per-batch memo caches each distinct
+    word's segmentation (corpus words repeat heavily, so the Python
+    cost is vocabulary-shaped, not corpus-shaped). Embarrassingly
+    parallel, no shuffle; output is column-identical to
+    :func:`bpe_segment` (parity pinned in tests/test_bpe.py)."""
+    import re as _re
+
+    from pyspark.sql.types import ArrayType, StringType, StructField, StructType
+
+    out_schema = StructType(
+        list(df.schema.fields)
+        + [StructField("bpe_tokens", ArrayType(StringType()))]
+    )
+    merge_list = list(merges)
+    ws = _re.compile(r"\s+")
+
+    def encode(batches):
+        memo: dict[str, list[str]] = {}
+
+        def seg_word(w: str) -> list[str]:
+            got = memo.get(w)
+            if got is not None:
+                return got
+            syms = list(w)
+            for l, r in merge_list:
+                out, i, n = [], 0, len(syms)
+                while i < n:
+                    if i + 1 < n and syms[i] == l and syms[i + 1] == r:
+                        out.append(l + r)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                syms = out
+            memo[w] = syms
+            return syms
+
+        for pdf in batches:
+            toks = []
+            for t in pdf[text_col]:
+                if t is None or not t.strip():
+                    toks.append([])
+                    continue
+                flat: list[str] = []
+                for w in ws.split(t.strip()):
+                    flat.extend(seg_word(w))
+                toks.append(flat)
+            pdf = pdf.copy()
+            pdf["bpe_tokens"] = toks
+            yield pdf
+
+    return df.mapInPandas(encode, out_schema)

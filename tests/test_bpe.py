@@ -119,3 +119,37 @@ def test_learn_bpe_empty_and_saturated(spark):
     # single-char words only: no adjacent pairs -> saturates at 0 merges
     single = spark.createDataFrame([(1, "a b c a")], "id INT, text STRING")
     assert learn_bpe(single, "text", 3).count() == 0
+
+
+def test_arrow_encoder_matches_fold_path(spark):
+    from opendata_gov_lt_mysql_import_spark.operators.bpe import (
+        bpe_segment_arrow,
+    )
+
+    d = load_table(spark, SF_SMALL, "documents").limit(300)
+    merges = [
+        (r["left"], r["right"])
+        for r in learn_bpe(d, "text", 8).orderBy("rank").collect()
+    ]
+    fold = {
+        (r["doc_id"], tuple(r["bpe_tokens"]))
+        for r in bpe_segment(d, "text", merges).select(
+            "doc_id", "bpe_tokens"
+        ).collect()
+    }
+    arrow = {
+        (r["doc_id"], tuple(r["bpe_tokens"]))
+        for r in bpe_segment_arrow(d, "text", merges).select(
+            "doc_id", "bpe_tokens"
+        ).collect()
+    }
+    assert fold == arrow
+    # and the arrow path handles a merge count the fold path cannot:
+    # 64 merges still encode (plan stays one Python node, no k-deep tree)
+    merges64 = [
+        (r["left"], r["right"])
+        for r in learn_bpe(d, "text", 64).orderBy("rank").collect()
+    ]
+    seg = bpe_segment_arrow(d.limit(50), "text", merges64)
+    rows = seg.select("doc_id", "bpe_tokens").collect()
+    assert len(rows) == 50 and all(len(r["bpe_tokens"]) > 0 for r in rows)
