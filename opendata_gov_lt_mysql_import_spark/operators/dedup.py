@@ -815,18 +815,30 @@ def _md5_signatures(
 ) -> DataFrame:
     """(id, sig: array<string> of k md5 permutation minima) — the
     engine-neutral signature builder shared by the one-shot pair finder
-    and the incremental batch-vs-history probe. HOF-only, codegen'd."""
-    grams = word_ngrams(F.col(text_col), n_gram)
+    and the incremental batch-vs-history probe.
 
-    def perm_min(p: int) -> Column:
-        # NB: the lambda must take exactly one arg — F.transform treats a
-        # two-arg callable as (element, index), so a `lambda g, p=p`
-        # default would be silently clobbered by the array index.
-        salt = F.lit(f"#{p}")
-        return F.array_min(F.transform(grams, lambda g: F.md5(F.concat(g, salt))))
-
-    sig = F.array(*[perm_min(p) for p in range(k)])
-    return df.select(F.col(id_col), sig.alias("sig"))
+    Explode + k partial-aggregated string-mins (the same shape as the
+    xxhash64 production path above), NOT k ``array_min(transform(...))``
+    HOFs: each HOF lambda re-evaluates the captured shingle subtree per
+    permutation AND runs interpreted — the HOF form cost 17s at sf0.1
+    where this form costs ~1s. Lexicographic min over fixed-width
+    lowercase hex equals numeric min, and ``min`` over the multiset of
+    grams equals min over the distinct set, so the oracle's
+    list_distinct/list_min recomputation matches exactly."""
+    exploded = df.select(
+        F.col(id_col),
+        F.explode(word_ngrams(F.col(text_col), n_gram)).alias("_g"),
+    )
+    mins = exploded.groupBy(id_col).agg(
+        *[
+            F.min(F.md5(F.concat(F.col("_g"), F.lit(f"#{p}")))).alias(f"_m{p}")
+            for p in range(k)
+        ]
+    )
+    return mins.select(
+        F.col(id_col),
+        F.array(*[F.col(f"_m{p}") for p in range(k)]).alias("sig"),
+    )
 
 
 def _md5_banded(sigs: DataFrame, id_col: str, k: int, bands: int) -> DataFrame:
