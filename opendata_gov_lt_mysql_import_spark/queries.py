@@ -120,14 +120,20 @@ DRIVER_TOP50: tuple[str, ...] = (
     "ngram_jaccard_pairs",
     "dup_clusters",
     "minhash_lsh_pairs_md5",
-    "simhash_pairs_md5",
+    # simhash_pairs_md5 slot rotated (round 5 fourth wave) to the
+    # incremental batch-vs-history near-dup probe — minhash_lsh_pairs_md5
+    # keeps the hash-verified one-shot LSH family in-window; simhash's
+    # md5 twin stays registered + full-gate-verified
+    "incremental_neardup_lsh",
     # incremental_dedup slot rotated (round 5) to the CDC-refreshed
     # materialized aggregate - the same batch-vs-history increment idea
     # generalized to stored state; incremental_dedup stays registered
     "matview_incremental_refresh",
-    # similarity / multimodal families
+    # similarity / multimodal families (emb_dup_pairs slot rotated to the
+    # BPE tokenizer-training feed — ann_topk_suite keeps embedding
+    # similarity in-window; emb_dup_pairs stays registered + gate-verified)
     "ann_topk_suite",
-    "emb_dup_pairs",
+    "bpe_pair_counts",
     "multimodal_features",
 )
 
