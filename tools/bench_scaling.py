@@ -70,6 +70,10 @@ TOP = [
     "dq_constraint_report",
     "events_gap_fill_hourly",
     "semantic_dedup_arrow",
+    # round-5 fourth-wave heavy entries
+    "incremental_neardup_lsh",
+    "q21_waiting_suppliers",
+    "q2_min_cost_supplier",
 ]
 
 
