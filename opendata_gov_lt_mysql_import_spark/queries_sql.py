@@ -1301,11 +1301,17 @@ def q19_discounted_revenue(spark: SparkSession, sf: str) -> DataFrame:
 @query(
     "q22_dormant_customers",
     """
+    WITH t AS (
+      SELECT CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+               AS total_cents,
+             CAST(count(*) AS BIGINT) AS n
+      FROM customer WHERE c_acctbal > 0
+    )
     SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
            CAST(count(*) AS BIGINT) AS numcust,
            round(sum(c_acctbal), 2) AS totacctbal
-    FROM customer c
-    WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+    FROM customer c, t
+    WHERE CAST(round(c_acctbal * 100) AS BIGINT) * t.n > t.total_cents
       AND NOT EXISTS (
         SELECT 1 FROM orders o
         WHERE o.o_custkey = c.c_custkey AND o.o_orderdate >= TIMESTAMP '2001-01-01'
@@ -1317,23 +1323,32 @@ def q22_dormant_customers(spark: SparkSession, sf: str) -> DataFrame:
     """TPC-H Q22-shaped: wealthy customers (above the positive-balance
     mean) with no RECENT orders, counted per nation. Anti join against
     the date-filtered orders (filter pushed to the scan shrinks the
-    build side) + a scalar subquery threshold computed once and folded
-    into the filter as a literal. Every fixture customer has SOME order,
-    so the dormancy cut is date-scoped — a pure no-orders NOT EXISTS is
-    vacuously empty here."""
+    build side); the mean-balance threshold is a 1-row aggregate
+    broadcast-cross-joined into the filter — ONE lazy job, no eager
+    collect. The compare is integer-exact on both engines:
+    ``bal > avg(bal)`` over positive balances rewritten as
+    ``bal_cents * n > total_cents`` (balances are 2-decimal, so
+    round-to-cents is lossless and sums are bit-identical — no float
+    avg to last-ulp-flip the boundary). Every fixture customer has SOME
+    order, so the dormancy cut is date-scoped — a pure no-orders NOT
+    EXISTS is vacuously empty here."""
     c = load_table(spark, sf, "customer")
     recent = (
         load_table(spark, sf, "orders")
         .filter(F.col("o_orderdate") >= F.lit("2001-01-01").cast("timestamp"))
         .select("o_custkey")
     )
-    avg_bal = (
+    bal_cents = F.round(F.col("c_acctbal") * 100).cast("long")
+    t = (
         c.filter(F.col("c_acctbal") > 0)
-        .agg(F.avg("c_acctbal"))
-        .collect()[0][0]
+        .agg(
+            F.sum(bal_cents).alias("_total_cents"),
+            F.count(F.lit(1)).alias("_n"),
+        )
     )
     return (
-        c.filter(F.col("c_acctbal") > avg_bal)
+        c.crossJoin(F.broadcast(t))
+        .filter(bal_cents * F.col("_n") > F.col("_total_cents"))
         .join(recent, c["c_custkey"] == recent["o_custkey"], "left_anti")
         .groupBy(F.col("c_nationkey").cast("long").alias("nationkey"))
         .agg(
@@ -2130,10 +2145,15 @@ def q9_nation_year_profit(spark: SparkSession, sf: str) -> DataFrame:
              CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
                            AS BIGINT)) AS BIGINT) AS value_cents
       FROM lineitem GROUP BY 1
+    ),
+    t AS (
+      SELECT CAST(sum(value_cents) AS BIGINT) AS total,
+             CAST(count(*) AS BIGINT) AS n
+      FROM pv
     )
     SELECT CAST(l_partkey AS BIGINT) AS partkey, value_cents
-    FROM pv
-    WHERE value_cents > (SELECT avg(value_cents) * 1.3 FROM pv)
+    FROM pv, t
+    WHERE value_cents * 10 * t.n > t.total * 13
     """,
 )
 def q11_important_parts(spark: SparkSession, sf: str) -> DataFrame:
@@ -2142,21 +2162,31 @@ def q11_important_parts(spark: SparkSession, sf: str) -> DataFrame:
     partsupp in the fixture, so value = lineitem discounted revenue;
     the share threshold is scale-relative so the result stays non-
     trivial from sf0.001 to 100 TB).
-    Values are INTEGER CENTS end to end — per-row round-to-cents, then
-    integer sums — so both the per-part values and the global threshold
-    are bit-identical across engines and the > boundary cannot float-
-    flip. Spark computes the per-part agg ONCE: the scalar total
-    re-aggregates the same frame (shuffle-stage dedup makes the map
-    side shared), collected as one bounded row and folded into the
-    filter as a literal."""
+    Values are INTEGER CENTS end to end, and the threshold compare is
+    pure integer arithmetic on both engines:
+    ``value > avg(value) * 1.3`` rewritten as
+    ``value * 10 * n > total * 13`` — no float avg, so the > boundary
+    cannot flip on a last-ulp difference between engines. ONE lazy job:
+    the 1-row (total, n) aggregate broadcast-cross-joins the per-part
+    frame (the repo's whitelisted scalar-threshold idiom), so the
+    per-part aggregation's shuffle exchange is planned once and REUSED
+    for the scalar branch — no eager collect, no second lineitem scan,
+    and explain-only callers trigger no job at all."""
     li = load_table(spark, sf, "lineitem")
     cents = F.round(
         F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
     ).cast("long")
     pv = li.groupBy("l_partkey").agg(F.sum(cents).alias("value_cents"))
-    thresh = pv.agg(F.avg("value_cents") * 1.3).collect()[0][0]
-    return pv.filter(F.col("value_cents") > thresh).select(
-        F.col("l_partkey").cast("long").alias("partkey"), "value_cents"
+    t = pv.agg(
+        F.sum("value_cents").alias("_total"), F.count(F.lit(1)).alias("_n")
+    )
+    return (
+        pv.crossJoin(F.broadcast(t))
+        .filter(
+            F.col("value_cents") * F.lit(10) * F.col("_n")
+            > F.col("_total") * F.lit(13)
+        )
+        .select(F.col("l_partkey").cast("long").alias("partkey"), "value_cents")
     )
 
 

@@ -140,6 +140,21 @@ def test_minhash_candidate_pairs_is_two_exchanges_no_smj(spark, sf_dir):
     assert final.count("Generate posexplode") == 1, plan
 
 
+def test_q11_threshold_is_one_scan_no_collect(spark, sf_dir, queries):
+    """q11's scalar threshold (avg part value * 1.3) must NOT re-scan
+    lineitem: the 1-row aggregate branch reuses the per-part
+    aggregation's shuffle exchange (ReusedExchange), so the executed
+    plan holds exactly one lineitem scan. The former eager
+    .collect()-and-fold shape planned two separate jobs and scanned
+    lineitem twice."""
+    df = queries["q11_important_parts"](spark, sf_dir)
+    df.collect()  # finalize the adaptive plan
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert len(re.findall(r"Scan parquet[^\n]*lineitem", final)) == 1, plan
+    assert "ReusedExchange" in final, plan
+
+
 def test_ann_candidate_filters_are_single_pass(spark, sf_dir, queries):
     """LSH and IVF probes: one Arrow pass over the scan, no shuffle before
     the top-k (TakeOrdered handles selection without a global sort)."""

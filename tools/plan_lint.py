@@ -73,6 +73,16 @@ WHITELIST: dict[str, dict[str, str]] = {
         "bnl_join": "1-row token-total aggregate cross-joined onto the "
         "token stream (same shape as tfidf's corpus count)"
     },
+    "q11_important_parts": {
+        "bnl_join": "1-row (total, n) threshold aggregate cross-joined "
+        "onto the per-part frame (replaces an eager two-pass collect; "
+        "same shape as tfidf's corpus count)"
+    },
+    "q22_dormant_customers": {
+        "bnl_join": "1-row mean-balance aggregate cross-joined onto "
+        "customer before the anti join (replaces an eager two-pass "
+        "collect; same shape as tfidf's corpus count)"
+    },
     "nearest_centroid_assign": {
         "bnl_join": "K-row centroid frame cross-joined for broadcast argmin"
     },
