@@ -195,7 +195,11 @@ def bpe_segment_arrow(df: DataFrame, text_col: str, merges: list[tuple[str, str]
         + [StructField("bpe_tokens", ArrayType(StringType()))]
     )
     merge_list = list(merges)
-    ws = _re.compile(r"\s+")
+    # ASCII whitespace only: the JVM fold path tokenizes with Java regex
+    # \s+ (ASCII by default), while Python \s is Unicode-aware (U+00A0,
+    # U+2028, ...) — the explicit class keeps the two twins splitting
+    # identically on non-ASCII whitespace (parity pinned in test_bpe.py)
+    ws = _re.compile(r"[ \t\n\r\f\x0b]+")
 
     def encode(batches):
         memo: dict[str, list[str]] = {}

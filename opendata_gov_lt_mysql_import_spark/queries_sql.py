@@ -2387,7 +2387,7 @@ def q2_min_cost_supplier(spark: SparkSession, sf: str) -> DataFrame:
     """
     WITH sq AS (
       SELECT l_suppkey, l_partkey,
-             CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+             CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS qty
       FROM lineitem
       WHERE l_shipdate >= TIMESTAMP '1998-01-01'
         AND l_shipdate < TIMESTAMP '1999-01-01'
@@ -2410,15 +2410,17 @@ def q20_promotable_suppliers(spark: SparkSession, sf: str) -> DataFrame:
     the lineitem scan, the (supplier, part) agg is the only shuffle,
     the LIKE-pruned part dim broadcasts onto it, and the outer IN
     decorrelates to a LEFT SEMI join probing the 25-row supplier dim.
-    Quantities are whole-unit doubles in the fixture — cast to BIGINT
-    before summing so the >50 boundary is integer-exact on both
-    engines."""
+    Quantities are doubles in the fixture — explicit floor() before the
+    BIGINT cast on BOTH engines (Spark's double→long cast truncates
+    toward zero while DuckDB's rounds to nearest, so a bare cast would
+    diverge if quantities ever gained fractional parts) keeps the >50
+    boundary integer-exact regardless."""
     li = load_table(spark, sf, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1999-01-01").cast("timestamp"))
     )
     sq = li.groupBy("l_suppkey", "l_partkey").agg(
-        F.sum(F.col("l_quantity").cast("long")).alias("qty")
+        F.sum(F.floor("l_quantity").cast("long")).alias("qty")
     )
     p = load_table(spark, sf, "part").filter(
         F.col("p_name").like("%bolt%")

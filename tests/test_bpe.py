@@ -153,3 +153,32 @@ def test_arrow_encoder_matches_fold_path(spark):
     seg = bpe_segment_arrow(d.limit(50), "text", merges64)
     rows = seg.select("doc_id", "bpe_tokens").collect()
     assert len(rows) == 50 and all(len(r["bpe_tokens"]) > 0 for r in rows)
+
+
+def test_arrow_encoder_nonascii_whitespace_parity(spark):
+    """Java regex \\s is ASCII-only while Python \\s is Unicode-aware:
+    text containing U+00A0 (NBSP) or U+2028 must tokenize identically on
+    the JVM fold path and the Arrow twin — the Arrow path splits on an
+    explicit ASCII whitespace class for exactly this reason."""
+    from opendata_gov_lt_mysql_import_spark.operators.bpe import (
+        bpe_segment_arrow,
+    )
+
+    d = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma"),     # NBSP glues alpha+beta on BOTH paths
+            (2, "line sep and\ttabs"),   # U+2028 is not a separator either
+            (3, "plain ascii words"),
+        ],
+        "doc_id INT, text STRING",
+    )
+    merges = [("a", "l"), ("al", "p")]
+    fold = {
+        (r["doc_id"], tuple(r["bpe_tokens"]))
+        for r in bpe_segment(d, "text", merges).select("doc_id", "bpe_tokens").collect()
+    }
+    arrow = {
+        (r["doc_id"], tuple(r["bpe_tokens"]))
+        for r in bpe_segment_arrow(d, "text", merges).select("doc_id", "bpe_tokens").collect()
+    }
+    assert fold == arrow

@@ -181,6 +181,41 @@ class TestDedup:
         out = incremental_exact_dedup(batch, hist, "text", "id")
         assert sorted(r.id for r in out.collect()) == [11, 13]
 
+    def test_incremental_neardup_short_and_empty_docs_match_oracle_semantics(self, spark):
+        """ADVICE r5 claimed short (<n-token) docs silently drop from the
+        Spark signature path while the DuckDB oracle emits a partial
+        gram. Empirically FALSE — word_ngrams falls back to the whole
+        token stream via greatest(count - n + 1, 1) and concat_ws skips
+        the null tail, so a 1-2-token doc yields the same partial gram
+        as the oracle's list-slice, and even an EMPTY doc yields one ""
+        gram on both engines. This pins that: identical short/empty docs
+        across batch and history MUST collide with a full 16/16 match
+        (i.e. they are near-dup-gated, not silently admitted)."""
+        from pyspark.sql import functions as F
+
+        from opendata_gov_lt_mysql_import_spark.operators.dedup import (
+            incremental_minhash_neardup,
+            minhash_history_index,
+        )
+
+        hist = spark.createDataFrame(
+            [(1, "alpha beta gamma delta"), (2, "hi"), (3, ""), (4, "one two")],
+            "doc_id long, text string",
+        )
+        batch = hist.filter(F.col("doc_id").isin(2, 3, 4)).withColumn(
+            "doc_id", F.col("doc_id") + 1000000
+        )
+        idx = minhash_history_index(hist, "text", "doc_id", n_gram=3, k=16, bands=8)
+        out = {
+            (r["new_id"], r["hist_id"]): r["n_match"]
+            for r in incremental_minhash_neardup(
+                batch, idx, "text", "doc_id", n_gram=3, k=16, bands=8
+            ).collect()
+        }
+        assert out[(1000002, 2)] == 16   # 1-token doc
+        assert out[(1000003, 3)] == 16   # empty doc
+        assert out[(1000004, 4)] == 16   # 2-token doc (< n_gram)
+
     def test_minhash_md5_exact_dup_full_match(self, spark):
         from opendata_gov_lt_mysql_import_spark.operators.dedup import (
             minhash_md5_pairs,
