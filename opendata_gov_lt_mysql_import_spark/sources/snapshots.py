@@ -20,9 +20,10 @@ Layout:
 A commit (1) writes new data files into a fresh ``data/<uuid>/`` dir,
 (2) builds a manifest listing the EXACT file paths of the new version
 (append = parent's files + new files; overwrite = new files only), and
-(3) publishes it with an atomic ``os.rename`` — the manifest either
-exists completely or not at all, so a reader enumerating versions never
-observes a torn commit. Data files are never mutated or deleted by
+(3) publishes it through an atomic put-if-absent primitive
+(:class:`PublishPrimitive`) — the manifest either exists completely or
+not at all, so a reader enumerating versions never observes a torn
+commit. Data files are never mutated or deleted by
 commits; vacuuming unreferenced files is a separate maintenance pass.
 
 Readers load the manifest (latest or a pinned ``version``) and hand
@@ -36,11 +37,14 @@ the growth path; tests pin the 10k-file point). The data write itself
 is whatever parallelism the DataFrame carries; the commit-side work is
 O(#files) strings.
 
-Metadata-store assumption: the atomic first-wins publish relies on
-POSIX ``os.link`` semantics (local disk, NFS, most cluster filesystems).
-Object stores have no link(2) — there the publish primitive swaps for a
-conditional put (S3 If-None-Match, GCS x-goog-if-generation-match:0) or
-a small coordination table, exactly as Delta's LogStore abstracts it;
+Metadata-store abstraction: the atomic first-wins publish is an
+injectable :class:`PublishPrimitive`. The default
+(:class:`PosixLinkPublish`) relies on POSIX ``os.link`` semantics
+(local disk, NFS, most cluster filesystems). Object stores have no
+link(2) — there the primitive swaps for a conditional put (S3
+If-None-Match, GCS x-goog-if-generation-match:0) or a small
+coordination table, exactly as Delta's LogStore abstracts it
+(:class:`MockConditionalPutPublish` exercises that contract in tests);
 everything above the publish call is storage-agnostic.
 """
 
@@ -48,12 +52,84 @@ from __future__ import annotations
 
 import json
 import os
+import threading
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.types import StructType
 
 _MANIFEST_DIR = "_manifests"
+
+
+class PublishPrimitive:
+    """The ONE storage-specific operation in the commit protocol: put
+    ``payload`` at ``path`` iff nothing exists there, atomically —
+    first writer wins, losers see False. Everything above this call
+    (manifest building, optimistic retry, append re-stacking) is
+    storage-agnostic, exactly as Delta's LogStore isolates its
+    put-if-absent. Swap implementations per storage system:
+    POSIX link(2) here; S3 PUT If-None-Match / GCS
+    x-goog-if-generation-match:0 / a DynamoDB-style coordination row on
+    object stores (mocked below for protocol tests)."""
+
+    def put_if_absent(self, path: str, payload: str, tag: str) -> bool:
+        raise NotImplementedError
+
+
+class PosixLinkPublish(PublishPrimitive):
+    """Default: write a tmp file, ``os.link`` it into place. link(2)
+    fails with EEXIST where rename(2) would silently replace a
+    concurrent writer's manifest — atomic first-wins on local disk,
+    NFS, and most cluster filesystems."""
+
+    def put_if_absent(self, path: str, payload: str, tag: str) -> bool:
+        d = os.path.dirname(path)
+        tmp = os.path.join(d, f".{os.path.basename(path)}.{tag}.tmp")
+        with open(tmp, "w") as fh:
+            fh.write(payload)
+        try:
+            os.link(tmp, path)
+            return True
+        except FileExistsError:
+            return False
+        finally:
+            os.remove(tmp)
+
+
+class MockConditionalPutPublish(PublishPrimitive):
+    """Object-store stand-in for protocol tests: emulates a conditional
+    put (compare-and-set on key absence) with a process-wide mutex as
+    the store's internal atomicity, then materializes the winner's
+    object to the local path so readers work unchanged. The existence
+    check covers both this primitive's own store AND the filesystem, so
+    mixed-primitive writers still serialize correctly. No link(2), no
+    tmp-file protocol — exercising that the retry loop above depends
+    ONLY on put-if-absent semantics, not on POSIX specifics."""
+
+    _mutex = threading.Lock()
+
+    def __init__(self) -> None:
+        self.store: dict[str, str] = {}
+        self.put_attempts = 0
+        self.lost_races = 0
+
+    def put_if_absent(self, path: str, payload: str, tag: str) -> bool:
+        with self._mutex:
+            self.put_attempts += 1
+            if path in self.store or os.path.exists(path):
+                self.lost_races += 1
+                return False
+            self.store[path] = payload
+            # materialize inside the CAS window via atomic rename so a
+            # concurrent READER never observes a torn manifest
+            tmp = path + f".{tag}.castmp"
+            with open(tmp, "w") as fh:
+                fh.write(payload)
+            os.rename(tmp, path)
+            return True
+
+
+DEFAULT_PUBLISH: PublishPrimitive = PosixLinkPublish()
 
 
 def _manifest_path(table_dir: str, version: int) -> str:
@@ -184,6 +260,7 @@ def commit_snapshot(
     cluster_by: list[str] | None = None,
     target_files: int | None = None,
     _txn_id: str | None = None,
+    publish_primitive: PublishPrimitive | None = None,
 ) -> int:
     """Write ``df`` as a new table version and atomically publish it.
 
@@ -241,6 +318,7 @@ def commit_snapshot(
     return publish_new_files(
         table_dir, new_files, new_stats, df.schema, mode,
         max_retries=max_retries, txn_id=_txn_id, tag=commit_id,
+        publish_primitive=publish_primitive,
     )
 
 
@@ -253,12 +331,14 @@ def publish_new_files(
     max_retries: int = 5,
     txn_id: str | None = None,
     tag: str = "w",
+    publish_primitive: PublishPrimitive | None = None,
 ) -> int:
     """Publish already-written data files as a new version — the shared
     optimistic-retry commit core behind :func:`commit_snapshot` and the
     DataFrame-writer API (snapshot_datasource.SnapshotWriter). Append
     re-stacks onto whatever parent wins a race; see commit_snapshot for
-    the full semantics."""
+    the full semantics. ``publish_primitive`` injects the storage
+    put-if-absent (default POSIX link; see :class:`PublishPrimitive`)."""
     mdir = os.path.join(table_dir, _MANIFEST_DIR)
     os.makedirs(mdir, exist_ok=True)
     for attempt in range(max_retries + 1):
@@ -285,19 +365,14 @@ def publish_new_files(
         }
         if txn_id is not None:
             manifest["txn_id"] = txn_id  # commit_snapshot_idempotent
-        tmp = os.path.join(mdir, f".v{version}.{tag}.tmp")
-        with open(tmp, "w") as fh:
-            json.dump(manifest, fh)
-        final = _manifest_path(table_dir, version)
-        try:
-            # atomic first-wins publish: link() fails with EEXIST where
-            # rename() would silently replace a concurrent manifest
-            os.link(tmp, final)
+        # atomic first-wins publish through the injected storage
+        # primitive (POSIX link by default; conditional put on object
+        # stores) — False means a concurrent writer won this version
+        if (publish_primitive or DEFAULT_PUBLISH).put_if_absent(
+            _manifest_path(table_dir, version), json.dumps(manifest), tag
+        ):
             return version
-        except FileExistsError:
-            continue  # lost the race — re-resolve parent and retry
-        finally:
-            os.remove(tmp)
+        continue  # lost the race — re-resolve parent and retry
     raise RuntimeError(
         f"snapshot publish lost the race {max_retries + 1} times "
         f"in {table_dir} — pathological contention, coordinate writers"
@@ -378,7 +453,12 @@ def _write_commit_files(df: DataFrame, table_dir: str) -> tuple[str, list, dict]
     return commit_id, rels, stats
 
 
-def _publish_once(table_dir: str, manifest: dict, tag: str) -> None:
+def _publish_once(
+    table_dir: str,
+    manifest: dict,
+    tag: str,
+    publish_primitive: PublishPrimitive | None = None,
+) -> None:
     """Single-attempt atomic publish; raises on a concurrent commit.
     Used by rewriting transactions (merge/delete), whose row work was
     computed against a SPECIFIC parent — unlike append/overwrite they
@@ -387,19 +467,14 @@ def _publish_once(table_dir: str, manifest: dict, tag: str) -> None:
     mdir = os.path.join(table_dir, _MANIFEST_DIR)
     os.makedirs(mdir, exist_ok=True)
     version = manifest["version"]
-    tmp = os.path.join(mdir, f".v{version}.{tag}.tmp")
-    with open(tmp, "w") as fh:
-        json.dump(manifest, fh)
-    try:
-        os.link(tmp, _manifest_path(table_dir, version))
-    except FileExistsError:
+    if not (publish_primitive or DEFAULT_PUBLISH).put_if_absent(
+        _manifest_path(table_dir, version), json.dumps(manifest), tag
+    ):
         raise RuntimeError(
             f"concurrent commit beat this transaction to version "
             f"{version} in {table_dir}; its rewrite is based on version "
             f"{manifest['parent']} — re-run against the new state"
-        ) from None
-    finally:
-        os.remove(tmp)
+        )
 
 
 def merge_snapshot(

@@ -153,14 +153,32 @@ class TestSnapshots:
         assert df.count() == 10 + 5 + 7  # nothing lost
         assert read_snapshot(spark, t, version=1).count() == 15
 
-    def test_truly_concurrent_appends_all_land(self, spark, tmp_path):
+    @pytest.mark.parametrize("primitive_kind", ["posix_link", "conditional_put"])
+    def test_truly_concurrent_appends_all_land(
+        self, spark, tmp_path, primitive_kind
+    ):
         """Real multi-threaded appenders (no monkeypatch): every commit
         must land as a distinct version with no lost rows — the
-        optimistic publish-retry under actual racing."""
+        optimistic publish-retry under actual racing. Parametrized over
+        BOTH publish primitives: the POSIX link default and the
+        object-store conditional-put mock, proving the retry protocol
+        depends only on put-if-absent semantics (the LogStore-style
+        injection point for S3/GCS)."""
         import threading
 
+        from opendata_gov_lt_mysql_import_spark.sources.snapshots import (
+            MockConditionalPutPublish,
+        )
+
+        primitive = (
+            MockConditionalPutPublish()
+            if primitive_kind == "conditional_put"
+            else None  # module default: PosixLinkPublish
+        )
         t = str(tmp_path / "tbl")
-        commit_snapshot(spark.range(0, 10).coalesce(1), t)
+        commit_snapshot(
+            spark.range(0, 10).coalesce(1), t, publish_primitive=primitive
+        )
         errors = []
 
         def appender(base):
@@ -168,7 +186,8 @@ class TestSnapshots:
                 for k in range(3):
                     lo = 1000 * base + 100 * k
                     commit_snapshot(
-                        spark.range(lo, lo + 50).coalesce(1), t
+                        spark.range(lo, lo + 50).coalesce(1), t,
+                        publish_primitive=primitive,
                     )
             except Exception as exc:  # pragma: no cover
                 errors.append(exc)
@@ -189,6 +208,14 @@ class TestSnapshots:
         )
 
         assert current_version(t) == 12  # 1 seed + 12 appends
+        if primitive is not None:
+            # every manifest went through the conditional put, and the
+            # local materialization matches the store's payload
+            assert len(primitive.store) == 13
+            assert primitive.put_attempts >= 13
+            for path, payload in primitive.store.items():
+                with open(path) as fh:
+                    assert fh.read() == payload
 
     def test_vacuum_reclaims_aborted_commit_dirs(self, spark, tmp_path):
         """data/<uuid>/ dirs written but never published (aborted or
