@@ -112,6 +112,8 @@ HEADLINE = [
     "q20_promotable_suppliers",
     "bpe_pair_counts",
     "incremental_neardup_lsh",
+    # round-6 surface
+    "zorder_pruned_scan",
 ]
 
 

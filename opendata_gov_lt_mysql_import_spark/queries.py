@@ -74,17 +74,22 @@ DRIVER_TOP50: tuple[str, ...] = (
     "shard_by_token_budget",
     "j7_stale_anti",
     "a1_groupby_collect",
-    "a2_distinct",
+    # a2_distinct rotated out round 6 (trivial DISTINCT; implicit in
+    # many rows) for blocked entity resolution — a2 stays registered +
+    # full-gate-verified
+    "entity_resolution_customers",
     "w1_tree_closure",
     "f1_fixcase",
     "f3_tagify",
     "f4_package_tags",
     "f9_json_extract",
     "f5_changed_rows",
-    # TPC-H-shaped flagship queries
+    # TPC-H-shaped flagship queries (q5_supplier_volume rotated out
+    # round 6 for the K-round pagerank — q1/q3 keep the TPC-H shapes
+    # in-window; q5 stays registered + full-gate-verified)
     "q1_pricing_summary",
     "q3_top_revenue",
-    "q5_supplier_volume",
+    "pagerank_k",
     # window / SQL analytics surface
     "window_top_order_per_customer",
     "window_funcs_suite",
@@ -101,7 +106,10 @@ DRIVER_TOP50: tuple[str, ...] = (
     "events_asof_last_order",
     "events_range_join_recent",
     "events_behavior_suite",
-    "funnel_view_click_purchase",
+    # funnel_view_click_purchase rotated out round 6 (events family
+    # keeps 5 rows in-window) for A-ES weighted sampling — funnel stays
+    # registered + full-gate-verified
+    "weighted_sample_orders",
     # cohort_retention slot rotated (round 5) to the one-pass declarative
     # data-quality gate; cohort stays registered + full-gate-verified
     "dq_constraint_report",
@@ -115,8 +123,11 @@ DRIVER_TOP50: tuple[str, ...] = (
     "pii_scrub",
     "chunk_documents",
     "corpus_export_pipeline",
-    # dedup family
-    "dedup_exact",
+    # dedup family (dedup_exact rotated out round 6 — the family keeps
+    # ngram/clusters/md5-LSH/incremental rows in-window — for the
+    # ZORDER pruned snapshot read, putting the table-format read path
+    # plus its asserted file-skipping in the driver record)
+    "zorder_pruned_scan",
     "ngram_jaccard_pairs",
     "dup_clusters",
     "minhash_lsh_pairs_md5",

@@ -176,15 +176,16 @@ def date_breakdown(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "sql_api_q6_revenue",
+    "q6_forecast_revenue",
     """
     SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
     FROM lineitem
     WHERE l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
     """,
 )
-def sql_api_q6_revenue(spark: SparkSession, sf: str) -> DataFrame:
-    """TPC-H Q6-shaped revenue-change query, driven through the
+def q6_forecast_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q6-shaped revenue-forecast query (the classic "revenue
+    change if discounts shifted" aggregate), driven through the
     ``spark.sql`` entry path over registered views — demonstrates the SQL
     API produces the same plan as the DataFrame API."""
     register_views(spark, sf)
@@ -1064,6 +1065,89 @@ def matview_incremental_refresh(spark: SparkSession, sf: str) -> DataFrame:
             mv.refresh(spark)
         # detach the result from the temp files so they can be removed
         return mv.read(spark).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@query(
+    "zorder_pruned_scan",
+    """
+    WITH o AS (
+      SELECT CAST(o_orderkey AS BIGINT) AS okey,
+             CAST(o_custkey AS BIGINT) AS ckey,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ),
+    b AS (
+      SELECT min(ckey) AS cklo, max(ckey) AS ckhi,
+             min(cents) AS clo, max(cents) AS chi
+      FROM o
+    )
+    SELECT okey, ckey, cents
+    FROM o, b
+    WHERE ckey <= cklo + (ckhi - cklo) // 10
+      AND cents <= clo + (chi - clo) // 10
+    """,
+)
+def zorder_pruned_scan(spark: SparkSession, sf: str) -> DataFrame:
+    """OPTIMIZE ZORDER's file-skipping claim, exercised quantitatively
+    end to end: orders is committed to a snapshot table, Z-ordered on
+    (custkey, price-cents), and a 10% slice on EACH dimension is read
+    through the stats-pruned path. The function ASSERTS the layout
+    payoff — each single-dimension slice must prune at least half the
+    files, and the 2-D slice at least three quarters (the whole point
+    of Morton clustering over 1-D sort: BOTH columns stay locally
+    dense) — so a silent layout regression fails the driver row rather
+    than just reading slowly. The returned ROWS are layout-independent
+    (pruning is a pure scan-size optimization, re-checked row-level),
+    which is what makes a full DuckDB oracle possible: the oracle is a
+    plain filtered scan of orders with the same integer-exact bounds.
+    Slice bounds are min + (max-min)//10 in BIGINT on both engines —
+    no floats anywhere near the boundary. The two 1-row min/max
+    collects are bounded setup constants, not data motion."""
+    import shutil
+    import tempfile
+
+    from .sources.snapshots import (
+        commit_snapshot,
+        pruned_file_counts,
+        read_snapshot_pruned,
+        zorder_snapshot,
+    )
+
+    o = load_table(spark, sf, "orders").select(
+        F.col("o_orderkey").cast("long").alias("okey"),
+        F.col("o_custkey").cast("long").alias("ckey"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    b = o.agg(
+        F.min("ckey"), F.max("ckey"), F.min("cents"), F.max("cents")
+    ).collect()[0]
+    ck_hi = b[0] + (b[1] - b[0]) // 10
+    c_hi = b[2] + (b[3] - b[2]) // 10
+    root = tempfile.mkdtemp(prefix="zorder_q_")
+    try:
+        t = f"{root}/orders_z"
+        commit_snapshot(o, t)
+        zorder_snapshot(spark, t, ("ckey", "cents"), target_files=16)
+        f_ck = [("ckey", "<=", ck_hi)]
+        f_c = [("cents", "<=", c_hi)]
+        kept_ck, total = pruned_file_counts(t, f_ck)
+        kept_c, _ = pruned_file_counts(t, f_c)
+        kept_2d, _ = pruned_file_counts(t, f_ck + f_c)
+        if not (
+            kept_ck <= total // 2
+            and kept_c <= total // 2
+            and kept_2d <= total // 4
+        ):
+            raise RuntimeError(
+                "ZORDER file skipping regressed: "
+                f"total={total} kept(ckey 10%)={kept_ck} "
+                f"kept(cents 10%)={kept_c} kept(2-D)={kept_2d}"
+            )
+        df = read_snapshot_pruned(spark, t, f_ck + f_c)
+        # detach from the temp files before they are removed
+        return df.select("okey", "ckey", "cents").localCheckpoint(eager=True)
     finally:
         shutil.rmtree(root, ignore_errors=True)
 

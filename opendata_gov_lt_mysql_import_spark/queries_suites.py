@@ -238,7 +238,7 @@ _SURFACE = [
         [("n", "n"), ("total", "total")],
         None,
     ),
-    ("sql_api_q6_revenue", "'all'", [("revenue", "revenue")], None),
+    ("q6_forecast_revenue", "'all'", [("revenue", "revenue")], None),
     ("exists_subquery", "o_orderpriority", [("order_count", "order_count")], None),
 ]
 
@@ -273,7 +273,7 @@ def sql_surface_suite_q(spark: SparkSession, sf: str) -> DataFrame:
     (section, k1, measure, vs, vd) with ''/0 fillers so no column is
     nullable. Components: setop_intersect, setop_except, having_filter,
     conditional_agg, scalar_subquery, like_pushdown, date_breakdown,
-    sql_api_q6_revenue, exists_subquery."""
+    q6_forecast_revenue, exists_subquery."""
     k1_spark = {
         "setop_intersect": F.col("o_custkey").cast("string"),
         "setop_except": F.col("o_custkey").cast("string"),
@@ -284,7 +284,7 @@ def sql_surface_suite_q(spark: SparkSession, sf: str) -> DataFrame:
         "date_breakdown": F.concat_ws(
             "-", F.col("y").cast("string"), F.col("m").cast("string")
         ),
-        "sql_api_q6_revenue": F.lit("all"),
+        "q6_forecast_revenue": F.lit("all"),
         "exists_subquery": F.col("o_orderpriority"),
     }
     out = None

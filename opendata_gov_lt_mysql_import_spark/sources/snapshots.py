@@ -658,6 +658,56 @@ def delete_snapshot_rows(
     return version
 
 
+def _stats_kept_files(m: dict, filters: list[tuple] | None) -> list[str]:
+    """Absolute paths of the manifest's files whose min/max stats cannot
+    rule out every ``(column, op, value)`` conjunct — the file-skipping
+    core shared by :func:`read_snapshot_pruned` and
+    :func:`pruned_file_counts`."""
+    from pyspark.sql.datasource import (
+        EqualTo,
+        GreaterThan,
+        GreaterThanOrEqual,
+        In,
+        LessThan,
+        LessThanOrEqual,
+    )
+
+    from .snapshot_datasource import _file_may_match
+
+    ops = {
+        "=": EqualTo,
+        ">": GreaterThan,
+        ">=": GreaterThanOrEqual,
+        "<": LessThan,
+        "<=": LessThanOrEqual,
+        "in": In,
+    }
+    parsed = []
+    for col, op, value in filters or []:
+        if op not in ops:
+            raise ValueError(f"unsupported op {op!r} (use = > >= < <= in)")
+        parsed.append(ops[op]((col,), tuple(value) if op == "in" else value))
+    stats = m.get("stats", {})
+    return [
+        ap
+        for ap, rel in zip(m["_abs_files"], m["files"])
+        if all(_file_may_match(f, stats.get(rel)) for f in parsed)
+    ]
+
+
+def pruned_file_counts(
+    table_dir: str,
+    filters: list[tuple] | None = None,
+    version: int | None = None,
+) -> tuple[int, int]:
+    """(files_kept, files_total) that :func:`read_snapshot_pruned` would
+    scan for these filters — the observable half of the file-skipping
+    contract, so layout claims (clustering, ZORDER) can be ASSERTED
+    quantitatively instead of taken on faith."""
+    m = resolve_snapshot(table_dir, version)
+    return len(_stats_kept_files(m, filters)), len(m["files"])
+
+
 def read_snapshot_pruned(
     spark: SparkSession,
     table_dir: str,
@@ -675,39 +725,9 @@ def read_snapshot_pruned(
     disjoint ranges. The DataSource tier does this automatically via
     pushFilters; this is the whole-stage-codegen twin."""
     from pyspark.sql import functions as F
-    from pyspark.sql.datasource import (
-        EqualTo,
-        GreaterThan,
-        GreaterThanOrEqual,
-        In,
-        LessThan,
-        LessThanOrEqual,
-    )
 
-    from .snapshot_datasource import _file_may_match
-
-    _OPS = {
-        "=": EqualTo,
-        ">": GreaterThan,
-        ">=": GreaterThanOrEqual,
-        "<": LessThan,
-        "<=": LessThanOrEqual,
-        "in": In,
-    }
     m = resolve_snapshot(table_dir, version)
-    parsed = []
-    for col, op, value in filters or []:
-        if op not in _OPS:
-            raise ValueError(f"unsupported op {op!r} (use = > >= < <= in)")
-        parsed.append(
-            _OPS[op]((col,), tuple(value) if op == "in" else value)
-        )
-    stats = m.get("stats", {})
-    kept = [
-        ap
-        for ap, rel in zip(m["_abs_files"], m["files"])
-        if all(_file_may_match(f, stats.get(rel)) for f in parsed)
-    ]
+    kept = _stats_kept_files(m, filters)
     if not kept:
         df = spark.createDataFrame([], m["_struct"])
     else:

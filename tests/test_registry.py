@@ -63,8 +63,19 @@ def test_driver_visible_window_is_curated():
     assert len(set(DRIVER_TOP50)) == 50
     names = list(entrymod.queries())
     assert names[:50] == list(DRIVER_TOP50)
-    # every curated entry must be oracle-checked — a rows-only query
-    # would waste a driver-visible slot on a weaker check
+    # curated entries are oracle-checked, with a small explicit
+    # exception list: round-6 rotated two families whose semantics are
+    # not SQL-expressible (documented in ROWS_ONLY above) into the
+    # window per the round-5 review, so those families earn a driver
+    # row at all — the driver records their weaker rows-only check and
+    # their invariants stay pytest-pinned. Cap the contingent so
+    # rows-only entries can never crowd out oracle rows.
+    allowed_rows_only = {"pagerank_k", "weighted_sample_orders"}
     oracles = entrymod.oracle_sql()
-    missing = [n for n in DRIVER_TOP50 if n not in oracles]
+    missing = [
+        n for n in DRIVER_TOP50
+        if n not in oracles and n not in allowed_rows_only
+    ]
     assert not missing, f"driver-visible window needs oracles: {missing}"
+    assert allowed_rows_only <= set(ROWS_ONLY)
+    assert len(allowed_rows_only & set(DRIVER_TOP50)) <= 2
