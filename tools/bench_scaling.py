@@ -1,28 +1,32 @@
 """One-off sf-scaling sensitivity run: times the most expensive headline
-entries at sf0.1 and at a KEY-CONSISTENT 2x derivation of it, and writes
-the ratios to SCALING.json (bench.py embeds that file into every
-BENCH_r{N} line as ``scaling_appendix``).
+entries at sf0.1 and at KEY-CONSISTENT 2x and 4x derivations of it, and
+writes the ratios to SCALING.json (bench.py embeds that file into
+BENCH_LOCAL.json as ``scaling_appendix``).
 
 Why derive instead of just unioning a copy: naive duplication makes
 every key twice as hot (joins produce 4x pairs, dedup finds a twin for
 every document), which measures the *distortion*, not the scaling. The
-2x set therefore:
+kx set therefore:
 
-- offsets every key space by its max+1 so the second copy's FK edges
-  land on the second copy (orders'->customer', lineitem'->orders'/
+- offsets every key space by j*(max+1) for copy j, so each copy's FK
+  edges land on its own copy (orders'->customer', lineitem'->orders'/
   part'/supplier'), keeping join fan-out linear;
-- leaves the true dimensions (nation/region) fixed, as a real 2x
+- leaves the true dimensions (nation/region) fixed, as a real kx
   ingest would;
 - appends a per-document unique token to the copied texts so exact/
   near-dup structure stays comparable instead of every doc gaining a
   twin, and jitters copied embeddings deterministically for the same
   reason.
 
-A broadcast/partial-agg plan should land near 2x wall-clock on 2x rows
-(modulo fixed per-query overhead, which pushes the ratio BELOW 2 for
-sub-second entries); a quadratic candidate generator would land near
-4x. Single-process, interleaved min-of-2 — on a shared box the ratios
-still carry noise; read them alongside the spread fields.
+A broadcast/partial-agg plan should land near kx wall-clock on kx rows
+(modulo fixed per-query overhead, which pushes the ratio BELOW k for
+sub-second entries); a quadratic candidate generator lands near k².
+The 4x point exists because 2x alone can hide a superlinear term
+inside noise: with three points (1x, 2x, 4x), curvature
+ratio(4x)/ratio(2x) stays in [1, 2] for any T = a + b*S linear plan
+and is driven toward 4 by a quadratic term. Single-process, interleaved
+min-of-2 — on a shared box the ratios still carry noise; read them
+alongside the spread fields.
 
 Usage: python tools/bench_scaling.py [n_queries]
 """
@@ -46,7 +50,8 @@ import opendata_gov_lt_mysql_import_spark.queries_sql  # noqa: F401, E402
 from bench import force_eval  # noqa: E402
 
 BASE = "/root/testdata/sf0.1"
-DERIVED = "/tmp/spark_graft_sf0.2"
+DERIVED_2X = "/tmp/spark_graft_sf0.2"
+DERIVED_4X = "/tmp/spark_graft_sf0.4"
 
 # r4's most expensive headline entries, covering the document corpus
 # (explode/LSH/pipeline), the TPC-H star (scan/join/agg), and the
@@ -76,17 +81,29 @@ TOP = [
     "q2_min_cost_supplier",
 ]
 
+# third scaling point for the heaviest candidate-generating entries —
+# exactly the shapes where a 2x ratio like ngram's r5 1.52 could be
+# either fixed-cost amortization or the foot of a quadratic
+TOP_4X = [
+    "ngram_jaccard_verify_lsh",
+    "minhash_lsh_pairs",
+    "incremental_neardup_lsh",
+    "decontaminate_hits",
+    "corpus_prep_pipeline",
+    "tfidf_top_keywords",
+]
 
-def _write(df, name):
-    df.write.mode("overwrite").parquet(os.path.join(DERIVED, f"{name}.parquet"))
+
+def _write(df, dest, name):
+    df.write.mode("overwrite").parquet(os.path.join(dest, f"{name}.parquet"))
 
 
-def build_2x(spark) -> None:
-    """Derive the 2x dataset (idempotent: skipped when already built)."""
-    if os.path.exists(os.path.join(DERIVED, "_BUILT")):
+def build_kx(spark, scale: int, dest: str) -> None:
+    """Derive a key-consistent ``scale``x dataset (idempotent)."""
+    if os.path.exists(os.path.join(dest, "_BUILT")):
         return
-    shutil.rmtree(DERIVED, ignore_errors=True)
-    os.makedirs(DERIVED)
+    shutil.rmtree(dest, ignore_errors=True)
+    os.makedirs(dest)
     t = {}
     for name in [
         "region", "nation", "customer", "supplier", "part",
@@ -94,7 +111,8 @@ def build_2x(spark) -> None:
     ]:
         t[name] = spark.read.parquet(os.path.join(BASE, f"{name}.parquet"))
 
-    # key-space offsets (max+1 per key space, computed once)
+    # key-space offsets (max+1 per key space, computed once); copy j
+    # shifts each key by j*offset so copies never collide
     off = {
         "cust": t["customer"].agg(F.max("c_custkey")).collect()[0][0] + 1,
         "supp": t["supplier"].agg(F.max("s_suppkey")).collect()[0][0] + 1,
@@ -106,69 +124,88 @@ def build_2x(spark) -> None:
         "user": t["events"].agg(F.max("user_id")).collect()[0][0] + 1,
     }
 
-    _write(t["region"], "region")
-    _write(t["nation"], "nation")
+    def stacked(base_df, shift_fn):
+        out = base_df
+        for j in range(1, scale):
+            out = out.unionByName(shift_fn(base_df, j))
+        return out
+
+    _write(t["region"], dest, "region")
+    _write(t["nation"], dest, "nation")
     _write(
-        t["customer"].unionByName(
-            t["customer"].withColumn("c_custkey", F.col("c_custkey") + off["cust"])
+        stacked(
+            t["customer"],
+            lambda d, j: d.withColumn(
+                "c_custkey", F.col("c_custkey") + j * off["cust"]
+            ),
         ),
-        "customer",
+        dest, "customer",
     )
     _write(
-        t["supplier"].unionByName(
-            t["supplier"].withColumn("s_suppkey", F.col("s_suppkey") + off["supp"])
+        stacked(
+            t["supplier"],
+            lambda d, j: d.withColumn(
+                "s_suppkey", F.col("s_suppkey") + j * off["supp"]
+            ),
         ),
-        "supplier",
+        dest, "supplier",
     )
     _write(
-        t["part"].unionByName(
-            t["part"].withColumn("p_partkey", F.col("p_partkey") + off["part"])
+        stacked(
+            t["part"],
+            lambda d, j: d.withColumn(
+                "p_partkey", F.col("p_partkey") + j * off["part"]
+            ),
         ),
-        "part",
+        dest, "part",
     )
     _write(
-        t["orders"].unionByName(
-            t["orders"]
-            .withColumn("o_orderkey", F.col("o_orderkey") + off["ord"])
-            .withColumn("o_custkey", F.col("o_custkey") + off["cust"])
+        stacked(
+            t["orders"],
+            lambda d, j: d.withColumn(
+                "o_orderkey", F.col("o_orderkey") + j * off["ord"]
+            ).withColumn("o_custkey", F.col("o_custkey") + j * off["cust"]),
         ),
-        "orders",
+        dest, "orders",
     )
     _write(
-        t["lineitem"].unionByName(
-            t["lineitem"]
-            .withColumn("l_orderkey", F.col("l_orderkey") + off["ord"])
-            .withColumn("l_partkey", F.col("l_partkey") + off["part"])
-            .withColumn("l_suppkey", F.col("l_suppkey") + off["supp"])
+        stacked(
+            t["lineitem"],
+            lambda d, j: d.withColumn(
+                "l_orderkey", F.col("l_orderkey") + j * off["ord"]
+            )
+            .withColumn("l_partkey", F.col("l_partkey") + j * off["part"])
+            .withColumn("l_suppkey", F.col("l_suppkey") + j * off["supp"]),
         ),
-        "lineitem",
+        dest, "lineitem",
     )
     _write(
-        t["events"].unionByName(
-            t["events"]
-            .withColumn("event_id", F.col("event_id") + off["ev"])
-            .withColumn("user_id", F.col("user_id") + off["user"])
+        stacked(
+            t["events"],
+            lambda d, j: d.withColumn(
+                "event_id", F.col("event_id") + j * off["ev"]
+            ).withColumn("user_id", F.col("user_id") + j * off["user"]),
         ),
-        "events",
+        dest, "events",
     )
     _write(
-        t["documents"].unionByName(
-            t["documents"]
-            .withColumn("doc_id", F.col("doc_id") + off["doc"])
+        stacked(
+            t["documents"],
+            lambda d, j: d.withColumn("doc_id", F.col("doc_id") + j * off["doc"])
             # unique suffix token: the copy is near- but not exact-dup,
             # so dedup output structure stays comparable
             .withColumn(
                 "text",
                 F.concat(F.col("text"), F.lit(" zz"), F.col("doc_id")),
             )
-            .withColumn("n_chars", F.length("text"))
+            .withColumn("n_chars", F.length("text")),
         ),
-        "documents",
+        dest, "documents",
     )
     _write(
-        t["embeddings"].unionByName(
-            t["embeddings"]
-            .withColumn("vec_id", F.col("vec_id") + off["vec"])
+        stacked(
+            t["embeddings"],
+            lambda d, j: d.withColumn("vec_id", F.col("vec_id") + j * off["vec"])
             .withColumn(
                 "embedding",
                 F.transform(
@@ -176,26 +213,21 @@ def build_2x(spark) -> None:
                     lambda x: x
                     + ((F.col("vec_id") % 97).cast("float") * F.lit(1e-3)),
                 ),
-            )
+            ),
         ),
-        "embeddings",
+        dest, "embeddings",
     )
-    open(os.path.join(DERIVED, "_BUILT"), "w").close()
+    open(os.path.join(dest, "_BUILT"), "w").close()
 
 
-def main() -> None:
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else len(TOP)
-    spark = get_spark(app_name="bench-scaling")
-    build_2x(spark)
-    queries = all_queries()
-    queries["q1_pricing_summary"](spark, BASE).count()  # warm
-
+def _sweep(spark, queries, names, other_dir):
+    """Interleaved min-of-2 base-vs-derived timings for ``names``."""
     results = {}
-    for name in TOP[:n]:
+    for name in names:
         fn = queries[name]
-        t_base = t_2x = None
-        for _ in range(2):  # interleaved min-of-2
-            for which, sf_dir in (("base", BASE), ("2x", DERIVED)):
+        t_base = t_kx = None
+        for _ in range(2):
+            for which, sf_dir in (("base", BASE), ("kx", other_dir)):
                 spark.catalog.clearCache()
                 t0 = time.perf_counter()
                 force_eval(fn(spark, sf_dir))
@@ -203,25 +235,62 @@ def main() -> None:
                 if which == "base":
                     t_base = dt if t_base is None else min(t_base, dt)
                 else:
-                    t_2x = dt if t_2x is None else min(t_2x, dt)
-        results[name] = {
-            "t_sf0.1": round(t_base, 4),
-            "t_2x": round(t_2x, 4),
-            "ratio": round(t_2x / t_base, 2),
+                    t_kx = dt if t_kx is None else min(t_kx, dt)
+        results[name] = (t_base, t_kx)
+        print(f"# {name}: {t_base:.3f}s -> {t_kx:.3f}s "
+              f"(x{t_kx / t_base:.2f})", file=sys.stderr)
+    return results
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else len(TOP)
+    spark = get_spark(app_name="bench-scaling")
+    build_kx(spark, 2, DERIVED_2X)
+    build_kx(spark, 4, DERIVED_4X)
+    queries = all_queries()
+    queries["q1_pricing_summary"](spark, BASE).count()  # warm
+
+    r2 = _sweep(spark, queries, TOP[:n], DERIVED_2X)
+    results = {
+        name: {
+            "t_sf0.1": round(tb, 4),
+            "t_2x": round(t2, 4),
+            "ratio": round(t2 / tb, 2),
         }
-        print(f"# {name}: {t_base:.3f}s -> {t_2x:.3f}s "
-              f"(x{t_2x / t_base:.2f})", file=sys.stderr)
+        for name, (tb, t2) in r2.items()
+    }
+    print("# --- 4x sweep ---", file=sys.stderr)
+    r4 = _sweep(spark, queries, TOP_4X, DERIVED_4X)
+    results_4x = {}
+    for name, (tb, t4) in r4.items():
+        entry = {
+            "t_sf0.1": round(tb, 4),
+            "t_4x": round(t4, 4),
+            "ratio_4x": round(t4 / tb, 2),
+        }
+        if name in results:
+            # curvature: ratio(4x)/ratio(2x) ~1 = linear, ~2 = quadratic
+            entry["curvature"] = round(
+                (t4 / tb) / max(results[name]["ratio"], 0.01), 2
+            )
+        results_4x[name] = entry
 
     out = {
         "note": (
-            "2x-derived dataset (key-offset copies, fixed dims, "
-            "perturbed texts/embeddings); ratio ~<=2 = linear plan, "
-            "~4 = quadratic candidate generation. Single shared box, "
-            "min-of-2 interleaved."
+            "kx-derived datasets (key-offset copies, fixed dims, "
+            "perturbed texts/embeddings); 2x ratio ~<=2 = linear plan, "
+            "~4 = quadratic candidate generation. The 4x section gives "
+            "a third point for the heaviest candidate generators: "
+            "curvature = ratio_4x/ratio_2x. For T = a + b*S (linear) "
+            "curvature lies in [1, 2] (-> 2 when variable cost dominates "
+            "fixed overhead); a quadratic term drives it toward 4. "
+            "Single shared box, min-of-2 interleaved."
         ),
         "base": "sf0.1",
         "data_scale": 2.0,
         "queries": results,
+        "data_scale_4x": 4.0,
+        "queries_4x": results_4x,
     }
     path = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
