@@ -3085,3 +3085,211 @@ def incremental_neardup_lsh_q(spark: SparkSession, sf: str) -> DataFrame:
     )
     idx = minhash_history_index(_spread(d), "text", "doc_id")
     return incremental_minhash_neardup(_spread(batch), idx, "text", "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Round 6: Gopher-style rule gate, semantic decontamination, robust
+# per-dimension embedding standardization
+# ---------------------------------------------------------------------------
+
+_ALL_STOPWORDS = tuple(
+    w for words in LANG_STOPWORDS.values() for w in words
+)
+_STOPWORD_SQL_LIST = "[" + ", ".join(f"'{w}'" for w in _ALL_STOPWORDS) + "]"
+
+
+@query(
+    "gopher_quality_flags",
+    rf"""
+    WITH t AS (
+      SELECT doc_id, str_split_regex(trim(text), '\s+') AS toks
+      FROM documents
+    ),
+    base AS (
+      SELECT doc_id,
+             CAST(len(toks) AS BIGINT) AS n,
+             CAST(list_sum(list_transform(toks, x -> len(x))) AS BIGINT)
+               AS total_len,
+             CAST(len(list_filter(
+                    toks, x -> list_contains({_STOPWORD_SQL_LIST}, lower(x))
+                  )) AS BIGINT) AS stop_hits,
+             toks
+      FROM t
+    ),
+    mult AS (
+      SELECT doc_id, CAST(max(c) AS BIGINT) AS mx
+      FROM (
+        SELECT b.doc_id, u.tok, count(*) AS c
+        FROM base b, unnest(b.toks) AS u(tok)
+        GROUP BY 1, 2
+      )
+      GROUP BY 1
+    )
+    SELECT b.doc_id,
+           b.n AS n_words,
+           CASE WHEN b.n > 0
+                THEN round(b.total_len::DOUBLE / b.n, 4) END AS mean_word_len,
+           b.n BETWEEN 20 AND 1000 AS flag_word_count,
+           b.total_len >= 3 * b.n AND b.total_len <= 10 * b.n
+             AS flag_mean_len,
+           b.stop_hits >= 2 AS flag_stopword,
+           m.mx * 8 <= b.n AS flag_top_token,
+           (b.n BETWEEN 20 AND 1000)
+             AND b.total_len >= 3 * b.n AND b.total_len <= 10 * b.n
+             AND b.stop_hits >= 2 AND m.mx * 8 <= b.n AS keep
+    FROM base b JOIN mult m USING (doc_id)
+    """,
+)
+def gopher_quality_flags_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Gopher-style rule-based quality gate (Rae et al. 2021 §A1.1
+    adapted to the fixture's vocabulary): per-document boolean flags for
+    word-count bounds, mean-word-length bounds, minimum stopword
+    evidence, and a max-single-token-share repetition cut, plus the
+    conjunction ``keep``. Complements ``text_quality`` (continuous
+    ratios) and ``quality_model_score`` (weighted score) with the
+    hard-threshold rule family production filters actually ship.
+
+    Scale shape: ONE map-only projection — tokenization, integer sums,
+    the sorted-run max-multiplicity pass, and all flags are per-row JVM
+    expressions; no explode, no shuffle, no Python. Every threshold
+    compares INTEGERS (total_len vs 3n/10n, mx*8 vs n) so no float
+    boundary can flip between engines; mean_word_len is reported
+    rounded but never compared."""
+    from .operators.textanalysis import max_multiplicity, tokens
+
+    d = load_table(spark, sf, "documents")
+    toks = tokens(F.col("text"))
+    n = F.size(toks).cast("long")
+    total_len = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda a, t: a + F.length(t)
+    )
+    stop_hits = F.size(
+        F.filter(toks, lambda t: F.lower(t).isin(*_ALL_STOPWORDS))
+    ).cast("long")
+    mx = max_multiplicity(toks)
+    flag_wc = n.between(20, 1000)
+    flag_ml = (total_len >= 3 * n) & (total_len <= 10 * n)
+    flag_sw = stop_hits >= 2
+    flag_tt = mx * 8 <= n
+    return d.select(
+        "doc_id",
+        n.alias("n_words"),
+        F.when(n > 0, F.round(total_len / n, 4)).alias("mean_word_len"),
+        flag_wc.alias("flag_word_count"),
+        flag_ml.alias("flag_mean_len"),
+        flag_sw.alias("flag_stopword"),
+        flag_tt.alias("flag_top_token"),
+        (flag_wc & flag_ml & flag_sw & flag_tt).alias("keep"),
+    )
+
+
+@query(
+    "semantic_decontaminate",
+    """
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ),
+    ev AS (SELECT vec_id AS eval_id, e AS ee FROM v WHERE vec_id % 10 = 0),
+    tr AS (SELECT vec_id, e FROM v WHERE vec_id % 10 <> 0),
+    s AS (
+      SELECT tr.vec_id, ev.eval_id,
+             list_cosine_similarity(tr.e, ev.ee) AS sim
+      FROM tr, ev
+    ),
+    r AS (
+      SELECT vec_id, eval_id, sim,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY sim DESC, eval_id) AS rn
+      FROM s WHERE sim >= 0.3
+    )
+    SELECT vec_id, eval_id, round(sim, 4) AS sim FROM r WHERE rn = 1
+    """,
+)
+def semantic_decontaminate_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding-space decontamination — the semantic sibling of the
+    n-gram ``decontaminate_hits``: flag every training vector whose
+    nearest EVAL-set vector (held-out benchmark stand-in: vec_id % 10
+    == 0) has cosine >= 0.3, reporting the best hit with a
+    deterministic tie-break. Paraphrased eval leakage survives n-gram
+    screens; this is the standard embedding backstop (e.g. SemDeDup-
+    style contamination checks).
+
+    Scale shape: the eval set is benchmark-sized (small by
+    construction), so it BROADCASTS onto the training stream — per-row
+    scoring plus a vec_id-partitioned argmax window; the training side
+    never shuffles for scoring. At extreme eval sizes the shipped
+    sign-LSH / IVF candidate generators (ann_lsh_topk / ann_ivf_topk)
+    replace the exact loop, same as hard_negatives documents."""
+    from pyspark.sql import Window
+
+    from .operators.similarity import cosine
+
+    emb = load_table(spark, sf, "embeddings")
+    ev = emb.filter(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("eval_id"), F.col("embedding").alias("ee")
+    )
+    tr = emb.filter(F.col("vec_id") % 10 != 0).select("vec_id", "embedding")
+    scored = tr.crossJoin(F.broadcast(ev)).select(
+        "vec_id", "eval_id", cosine(F.col("embedding"), F.col("ee")).alias("sim")
+    ).filter(F.col("sim") >= 0.3)
+    w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("eval_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "eval_id", F.round("sim", 4).alias("sim"))
+    )
+
+
+@query(
+    "embedding_dim_standardize",
+    """
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS arr FROM embeddings
+    ),
+    x AS (
+      SELECT vec_id, p.pos, arr[p.pos + 1] AS x
+      FROM e, (SELECT unnest(range(0, 64)) AS pos) p
+    ),
+    med AS (SELECT pos, median(x) AS med FROM x GROUP BY pos),
+    mad AS (
+      SELECT x.pos, m.med, median(abs(x.x - m.med)) AS mad
+      FROM x JOIN med m ON x.pos = m.pos
+      GROUP BY x.pos, m.med
+    )
+    SELECT x.vec_id, CAST(x.pos AS BIGINT) AS pos,
+           round((x.x - d.med) / (1 + d.mad), 4) AS z
+    FROM x JOIN mad d ON x.pos = d.pos
+    """,
+)
+def embedding_dim_standardize_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Robust per-dimension embedding standardization for training-data
+    feature prep: z = (x - median_d) / (1 + MAD_d) per dimension d —
+    the outlier-resistant alternative to mean/std scaling (a handful of
+    corrupt vectors cannot shift the scale). Output is LONG format
+    (vec_id, pos, z): position-faithful without array-ordering hazards
+    in the cross-engine compare.
+
+    Cross-engine exactness: median/MAD are EXACT interpolating
+    percentiles (order-independent, unlike float mean/std whose
+    summation order differs between engines); each z is then a single
+    subtract + divide on identical double operands, so even the
+    unrounded values are bit-identical. Scale shape: posexplode to
+    (pos, x) — dimension count is small and fixed, so the two grouped
+    percentiles aggregate 64 groups and broadcast back onto the
+    stream; at 100 TB swap exact percentile for approx_percentile as
+    percentile_price documents."""
+    emb = load_table(spark, sf, "embeddings")
+    x = emb.select(
+        "vec_id", F.posexplode(F.col("embedding").cast("array<double>"))
+    ).toDF("vec_id", "pos", "x")
+    med = x.groupBy("pos").agg(F.expr("percentile(x, 0.5)").alias("med"))
+    mad = (
+        x.join(F.broadcast(med), "pos")
+        .groupBy("pos", "med")
+        .agg(F.expr("percentile(abs(x - med), 0.5)").alias("mad"))
+    )
+    return x.join(F.broadcast(mad), "pos").select(
+        "vec_id",
+        F.col("pos").cast("long").alias("pos"),
+        F.round((F.col("x") - F.col("med")) / (1 + F.col("mad")), 4).alias("z"),
+    )

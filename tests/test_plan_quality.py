@@ -155,6 +155,30 @@ def test_q11_threshold_is_one_scan_no_collect(spark, sf_dir, queries):
     assert "ReusedExchange" in final, plan
 
 
+def test_gopher_flags_is_map_only(spark, sf_dir, queries):
+    """The Gopher rule gate must stay a pure projection: tokenization,
+    integer sums, the sorted-run multiplicity pass, and every flag are
+    per-row expressions — no explode-to-aggregate, no shuffle, no
+    Python worker."""
+    plan = final_plan(queries["gopher_quality_flags"](spark, sf_dir))
+    final = plan.split("== Initial Plan ==")[0]
+    assert "Exchange" not in final, plan
+    assert "Generate" not in final, plan
+    assert "PythonUDF" not in final and "mapInPandas" not in final.lower(), plan
+
+
+def test_semantic_decontaminate_broadcasts_eval_no_shuffle_scoring(
+    spark, sf_dir, queries
+):
+    """The eval set broadcasts onto the training stream; the only hash
+    exchange is the vec_id argmax window — scoring itself never
+    shuffles the training side."""
+    plan = final_plan(queries["semantic_decontaminate"](spark, sf_dir))
+    final = plan.split("== Initial Plan ==")[0]
+    assert "BroadcastNestedLoopJoin" in final or "BroadcastHashJoin" in final
+    assert final.count("Exchange hashpartitioning") <= 1, plan
+
+
 def test_ann_candidate_filters_are_single_pass(spark, sf_dir, queries):
     """LSH and IVF probes: one Arrow pass over the scan, no shuffle before
     the top-k (TakeOrdered handles selection without a global sort)."""

@@ -86,6 +86,12 @@ WHITELIST: dict[str, dict[str, str]] = {
     "nearest_centroid_assign": {
         "bnl_join": "K-row centroid frame cross-joined for broadcast argmin"
     },
+    "semantic_decontaminate": {
+        "bnl_join": "benchmark-sized eval-embedding set broadcast onto "
+        "the training stream for exact cosine screening; at extreme "
+        "eval sizes the ANN candidate generators replace the exact "
+        "loop (docstring, same contract as hard_negatives)"
+    },
     "kmeans_one_iter": {
         "bnl_join": "K-row centroid frame cross-joined for broadcast argmin"
     },
