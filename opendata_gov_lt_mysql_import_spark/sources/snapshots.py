@@ -100,11 +100,16 @@ class MockConditionalPutPublish(PublishPrimitive):
     """Object-store stand-in for protocol tests: emulates a conditional
     put (compare-and-set on key absence) with a process-wide mutex as
     the store's internal atomicity, then materializes the winner's
-    object to the local path so readers work unchanged. The existence
-    check covers both this primitive's own store AND the filesystem, so
-    mixed-primitive writers still serialize correctly. No link(2), no
+    object to the local path so readers work unchanged. No link(2), no
     tmp-file protocol — exercising that the retry loop above depends
-    ONLY on put-if-absent semantics, not on POSIX specifics."""
+    ONLY on put-if-absent semantics, not on POSIX specifics.
+
+    All writers to a table must share ONE primitive (the same contract
+    real LogStores impose: Delta on S3 requires every writer to use the
+    same coordination store). The filesystem existence check below is a
+    convenience for probing pre-existing tables, NOT a mixed-writer
+    serialization guarantee — a link(2) writer racing this mock could
+    land between the check and the rename."""
 
     _mutex = threading.Lock()
 

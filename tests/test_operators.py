@@ -336,6 +336,60 @@ class TestDedup:
         )
         assert kept == [1, 10, 20, 99]  # one per component + the singleton
 
+    def test_pair_generation_equals_band_semantics_randomized(self, spark):
+        """The round-6 single-agg pair enumeration must emit EXACTLY the
+        pairs LSH banding semantics define: two docs pair iff some band
+        of their signatures is equal. Checked against a brute-force
+        O(n^2) comparison over the collected signatures themselves (not
+        over Spark's bucket hash), across seeded random corpora — so a
+        bucket-key collision bug, a slice off-by-one, or a dropped
+        bucket would all surface as set inequality."""
+        import random
+
+        from opendata_gov_lt_mysql_import_spark.operators.dedup import (
+            minhash_candidate_pairs,
+            minhash_signatures_arrow,
+        )
+
+        words = ["spark", "table", "row", "scan", "merge", "key", "agg"]
+        for seed in (7, 23, 99):
+            rng = random.Random(seed)
+            rows = []
+            for i in range(40):
+                base = [rng.choice(words) for _ in range(rng.randint(3, 12))]
+                rows.append((i, " ".join(base)))
+                if rng.random() < 0.3:  # planted near-dup
+                    mut = list(base)
+                    mut[rng.randrange(len(mut))] = rng.choice(words)
+                    rows.append((100 + i, " ".join(mut)))
+            df = spark.createDataFrame(rows, "id long, text string")
+
+            n_hashes, n_bands, rpb = 64, 16, 4
+            sigs = {
+                r["id"]: tuple(r["sig"])
+                for r in minhash_signatures_arrow(
+                    df, "text", "id", n_hashes, 9
+                ).collect()
+            }
+            ids = sorted(sigs)
+            expected = set()
+            for x in range(len(ids)):
+                for y in range(x + 1, len(ids)):
+                    a, b = ids[x], ids[y]
+                    if any(
+                        sigs[a][k * rpb:(k + 1) * rpb]
+                        == sigs[b][k * rpb:(k + 1) * rpb]
+                        for k in range(n_bands)
+                    ):
+                        expected.add((a, b))
+            got = {
+                (r["id_a"], r["id_b"])
+                for r in minhash_candidate_pairs(
+                    df, "text", "id", min_jaccard_est=0.0
+                ).collect()
+            }
+            assert got == expected, f"seed {seed}: {got ^ expected}"
+
     def test_lsh_bucket_cap_bounds_degenerate_corpus(self, spark):
         """200 identical docs land in one bucket per band; with a cap the
         self-join is bounded and the dropped buckets are reported."""

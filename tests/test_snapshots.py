@@ -217,6 +217,49 @@ class TestSnapshots:
                 with open(path) as fh:
                     assert fh.read() == payload
 
+    def test_pruned_read_equals_filtered_full_read_randomized(
+        self, spark, tmp_path
+    ):
+        """File skipping must be invisible in RESULTS for any filter:
+        read_snapshot_pruned == read_snapshot().filter() row-for-row,
+        across seeded random range filters on a clustered table, while
+        pruned_file_counts proves files actually drop for selective
+        ranges (stats could silently stop pruning and results would
+        still pass — the counts pin the optimization half)."""
+        import random
+
+        from opendata_gov_lt_mysql_import_spark.sources.snapshots import (
+            pruned_file_counts,
+            read_snapshot_pruned,
+        )
+
+        t = str(tmp_path / "tbl")
+        df = spark.range(0, 4000).selectExpr(
+            "id", "id % 37 AS k", "CAST(id * 3 AS DOUBLE) AS v"
+        )
+        commit_snapshot(df, t, cluster_by=["id"], target_files=8)
+        rng = random.Random(11)
+        saw_pruning = False
+        for _ in range(8):
+            lo = rng.randrange(0, 3500)
+            hi = lo + rng.randrange(50, 400)
+            filters = [("id", ">=", lo), ("id", "<", hi)]
+            got = sorted(
+                (r["id"], r["k"]) for r in
+                read_snapshot_pruned(spark, t, filters).collect()
+            )
+            want = sorted(
+                (r["id"], r["k"]) for r in
+                read_snapshot(spark, t)
+                .filter(f"id >= {lo} AND id < {hi}").collect()
+            )
+            assert got == want, (lo, hi)
+            kept, total = pruned_file_counts(t, filters)
+            assert total == 8
+            if kept < total:
+                saw_pruning = True
+        assert saw_pruning  # narrow ranges on a clustered table must skip
+
     def test_vacuum_reclaims_aborted_commit_dirs(self, spark, tmp_path):
         """data/<uuid>/ dirs written but never published (aborted or
         race-lost commits) are reclaimed once past the grace window;
