@@ -3257,7 +3257,7 @@ def semantic_decontaminate_q(spark: SparkSession, sf: str) -> DataFrame:
       GROUP BY x.pos, m.med
     )
     SELECT x.vec_id, CAST(x.pos AS BIGINT) AS pos,
-           round((x.x - d.med) / (1 + d.mad), 4) AS z
+           round((x.x - d.med) / (1 + d.mad), 4) + 0.0 AS z
     FROM x JOIN mad d ON x.pos = d.pos
     """,
 )
@@ -3288,8 +3288,14 @@ def embedding_dim_standardize_q(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("pos", "med")
         .agg(F.expr("percentile(abs(x - med), 0.5)").alias("mad"))
     )
+    # + 0.0 canonicalizes IEEE negative zero (round() emits -0.0 for
+    # tiny negatives and the engines disagree on which; -0.0 + 0.0 is
+    # +0.0 by IEEE round-to-nearest, so the hash compare sees one zero)
     return x.join(F.broadcast(mad), "pos").select(
         "vec_id",
         F.col("pos").cast("long").alias("pos"),
-        F.round((F.col("x") - F.col("med")) / (1 + F.col("mad")), 4).alias("z"),
+        (
+            F.round((F.col("x") - F.col("med")) / (1 + F.col("mad")), 4)
+            + F.lit(0.0)
+        ).alias("z"),
     )
