@@ -1128,7 +1128,10 @@ def zorder_pruned_scan(spark: SparkSession, sf: str) -> DataFrame:
     root = tempfile.mkdtemp(prefix="zorder_q_")
     try:
         t = f"{root}/orders_z"
-        commit_snapshot(o, t)
+        # few files in the seed commit: its layout is immediately
+        # superseded by the ZORDER rewrite, so extra files only cost
+        # stat-collection footer reads
+        commit_snapshot(o, t, target_files=4)
         zorder_snapshot(spark, t, ("ckey", "cents"), target_files=16)
         f_ck = [("ckey", "<=", ck_hi)]
         f_c = [("cents", "<=", c_hi)]
