@@ -81,3 +81,73 @@ def pagerank(
         ed.unpersist()
         nodes.unpersist()
     return ranks
+
+
+def pagerank_fixed_point(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    k: int = 5,
+    scale: int = 10**12,
+    undirected: bool = False,
+) -> DataFrame:
+    """K PageRank iterations in FIXED-POINT integer arithmetic; returns
+    (node, rank_fp) with ranks in units of 1/``scale``.
+
+    Same message-passing loop as :func:`pagerank`, but every quantity is
+    a BIGINT: rank0 = scale, per-edge contribution = rank DIV out-degree,
+    update = (15*scale) DIV 100 + (85 * inflow) DIV 100 (damping 0.85 as
+    exact integer ratios). Integral division truncates identically on
+    every engine, and integer sums are summation-order-free — so K
+    chained iterations are BIT-IDENTICAL across Spark and any ANSI SQL
+    engine, which upgrades the K-round query from rows-only to fully
+    oracle-checked (the float twin's per-round sums reorder across
+    partitions and flip low decimals). Quantization: each DIV truncates
+    < 1 unit (1e-12), so total mass drifts DOWN by at most
+    edges+nodes units per round — deterministic, and immaterial next to
+    the float twin's nondeterminism. Overflow headroom: rank <= N*scale;
+    85*inflow <= 85*N*scale needs N*scale < 1.1e17, i.e. ~1e5 nodes at
+    scale=1e12 — drop scale one decade per 10x nodes beyond that."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    if undirected:
+        e = e.union(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        ).distinct()
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    ed = e.join(deg, "src").persist(StorageLevel.MEMORY_AND_DISK)
+    # mirrored or not, receivers without out-edges still need rank rows:
+    nodes = (
+        e.select("src")
+        .union(e.select(F.col("dst").alias("src")))
+        .distinct()
+        .select(F.col("src").alias("node"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    teleport = 15 * scale // 100
+    ranks = nodes.select("node", F.lit(scale).cast("long").alias("rank_fp"))
+    try:
+        for _ in range(k):
+            contrib = ed.join(
+                ranks, ed["src"] == ranks["node"]
+            ).select(
+                F.col("dst").alias("node"),
+                F.expr("rank_fp DIV deg").alias("c"),
+            )
+            inflow = contrib.groupBy("node").agg(F.sum("c").alias("infl"))
+            ranks = (
+                nodes.join(inflow, "node", "left")
+                .select(
+                    "node",
+                    (
+                        F.lit(teleport)
+                        + F.expr("(85 * coalesce(infl, 0)) DIV 100")
+                    ).cast("long").alias("rank_fp"),
+                )
+                .localCheckpoint(eager=True)
+            )
+    finally:
+        ed.unpersist()
+        nodes.unpersist()
+    return ranks

@@ -1750,32 +1750,76 @@ def corpus_slice_cosine_q(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@query("pagerank_k", None)
+def _pagerank_k_oracle(k: int, scale: int) -> str:
+    """Unrolled K-iteration fixed-point PageRank as chained CTEs —
+    aggregation is illegal in a recursive CTE term, so a FIXED k
+    unrolls instead (each stage is the same join+agg the Spark loop
+    runs). All-BIGINT arithmetic (// floor-division, exact integer
+    sums) makes every stage bit-identical to the Spark fixed-point
+    loop; HUGEINT sums are cast back per stage."""
+    teleport = 15 * scale // 100
+    stages = []
+    for i in range(k):
+        stages.append(f"""
+    r{i + 1} AS (
+      SELECT n.node,
+             CAST({teleport} + (85 * COALESCE(s.infl, 0)) // 100 AS BIGINT)
+               AS rank_fp
+      FROM nodes n LEFT JOIN (
+        SELECT e.dst AS node, SUM(r.rank_fp // d.deg) AS infl
+        FROM e JOIN r{i} r ON e.src = r.node
+               JOIN deg d ON e.src = d.src
+        GROUP BY e.dst
+      ) s ON n.node = s.node
+    )""")
+    return f"""
+    WITH base AS (
+      SELECT DISTINCT l_partkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+      FROM lineitem
+    ),
+    e AS (SELECT src, dst FROM base UNION SELECT dst, src FROM base),
+    deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY 1),
+    nodes AS (SELECT DISTINCT src AS node FROM e),
+    r0 AS (SELECT node, CAST({scale} AS BIGINT) AS rank_fp FROM nodes),
+    {",".join(stages)}
+    SELECT CAST((node - 1) // 2 AS BIGINT) AS suppkey,
+           rank_fp,
+           rank_fp / {scale}.0 AS pagerank
+    FROM r{k} WHERE node % 2 = 1
+    """
+
+
+@query("pagerank_k", _pagerank_k_oracle(5, _PR_SCALE))
 def pagerank_k_q(spark: SparkSession, sf: str) -> DataFrame:
     """K=5 PageRank iterations (operators/graph.py) over the undirected
     part↔supplier graph: node ids namespace the two key spaces
-    (part→2k, supplier→2k+1), edges mirrored so no node dangles and
-    total rank mass is conserved at N exactly — the pytest-pinned
-    invariant. Rows-only in the driver (iterative float fixed-point;
-    per-iteration results are not SQL-expressible without a recursive
-    CTE over floats whose summation order DuckDB and Spark won't agree
-    on — pagerank_one_iter is the oracle-checked single-step twin).
-    Returns suppliers only, rank descending then key."""
-    from .operators.graph import pagerank
+    (part→2k, supplier→2k+1), edges mirrored so no node dangles.
+    FIXED-POINT integer iterations (pagerank_fixed_point): every rank is
+    a BIGINT in 1e-12 units, contributions are integral divisions, so K
+    chained rounds are bit-identical across engines — this upgraded the
+    query from rows-only (the float loop's per-round summation order
+    flips low decimals) to fully oracle-checked against an UNROLLED
+    5-stage CTE running the identical integer arithmetic. The float
+    twin keeps the mass-conservation invariant in tests/test_graph.py;
+    pagerank_one_iter remains the single-step float-path oracle row.
+    Returns suppliers only with exact rank_fp and derived pagerank
+    (one division of identical ints — bit-identical unrounded)."""
+    from .operators.graph import pagerank_fixed_point
 
     li = load_table(spark, sf, "lineitem")
     e = li.select(
         (F.col("l_partkey") * 2).alias("src"),
         (F.col("l_suppkey") * 2 + 1).alias("dst"),
     )
-    ranks = pagerank(e, k=5, undirected=True)
+    ranks = pagerank_fixed_point(e, k=5, scale=_PR_SCALE, undirected=True)
     return (
         ranks.filter(F.col("node") % 2 == 1)
         .select(
-            ((F.col("node") - 1) / 2).cast("long").alias("suppkey"),
-            "rank",
+            F.expr("(node - 1) DIV 2").alias("suppkey"),
+            "rank_fp",
+            (F.col("rank_fp") / F.lit(float(_PR_SCALE))).alias("pagerank"),
         )
-        .orderBy(F.desc("rank"), F.asc("suppkey"))
+        .orderBy(F.desc("rank_fp"), F.asc("suppkey"))
     )
 
 

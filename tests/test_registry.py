@@ -15,9 +15,6 @@ ROWS_ONLY = {
     "approx_percentile_price": "KLL sketch estimate is engine-specific",
     "sample_stratified_by_lang": "Bernoulli draws are engine-specific",
     "pack_sequences": "greedy first-fit packing order is engine-specific",
-    "pagerank_k": "iterative float fixed-point; summation order across "
-    "K rounds is engine-specific (pagerank_one_iter is the "
-    "oracle-checked single-step twin; invariants in tests/test_graph.py)",
     "weighted_sample_orders": "A-ES keys use -ln(u)/w; ln differs in the "
     "last ulp across libms so the top-k boundary is engine-specific "
     "(inclusion-probability contract pinned in tests/test_splits.py)",
@@ -64,13 +61,15 @@ def test_driver_visible_window_is_curated():
     names = list(entrymod.queries())
     assert names[:50] == list(DRIVER_TOP50)
     # curated entries are oracle-checked, with a small explicit
-    # exception list: round-6 rotated two families whose semantics are
-    # not SQL-expressible (documented in ROWS_ONLY above) into the
-    # window per the round-5 review, so those families earn a driver
-    # row at all — the driver records their weaker rows-only check and
-    # their invariants stay pytest-pinned. Cap the contingent so
-    # rows-only entries can never crowd out oracle rows.
-    allowed_rows_only = {"pagerank_k", "weighted_sample_orders"}
+    # exception list: round-6 rotated rows-only families (documented in
+    # ROWS_ONLY above) into the window per the round-5 review, so those
+    # families earn a driver row at all — the driver records their
+    # weaker rows-only check and their invariants stay pytest-pinned.
+    # Cap the contingent so rows-only entries can never crowd out
+    # oracle rows. (pagerank_k left this list the same round: its
+    # fixed-point integer rewrite made K rounds bit-identical across
+    # engines, so it carries a full unrolled-CTE oracle now.)
+    allowed_rows_only = {"weighted_sample_orders"}
     oracles = entrymod.oracle_sql()
     missing = [
         n for n in DRIVER_TOP50
