@@ -3343,3 +3343,82 @@ def embedding_dim_standardize_q(spark: SparkSession, sf: str) -> DataFrame:
             + F.lit(0.0)
         ).alias("z"),
     )
+
+
+@query(
+    "ngram_jaccard_verify_md5",
+    f"""
+    WITH docs AS ({_DUP_UNION_SQL}),
+    toks AS (
+      SELECT doc_id, str_split_regex(trim(text), '\\s+') AS toks FROM docs
+    ),
+    grams AS (
+      SELECT doc_id, list_distinct(list_transform(
+               generate_series(1, greatest(len(toks) - 2, 1)),
+               i -> array_to_string(toks[i:i+2], ' '))) AS gs
+      FROM toks
+    ),
+    sigs AS (
+      SELECT doc_id, list_transform(range(0, 16),
+               p -> list_min(list_transform(gs,
+                      g -> md5(g || '#' || CAST(p AS VARCHAR))))) AS sig
+      FROM grams
+    ),
+    banded AS (
+      SELECT doc_id, t.b AS b,
+             md5(sig[2*t.b + 1] || sig[2*t.b + 2]
+                 || '@' || CAST(t.b AS VARCHAR)) AS bkey
+      FROM sigs CROSS JOIN (SELECT unnest(range(0, 8)) AS b) t
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+      FROM banded a
+      JOIN banded c ON a.b = c.b AND a.bkey = c.bkey AND a.doc_id < c.doc_id
+    ),
+    kept AS (
+      SELECT p.id_a, p.id_b
+      FROM cand p
+      JOIN sigs sa ON sa.doc_id = p.id_a
+      JOIN sigs sb ON sb.doc_id = p.id_b
+      WHERE len(list_filter(range(1, 17), i -> sa.sig[i] = sb.sig[i])) >= 5
+    ),
+    g2 AS (
+      SELECT doc_id, list_distinct(list_transform(
+               generate_series(1, greatest(len(toks) - 1, 1)),
+               i -> CASE WHEN i + 1 <= len(toks)
+                         THEN toks[i] || ' ' || toks[i+1]
+                         ELSE toks[i] END)) AS gs2
+      FROM toks
+    )
+    SELECT k.id_a, k.id_b,
+           len(list_intersect(a.gs2, b.gs2))
+             / CAST(len(list_distinct(a.gs2 || b.gs2)) AS DOUBLE) AS jaccard
+    FROM kept k
+    JOIN g2 a ON a.doc_id = k.id_a
+    JOIN g2 b ON b.doc_id = k.id_b
+    WHERE len(list_intersect(a.gs2, b.gs2))
+             / CAST(len(list_distinct(a.gs2 || b.gs2)) AS DOUBLE) >= 0.5
+    """,
+)
+def ngram_jaccard_verify_md5_q(spark: SparkSession, sf: str) -> DataFrame:
+    """The FULL near-dup pipeline — LSH candidate generation → exact
+    word-bigram Jaccard verification — hash-verified end to end: md5
+    signatures (engine-neutral, k=16, 8 bands) generate candidates with
+    >= 5/16 matching components, and only those pairs are exactly
+    verified at jaccard >= 0.5. The oracle recomputes the identical
+    signatures, banding, candidate filter, and exact Jaccard in SQL, so
+    the pipeline *composition* is oracle-checked, not just its stages
+    (``minhash_lsh_pairs_md5`` pins generation; ``ngram_jaccard_pairs``
+    pins blocked verification; ``ngram_jaccard_verify_lsh`` remains the
+    xxhash64 performance path, rows-only). Same scale shape as the
+    production path: verification cost is linear in the candidate
+    stream."""
+    from .operators.dedup import jaccard_verify_pairs, minhash_md5_pairs
+
+    d = _spread(_documents_with_dups(spark, sf))
+    cands = minhash_md5_pairs(
+        d, "text", "doc_id", n_gram=3, k=16, bands=8
+    ).filter(F.col("n_match") >= 5)
+    return jaccard_verify_pairs(
+        d, cands, text_col="text", id_col="doc_id", n=2, min_jaccard=0.5
+    )
