@@ -3422,3 +3422,85 @@ def ngram_jaccard_verify_md5_q(spark: SparkSession, sf: str) -> DataFrame:
     return jaccard_verify_pairs(
         d, cands, text_col="text", id_col="doc_id", n=2, min_jaccard=0.5
     )
+
+
+def _split_case_sql() -> str:
+    from .operators.splits import split_sql_case
+
+    return split_sql_case(
+        "COALESCE(c.cluster, d.doc_id)",
+        {"train": 0.8, "val": 0.1, "test": 0.1},
+        seed=42,
+    )
+
+
+@query(
+    "split_by_dup_cluster",
+    rf"""
+    WITH RECURSIVE docs AS ({_DUP_UNION_SQL}),
+    t AS (SELECT doc_id, str_split_regex(trim(text), '\s+') AS toks FROM docs),
+    g AS (
+      SELECT doc_id,
+             list_sort(list_distinct(list_transform(
+               generate_series(1, greatest(len(toks) - 1, 1)),
+               i -> CASE WHEN i + 1 <= len(toks)
+                         THEN toks[i] || ' ' || toks[i+1]
+                         ELSE toks[i] END))) AS grams
+      FROM t
+    ),
+    p AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM g a JOIN g b ON a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.grams, b.grams))
+            / CAST(len(list_distinct(a.grams || b.grams)) AS DOUBLE) >= 0.5
+    ),
+    e AS (SELECT id_a AS a, id_b AS b FROM p
+          UNION ALL
+          SELECT id_b, id_a FROM p),
+    reach(id, r) AS (
+      SELECT a, a FROM e
+      UNION
+      SELECT e.a, reach.r FROM e JOIN reach ON reach.id = e.b
+    ),
+    comp AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id)
+    SELECT d.doc_id,
+           COALESCE(c.cluster, d.doc_id) AS cluster,
+           {{SPLIT_CASE}} AS split
+    FROM docs d LEFT JOIN comp c ON d.doc_id = c.id
+    """.replace("{SPLIT_CASE}", _split_case_sql()),
+)
+def split_by_dup_cluster_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Leakage-free train/val/test assignment: near-duplicate documents
+    MUST land on the same side of a split, or the test set leaks
+    through paraphrases of training rows — so the split hash keys on
+    the near-dup CLUSTER id (connected component of the >=0.5-Jaccard
+    pair graph; singleton docs are their own cluster), not on the doc
+    id. Composes three oracle-checked pieces end to end: exact-Jaccard
+    pair generation, component labeling (recursive-CTE oracle), and
+    the md5 hash-bucket split (stable under appends, shuffle-free on
+    the assignment side). The cluster labeling is the only non-map
+    stage; at 100 TB the pair generator upstream is the LSH path and
+    everything downstream of components is unchanged."""
+    from .operators.dedup import connected_components
+    from .operators.splits import hash_split
+
+    d = _documents_with_dups(spark, sf)
+    pairs = blocked_jaccard_pairs(
+        d.withColumn("_b", F.lit(1)),
+        text_col="text",
+        id_col="doc_id",
+        block_col="_b",
+        n=2,
+        min_jaccard=0.5,
+    )
+    comp = connected_components(pairs)
+    clusters = (
+        d.select("doc_id")
+        .join(comp, d["doc_id"] == comp["id"], "left")
+        .select(
+            "doc_id", F.coalesce("cluster", F.col("doc_id")).alias("cluster")
+        )
+    )
+    return hash_split(
+        clusters, "cluster", {"train": 0.8, "val": 0.1, "test": 0.1}, seed=42
+    )

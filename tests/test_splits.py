@@ -108,3 +108,24 @@ class TestWeightedSample:
             assert 1 not in {
                 r["id"] for r in weighted_sample(df, "w", 2, seed=seed).collect()
             }
+
+
+def test_split_by_dup_cluster_never_splits_a_cluster(spark, sf_dir):
+    """The leakage guard itself: every member of a near-dup cluster must
+    carry the SAME split label (one leaked paraphrase invalidates the
+    eval set), and all three splits must be non-empty on the planted-
+    duplicate corpus."""
+    import __spark_entry__ as entrymod
+    from pyspark.sql import functions as F
+
+    df = entrymod.queries()["split_by_dup_cluster"](spark, sf_dir)
+    per_cluster = df.groupBy("cluster").agg(
+        F.countDistinct("split").alias("n_splits"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    assert per_cluster.filter("n_splits > 1").count() == 0
+    # the planted +1000000 clones form multi-member clusters — the
+    # invariant must be exercised, not vacuous
+    assert per_cluster.filter("n > 1").count() > 0
+    labels = {r["split"] for r in df.select("split").distinct().collect()}
+    assert labels == {"train", "val", "test"}
