@@ -24,10 +24,29 @@ from pyspark.sql import functions as F
 # Java SimpleDateFormat equivalent of the reference's '%Y-%m-%dT%H:%M:%S'
 DATETIME_FORMAT = "yyyy-MM-dd'T'HH:mm:ss"
 
+# MySQL's invalid-date placeholder; the reference's DatetimeEncoder maps
+# it to None (odgovlt.py:131-140) because strftime raises on year 0.
+ZERO_DATE = "0000-00-00 00:00:00"
+
 
 def encode_datetime(c: Column) -> Column:
     """Timestamp column → reference-format string (null stays null)."""
     return F.date_format(c, DATETIME_FORMAT)
+
+
+def normalize_zero_date(
+    c: Column, fmt: str = "yyyy-MM-dd HH:mm:ss"
+) -> Column:
+    """Legacy datetime STRING → timestamp, with the MySQL zero-date
+    sentinel mapped to null (reference odgovlt.py:131-140; the JDBC
+    path handles the same hazard engine-side via
+    ``zeroDateTimeBehavior=CONVERT_TO_NULL``, sources/jdbc.py). The
+    sentinel guard runs BEFORE the parse — under ANSI mode
+    ``to_timestamp('0000-00-00 ...')`` would raise, and per-row CASE
+    evaluation is lazy, so guarded rows never reach the parser."""
+    return F.when(
+        F.trim(c) == ZERO_DATE, F.lit(None).cast("timestamp")
+    ).otherwise(F.to_timestamp(c, fmt))
 
 
 class _DatetimeEncoder(json.JSONEncoder):

@@ -195,7 +195,7 @@ def minhash_candidate_pairs(
     shingle_k: int = 9,
     min_jaccard_est: float = 0.5,
     impl: str = "arrow",
-    max_bucket_size: int | None = None,
+    max_bucket_size: int | None = 4096,
     dropped_out: list | None = None,
 ) -> DataFrame:
     """MinHash-LSH near-duplicate candidate pairs with signature-overlap
@@ -209,9 +209,14 @@ def minhash_candidate_pairs(
     This replaces the former occupancy-count + left-anti + bucket
     self-join chain (three extra shuffles) with plain per-group
     expression work. ``max_bucket_size`` caps bucket occupancy — a
-    bucket of B members yields B²/2 pairs, so one degenerate bucket
-    (boilerplate page, empty doc) can dominate the job at corpus scale;
-    when set, pass ``dropped_out=[]`` to receive the hot-bucket report
+    bucket of B members yields B²/2 pairs IN ONE UNSPLITTABLE TASK
+    (collect_list concentrates the bucket on a single row), so one
+    degenerate bucket (boilerplate page, empty doc) can dominate the
+    job at corpus scale. The DEFAULT cap of 4096 bounds any single
+    task at ~8.4M generated pairs (round-6 advisory: the uncapped path
+    is single-task per bucket and must be opt-in); pass ``None``
+    explicitly to disable for exhaustive small-corpus runs. When
+    capping, pass ``dropped_out=[]`` to receive the hot-bucket report
     DataFrame (band, bucket, bucket_size) appended to that list so the
     truncation is never silent.
 

@@ -106,8 +106,14 @@ def pagerank_fixed_point(
     < 1 unit (1e-12), so total mass drifts DOWN by at most
     edges+nodes units per round — deterministic, and immaterial next to
     the float twin's nondeterminism. Overflow headroom: rank <= N*scale;
-    85*inflow <= 85*N*scale needs N*scale < 1.1e17, i.e. ~1e5 nodes at
-    scale=1e12 — drop scale one decade per 10x nodes beyond that."""
+    85*inflow <= 85*N*scale needs N*scale < 1.08e17, i.e. ~1e5 nodes at
+    scale=1e12 — drop scale one decade per 10x nodes beyond that. The
+    headroom is ASSERTED at runtime (round-6 advisory): Spark's
+    non-ANSI BIGINT would silently wrap past it while a HUGEINT-
+    promoting oracle would not, so the divergence must be an error, not
+    a confusing hash mismatch. The node count is a one-row aggregate
+    over the already-persisted node set — bounded setup, not data
+    motion."""
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
@@ -125,6 +131,16 @@ def pagerank_fixed_point(
         .select(F.col("src").alias("node"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    # worst case inside one update: 85 * inflow, inflow <= N * scale
+    # (total mass only shrinks under truncating DIV). Require it to fit
+    # BIGINT with the same margin the docstring promises.
+    n_nodes = nodes.count()
+    if 85 * n_nodes * scale >= 2**63:
+        raise ValueError(
+            f"fixed-point overflow: {n_nodes} nodes at scale={scale} "
+            f"needs 85*N*scale < 2^63; lower scale to "
+            f"<= {2**63 // (85 * n_nodes)} (one decade per 10x nodes)"
+        )
     teleport = 15 * scale // 100
     ranks = nodes.select("node", F.lit(scale).cast("long").alias("rank_fp"))
     try:

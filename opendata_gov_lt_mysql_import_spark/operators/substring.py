@@ -1,0 +1,170 @@
+"""Exact substring (duplicated-span) deduplication.
+
+Cross-document duplicated-span detection at fixed token granularity, the
+ExactSubstr method of Lee et al. 2022 ("Deduplicating Training Data Makes
+Language Models Better"), re-expressed relationally: instead of a suffix
+array (their single-node implementation), every k-token sliding window is
+fingerprinted (md5 — the repo's engine-portable hash idiom) and duplicated
+spans fall out of ONE shuffle grouping on the window hash. A window that
+occurs in >= ``min_docs`` distinct documents is a duplicated span; the
+removal transform excises every token covered by a duplicated window
+except in the span's globally-first occurrence (lexicographic (doc, pos)),
+so exactly one copy of each duplicated span survives the corpus.
+
+Scale shape (100 TB): window fingerprinting is a map-only projection per
+document (no shuffle); the explode to (doc, pos, fp) multiplies rows by
+~tokens-per-doc but each row is a fixed-width (id, long, 32-char) triple —
+far narrower than the text; duplicate detection + first-occurrence ranking
+share ONE hash partitioning on fp (window functions over the same key);
+coverage union is one groupBy on doc id. No all-pairs stage anywhere —
+cost is linear in total windows, exactly the suffix-array method's output
+complexity without its global sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .textanalysis import tokens
+
+__all__ = [
+    "span_fingerprints",
+    "duplicated_spans",
+    "remove_duplicated_spans",
+]
+
+
+def _window_structs(text_col: Column, k: int) -> Column:
+    """Array of (pos, fp) for every k-token sliding window; empty for
+    docs shorter than k tokens. 1-based pos (matches SQL engines'
+    list indexing so the oracle needs no off-by-one shims)."""
+    toks = tokens(text_col)
+    n = F.size(toks)
+    wins = F.transform(
+        F.sequence(F.lit(1), n - F.lit(k - 1)),
+        lambda i: F.struct(
+            i.cast("long").alias("pos"),
+            F.md5(F.concat_ws(" ", F.slice(toks, i, k))).alias("fp"),
+        ),
+    )
+    # guard BEFORE sequence(): Spark's sequence(1, m) with m < 1 infers a
+    # NEGATIVE step and yields a descending range, not an empty one
+    return F.when(n >= k, wins).otherwise(
+        F.array().cast("array<struct<pos:bigint,fp:string>>")
+    )
+
+
+def span_fingerprints(
+    df: DataFrame, text_col: str, id_col: str, k: int = 50
+) -> DataFrame:
+    """(id, pos, fp) for every k-token sliding window of every document.
+
+    Map-only until the explode; each output row is fixed-width, so the
+    downstream shuffle on fp moves hashes, never text."""
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    return (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(_window_structs(F.col(text_col), k)).alias("w"),
+        )
+        .select("id", F.col("w.pos").alias("pos"), F.col("w.fp").alias("fp"))
+    )
+
+
+def duplicated_spans(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 50,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Spans (k-token windows) duplicated across >= min_docs documents.
+
+    Returns (fp, n_docs, n_occ, keeper_id, keeper_pos): occurrence
+    counts plus the span's globally-first occurrence — the copy the
+    removal transform retains. ONE shuffle on fp; the keeper is
+    min(struct(id, pos)) (Spark struct comparison is lexicographic,
+    identical to ORDER BY id, pos)."""
+    w = span_fingerprints(df, text_col, id_col, k)
+    return (
+        w.groupBy("fp")
+        .agg(
+            F.countDistinct("id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occ"),
+            F.min(F.struct("id", "pos")).alias("_first"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+        .select(
+            "fp",
+            "n_docs",
+            "n_occ",
+            F.col("_first.id").alias("keeper_id"),
+            F.col("_first.pos").alias("keeper_pos"),
+        )
+    )
+
+
+def remove_duplicated_spans(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 50,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Span-removal transform: every token covered by a cross-document
+    duplicated window is excised, EXCEPT in the window's globally-first
+    occurrence — one copy of each duplicated span survives (Lee et al.
+    2022 §3.1 semantics). Returns (id, text, n_removed) for EVERY input
+    document; untouched docs come back whitespace-normalized (tokens
+    rejoined with single spaces), which keeps the output a pure function
+    of the token sequence on any engine.
+
+    A kept (first-occurrence) window's tokens can still be removed if a
+    DIFFERENT duplicated span's non-first occurrence overlaps them —
+    coverage is a per-token union, deterministic on both engines.
+
+    Shuffles: one hash partitioning on fp (the n_docs count and the
+    first-occurrence rank are window functions over the SAME key, so
+    Catalyst plans a single exchange), one groupBy on doc id for the
+    coverage union, one join back to the corpus. Membership testing at
+    reassembly is per-row expression work: O(tokens * covered) per doc,
+    bounded because chunking upstream bounds document length."""
+    w = span_fingerprints(df, text_col, id_col, k)
+    win_fp = Window.partitionBy("fp")
+    win_rank = Window.partitionBy("fp").orderBy("id", "pos")
+    marked = w.select(
+        "id",
+        "pos",
+        F.size(F.collect_set("id").over(win_fp)).alias("n_docs"),
+        F.row_number().over(win_rank).alias("rn"),
+    )
+    removable = marked.filter(
+        (F.col("n_docs") >= min_docs) & (F.col("rn") > 1)
+    )
+    cov = (
+        removable.select(
+            "id",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + F.lit(k - 1))
+            ).alias("cp"),
+        )
+        .groupBy("id")
+        .agg(F.array_sort(F.collect_set("cp")).alias("cov"))
+    )
+    toks = tokens(F.col(text_col))
+    kept = F.filter(
+        toks,
+        lambda t, i: ~F.array_contains(
+            F.col("cov"), (i + F.lit(1)).cast("long")
+        ),
+    )
+    out = df.join(cov, df[id_col] == cov["id"], "left").select(
+        F.col(id_col).alias("id"),
+        F.when(F.col("cov").isNull(), F.concat_ws(" ", toks))
+        .otherwise(F.concat_ws(" ", kept))
+        .alias("text"),
+        F.coalesce(F.size("cov"), F.lit(0)).cast("long").alias("n_removed"),
+    )
+    return out

@@ -3146,7 +3146,13 @@ _STOPWORD_SQL_LIST = "[" + ", ".join(f"'{w}'" for w in _ALL_STOPWORDS) + "]"
     "gopher_quality_flags",
     rf"""
     WITH t AS (
-      SELECT doc_id, str_split_regex(trim(text), '\s+') AS toks
+      -- empty/whitespace-only guard (round-6 advisory): Spark's split
+      -- of '' yields an EMPTY array (n_words=0) while DuckDB's
+      -- str_split_regex('') yields [''] (n_words=1); force the
+      -- degenerate input to [] so the tokenization twins agree.
+      SELECT doc_id,
+             CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                  ELSE str_split_regex(trim(text), '\s+') END AS toks
       FROM documents
     ),
     base AS (
@@ -3504,3 +3510,137 @@ def split_by_dup_cluster_q(spark: SparkSession, sf: str) -> DataFrame:
     return hash_split(
         clusters, "cluster", {"train": 0.8, "val": 0.1, "test": 0.1}, seed=42
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact substring dedup (Lee et al. 2022 duplicated-span detection) —
+# round-7 surface. The fixture corpus has no planted cross-document spans,
+# so the span queries synthesize shifted copies: the first 100 docs are
+# re-emitted behind a doc-unique 3-token prefix, which moves every k-token
+# window of the original text to pos+3 in the copy — duplicated CONTENT at
+# a DIFFERENT position, the exact case position-keyed exact dedup misses
+# and window fingerprinting catches.
+# ---------------------------------------------------------------------------
+
+_SPAN_UNION_SQL = """
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 2000000 AS doc_id,
+           'copywrap-' || CAST(doc_id AS VARCHAR) || ' intro filler ' || text
+             AS text
+    FROM documents WHERE doc_id < 100
+"""
+
+#: shared window-fingerprint CTE chain (k=20): tokenize (with the
+#: empty-text guard both engines agree on), fingerprint every 20-token
+#: sliding window with md5, rank occurrences per fingerprint.
+_SPAN_W_SQL = rf"""
+    WITH docs AS ({_SPAN_UNION_SQL}),
+    t AS (
+      SELECT doc_id,
+             CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                  ELSE str_split_regex(trim(text), '\s+') END AS toks
+      FROM docs
+    ),
+    w AS (
+      SELECT doc_id, CAST(u.i AS BIGINT) AS pos,
+             md5(array_to_string(list_slice(toks, u.i, u.i + 19), ' ')) AS fp
+      FROM t, UNNEST(range(1, len(toks) - 18)) AS u(i)
+    ),
+    a AS (
+      SELECT doc_id, pos, fp,
+             row_number() OVER (PARTITION BY fp ORDER BY doc_id, pos) AS rn
+      FROM w
+    )
+"""
+
+
+def _documents_with_span_dups(spark: SparkSession, sf: str) -> DataFrame:
+    d = load_table(spark, sf, "documents").select("doc_id", "text")
+    shifted = d.filter(F.col("doc_id") < 100).select(
+        (F.col("doc_id") + F.lit(2000000)).alias("doc_id"),
+        F.concat(
+            F.lit("copywrap-"),
+            F.col("doc_id").cast("string"),
+            F.lit(" intro filler "),
+            F.col("text"),
+        ).alias("text"),
+    )
+    return d.unionByName(shifted)
+
+
+@query(
+    "substring_dup_spans",
+    f"""
+    {_SPAN_W_SQL},
+    g AS (
+      SELECT fp, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+             CAST(count(*) AS BIGINT) AS n_occ
+      FROM w GROUP BY fp
+    )
+    SELECT g.fp, g.n_docs, g.n_occ,
+           a.doc_id AS keeper_id, a.pos AS keeper_pos
+    FROM g JOIN a USING (fp)
+    WHERE a.rn = 1 AND g.n_docs >= 2
+    """,
+)
+def substring_dup_spans_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-document duplicated 20-token spans (ExactSubstr granularity
+    of Lee et al. 2022, relational form): every sliding window is md5-
+    fingerprinted and spans occurring in >= 2 distinct docs are emitted
+    with occurrence counts and the globally-first (keeper) occurrence.
+    ONE shuffle on the window hash — no suffix array, no all-pairs. The
+    oracle recomputes the identical windows, fingerprints, and
+    first-occurrence rank in SQL, so the span detector is hash-verified
+    end to end."""
+    from .operators.substring import duplicated_spans
+
+    d = _spread(_documents_with_span_dups(spark, sf))
+    return duplicated_spans(d, "text", "doc_id", k=20, min_docs=2)
+
+
+@query(
+    "substring_dedup_clean",
+    f"""
+    {_SPAN_W_SQL},
+    g AS (
+      SELECT fp FROM w GROUP BY fp HAVING count(DISTINCT doc_id) >= 2
+    ),
+    rem AS (
+      SELECT a.doc_id, a.pos FROM a JOIN g USING (fp) WHERE a.rn > 1
+    ),
+    cov AS (
+      SELECT doc_id,
+             list_sort(list_distinct(flatten(list(range(pos, pos + 20)))))
+               AS cov
+      FROM rem GROUP BY doc_id
+    )
+    -- COALESCE: DuckDB's array_to_string([]) is NULL where Spark's
+    -- concat_ws over an empty array is '' (fully-removed / empty docs)
+    SELECT t.doc_id,
+           COALESCE(array_to_string(
+             CASE WHEN c.cov IS NULL THEN t.toks
+                  ELSE list_where(t.toks,
+                         list_transform(generate_series(1, len(t.toks)),
+                                        p -> NOT list_contains(c.cov, p)))
+             END, ' '), '') AS text,
+           CAST(COALESCE(len(c.cov), 0) AS BIGINT) AS n_removed
+    FROM t LEFT JOIN cov c USING (doc_id)
+    """,
+)
+def substring_dedup_clean_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Span-REMOVAL transform of the substring dedup family: tokens
+    covered by any cross-document duplicated 20-token window are excised
+    everywhere except the span's globally-first occurrence, so exactly
+    one copy survives the corpus (Lee et al. 2022 §3.1). Returns every
+    document with its cleaned text and removed-token count; untouched
+    docs come back whitespace-normalized, keeping the output a pure
+    function of the token sequence on both engines. Shuffles: one on
+    the window hash (duplicate count + keeper rank share the
+    partitioning), one coverage union on doc id, one join back."""
+    from .operators.substring import remove_duplicated_spans
+
+    d = _spread(_documents_with_span_dups(spark, sf))
+    return remove_duplicated_spans(
+        d, "text", "doc_id", k=20, min_docs=2
+    ).withColumnRenamed("id", "doc_id")

@@ -39,6 +39,31 @@ class TestDatetimeEncoding:
         assert '"2017-03-05T13:45:07"' in s
         assert "ū" in s  # ensure_ascii off, like the staging IR
 
+    def test_zero_date_sentinel_to_null(self, spark):
+        """MySQL '0000-00-00 00:00:00' → null; valid strings parse; the
+        sentinel never reaches to_timestamp (ANSI would raise)."""
+        from opendata_gov_lt_mysql_import_spark.functions.json_codec import (
+            normalize_zero_date,
+        )
+
+        df = spark.createDataFrame(
+            [
+                ("0000-00-00 00:00:00",),
+                (" 0000-00-00 00:00:00 ",),  # trimmed before compare
+                ("2017-03-05 13:45:07",),
+                (None,),
+            ],
+            "raw string",
+        )
+        got = [
+            r["ts"]
+            for r in df.select(
+                normalize_zero_date(F.col("raw")).alias("ts")
+            ).collect()
+        ]
+        assert got[0] is None and got[1] is None and got[3] is None
+        assert got[2] == datetime.datetime(2017, 3, 5, 13, 45, 7)
+
 
 class TestRowsToJson:
     def test_roundtrip_via_spark(self, spark):

@@ -90,3 +90,19 @@ class TestPageRank:
         e = spark.createDataFrame([(1, 2)], "src long, dst long")
         with pytest.raises(ValueError):
             pagerank(e, k=0)
+
+    def test_fixed_point_overflow_guard(self, spark):
+        """Past the documented headroom, Spark's non-ANSI BIGINT
+        85*inflow would silently wrap while a HUGEINT-promoting oracle
+        would not — the divergence must be a clear error up front
+        (round-6 advisory), and the error must name a workable scale."""
+        from opendata_gov_lt_mysql_import_spark.operators.graph import (
+            pagerank_fixed_point,
+        )
+
+        e = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+        # 3 nodes at an absurd scale: 85 * 3 * 2^61 overflows BIGINT
+        with pytest.raises(ValueError, match="fixed-point overflow"):
+            pagerank_fixed_point(e, k=1, scale=2**61)
+        # same graph at the documented scale still runs
+        assert pagerank_fixed_point(e, k=1, scale=10**12).count() == 3

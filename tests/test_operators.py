@@ -401,7 +401,9 @@ class TestDedup:
         rows = [(i, "identical boilerplate text repeated everywhere") for i in range(200)]
         df = spark.createDataFrame(rows, "id long, text string")
 
-        uncapped = minhash_candidate_pairs(df, "text", "id", min_jaccard_est=0.5)
+        uncapped = minhash_candidate_pairs(
+            df, "text", "id", min_jaccard_est=0.5, max_bucket_size=None
+        )
         assert uncapped.count() == 200 * 199 // 2  # quadratic blow-up
 
         dropped: list = []
@@ -423,6 +425,32 @@ class TestDedup:
 
 
 class TestTextCleaning:
+    def test_gopher_empty_text_tokenization_parity(self, spark):
+        """Degenerate-input twin agreement (round-6 advisory): Spark's
+        tokens('') is an EMPTY array while DuckDB's str_split_regex('')
+        is [''] — the gopher oracle guards with CASE WHEN trim='' THEN
+        []; pin both engines at n_words=0 for empty/space-only input
+        (both engines' trim() strips SPACES only, so space-trimmed
+        emptiness is the exact boundary the guard covers)."""
+        import duckdb
+
+        from opendata_gov_lt_mysql_import_spark.operators.textanalysis import (
+            tokens,
+        )
+
+        for raw in ("", "   "):
+            n_duck = duckdb.sql(
+                "SELECT len(CASE WHEN trim(?) = '' THEN []::VARCHAR[] "
+                "ELSE str_split_regex(trim(?), '\\s+') END)",
+                params=[raw, raw],
+            ).fetchone()[0]
+            n_spark = (
+                spark.range(1)
+                .select(F.size(tokens(F.lit(raw))).alias("n"))
+                .first()["n"]
+            )
+            assert n_duck == n_spark == 0, raw
+
     def test_clean_and_verdict(self, spark):
         from opendata_gov_lt_mysql_import_spark.operators.textanalysis import (
             clean_text,

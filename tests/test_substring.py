@@ -1,0 +1,145 @@
+"""Exact substring (duplicated-span) dedup — Lee et al. 2022 semantics.
+
+Planted cross-document spans at DIFFERENT positions: the case exact
+(whole-doc) dedup misses and window fingerprinting must catch. Pinned:
+span recovery (exact fingerprint set), keeper selection (global first
+occurrence), removal coverage (union of windows, keeper retained),
+cross-document-only semantics (within-doc repeats survive), and the
+short-doc / degenerate-input edges.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from opendata_gov_lt_mysql_import_spark.operators.substring import (
+    duplicated_spans,
+    remove_duplicated_spans,
+    span_fingerprints,
+)
+
+
+def _toks(prefix: str, n: int) -> str:
+    return " ".join(f"{prefix}{i}" for i in range(n))
+
+
+# 25-token shared span S planted at pos 11 in doc 1 and pos 6 in doc 2
+_S = _toks("s", 25)
+_DOC1 = _toks("a", 10) + " " + _S + " " + _toks("b", 8)  # S at pos 11
+_DOC2 = _toks("c", 5) + " " + _S + " " + _toks("d", 12)  # S at pos 6
+K = 20
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return spark.createDataFrame(
+        [(1, _DOC1), (2, _DOC2), (3, _toks("e", 30))],
+        "doc_id long, text string",
+    )
+
+
+class TestSpanDetection:
+    def test_window_counts(self, spark, corpus):
+        w = span_fingerprints(corpus, "text", "doc_id", k=K)
+        per_doc = {
+            r["id"]: r["n"]
+            for r in w.groupBy("id").agg(F.count("*").alias("n")).collect()
+        }
+        # doc1: 10+25+8=43 tokens -> 24 windows; doc2: 5+25+12=42 -> 23
+        assert per_doc == {1: 24, 2: 23, 3: 11}
+
+    def test_planted_span_recovered_exactly(self, spark, corpus):
+        spans = duplicated_spans(corpus, "text", "doc_id", k=K).collect()
+        # windows fully inside the 25-token S: 25-20+1 = 6, each in both
+        # docs exactly once; nothing else collides
+        assert len(spans) == 6
+        for r in spans:
+            assert r["n_docs"] == 2 and r["n_occ"] == 2
+            assert r["keeper_id"] == 1  # doc 1 precedes doc 2
+        # keeper positions: S starts at pos 11 in doc1 -> windows 11..16
+        assert sorted(r["keeper_pos"] for r in spans) == [11, 12, 13, 14, 15, 16]
+
+    def test_removal_excises_span_once(self, spark, corpus):
+        out = {
+            r["id"]: r
+            for r in remove_duplicated_spans(
+                corpus, "text", "doc_id", k=K
+            ).collect()
+        }
+        # doc1 holds every first occurrence -> untouched
+        assert out[1]["n_removed"] == 0
+        assert out[1]["text"] == _DOC1
+        # doc2: coverage = union of windows at pos 6..11, each 20 long
+        # -> positions 6..30 = the full 25-token S
+        assert out[2]["n_removed"] == 25
+        expected = _toks("c", 5) + " " + _toks("d", 12)
+        assert out[2]["text"] == expected
+        assert out[3]["n_removed"] == 0 and out[3]["text"] == _toks("e", 30)
+
+    def test_within_doc_repeat_survives_cross_doc_rule(self, spark):
+        # the same 22-token span twice inside ONE doc: min_docs=2 counts
+        # DISTINCT docs, so nothing is duplicated "across" the corpus
+        s = _toks("x", 22)
+        df = spark.createDataFrame(
+            [(1, s + " " + s), (2, _toks("y", 30))], "doc_id long, text string"
+        )
+        assert duplicated_spans(df, "text", "doc_id", k=K).count() == 0
+        out = {
+            r["id"]: r
+            for r in remove_duplicated_spans(df, "text", "doc_id", k=K).collect()
+        }
+        assert out[1]["n_removed"] == 0
+
+    def test_short_and_empty_docs(self, spark):
+        df = spark.createDataFrame(
+            [(1, _toks("x", 19)), (2, ""), (3, "   ")],
+            "doc_id long, text string",
+        )
+        assert span_fingerprints(df, "text", "doc_id", k=K).count() == 0
+        out = {
+            r["id"]: r
+            for r in remove_duplicated_spans(df, "text", "doc_id", k=K).collect()
+        }
+        assert out[1]["text"] == _toks("x", 19) and out[1]["n_removed"] == 0
+        assert out[2]["text"] == "" and out[3]["text"] == ""
+
+    def test_k_validation(self, spark, corpus):
+        with pytest.raises(ValueError, match="k must be"):
+            span_fingerprints(corpus, "text", "doc_id", k=1)
+
+    def test_three_way_duplication_single_keeper(self, spark):
+        # span in three docs -> one keeper, coverage removed from BOTH
+        # later docs
+        s = _toks("z", 20)
+        df = spark.createDataFrame(
+            [
+                (10, s + " " + _toks("p", 5)),
+                (20, _toks("q", 3) + " " + s),
+                (30, s),
+            ],
+            "doc_id long, text string",
+        )
+        spans = duplicated_spans(df, "text", "doc_id", k=K).collect()
+        assert len(spans) == 1
+        assert spans[0]["n_docs"] == 3 and spans[0]["n_occ"] == 3
+        assert spans[0]["keeper_id"] == 10 and spans[0]["keeper_pos"] == 1
+        out = {
+            r["id"]: r
+            for r in remove_duplicated_spans(df, "text", "doc_id", k=K).collect()
+        }
+        assert out[10]["n_removed"] == 0
+        assert out[20]["n_removed"] == 20 and out[20]["text"] == _toks("q", 3)
+        assert out[30]["n_removed"] == 20 and out[30]["text"] == ""
+
+
+class TestPlanShape:
+    def test_no_cartesian_and_bounded_exchanges(self, spark, corpus):
+        plan = (
+            remove_duplicated_spans(corpus, "text", "doc_id", k=K)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
