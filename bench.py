@@ -114,6 +114,10 @@ HEADLINE = [
     "incremental_neardup_lsh",
     # round-6 surface
     "zorder_pruned_scan",
+    # round-7 surface: exact substring dedup (window fingerprints —
+    # a new explode-heavy plan shape worth tracking at scale)
+    "substring_dup_spans",
+    "substring_dedup_clean",
 ]
 
 

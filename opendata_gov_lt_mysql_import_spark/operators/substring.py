@@ -31,6 +31,7 @@ from .textanalysis import tokens
 __all__ = [
     "span_fingerprints",
     "duplicated_spans",
+    "duplicated_span_intervals",
     "remove_duplicated_spans",
 ]
 
@@ -103,6 +104,68 @@ def duplicated_spans(
             F.col("_first.id").alias("keeper_id"),
             F.col("_first.pos").alias("keeper_pos"),
         )
+    )
+
+
+def duplicated_span_intervals(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 50,
+    min_docs: int = 2,
+) -> DataFrame:
+    """MAXIMAL duplicated regions per document: overlapping/adjacent
+    duplicated k-token windows merged into intervals (gaps-and-islands)
+    — the span shape Lee et al. 2022 actually report (a 300-token
+    boilerplate block is one region, not 251 overlapping windows).
+    Returns (id, start_pos, end_pos, n_windows), 1-based inclusive
+    token positions, covering EVERY occurrence (keepers included —
+    this is the reporting view; the removal transform handles keeper
+    retention).
+
+    Scale shape: duplicated-window detection is the fp shuffle; the
+    merge is two window functions over (id, pos) — a running max of
+    interval ends marks gap starts, a running sum of gap marks numbers
+    the islands — then one groupBy (id, island). All three stages share
+    the id partitioning after the fp stage."""
+    w = span_fingerprints(df, text_col, id_col, k)
+    win_fp = Window.partitionBy("fp")
+    dup = (
+        w.select(
+            "id",
+            "pos",
+            F.size(F.collect_set("id").over(win_fp)).alias("n_docs"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+        .select("id", "pos")
+    )
+    ordered = Window.partitionBy("id").orderBy("pos")
+    prev_max_end = F.max(F.col("pos") + F.lit(k - 1)).over(
+        ordered.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    gapped = dup.select(
+        "id",
+        "pos",
+        F.when(
+            prev_max_end.isNull() | (F.col("pos") > prev_max_end + 1),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("gap"),
+    )
+    islands = gapped.select(
+        "id",
+        "pos",
+        F.sum("gap").over(ordered).alias("island"),
+    )
+    return (
+        islands.groupBy("id", "island")
+        .agg(
+            F.min("pos").alias("start_pos"),
+            (F.max("pos") + F.lit(k - 1)).cast("long").alias("end_pos"),
+            F.count(F.lit(1)).alias("n_windows"),
+        )
+        .select("id", "start_pos", "end_pos", "n_windows")
     )
 
 

@@ -3644,3 +3644,124 @@ def substring_dedup_clean_q(spark: SparkSession, sf: str) -> DataFrame:
     return remove_duplicated_spans(
         d, "text", "doc_id", k=20, min_docs=2
     ).withColumnRenamed("id", "doc_id")
+
+
+@query(
+    "substring_dup_intervals",
+    f"""
+    {_SPAN_W_SQL},
+    g AS (
+      SELECT fp FROM w GROUP BY fp HAVING count(DISTINCT doc_id) >= 2
+    ),
+    dup AS (SELECT w.doc_id, w.pos FROM w JOIN g USING (fp)),
+    gapped AS (
+      SELECT doc_id, pos,
+             CASE WHEN max(pos + 19) OVER (
+                    PARTITION BY doc_id ORDER BY pos
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                  ) IS NULL
+                  OR pos > max(pos + 19) OVER (
+                    PARTITION BY doc_id ORDER BY pos
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                  ) + 1
+                  THEN 1 ELSE 0 END AS gap
+      FROM dup
+    ),
+    islands AS (
+      SELECT doc_id, pos,
+             sum(gap) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+      FROM gapped
+    )
+    SELECT doc_id, min(pos) AS start_pos,
+           CAST(max(pos) + 19 AS BIGINT) AS end_pos,
+           CAST(count(*) AS BIGINT) AS n_windows
+    FROM islands GROUP BY doc_id, island
+    """,
+)
+def substring_dup_intervals_q(spark: SparkSession, sf: str) -> DataFrame:
+    """MAXIMAL duplicated regions (gaps-and-islands merge of overlapping
+    duplicated 20-token windows) — the reporting view of the substring
+    family: one row per contiguous duplicated region per document, every
+    occurrence included. The oracle replays the identical running-max
+    gap detection and island numbering in SQL window functions."""
+    from .operators.substring import duplicated_span_intervals
+
+    d = _spread(_documents_with_span_dups(spark, sf))
+    return duplicated_span_intervals(
+        d, "text", "doc_id", k=20, min_docs=2
+    ).withColumnRenamed("id", "doc_id")
+
+
+_CMS_NIBBLE = "strpos('0123456789abcdef', substr({h}, {i}, 1)) - 1"
+
+
+def _cms_bucket_sql(h: str) -> str:
+    hi = _CMS_NIBBLE.format(h=h, i=1)
+    lo = _CMS_NIBBLE.format(h=h, i=2)
+    return f"(({hi}) * 16 + ({lo}))"
+
+
+@query(
+    "cms_token_topk",
+    rf"""
+    WITH toks AS (
+      SELECT u.tok
+      FROM (
+        SELECT CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                    ELSE str_split_regex(trim(text), '\s+') END AS l
+        FROM documents
+      ) t, UNNEST(t.l) AS u(tok)
+    ),
+    tc AS (SELECT tok, CAST(count(*) AS BIGINT) AS n FROM toks GROUP BY tok),
+    reps AS (
+      SELECT tok, n, r.r,
+             md5(tok || '#' || CAST(r.r AS VARCHAR)) AS hx
+      FROM tc CROSS JOIN (SELECT unnest(range(0, 4)) AS r) r
+    ),
+    cells AS (
+      SELECT r, {_cms_bucket_sql('hx')} AS bucket,
+             CAST(sum(n) AS BIGINT) AS cn
+      FROM reps GROUP BY 1, 2
+    ),
+    probes AS (SELECT tok, n FROM tc ORDER BY n DESC, tok LIMIT 25),
+    pb AS (
+      SELECT p.tok, p.n, r.r,
+             {_cms_bucket_sql("md5(p.tok || '#' || CAST(r.r AS VARCHAR))")}
+               AS bucket
+      FROM probes p CROSS JOIN (SELECT unnest(range(0, 4)) AS r) r
+    )
+    SELECT pb.tok AS token, pb.n AS exact_n,
+           CAST(min(c.cn) AS BIGINT) AS cms_n
+    FROM pb JOIN cells c ON pb.r = c.r AND pb.bucket = c.bucket
+    GROUP BY 1, 2
+    """,
+)
+def cms_token_topk_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Count-min sketch (Cormode & Muthukrishnan 2005) heavy-hitter
+    counting, hash-verified: a 4x256 md5-bucketed sketch is built over
+    the corpus token stream and the top-25 exact tokens are probed
+    through it, returning (token, exact_n, cms_n) with the one-sided
+    guarantee cms_n >= exact_n. Cells are built from the pre-aggregated
+    token counts — sketch cells are sums, so this is bit-identical to
+    streaming raw occurrences (operators/sketches.py docstring) — and
+    the oracle rebuilds the identical sketch with nibble arithmetic.
+    Scale shape: the cell groupBy has a FIXED 1024-row key space, so
+    partial aggregation collapses it map-side; probing is a broadcast
+    join against the constant-sized cell table."""
+    from .operators.sketches import cms_cells, cms_estimates
+    from .operators.textanalysis import tokens
+
+    d = load_table(spark, sf, "documents")
+    tok_stream = d.select(F.explode(tokens(F.col("text"))).alias("tok"))
+    tc = tok_stream.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+    cells = cms_cells(tc, "tok", d=4, count_col="n")
+    probes = tc.orderBy(F.col("n").desc(), "tok").limit(25)
+    est = cms_estimates(cells, probes.select("tok"), "tok", d=4)
+    return (
+        probes.join(est, "tok")
+        .select(
+            F.col("tok").alias("token"),
+            F.col("n").alias("exact_n"),
+            F.col("cms_n"),
+        )
+    )

@@ -133,13 +133,127 @@ class TestSpanDetection:
         assert out[30]["n_removed"] == 20 and out[30]["text"] == ""
 
 
+class TestIntervals:
+    def test_planted_span_merges_to_one_interval(self, spark, corpus):
+        from opendata_gov_lt_mysql_import_spark.operators.substring import (
+            duplicated_span_intervals,
+        )
+
+        rows = {
+            (r["id"], r["start_pos"]): r
+            for r in duplicated_span_intervals(
+                corpus, "text", "doc_id", k=K
+            ).collect()
+        }
+        # 6 overlapping windows per doc merge into ONE maximal interval
+        # spanning exactly the planted 25-token S
+        assert set(rows) == {(1, 11), (2, 6)}
+        assert rows[(1, 11)]["end_pos"] == 35 and rows[(1, 11)]["n_windows"] == 6
+        assert rows[(2, 6)]["end_pos"] == 30 and rows[(2, 6)]["n_windows"] == 6
+
+    def test_disjoint_regions_stay_separate(self, spark):
+        from opendata_gov_lt_mysql_import_spark.operators.substring import (
+            duplicated_span_intervals,
+        )
+
+        s1, s2 = _toks("m", 20), _toks("n", 20)
+        gap = _toks("g", 10)
+        df = spark.createDataFrame(
+            [
+                (1, s1 + " " + gap + " " + s2),  # s1 at 1, s2 at 31
+                (2, s1),
+                (3, s2),
+            ],
+            "doc_id long, text string",
+        )
+        rows = sorted(
+            (r["id"], r["start_pos"], r["end_pos"])
+            for r in duplicated_span_intervals(
+                df, "text", "doc_id", k=K
+            ).collect()
+        )
+        assert rows == [(1, 1, 20), (1, 31, 50), (2, 1, 20), (3, 1, 20)]
+
+
+class TestCountMinSketch:
+    def test_one_sided_guarantee_and_exact_when_no_collision(self, spark):
+        from opendata_gov_lt_mysql_import_spark.operators.sketches import (
+            cms_cells,
+            cms_estimates,
+        )
+
+        rows = [(f"tok{i}",) for i in range(50) for _ in range(i + 1)]
+        df = spark.createDataFrame(rows, "tok string")
+        cells = cms_cells(df, "tok", d=4)
+        # total mass is conserved per hash row
+        per_row = cells.groupBy("r").agg(F.sum("cn").alias("s")).collect()
+        assert all(r["s"] == len(rows) for r in per_row)
+        probes = spark.createDataFrame(
+            [(f"tok{i}",) for i in range(50)], "tok string"
+        )
+        est = {
+            r["tok"]: r["cms_n"]
+            for r in cms_estimates(cells, probes, "tok", d=4).collect()
+        }
+        for i in range(50):
+            assert est[f"tok{i}"] >= i + 1  # never underestimates
+
+    def test_preaggregated_input_identical_sketch(self, spark):
+        from opendata_gov_lt_mysql_import_spark.operators.sketches import (
+            cms_cells,
+        )
+
+        raw = spark.createDataFrame(
+            [("a",)] * 3 + [("b",)] * 2 + [("c",)], "tok string"
+        )
+        agg = spark.createDataFrame(
+            [("a", 3), ("b", 2), ("c", 1)], "tok string, n long"
+        )
+        c1 = sorted(
+            (r["r"], r["bucket"], r["cn"])
+            for r in cms_cells(raw, "tok", d=4).collect()
+        )
+        c2 = sorted(
+            (r["r"], r["bucket"], r["cn"])
+            for r in cms_cells(agg, "tok", d=4, count_col="n").collect()
+        )
+        assert c1 == c2
+
+    def test_d_validation(self, spark):
+        from opendata_gov_lt_mysql_import_spark.operators.sketches import (
+            cms_cells,
+        )
+
+        with pytest.raises(ValueError, match="d must be"):
+            cms_cells(spark.range(1).selectExpr("'x' tok"), "tok", d=0)
+
+
 class TestPlanShape:
     def test_no_cartesian_and_bounded_exchanges(self, spark, corpus):
+        df = remove_duplicated_spans(corpus, "text", "doc_id", k=K)
+        df.collect()  # finalize AQE before reading the executed plan
         plan = (
-            remove_duplicated_spans(corpus, "text", "doc_id", k=K)
-            ._jdf.queryExecution()
+            df._jdf.queryExecution()
             .executedPlan()
             .toString()
+            .split("== Initial Plan ==")[0]
         )
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+        # one fp partitioning (both window fns share it), one coverage
+        # groupBy on id; the corpus re-join broadcasts at this size —
+        # anything beyond 3 exchanges means a shared stage split
+        n_exch = plan.count("Exchange hashpartitioning")
+        assert n_exch <= 3, f"{n_exch} hash exchanges\n{plan}"
+
+    def test_span_detection_two_exchanges(self, spark, corpus):
+        df = duplicated_spans(corpus, "text", "doc_id", k=K)
+        df.collect()
+        plan = (
+            df._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+            .split("== Initial Plan ==")[0]
+        )
+        n_exch = plan.count("Exchange hashpartitioning")
+        assert n_exch <= 2, f"{n_exch} hash exchanges\n{plan}"

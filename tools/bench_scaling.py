@@ -52,6 +52,7 @@ from bench import force_eval  # noqa: E402
 BASE = "/root/testdata/sf0.1"
 DERIVED_2X = "/tmp/spark_graft_sf0.2"
 DERIVED_4X = "/tmp/spark_graft_sf0.4"
+DERIVED_8X = "/tmp/spark_graft_sf0.8"
 
 # r4's most expensive headline entries, covering the document corpus
 # (explode/LSH/pipeline), the TPC-H star (scan/join/agg), and the
@@ -91,7 +92,42 @@ TOP_4X = [
     "decontaminate_hits",
     "corpus_prep_pipeline",
     "tfidf_top_keywords",
+    # round-7 surface: the explode-heavy window-fingerprint family
+    "substring_dup_spans",
+    "substring_dedup_clean",
 ]
+
+# fourth scaling point (round-6 verdict item 7) for the two entries
+# whose 4x curvature ran highest (1.63 / 1.59): an 8x point separates
+# "fixed overhead still amortizing" (curvature_8x stays < 2) from a
+# genuine superlinear term (drives toward 4). Result-row counts are
+# recorded ALONGSIDE times so candidate-set growth is separated from
+# per-candidate cost: a time ratio that tracks the count ratio is
+# linear work per candidate, not a quadratic plan.
+TOP_8X = [
+    "ngram_jaccard_verify_lsh",
+    "decontaminate_hits",
+]
+
+
+def _candidate_counts(spark, sf_dir: str) -> dict[str, int]:
+    """Candidate-stream sizes for the 8x entries at ``sf_dir`` —
+    counted with the queries' own generators so count growth is
+    measured at the same stage the time is spent on."""
+    from opendata_gov_lt_mysql_import_spark.operators.dedup import (
+        minhash_candidate_pairs,
+    )
+    from opendata_gov_lt_mysql_import_spark.queries_ml import (
+        _documents_with_dups,
+    )
+
+    d = _documents_with_dups(spark, sf_dir)
+    return {
+        # the LSH candidate stream feeding the exact-Jaccard verify
+        "ngram_jaccard_verify_lsh": minhash_candidate_pairs(
+            d, "text", "doc_id", min_jaccard_est=0.3, max_bucket_size=200
+        ).count(),
+    }
 
 
 def _write(df, dest, name):
@@ -221,22 +257,27 @@ def build_kx(spark, scale: int, dest: str) -> None:
 
 
 def _sweep(spark, queries, names, other_dir):
-    """Interleaved min-of-2 base-vs-derived timings for ``names``."""
+    """Interleaved min-of-2 base-vs-derived timings for ``names``.
+    Returns {name: (t_base, t_kx, rows_base, rows_kx)} — force_eval
+    already counts result rows, so the row ratio comes free."""
     results = {}
     for name in names:
         fn = queries[name]
         t_base = t_kx = None
+        n_base = n_kx = 0
         for _ in range(2):
             for which, sf_dir in (("base", BASE), ("kx", other_dir)):
                 spark.catalog.clearCache()
                 t0 = time.perf_counter()
-                force_eval(fn(spark, sf_dir))
+                n = force_eval(fn(spark, sf_dir))
                 dt = time.perf_counter() - t0
                 if which == "base":
                     t_base = dt if t_base is None else min(t_base, dt)
+                    n_base = n
                 else:
                     t_kx = dt if t_kx is None else min(t_kx, dt)
-        results[name] = (t_base, t_kx)
+                    n_kx = n
+        results[name] = (t_base, t_kx, n_base, n_kx)
         print(f"# {name}: {t_base:.3f}s -> {t_kx:.3f}s "
               f"(x{t_kx / t_base:.2f})", file=sys.stderr)
     return results
@@ -257,12 +298,12 @@ def main() -> None:
             "t_2x": round(t2, 4),
             "ratio": round(t2 / tb, 2),
         }
-        for name, (tb, t2) in r2.items()
+        for name, (tb, t2, _nb, _nk) in r2.items()
     }
     print("# --- 4x sweep ---", file=sys.stderr)
     r4 = _sweep(spark, queries, TOP_4X, DERIVED_4X)
     results_4x = {}
-    for name, (tb, t4) in r4.items():
+    for name, (tb, t4, _nb, _nk) in r4.items():
         entry = {
             "t_sf0.1": round(tb, 4),
             "t_4x": round(t4, 4),
@@ -274,6 +315,35 @@ def main() -> None:
                 (t4 / tb) / max(results[name]["ratio"], 0.01), 2
             )
         results_4x[name] = entry
+
+    print("# --- 8x sweep ---", file=sys.stderr)
+    build_kx(spark, 8, DERIVED_8X)
+    r8 = _sweep(spark, queries, TOP_8X, DERIVED_8X)
+    cand_base = _candidate_counts(spark, BASE)
+    cand_8x = _candidate_counts(spark, DERIVED_8X)
+    results_8x = {}
+    for name, (tb, t8, nb, n8) in r8.items():
+        entry = {
+            "t_sf0.1": round(tb, 4),
+            "t_8x": round(t8, 4),
+            "ratio_8x": round(t8 / tb, 2),
+            "rows_sf0.1": nb,
+            "rows_8x": n8,
+            "row_ratio_8x": round(n8 / max(nb, 1), 2),
+        }
+        if name in results_4x:
+            # curvature vs the 4x point: data doubled again; < 2 keeps
+            # the entry inside the linear band of the stated model
+            entry["curvature_8x"] = round(
+                (t8 / tb) / max(results_4x[name]["ratio_4x"], 0.01), 2
+            )
+        if name in cand_base:
+            entry["candidates_sf0.1"] = cand_base[name]
+            entry["candidates_8x"] = cand_8x[name]
+            entry["candidate_ratio_8x"] = round(
+                cand_8x[name] / max(cand_base[name], 1), 2
+            )
+        results_8x[name] = entry
 
     out = {
         "note": (
@@ -291,6 +361,15 @@ def main() -> None:
         "queries": results,
         "data_scale_4x": 4.0,
         "queries_4x": results_4x,
+        "data_scale_8x": 8.0,
+        "queries_8x": results_8x,
+        "note_8x": (
+            "fourth point for the two highest-4x-curvature entries; "
+            "row/candidate counts recorded so candidate-set growth is "
+            "separated from per-candidate cost (time ratio tracking the "
+            "count ratio = linear per-candidate work). curvature_8x = "
+            "ratio_8x/ratio_4x, linear band < 2."
+        ),
     }
     path = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
