@@ -143,3 +143,102 @@ def lloyd_iterate(
 def inertia(assigned: DataFrame) -> float:
     """Total within-cluster squared distance of an assignment frame."""
     return assigned.agg(F.sum("d2").alias("j")).collect()[0]["j"]
+
+
+def quantize_vectors(
+    e: DataFrame, vec_col: str = "embedding", scale: int = 10**4
+) -> Column:
+    """float vector → BIGINT fixed-point units (round half-away-from-
+    zero on the exact double promotion — both engines agree)."""
+    return F.transform(
+        F.col(vec_col).cast("array<double>"),
+        lambda x: F.round(x * scale).cast("long"),
+    )
+
+
+def lloyd_fixed_point(
+    e: DataFrame,
+    k: int = 4,
+    iters: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    scale: int = 10**4,
+) -> tuple[DataFrame, DataFrame]:
+    """``iters`` Lloyd iterations in FIXED-POINT integer arithmetic —
+    the oracle-exactness upgrade ``pagerank_fixed_point`` gave the graph
+    family, applied to clustering: coordinates quantized to 1/``scale``
+    units, distances as exact BIGINT sums (summation-order-free), and
+    centroid updates as truncating integral division (``DIV`` truncates
+    toward zero on Spark; DuckDB ``//`` matches, verified both
+    negative and positive). K chained iterations are therefore
+    BIT-IDENTICAL across engines — the float twin (``lloyd_iterate``)
+    reorders its ``avg`` partial sums per partition and flips low
+    decimals, which is why its multi-iteration form was rows-only.
+
+    Seeding: the rows with the ``k`` smallest ids, cluster label = the
+    seed's id (deterministic on any engine, no rank needed — fixture
+    ids are dense from 0). Empty clusters drop out of later rounds
+    (documented semantics, mirrored by the oracle). Ties in the argmin
+    break on the smaller cluster label via lexicographic struct min.
+
+    Scale shape per iteration — identical to the float path: ONE
+    broadcast of K x D cells for map-side argmin assignment (no N x K
+    row explosion), ONE K x D-cell shuffle for the centroid update.
+    Overflow: |coord| <= m*scale ⇒ d2 <= D*(2*m*scale)²; at the
+    defaults (D=64, m<1, scale=1e4) that is ~2.6e10 — far inside
+    BIGINT; centroid sums are N*m*scale. Returns (assigned, centroids)
+    with ``centroid`` as array<long>."""
+    if k < 1 or iters < 1:
+        raise ValueError(f"k and iters must be >= 1, got k={k} iters={iters}")
+    q = e.select(
+        F.col(id_col).alias("vec_id"),
+        quantize_vectors(e, vec_col, scale).alias("v"),
+    ).localCheckpoint(eager=True)  # feeds every round's assign + update
+    cent = q.filter(F.col("vec_id") < k).select(
+        F.col("vec_id").alias("cluster"), F.col("v").alias("centroid")
+    )
+
+    def _int_sqdist(vec: Column, c: Column) -> Column:
+        return F.aggregate(
+            F.zip_with(vec, c, lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    assigned = None
+    for _ in range(iters):
+        cent = cent.localCheckpoint(eager=True)
+        packed = cent.agg(_pack_centroids(cent))
+        best = F.array_min(
+            F.transform(
+                F.col("cents"),
+                lambda c: F.struct(
+                    _int_sqdist(F.col("v"), c["centroid"]).alias("d2"),
+                    c["c_label"].alias("lbl"),
+                ),
+            )
+        )
+        assigned = (
+            q.crossJoin(F.broadcast(packed))
+            .withColumn("_best", best)
+            .select(
+                "vec_id",
+                "v",
+                F.col("_best.lbl").alias("cluster"),
+                F.col("_best.d2").alias("d2"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        ex = assigned.select("cluster", F.posexplode("v").alias("pos", "val"))
+        cent = (
+            ex.groupBy("cluster", "pos")
+            .agg(F.expr("sum(val) DIV count(val)").alias("cv"))
+            .groupBy("cluster")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "cv"))),
+                    lambda s: s["cv"],
+                ).alias("centroid")
+            )
+        )
+    return assigned, cent

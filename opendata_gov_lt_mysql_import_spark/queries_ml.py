@@ -3765,3 +3765,205 @@ def cms_token_topk_q(spark: SparkSession, sf: str) -> DataFrame:
             F.col("cms_n"),
         )
     )
+
+
+def _kmeans_fixed_oracle(k: int = 4, iters: int = 3, scale: int = 10**4) -> str:
+    """Unrolled fixed-point Lloyd oracle (same construction style as the
+    pagerank_k unrolled CTE): per iteration an assignment block (cross
+    join against the previous K centroids, row_number argmin with the
+    (d2, cluster) tie order) and an update block (truncating integral
+    division per dimension; DuckDB ``//`` and Spark ``DIV`` both
+    truncate toward zero, verified on negatives)."""
+    blocks = [
+        f"""
+    WITH q AS (
+      SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+               x -> CAST(round(x * {scale}) AS BIGINT)) AS v
+      FROM embeddings
+    ),
+    c0 AS (SELECT vec_id AS cluster, v AS c FROM q WHERE vec_id < {k})"""
+    ]
+    for t in range(1, iters + 1):
+        blocks.append(
+            f"""
+    d{t} AS (
+      SELECT q.vec_id, c.cluster,
+             list_sum(list_transform(range(1, len(q.v) + 1),
+               i -> (q.v[i] - c.c[i]) * (q.v[i] - c.c[i]))) AS d2
+      FROM q CROSS JOIN c{t - 1} c
+    ),
+    a{t} AS (
+      SELECT vec_id, cluster FROM (
+        SELECT vec_id, cluster,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY d2, cluster) AS rn
+        FROM d{t}) WHERE rn = 1
+    ),
+    c{t} AS (
+      SELECT cluster, list(cv ORDER BY dim) AS c FROM (
+        SELECT a.cluster, u.i AS dim,
+               CAST(sum(q.v[u.i]) AS BIGINT) // count(*) AS cv
+        FROM a{t} a JOIN q USING (vec_id),
+             UNNEST(range(1, len(q.v) + 1)) u(i)
+        GROUP BY 1, 2)
+      GROUP BY cluster
+    )"""
+        )
+    blocks.append(
+        f"""
+    SELECT c.cluster,
+           array_to_string(list_transform(c.c, x -> CAST(x AS VARCHAR)),
+                           '|') AS centroid_sig,
+           m.n_members
+    FROM c{iters} c JOIN (
+      SELECT cluster, CAST(count(*) AS BIGINT) AS n_members
+      FROM a{iters} GROUP BY 1
+    ) m USING (cluster)"""
+    )
+    return ",".join(blocks[:1] + blocks[1:-1]) + blocks[-1]
+
+
+@query("kmeans_k_fixed", _kmeans_fixed_oracle())
+def kmeans_k_fixed_q(spark: SparkSession, sf: str) -> DataFrame:
+    """K=3 chained Lloyd iterations in FIXED-POINT integer arithmetic,
+    oracle-EXACT — the upgrade ``pagerank_k`` received in round 6,
+    applied to clustering: ``kmeans_one_iter`` pins a single float
+    iteration (rounded centroids), but multi-iteration float k-means is
+    unverifiable bit-for-bit because avg() partial sums reorder across
+    partitions and the error COMPOUNDS through the argmin of the next
+    round. Quantized BIGINT coordinates (1e-4 units), exact integer
+    distances, truncating-DIV centroid updates: three chained rounds
+    hash-identical across engines. Output: per surviving cluster, its
+    member count and the integer centroid signature."""
+    from .operators.clustering import lloyd_fixed_point
+
+    e = load_table(spark, sf, "embeddings")
+    assigned, cent = lloyd_fixed_point(
+        e, k=4, iters=3, vec_col="embedding", id_col="vec_id"
+    )
+    members = assigned.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n_members")
+    )
+    sig = F.array_join(
+        F.transform(F.col("centroid"), lambda x: x.cast("string")), "|"
+    )
+    return cent.join(members, "cluster").select(
+        "cluster", sig.alias("centroid_sig"), "n_members"
+    )
+
+
+@query(
+    "per_source_cap",
+    """
+    SELECT doc_id, source, rk FROM (
+      SELECT doc_id, source,
+             CAST(row_number() OVER (
+               PARTITION BY source
+               ORDER BY n_chars DESC, doc_id) AS BIGINT) AS rk
+      FROM documents
+    ) WHERE rk <= 50
+    """,
+)
+def per_source_cap_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-source document cap (the per-domain cap every web-scale
+    corpus applies so one crawl host cannot dominate the mixture —
+    C4/Gopher-style): keep the top-50 docs per source by length, id
+    tie-break. ONE shuffle on source; rank and cap are a single window
+    pass, no per-source collect. At 100 TB the same plan holds with
+    source as the partition key (skewed hosts are exactly what the cap
+    removes — the window sees at most the pre-cap partition, and an
+    AQE skew split covers pathological hosts)."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.col("n_chars").desc(), "doc_id"
+    )
+    return (
+        d.select(
+            "doc_id",
+            "source",
+            F.row_number().over(w).cast("long").alias("rk"),
+        )
+        .filter(F.col("rk") <= 50)
+    )
+
+
+@query(
+    "bigram_logprob_score",
+    r"""
+    WITH t AS (
+      SELECT doc_id,
+             CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                  ELSE str_split_regex(trim(text), '\s+') END AS toks
+      FROM documents
+    ),
+    bg AS (
+      SELECT doc_id, u.i AS pos, toks[u.i] AS w1, toks[u.i + 1] AS w2
+      FROM t, UNNEST(range(1, len(toks))) u(i)
+    ),
+    c2 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2 FROM bg GROUP BY 1, 2),
+    c1 AS (SELECT w1, CAST(count(*) AS BIGINT) AS c1 FROM bg GROUP BY 1),
+    v AS (
+      SELECT CAST(count(DISTINCT tok) AS BIGINT) AS v
+      FROM (SELECT unnest(toks) AS tok FROM t)
+    )
+    SELECT bg.doc_id,
+           round(avg(ln(CAST(c2.c2 + 1 AS DOUBLE) / (c1.c1 + v.v))), 4)
+             AS logprob,
+           CAST(count(*) AS BIGINT) AS n_bigrams
+    FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1), v
+    GROUP BY bg.doc_id
+    """,
+)
+def bigram_logprob_score_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Bigram-LM perplexity proxy with add-one (Laplace) smoothing:
+    p(w2|w1) = (c(w1,w2)+1)/(c(w1·)+V), each document scored by its
+    mean bigram log-probability — the context-aware upgrade of
+    ``unigram_logprob_score`` (word salad scores low even when every
+    unigram is common). Same scale shape: one map-only bigram
+    projection (adjacent-pair zip, no self-join), two vocabulary-sized
+    broadcast re-joins, the 1-row V total cross-joined, one per-doc
+    aggregate. The bigram table broadcast is the documented watch-point
+    (vocab² worst case; hash it to a count-min sketch when it outgrows
+    broadcast). Docs with < 2 tokens have no bigrams and drop out —
+    same rule both engines."""
+    from .operators.textanalysis import tokens
+
+    d = load_table(spark, sf, "documents")
+    toks = tokens(F.col("text"))
+    bg = d.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size(toks) >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size(toks) - 1),
+                    lambda i: F.struct(
+                        F.element_at(toks, i).alias("w1"),
+                        F.element_at(toks, i + 1).alias("w2"),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+        ).alias("b"),
+    ).select("doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    c2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    c1 = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    v = d.select(F.explode(toks).alias("tok")).agg(
+        F.countDistinct("tok").alias("v")
+    )
+    return (
+        bg.join(F.broadcast(c2), ["w1", "w2"])
+        .join(F.broadcast(c1), "w1")
+        .crossJoin(F.broadcast(v))
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.avg(
+                    F.log((F.col("c2") + 1).cast("double") / (F.col("c1") + F.col("v")))
+                ),
+                4,
+            ).alias("logprob"),
+            F.count(F.lit(1)).alias("n_bigrams"),
+        )
+    )

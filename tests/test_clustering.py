@@ -177,3 +177,87 @@ def test_quality_model_score_planted(spark):
         .collect()[0]["s"]
     )
     assert got == expected
+
+
+# ---------------------------------------------------------------------------
+# Fixed-point Lloyd (oracle-exact multi-iteration path)
+# ---------------------------------------------------------------------------
+
+def _py_lloyd_fixed(vectors: dict, k: int, iters: int):
+    """Pure-Python reference of the fixed-point contract: integer
+    coordinates in, argmin with (d2, label) tie order, truncating-
+    toward-zero integral centroid division, empty clusters drop."""
+    def tdiv(a, b):
+        qd = abs(a) // b
+        return qd if a >= 0 else -qd
+
+    cent = {vid: v for vid, v in vectors.items() if vid < k}
+    assign = {}
+    for _ in range(iters):
+        assign = {}
+        for vid, v in vectors.items():
+            best = min(
+                (sum((x - y) ** 2 for x, y in zip(v, c)), lbl)
+                for lbl, c in cent.items()
+            )
+            assign[vid] = best[1]
+        cent = {}
+        for lbl in set(assign.values()):
+            members = [vectors[vid] for vid, a in assign.items() if a == lbl]
+            cent[lbl] = [
+                tdiv(sum(col), len(members)) for col in zip(*members)
+            ]
+    return assign, cent
+
+
+def test_lloyd_fixed_point_matches_python_reference(spark):
+    import random
+
+    from opendata_gov_lt_mysql_import_spark.operators.clustering import (
+        lloyd_fixed_point,
+        quantize_vectors,
+    )
+
+    rng = random.Random(7)
+    rows = [
+        (i, [rng.uniform(-0.5, 0.5) for _ in range(8)]) for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    assigned, cent = lloyd_fixed_point(
+        df, k=3, iters=3, vec_col="embedding", id_col="vec_id"
+    )
+    got_assign = {r["vec_id"]: r["cluster"] for r in assigned.collect()}
+    got_cent = {r["cluster"]: list(r["centroid"]) for r in cent.collect()}
+
+    qrows = df.select(
+        "vec_id", quantize_vectors(df, "embedding").alias("v")
+    ).collect()
+    vectors = {r["vec_id"]: list(r["v"]) for r in qrows}
+    ref_assign, ref_cent = _py_lloyd_fixed(vectors, k=3, iters=3)
+    # the returned assignment is the one FEEDING the final update
+    assert got_assign == ref_assign
+    assert got_cent == ref_cent
+
+
+def test_lloyd_fixed_point_validation_and_negatives(spark):
+    import pytest
+
+    from opendata_gov_lt_mysql_import_spark.operators.clustering import (
+        lloyd_fixed_point,
+    )
+
+    df = spark.createDataFrame(
+        [(0, [-0.31, 0.2]), (1, [0.1, -0.4]), (2, [-0.32, 0.21])],
+        "vec_id long, embedding array<float>",
+    )
+    with pytest.raises(ValueError, match="k and iters"):
+        lloyd_fixed_point(df, k=0)
+    assigned, cent = lloyd_fixed_point(df, k=2, iters=2)
+    a = {r["vec_id"]: r["cluster"] for r in assigned.collect()}
+    # vec 2 sits next to vec 0; truncating division on the NEGATIVE
+    # first coordinate must agree with the reference contract
+    assert a == {0: 0, 1: 1, 2: 0}
+    c = {r["cluster"]: list(r["centroid"]) for r in cent.collect()}
+    # mean of -3100 and -3200 truncates toward zero: -3150 exact here;
+    # the (0.2, 0.21) dim: (2000+2100) DIV 2 = 2050
+    assert c[0] == [-3150, 2050]

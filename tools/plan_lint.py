@@ -73,6 +73,10 @@ WHITELIST: dict[str, dict[str, str]] = {
         "bnl_join": "1-row token-total aggregate cross-joined onto the "
         "token stream (same shape as tfidf's corpus count)"
     },
+    "bigram_logprob_score": {
+        "bnl_join": "1-row vocabulary-size aggregate cross-joined onto "
+        "the bigram stream (same shape as unigram_logprob_score)"
+    },
     "q11_important_parts": {
         "bnl_join": "1-row (total, n) threshold aggregate cross-joined "
         "onto the per-part frame (replaces an eager two-pass collect; "
@@ -94,6 +98,10 @@ WHITELIST: dict[str, dict[str, str]] = {
     },
     "kmeans_one_iter": {
         "bnl_join": "K-row centroid frame cross-joined for broadcast argmin"
+    },
+    "kmeans_k_fixed": {
+        "bnl_join": "K-row fixed-point centroid frame cross-joined for "
+        "broadcast argmin (same shape as kmeans_one_iter, per iteration)"
     },
     "emb_dup_pairs": {
         "bnl_join": "within-block brute-force verifier, block occupancy capped"
