@@ -115,9 +115,15 @@ HEADLINE = [
     # round-6 surface
     "zorder_pruned_scan",
     # round-7 surface: exact substring dedup (window fingerprints —
-    # a new explode-heavy plan shape worth tracking at scale)
+    # a new explode-heavy plan shape worth tracking at scale), the
+    # incremental batch-vs-history span probe, fixed-point iterative
+    # clustering, the bigram-LM join, and the CMS sketch build+probe
     "substring_dup_spans",
     "substring_dedup_clean",
+    "incremental_substring_dedup",
+    "kmeans_k_fixed",
+    "bigram_logprob_score",
+    "cms_token_topk",
 ]
 
 

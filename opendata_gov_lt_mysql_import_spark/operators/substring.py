@@ -33,6 +33,7 @@ __all__ = [
     "duplicated_spans",
     "duplicated_span_intervals",
     "remove_duplicated_spans",
+    "incremental_span_dedup",
 ]
 
 
@@ -231,3 +232,66 @@ def remove_duplicated_spans(
         F.coalesce(F.size("cov"), F.lit(0)).cast("long").alias("n_removed"),
     )
     return out
+
+
+def incremental_span_dedup(
+    new_df: DataFrame,
+    history_index: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 50,
+) -> DataFrame:
+    """Daily-increment twin of the span family (mirroring
+    ``incremental_minhash_neardup``): a new ingest batch's window
+    fingerprints probe the HISTORY's persisted fingerprint index
+    (``span_fingerprints`` of the corpus so far — what a production
+    pipeline stores bucketed by fp), flagging per new document how much
+    of it already exists verbatim in the corpus.
+
+    Returns (id, n_windows, n_dup_windows, n_covered): total windows,
+    windows colliding with history, and the union token coverage of the
+    colliding windows — all integers, so the policy threshold
+    (n_covered / doc length) is the caller's knob and the op itself is
+    engine-exact. Documents shorter than k tokens have no windows and
+    drop out (same rule as the one-shot detector).
+
+    Scale shape: the BATCH is fingerprinted once (map-only + explode);
+    the history probe is a LEFT SEMI join on fp — semi, so history-side
+    fp multiplicity can't fan out batch rows, and with the batch as the
+    small side AQE broadcasts it while the 100 TB index streams
+    map-side with NO shuffle (pre-bucketed by fp it prunes further).
+    History text is never read. The batch fingerprint frame feeds both
+    the totals and the probe, and the hit frame feeds both counters —
+    each is pinned with an eager localCheckpoint (AQE re-runs
+    multi-consumer lineage otherwise; re-running the index probe twice
+    is the expensive half)."""
+    bw = span_fingerprints(new_df, text_col, id_col, k).localCheckpoint(
+        eager=True
+    )
+    totals = bw.groupBy("id").agg(F.count(F.lit(1)).alias("n_windows"))
+    hits = bw.join(
+        history_index.select("fp"), "fp", "left_semi"
+    ).localCheckpoint(eager=True)
+    per = hits.groupBy("id").agg(F.count(F.lit(1)).alias("n_dup_windows"))
+    cov = (
+        hits.select(
+            "id",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + F.lit(k - 1))
+            ).alias("cp"),
+        )
+        .groupBy("id")
+        .agg(F.countDistinct("cp").alias("n_covered"))
+    )
+    return (
+        totals.join(per, "id", "left")
+        .join(cov, "id", "left")
+        .select(
+            "id",
+            "n_windows",
+            F.coalesce("n_dup_windows", F.lit(0)).cast("long").alias(
+                "n_dup_windows"
+            ),
+            F.coalesce("n_covered", F.lit(0)).cast("long").alias("n_covered"),
+        )
+    )

@@ -3967,3 +3967,87 @@ def bigram_logprob_score_q(spark: SparkSession, sf: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_bigrams"),
         )
     )
+
+
+def _span_fp_sql(src: str, out: str) -> str:
+    """Window-fingerprint CTE block (k=20) over the docs CTE ``src`` —
+    the SQL twin of operators.substring.span_fingerprints, reused for
+    both sides of the incremental probe."""
+    return rf"""
+    {out}_t AS (
+      SELECT doc_id,
+             CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                  ELSE str_split_regex(trim(text), '\s+') END AS toks
+      FROM {src}
+    ),
+    {out} AS (
+      SELECT doc_id, CAST(u.i AS BIGINT) AS pos,
+             md5(array_to_string(list_slice(toks, u.i, u.i + 19), ' ')) AS fp
+      FROM {out}_t, UNNEST(range(1, len(toks) - 18)) AS u(i)
+    )"""
+
+
+@query(
+    "incremental_substring_dedup",
+    f"""
+    WITH hist AS (SELECT doc_id, text FROM documents),
+    batch AS (
+      SELECT doc_id + 2000000 AS doc_id,
+             'copywrap-' || CAST(doc_id AS VARCHAR) || ' intro filler '
+               || text AS text
+      FROM documents WHERE doc_id < 100
+    ),
+    {_span_fp_sql('hist', 'hw')},
+    {_span_fp_sql('batch', 'bw')},
+    hits AS (
+      SELECT bw.doc_id, bw.pos FROM bw
+      WHERE bw.fp IN (SELECT fp FROM hw)
+    ),
+    tot AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_windows
+      FROM bw GROUP BY 1
+    ),
+    per AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_windows
+      FROM hits GROUP BY 1
+    ),
+    cov AS (
+      SELECT doc_id, CAST(count(DISTINCT cp) AS BIGINT) AS n_covered
+      FROM (SELECT doc_id, unnest(range(pos, pos + 20)) AS cp FROM hits)
+      GROUP BY 1
+    )
+    SELECT t.doc_id, t.n_windows,
+           COALESCE(p.n_dup_windows, 0) AS n_dup_windows,
+           COALESCE(c.n_covered, 0) AS n_covered
+    FROM tot t
+    LEFT JOIN per p USING (doc_id)
+    LEFT JOIN cov c USING (doc_id)
+    """,
+)
+def incremental_substring_dedup_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Batch-vs-history EXACT-SUBSTRING screen — the daily-increment
+    member of the span family (mirroring ``incremental_neardup_lsh``'s
+    role in the MinHash family): a new ingest batch (shifted copies of
+    the first 100 docs, so their CONTENT pre-exists in history at
+    different positions behind a novel prefix) probes the history's
+    window-fingerprint index via a LEFT SEMI join on fp. Per new doc:
+    total windows, history-colliding windows, and the union token
+    coverage of the collisions — the verbatim-overlap evidence an
+    ingest gate thresholds on. All-integer output, oracle-exact; the
+    novel prefix windows correctly DON'T hit, the copied body does."""
+    from .operators.substring import incremental_span_dedup, span_fingerprints
+
+    hist = load_table(spark, sf, "documents").select("doc_id", "text")
+    batch = hist.filter(F.col("doc_id") < 100).select(
+        (F.col("doc_id") + F.lit(2000000)).alias("doc_id"),
+        F.concat(
+            F.lit("copywrap-"),
+            F.col("doc_id").cast("string"),
+            F.lit(" intro filler "),
+            F.col("text"),
+        ).alias("text"),
+    )
+    index = span_fingerprints(_spread(hist), "text", "doc_id", k=20)
+    return incremental_span_dedup(
+        batch, index, "text", "doc_id", k=20
+    ).withColumnRenamed("id", "doc_id")

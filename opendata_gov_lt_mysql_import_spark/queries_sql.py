@@ -2391,11 +2391,17 @@ def q21_waiting_suppliers(spark: SparkSession, sf: str) -> DataFrame:
     """TPC-H Q21-shaped: suppliers who were the SOLE late shipper on
     multi-supplier orders (late = shipped >60 days after ordering).
     The classic EXISTS / NOT-EXISTS pair decorrelates into per-order
-    aggregates: one (order, supplier) late-flag agg, one per-order
-    rollup of supplier/late counts, then a self-join back — three
-    shuffles all on the SAME orderkey key (AQE reuses the layout),
-    versus the naive form's two correlated per-row subqueries. The
-    25-row supplier dim broadcasts onto the result."""
+    aggregates — and the per-order rollup is WINDOW functions over the
+    same orderkey partitioning as the flag aggregate, not a groupBy +
+    self-join back: the round-7 rewrite removed the join AND the
+    double consumption of the flag frame (the AQE multi-consumer
+    recompute hazard — flag used to feed both per_order and the probe
+    side, re-running the lineitem join per consumer; interleaved
+    min-of-3 measured x1.19, results identical). One lineitem scan,
+    join + agg + window all on orderkey. The 25-row supplier dim
+    broadcasts onto the result."""
+    from pyspark.sql import Window
+
     li = load_table(spark, sf, "lineitem").select(
         "l_orderkey", "l_suppkey", "l_shipdate"
     )
@@ -2409,15 +2415,21 @@ def q21_waiting_suppliers(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("l_orderkey", "l_suppkey")
         .agg(F.max(late).alias("is_late"))
     )
-    per_order = flag.groupBy(F.col("l_orderkey").alias("po_orderkey")).agg(
-        F.count(F.lit(1)).alias("n_supp"),
-        F.sum("is_late").cast("long").alias("n_late"),
+    w = Window.partitionBy("l_orderkey")
+    flag2 = flag.select(
+        "l_orderkey",
+        "l_suppkey",
+        "is_late",
+        F.count(F.lit(1)).over(w).alias("n_supp"),
+        F.sum("is_late").over(w).cast("long").alias("n_late"),
     )
     s = load_table(spark, sf, "supplier").select("s_suppkey", "s_name")
     return (
-        flag.filter(F.col("is_late") == 1)
-        .join(per_order, F.col("l_orderkey") == F.col("po_orderkey"))
-        .filter((F.col("n_supp") > 1) & (F.col("n_late") == 1))
+        flag2.filter(
+            (F.col("is_late") == 1)
+            & (F.col("n_supp") > 1)
+            & (F.col("n_late") == 1)
+        )
         .join(F.broadcast(s), F.col("l_suppkey") == s["s_suppkey"])
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).cast("long").alias("numwait"))

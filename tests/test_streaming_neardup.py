@@ -111,3 +111,104 @@ class TestStreamingNearDupIngest:
         assert {
             r["doc_id"] for r in idx.select("doc_id").distinct().collect()
         } == ids
+
+
+class TestStreamingSubstringGate:
+    def test_stream_gated_on_verbatim_overlap(self, spark, tmp_path):
+        """The exact-substring twin of the LSH gate: each micro-batch's
+        window fingerprints LEFT-SEMI probe the persisted span index;
+        a doc whose history-covered token share exceeds 50% is
+        rejected, admitted docs extend BOTH the corpus and the index
+        (so batch N+1 screens against batch N's admissions). Same
+        100 TB shape: history text never re-read, index probe is the
+        only cross-state touch, one atomic snapshot append per batch."""
+        from opendata_gov_lt_mysql_import_spark.operators.substring import (
+            incremental_span_dedup,
+            span_fingerprints,
+        )
+        from opendata_gov_lt_mysql_import_spark.operators.textanalysis import (
+            token_count,
+        )
+
+        K = 10
+        corpus_dir = str(tmp_path / "corpus")
+        index_dir = str(tmp_path / "span_index")
+        stage = tmp_path / "stage"
+        stage.mkdir()
+
+        def words(prefix, n):
+            return " ".join(f"{prefix}{i}" for i in range(n))
+
+        hist_span = words("h", 14)  # 14-token block living in history
+        base = [(1, words("a", 4) + " " + hist_span)]
+        commit_snapshot(_docs(spark, base), corpus_dir)
+        commit_snapshot(
+            span_fingerprints(_docs(spark, base), "text", "doc_id", k=K),
+            index_dir,
+        )
+
+        novel0 = words("n", 16)
+        novel1 = words("m", 16)
+        batches = [
+            # 101: 2 novel tokens + the full 14-token history block ->
+            #      14/16 tokens covered (87%) -> reject
+            # 102: novel -> admit
+            [(101, "x1 x2 " + hist_span), (102, novel0)],
+            # 201: clone of 102's content behind 2 novel tokens ->
+            #      covered by the batch-0 index append -> reject
+            # 202: novel -> admit
+            [(201, "y1 y2 " + novel0), (202, novel1)],
+        ]
+        for i, rows in enumerate(batches):
+            _docs(spark, rows).coalesce(1).write.mode("append").parquet(
+                str(stage / f"b{i}")
+            )
+
+        stream = (
+            spark.readStream.schema(DOC_SCHEMA)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(stage) + "/*")
+        )
+
+        def sink(batch_df, batch_id):
+            batch_df = batch_df.localCheckpoint(eager=True)
+            idx = read_snapshot(spark, index_dir)
+            screen = incremental_span_dedup(
+                batch_df, idx, "text", "doc_id", k=K
+            )
+            lengths = batch_df.select(
+                F.col("doc_id").alias("id"),
+                token_count(F.col("text")).alias("n_tokens"),
+            )
+            reject = (
+                screen.join(lengths, "id")
+                .filter(F.col("n_covered") * 2 > F.col("n_tokens"))
+                .select(F.col("id").alias("doc_id"))
+            )
+            clean = batch_df.join(reject, "doc_id", "left_anti").localCheckpoint(
+                eager=True
+            )
+            if clean.isEmpty():
+                return
+            commit_snapshot(clean, corpus_dir)
+            commit_snapshot(
+                span_fingerprints(clean, "text", "doc_id", k=K), index_dir
+            )
+
+        q = (
+            stream.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+        ids = {
+            r["doc_id"]
+            for r in read_snapshot(spark, corpus_dir).select("doc_id").collect()
+        }
+        assert ids == {1, 102, 202}
+        # index rows = sum over admitted docs of (n_tokens - K + 1)
+        idx = read_snapshot(spark, index_dir)
+        expected = (18 - K + 1) + (16 - K + 1) + (16 - K + 1)
+        assert idx.count() == expected

@@ -175,6 +175,45 @@ class TestIntervals:
         assert rows == [(1, 1, 20), (1, 31, 50), (2, 1, 20), (3, 1, 20)]
 
 
+class TestIncrementalSpanDedup:
+    def test_batch_probe_counts_and_coverage(self, spark):
+        from opendata_gov_lt_mysql_import_spark.operators.substring import (
+            incremental_span_dedup,
+            span_fingerprints,
+        )
+
+        # history holds S (25 tokens); the batch doc carries a 3-token
+        # novel prefix + S; a second batch doc is entirely novel
+        hist = spark.createDataFrame(
+            [(1, _toks("a", 10) + " " + _S)], "doc_id long, text string"
+        )
+        batch = spark.createDataFrame(
+            [
+                (100, "px-1 px-2 px-3 " + _S),
+                (200, _toks("novel", 30)),
+                (300, _toks("tiny", 5)),  # < k tokens -> no windows
+            ],
+            "doc_id long, text string",
+        )
+        index = span_fingerprints(hist, "text", "doc_id", k=K)
+        out = {
+            r["id"]: r
+            for r in incremental_span_dedup(
+                batch, index, "text", "doc_id", k=K
+            ).collect()
+        }
+        # batch doc 100: 28 tokens -> 9 windows; the 6 windows fully
+        # inside S collide (S sits at pos 11..35 in history, 4..28 in
+        # the batch doc — position-independent by construction);
+        # coverage = union of 6 windows of 20 = the 25 tokens of S
+        assert out[100]["n_windows"] == 9
+        assert out[100]["n_dup_windows"] == 6
+        assert out[100]["n_covered"] == 25
+        assert out[200]["n_windows"] == 11
+        assert out[200]["n_dup_windows"] == 0 and out[200]["n_covered"] == 0
+        assert 300 not in out  # sub-k docs have no windows
+
+
 class TestCountMinSketch:
     def test_one_sided_guarantee_and_exact_when_no_collision(self, spark):
         from opendata_gov_lt_mysql_import_spark.operators.sketches import (
