@@ -267,6 +267,87 @@ class TestCountMinSketch:
             cms_cells(spark.range(1).selectExpr("'x' tok"), "tok", d=0)
 
 
+class TestRandomizedInvariants:
+    """Fixed-seed randomized corpora (shared word pool so cross-doc
+    window collisions actually occur at k=5). Invariants that must hold
+    for ANY input, complementing the planted-span goldens."""
+
+    def _random_corpus(self, spark, seed, n_docs=12):
+        import random
+
+        rng = random.Random(seed)
+        pool = [f"w{i}" for i in range(8)]  # tiny vocab -> collisions
+        rows = [
+            (i, " ".join(rng.choice(pool) for _ in range(rng.randint(0, 18))))
+            for i in range(n_docs)
+        ]
+        return rows, spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_removal_conservation_and_subsequence(self, spark):
+        from opendata_gov_lt_mysql_import_spark.operators.substring import (
+            remove_duplicated_spans,
+        )
+
+        for seed in (11, 23, 47):
+            rows, df = self._random_corpus(spark, seed)
+            out = {
+                r["id"]: r
+                for r in remove_duplicated_spans(
+                    df, "text", "doc_id", k=5
+                ).collect()
+            }
+            assert set(out) == {i for i, _ in rows}
+            for i, text in rows:
+                orig = text.split()
+                kept = out[i]["text"].split() if out[i]["text"] else []
+                # conservation: n_removed counts exactly the dropped tokens
+                assert len(orig) - len(kept) == out[i]["n_removed"], (seed, i)
+                # kept tokens are a subsequence of the original
+                it = iter(orig)
+                assert all(tok in it for tok in kept), (seed, i)
+
+    def test_spans_intervals_consistency(self, spark):
+        from opendata_gov_lt_mysql_import_spark.operators.substring import (
+            duplicated_span_intervals,
+            duplicated_spans,
+            span_fingerprints,
+        )
+
+        for seed in (11, 23):
+            _, df = self._random_corpus(spark, seed)
+            spans = duplicated_spans(df, "text", "doc_id", k=5).collect()
+            ivals = duplicated_span_intervals(df, "text", "doc_id", k=5).collect()
+            w = span_fingerprints(df, "text", "doc_id", k=5).collect()
+            dup_fps = {r["fp"] for r in spans}
+            occs = [(r["id"], r["pos"]) for r in w if r["fp"] in dup_fps]
+            # every duplicated occurrence falls inside exactly one
+            # interval of its doc, and window counts agree in total
+            assert sum(r["n_windows"] for r in ivals) == len(occs)
+            for did, pos in occs:
+                hits = [
+                    r
+                    for r in ivals
+                    if r["id"] == did
+                    and r["start_pos"] <= pos <= r["end_pos"] - 4
+                ]
+                assert len(hits) == 1, (seed, did, pos)
+
+    def test_determinism_across_runs(self, spark):
+        from opendata_gov_lt_mysql_import_spark.operators.substring import (
+            remove_duplicated_spans,
+        )
+
+        _, df = self._random_corpus(spark, 99)
+        df = df.repartition(7)  # partitioning must not affect results
+        a = sorted(
+            map(tuple, remove_duplicated_spans(df, "text", "doc_id", k=5).collect())
+        )
+        b = sorted(
+            map(tuple, remove_duplicated_spans(df, "text", "doc_id", k=5).collect())
+        )
+        assert a == b
+
+
 class TestPlanShape:
     def test_no_cartesian_and_bounded_exchanges(self, spark, corpus):
         df = remove_duplicated_spans(corpus, "text", "doc_id", k=K)
