@@ -37,11 +37,17 @@ __all__ = [
 ]
 
 
-def _window_structs(text_col: Column, k: int) -> Column:
-    """Array of (pos, fp) for every k-token sliding window; empty for
-    docs shorter than k tokens. 1-based pos (matches SQL engines'
-    list indexing so the oracle needs no off-by-one shims)."""
-    toks = tokens(text_col)
+def _window_structs(toks: Column, k: int) -> Column:
+    """Array of (pos, fp) for every k-token sliding window of a
+    MATERIALIZED token-array column; empty for docs shorter than k
+    tokens. 1-based pos (matches SQL engines' list indexing so the
+    oracle needs no off-by-one shims).
+
+    ``toks`` must be a bound column, not a tokens(text) expression: the
+    transform lambda references it per window, and a captured
+    expression subtree is RE-EVALUATED per element (the README's
+    HOF-recapture trap — re-splitting the text once per window turned
+    the round-7 bigram stream 14x slower before the same fix)."""
     n = F.size(toks)
     wins = F.transform(
         F.sequence(F.lit(1), n - F.lit(k - 1)),
@@ -63,13 +69,19 @@ def span_fingerprints(
     """(id, pos, fp) for every k-token sliding window of every document.
 
     Map-only until the explode; each output row is fixed-width, so the
-    downstream shuffle on fp moves hashes, never text."""
+    downstream shuffle on fp moves hashes, never text. The token array
+    is materialized in its own projection BEFORE the window transform
+    so the per-window lambda slices a bound array instead of
+    re-running the split (HOF-recapture trap, see _window_structs)."""
     if k < 2:
         raise ValueError(f"k must be >= 2, got {k}")
+    t = df.select(
+        F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("_toks")
+    )
     return (
-        df.select(
-            F.col(id_col).alias("id"),
-            F.explode(_window_structs(F.col(text_col), k)).alias("w"),
+        t.select(
+            "id",
+            F.explode(_window_structs(F.col("_toks"), k)).alias("w"),
         )
         .select("id", F.col("w.pos").alias("pos"), F.col("w.fp").alias("fp"))
     )

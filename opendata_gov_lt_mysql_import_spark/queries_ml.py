@@ -3922,34 +3922,44 @@ def bigram_logprob_score_q(spark: SparkSession, sf: str) -> DataFrame:
     mean bigram log-probability — the context-aware upgrade of
     ``unigram_logprob_score`` (word salad scores low even when every
     unigram is common). Same scale shape: one map-only bigram
-    projection (adjacent-pair zip, no self-join), two vocabulary-sized
-    broadcast re-joins, the 1-row V total cross-joined, one per-doc
-    aggregate. The bigram table broadcast is the documented watch-point
-    (vocab² worst case; hash it to a count-min sketch when it outgrows
-    broadcast). Docs with < 2 tokens have no bigrams and drop out —
-    same rule both engines."""
+    projection, two vocabulary-sized broadcast re-joins, the 1-row V
+    total cross-joined, one per-doc aggregate. The bigram table
+    broadcast is the documented watch-point (vocab² worst case; hash
+    it to a count-min sketch when it outgrows broadcast). Docs with
+    < 2 tokens have no bigrams and drop out — same rule both engines.
+
+    Two measured hot-path rules (x14 together at sf0.1, 8.7s→0.6s on
+    the bigram stream alone): (1) bigram pairs come from
+    ``arrays_zip(slice, slice)`` over a MATERIALIZED token array — a
+    ``transform(sequence, i -> element_at(toks, i))`` lambda re-
+    evaluates the captured tokens() split PER ELEMENT (the README's
+    HOF-recapture trap, found again here); (2) the bigram frame feeds
+    three consumers (c2, c1, probe), so it is pinned with an eager
+    localCheckpoint or AQE re-runs the explode per consumer."""
     from .operators.textanalysis import tokens
 
     d = load_table(spark, sf, "documents")
-    toks = tokens(F.col("text"))
-    bg = d.select(
-        "doc_id",
-        F.explode(
-            F.when(
-                F.size(toks) >= 2,
-                F.transform(
-                    F.sequence(F.lit(1), F.size(toks) - 1),
-                    lambda i: F.struct(
-                        F.element_at(toks, i).alias("w1"),
-                        F.element_at(toks, i + 1).alias("w2"),
-                    ),
-                ),
-            ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
-        ).alias("b"),
-    ).select("doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    t = d.select("doc_id", tokens(F.col("text")).alias("toks"))
+    tk = F.col("toks")
+    n = F.size(tk)
+    zipped = F.arrays_zip(
+        F.slice(tk, 1, n - 1).alias("w1"), F.slice(tk, 2, n - 1).alias("w2")
+    )
+    bg = (
+        t.select(
+            "doc_id",
+            F.explode(
+                F.when(n >= 2, zipped).otherwise(
+                    F.array().cast("array<struct<w1:string,w2:string>>")
+                )
+            ).alias("b"),
+        )
+        .select("doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+        .localCheckpoint(eager=True)
+    )
     c2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
     c1 = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
-    v = d.select(F.explode(toks).alias("tok")).agg(
+    v = d.select(F.explode(tokens(F.col("text"))).alias("tok")).agg(
         F.countDistinct("tok").alias("v")
     )
     return (

@@ -80,6 +80,10 @@ TOP = [
     "incremental_neardup_lsh",
     "q21_waiting_suppliers",
     "q2_min_cost_supplier",
+    # round-7 span family (2x point so the 4x section gets curvature)
+    "substring_dup_spans",
+    "substring_dedup_clean",
+    "incremental_substring_dedup",
 ]
 
 # third scaling point for the heaviest candidate-generating entries —
@@ -95,6 +99,7 @@ TOP_4X = [
     # round-7 surface: the explode-heavy window-fingerprint family
     "substring_dup_spans",
     "substring_dedup_clean",
+    "incremental_substring_dedup",
 ]
 
 # fourth scaling point (round-6 verdict item 7) for the two entries
