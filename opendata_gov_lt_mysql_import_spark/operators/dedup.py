@@ -99,12 +99,20 @@ def char_shingles(text: Column, k: int) -> Column:
     Shingling on BINARY, not STRING: ``substr`` on a UTF-8 string must
     seek from the start (variable-width chars) making per-row shingling
     O(len²); byte offsets are O(1). The shingles are only ever hashed, so
-    byte-grams are as good as char-grams for LSH purposes."""
-    bin_ = text.cast("binary")
-    n = F.greatest(F.length(bin_) - (k - 1), F.lit(1))
-    return F.array_distinct(
-        F.transform(F.sequence(F.lit(1), n), lambda i: bin_.substr(i, F.lit(k)))
-    )
+    byte-grams are as good as char-grams for LSH purposes. The cast is
+    bound once per row via the 1-element transform wrapper (see
+    word_ngrams) — captured, it would re-copy the bytes per shingle,
+    reintroducing the O(len²) this function exists to avoid."""
+
+    def build(b: Column) -> Column:
+        n = F.greatest(F.length(b) - (k - 1), F.lit(1))
+        return F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), n), lambda i: b.substr(i, F.lit(k))
+            )
+        )
+
+    return F.element_at(F.transform(F.array(text.cast("binary")), build), 1)
 
 
 def _signed64(v: int) -> int:
@@ -307,20 +315,33 @@ def minhash_candidate_pairs(
 
 def word_ngrams(text: Column, n: int) -> Column:
     """Distinct word n-gram array (whole token stream when shorter than
-    n). References materialize per row; the heavy path uses the exploded
-    form below."""
-    toks = tokens(text)
-    n_sh = F.greatest(F.size(toks) - (n - 1), F.lit(1))
-    # get() per position, not slice(toks, i, n): slice copies an n-element
-    # array per gram (O(len·n) allocations) while n fixed get() lookups are
-    # O(1) each. get (not element_at) so an out-of-range tail position
-    # yields NULL — skipped by concat_ws, same as slice's short tail —
-    # instead of an ANSI-mode error.
-    grams = F.transform(
-        F.sequence(F.lit(0), n_sh - 1),
-        lambda i: F.concat_ws(" ", *[F.get(toks, i + j) for j in range(n)]),
-    )
-    return F.array_distinct(grams)
+    n).
+
+    The token split is BOUND once per row through a 1-element
+    ``transform`` wrapper: a lambda ARGUMENT is a variable reference
+    inside nested lambdas, while a CAPTURED expression subtree is
+    re-evaluated per element — with ``n`` ``get()``s per gram the
+    captured form re-ran the split n·grams times per row (measured
+    12.2s -> 0.6s on the sf0.1 5-gram stream, single partition; the
+    cost was previously masked by ``_spread``'s 32-way parallelism)."""
+
+    def build(toks: Column) -> Column:
+        n_sh = F.greatest(F.size(toks) - (n - 1), F.lit(1))
+        # get() per position, not slice(toks, i, n): slice copies an
+        # n-element array per gram (O(len·n) allocations) while n fixed
+        # get() lookups are O(1) each. get (not element_at) so an
+        # out-of-range tail position yields NULL — skipped by concat_ws,
+        # same as slice's short tail — instead of an ANSI-mode error.
+        return F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), n_sh - 1),
+                lambda i: F.concat_ws(
+                    " ", *[F.get(toks, i + j) for j in range(n)]
+                ),
+            )
+        )
+
+    return F.element_at(F.transform(F.array(tokens(text)), build), 1)
 
 
 def blocked_jaccard_pairs(

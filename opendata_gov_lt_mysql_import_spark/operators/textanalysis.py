@@ -137,15 +137,22 @@ def repetition_projection(text: Column) -> list[Column]:
 def word_ngrams(toks: Column, n: int) -> Column:
     """All order-preserving word n-grams joined with single spaces;
     <n tokens → empty array. HOF-only (sequence + slice), no explode
-    until the caller decides to."""
-    sz = F.size(toks)
-    return F.when(
-        sz >= n,
-        F.transform(
-            F.sequence(F.lit(1), sz - (n - 1)),
-            lambda i: F.array_join(F.slice(toks, i, F.lit(n)), " "),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    until the caller decides to. ``toks`` is bound once per row via a
+    1-element transform wrapper — callers pass tokens(text) EXPRESSIONS,
+    and a captured expression subtree re-evaluates (re-splits) per gram
+    (the HOF-recapture trap; see operators.dedup.word_ngrams)."""
+
+    def build(tk: Column) -> Column:
+        sz = F.size(tk)
+        return F.when(
+            sz >= n,
+            F.transform(
+                F.sequence(F.lit(1), sz - (n - 1)),
+                lambda i: F.array_join(F.slice(tk, i, F.lit(n)), " "),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    return F.element_at(F.transform(F.array(toks), build), 1)
 
 
 # Integer weights for the linear quality model (public fastText-style
