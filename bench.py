@@ -124,6 +124,13 @@ HEADLINE = [
     "kmeans_k_fixed",
     "bigram_logprob_score",
     "cms_token_topk",
+    # round-7 ranking/selection/graph-structure wave: fixed-point BM25
+    # top-k, DSIR importance weights (256-bucket integer reduction), and
+    # degree-oriented triangle counting (the wedge join is the entry
+    # whose cost is most sensitive to orientation — track it)
+    "bm25_topk_docs",
+    "dsir_importance_weights",
+    "triangle_count_copurchase",
 ]
 
 

@@ -4061,3 +4061,246 @@ def incremental_substring_dedup_q(spark: SparkSession, sf: str) -> DataFrame:
     return incremental_span_dedup(
         batch, index, "text", "doc_id", k=20
     ).withColumnRenamed("id", "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# ranking / data-selection / graph-structure wave (round 7)
+# ---------------------------------------------------------------------------
+
+_BM25_TERMS = ("join", "vector", "customer")
+
+
+def _bm25_tf_sql(term: str) -> str:
+    return (
+        "CAST(CASE WHEN trim(text) = '' THEN 0 ELSE "
+        f"len(list_filter({_TOKENS_SQL}, x -> x = '{term}')) END AS BIGINT)"
+    )
+
+
+def _bm25_idf_sql(i: int) -> str:
+    df = (
+        f"CAST(sum(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS DOUBLE)"
+    )
+    return (
+        f"CAST(floor(ln((CAST(count(*) AS DOUBLE) - {df} + 0.5) / "
+        f"({df} + 0.5) + 1.0) * 1000000000.0) AS BIGINT) AS idf_fp_{i}"
+    )
+
+
+def _bm25_term_sql(i: int) -> str:
+    # literal mirror of ranking.bm25_topk's term_score expression tree:
+    # ((idf_fp/1e9) * (tf * 2.5)) / (tf + 1.5*(0.25 + ((0.75*dl)*N)/sum_dl))
+    return (
+        f"((CAST(idf_fp_{i} AS DOUBLE) / 1000000000.0) * "
+        f"(CAST(tf_{i} AS DOUBLE) * 2.5)) / "
+        f"(CAST(tf_{i} AS DOUBLE) + 1.5 * (0.25 + "
+        f"0.75 * CAST(dl AS DOUBLE) * CAST(n_docs AS DOUBLE) "
+        f"/ CAST(sum_dl AS DOUBLE)))"
+    )
+
+
+@query(
+    "bm25_topk_docs",
+    f"""
+    WITH per AS (
+      SELECT doc_id,
+             CAST({_NTOK_SQL} AS BIGINT) AS dl,
+             {_bm25_tf_sql(_BM25_TERMS[0])} AS tf_0,
+             {_bm25_tf_sql(_BM25_TERMS[1])} AS tf_1,
+             {_bm25_tf_sql(_BM25_TERMS[2])} AS tf_2
+      FROM documents
+    ),
+    stats AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(dl) AS BIGINT) AS sum_dl,
+             {_bm25_idf_sql(0)},
+             {_bm25_idf_sql(1)},
+             {_bm25_idf_sql(2)}
+      FROM per
+    )
+    SELECT doc_id,
+           CAST(floor(({_bm25_term_sql(0)} + {_bm25_term_sql(1)}
+             + {_bm25_term_sql(2)}) * 1000000.0) AS BIGINT) AS score_e6
+    FROM per, stats
+    ORDER BY score_e6 DESC, doc_id
+    LIMIT 20
+    """,
+)
+def bm25_topk_docs_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Okapi BM25 top-20 documents for a fixed 3-term query — the
+    retrieval-ranking member of the corpus-scoring family (TF-IDF's
+    length-normalized, saturating successor; Robertson & Zaragoza
+    2009). Oracle-EXACT via the fixed-point-idf design documented in
+    operators/ranking.py: ln is floored into a BIGINT once per TERM on
+    the 1-row stats frame, per-doc arithmetic is a fixed-order chain of
+    correctly-rounded IEEE ops with dyadic constants, and the <=3 term
+    scores are summed in one literal expression, never an unordered
+    float SUM. Scale: one corpus pass for the stats row (partial-agg),
+    tf/dl as array ops on the tokens column (no explode), 1-row
+    broadcast cross-join back (whitelisted tfidf idiom), global top-20
+    via TakeOrderedAndProject."""
+    from .operators.ranking import bm25_topk
+
+    d = load_table(spark, sf, "documents")
+    return bm25_topk(d, list(_BM25_TERMS), k=20)
+
+
+@query(
+    "dsir_importance_weights",
+    f"""
+    WITH tb AS (
+      SELECT t.doc_id, t.is_target,
+             {_cms_bucket_sql("md5(u.tok)")} AS bucket
+      FROM (
+        SELECT doc_id, (lang = 'en') AS is_target,
+               CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                    ELSE {_TOKENS_SQL} END AS l
+        FROM documents
+      ) t, UNNEST(t.l) AS u(tok)
+    ),
+    bstats AS (
+      SELECT bucket,
+             CAST(sum(CASE WHEN is_target THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_t,
+             CAST(count(*) AS BIGINT) AS n_r
+      FROM tb GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(sum(n_t) AS BIGINT) AS big_nt,
+             CAST(sum(n_r) AS BIGINT) AS big_nr
+      FROM bstats
+    ),
+    lr AS (
+      SELECT bucket,
+             CAST(floor(ln(
+               ((CAST(n_t AS DOUBLE) + 1.0) * (CAST(big_nr AS DOUBLE) + 256.0))
+               / ((CAST(n_r AS DOUBLE) + 1.0) * (CAST(big_nt AS DOUBLE) + 256.0))
+             ) * 1000000000.0) AS BIGINT) AS lr_fp
+      FROM bstats, tot
+    ),
+    pdb AS (
+      SELECT doc_id, bucket, CAST(count(*) AS BIGINT) AS c
+      FROM tb GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT p.doc_id, CAST(sum(p.c * lr.lr_fp) AS BIGINT) AS dsir_fp
+      FROM pdb p JOIN lr USING (bucket) GROUP BY 1
+    )
+    SELECT d.doc_id, COALESCE(s.dsir_fp, 0) AS dsir_fp
+    FROM documents d LEFT JOIN scored s USING (doc_id)
+    """,
+)
+def dsir_importance_weights_q(spark: SparkSession, sf: str) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023): every document scored
+    by hashed-unigram log-likelihood ratio of the English slice (the
+    'target' distribution) vs the whole corpus — the data-SELECTION
+    counterpart to the quality/mixture operators (pick raw docs that
+    look like the target domain). Oracle-EXACT: ln is floored into
+    BIGINT once per 256-bucket (md5-nibble buckets, the count-min
+    idiom), after which the per-doc score sum(count_b * lr_fp_b) is
+    pure integer arithmetic — immune to the float-sum partition-order
+    hazard pagerank documents. Scale: token stream collapses onto the
+    FIXED 256-key space map-side; 256-row ratio table broadcast back;
+    one doc_id shuffle for the reduction."""
+    from .operators.ranking import dsir_importance_weights
+
+    d = load_table(spark, sf, "documents")
+    return dsir_importance_weights(d, F.col("lang") == "en")
+
+
+_TRI_KEEP_SQL = (
+    "(strpos('0123456789abcdef', substr(md5("
+    "CAST(a.pk AS VARCHAR) || '#' || CAST(b.pk AS VARCHAR)), 1, 1)) - 1) < 4"
+)
+
+
+@query(
+    "triangle_count_copurchase",
+    f"""
+    WITH op AS (
+      SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+    ),
+    e AS (
+      SELECT DISTINCT a.pk AS u, b.pk AS v
+      FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk
+      WHERE {_TRI_KEEP_SQL}
+    ),
+    nodes AS (
+      SELECT CAST(count(DISTINCT n) AS BIGINT) AS n_nodes
+      FROM (SELECT u AS n FROM e UNION ALL SELECT v AS n FROM e)
+    ),
+    ecnt AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM e),
+    tri AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_triangles
+      FROM e e1
+      JOIN e e2 ON e2.u = e1.u AND e2.v > e1.v
+      JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v
+    )
+    SELECT n_nodes, n_edges, n_triangles,
+           n_triangles * 64 AS doulion_estimate
+    FROM nodes, ecnt, tri
+    """,
+)
+def triangle_count_copurchase_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Triangle census of the part co-purchase graph (two parts
+    adjacent iff some order contains both) — the graph-STRUCTURE
+    member of the graph family, complementing pagerank's propagation
+    and dup_clusters' connectivity. Two papers compose here:
+
+    * DOULION edge sparsification (Tsourakakis et al., KDD 2009): the
+      co-purchase graph is DENSE (sf0.1: 1.2M edges on 20k parts, 41M
+      wedges), so the query keeps each canonical edge iff its first
+      md5 nibble < 4 (p = 1/4, engine-portable hash, no RNG) and
+      reports both the exact sampled count and the unbiased
+      (1/p)^3 = 64x estimate — the standard way a 100 TB graph's
+      triangle census is actually run, cutting wedge work ~p^2.
+    * Degree-oriented exact counting on the retained graph
+      (operators/graph.py triangle_count, Latapy 2008): out-degrees
+      bounded O(sqrt(m)) under the (degree,id) orientation, so no
+      skewed-hub wedge blowup.
+
+    The oracle rebuilds the identical sampled edge set (same md5
+    nibble rule) and counts with the id-ordered 3-join; every output
+    is an exact integer."""
+    from .operators.graph import triangle_count
+
+    li = load_table(spark, sf, "lineitem")
+    # per-order part sets in ONE aggregation, pairs by the posexplode
+    # anchor + tail-slice generate (the minhash bucket-pair idiom,
+    # operators/dedup.py) — replaces a distinct + self-join (two extra
+    # shuffles) with map-side expression work; order baskets are tiny
+    # (<=7 parts) so per-row width is never a concern here
+    baskets = li.groupBy(F.col("l_orderkey").alias("ok")).agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("pks")
+    )
+    anchored = baskets.filter(F.size("pks") >= 2).select(
+        F.col("pks").alias("_pks"),
+        F.posexplode(F.col("pks")).alias("_i", "src"),
+    )
+    pairs = anchored.select(
+        "src",
+        F.explode(
+            F.slice(F.col("_pks"), F.col("_i") + F.lit(2), F.size("_pks"))
+        ).alias("dst"),
+    )
+    keep = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "#",
+                        F.col("src").cast("string"),
+                        F.col("dst").cast("string"),
+                    )
+                ),
+                1,
+                1,
+            ),
+            16,
+            10,
+        ).cast("int")
+        < 4
+    )
+    return triangle_count(pairs.where(keep)).withColumn(
+        "doulion_estimate", F.col("n_triangles") * F.lit(64).cast("long")
+    )

@@ -354,3 +354,40 @@ def test_q15_max_filter_is_broadcast_equality(spark, sf_dir, queries):
     final_section = plan.split("== Initial Plan ==")[0]
     assert "BroadcastHashJoin" in final_section
     assert "SortMergeJoin" not in final_section
+
+
+def test_bm25_single_stats_row_no_shuffle_topk(spark, sf_dir, queries):
+    """bm25_topk_docs: the per-doc frame is eagerly checkpointed, so the
+    visible plan must be shuffle-free — one 1-row broadcast nested loop
+    (the whitelisted corpus-stats idiom) feeding TakeOrderedAndProject;
+    a hash exchange here would mean the top-k regressed to a global
+    sort or the stats row stopped broadcasting."""
+    import re
+
+    plan = final_plan(queries["bm25_topk_docs"](spark, sf_dir))
+    final_section = plan.split("== Initial Plan ==")[0]
+    assert "TakeOrderedAndProject" in final_section
+    assert "BroadcastNestedLoopJoin" in final_section
+    assert not re.search(
+        r"Exchange (?:hash|range)partitioning", final_section
+    )
+
+
+def test_dsir_broadcasts_ratio_table_and_prunes_doc_scan(
+    spark, sf_dir, queries
+):
+    """dsir_importance_weights: the 256-row log-ratio table must come in
+    as a BroadcastHashJoin (not a shuffle join), and the final
+    all-docs left join must scan ONLY doc_id from parquet (column
+    pruning) — reading text there would double the corpus IO."""
+    plan = final_plan(queries["dsir_importance_weights"](spark, sf_dir))
+    final_section = plan.split("== Initial Plan ==")[0]
+    assert "BroadcastHashJoin" in final_section
+    assert "SortMergeJoin" not in final_section
+    scans = [
+        ln for ln in final_section.splitlines() if "ReadSchema" in ln
+    ]
+    assert scans, "expected a parquet scan in the final plan"
+    for ln in scans:
+        schema = ln.split("ReadSchema:")[-1]
+        assert "text" not in schema, f"unpruned scan: {ln.strip()[:160]}"

@@ -106,6 +106,15 @@ WHITELIST: dict[str, dict[str, str]] = {
     "emb_dup_pairs": {
         "bnl_join": "within-block brute-force verifier, block occupancy capped"
     },
+    "bm25_topk_docs": {
+        "bnl_join": "1-row corpus-stats aggregate (N, sum_dl, per-term "
+        "fixed-point idfs) cross-joined onto the per-doc frame (same "
+        "shape as tfidf's corpus count)"
+    },
+    "dsir_importance_weights": {
+        "bnl_join": "1-row bucket-total aggregate cross-joined onto the "
+        "fixed 256-row bucket-stats frame (constant-sized both sides)"
+    },
     "assign_row_ids": {
         # the operator exists to AVOID the global window; its per-partition
         # count aggregate groups by spark_partition_id (no global window)
