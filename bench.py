@@ -131,6 +131,7 @@ HEADLINE = [
     "bm25_topk_docs",
     "dsir_importance_weights",
     "triangle_count_copurchase",
+    "pmi_collocations",
 ]
 
 

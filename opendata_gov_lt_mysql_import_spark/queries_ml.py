@@ -4304,3 +4304,108 @@ def triangle_count_copurchase_q(spark: SparkSession, sf: str) -> DataFrame:
     return triangle_count(pairs.where(keep)).withColumn(
         "doulion_estimate", F.col("n_triangles") * F.lit(64).cast("long")
     )
+
+
+@query(
+    "pmi_collocations",
+    r"""
+    WITH t AS (
+      SELECT CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                  ELSE str_split_regex(trim(text), '\s+') END AS toks
+      FROM documents
+    ),
+    bg AS (
+      SELECT toks[u.i] AS w1, toks[u.i + 1] AS w2
+      FROM t, UNNEST(range(1, len(toks))) u(i)
+    ),
+    c2 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS n_xy
+           FROM bg GROUP BY 1, 2),
+    uni AS (
+      SELECT tok AS w, CAST(count(*) AS BIGINT) AS c
+      FROM (SELECT unnest(toks) AS tok FROM t) GROUP BY 1
+    ),
+    tot AS (
+      SELECT (SELECT CAST(sum(c) AS BIGINT) FROM uni) AS n1,
+             (SELECT CAST(sum(n_xy) AS BIGINT) FROM c2) AS nb
+    )
+    SELECT c2.w1, c2.w2, c2.n_xy,
+           CAST(floor(
+             (((CAST(c2.n_xy AS DOUBLE) * CAST(tot.n1 AS DOUBLE))
+                / CAST(tot.nb AS DOUBLE))
+              * (CAST(tot.n1 AS DOUBLE) / CAST(u1.c AS DOUBLE)))
+             / CAST(u2.c AS DOUBLE) * 1000.0
+           ) AS BIGINT) AS lift_e3
+    FROM c2
+    JOIN uni u1 ON u1.w = c2.w1
+    JOIN uni u2 ON u2.w = c2.w2
+    CROSS JOIN tot
+    WHERE c2.n_xy >= 5
+    ORDER BY lift_e3 DESC, c2.w1, c2.w2
+    LIMIT 30
+    """,
+)
+def pmi_collocations_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Collocation mining by pointwise mutual information (Church &
+    Hanks 1990) — top-30 adjacent-token pairs ranked by association
+    LIFT p(xy)/(p(x)p(y)), min support 5. Emitted as lift_e3 =
+    floor(lift * 1e3): PMI = ln(lift) is monotone in lift, so the
+    ranking is PMI's ranking with NO transcendental anywhere — unlike
+    the fixed-point-ln operators (ranking.py), this one is exact by
+    pure arithmetic: integer counts, a fixed-order chain of
+    correctly-rounded double divisions (each product stays below 2^53),
+    and one floor. Scale: bigrams via the zip_with HOF (no per-doc
+    explode blowup), two corpus-sized shuffles collapse onto
+    vocab/vocab^2 key spaces (map-side partial agg), unigram table
+    broadcast back, global top-30 via TakeOrderedAndProject. The 1-row
+    totals frame is derived from the two grouped frames — no extra
+    corpus pass."""
+    d = load_table(spark, sf, "documents")
+    toks = tokens(F.col("text"))
+    n = F.size(toks)
+    pair_t = "array<struct<w1:string,w2:string>>"
+    bgs = F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice(toks, F.lit(1), n - 1),
+            F.slice(toks, F.lit(2), n - 1),
+            lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+        ),
+    ).otherwise(F.array().cast(pair_t))
+    c2 = (
+        d.select(F.explode(bgs).alias("bg"))
+        .select("bg.w1", "bg.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_xy"))
+    )
+    uni = (
+        d.select(F.explode(toks).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    tot = (
+        c2.agg(F.sum("n_xy").cast("long").alias("nb"))
+        .crossJoin(F.broadcast(uni.agg(F.sum("c").cast("long").alias("n1"))))
+    )
+    u1 = uni.select(F.col("w").alias("w1"), F.col("c").alias("c1"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("c").alias("c2"))
+    lift = (
+        (
+            (F.col("n_xy").cast("double") * F.col("n1").cast("double"))
+            / F.col("nb").cast("double")
+        )
+        * (F.col("n1").cast("double") / F.col("c1").cast("double"))
+    ) / F.col("c2").cast("double")
+    return (
+        c2.filter(F.col("n_xy") >= 5)
+        .join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1",
+            "w2",
+            "n_xy",
+            F.floor(lift * F.lit(1000.0)).cast("long").alias("lift_e3"),
+        )
+        .orderBy(F.col("lift_e3").desc(), "w1", "w2")
+        .limit(30)
+    )

@@ -84,6 +84,13 @@ TOP = [
     "substring_dup_spans",
     "substring_dedup_clean",
     "incremental_substring_dedup",
+    # round-7 ranking/graph wave: the triangle census is the entry with
+    # real superlinear POTENTIAL (wedge count grows with degree^2 —
+    # linear only while DOULION sampling holds degrees down), bm25/dsir
+    # should track corpus size
+    "triangle_count_copurchase",
+    "bm25_topk_docs",
+    "dsir_importance_weights",
 ]
 
 # third scaling point for the heaviest candidate-generating entries —
@@ -100,6 +107,11 @@ TOP_4X = [
     "substring_dup_spans",
     "substring_dedup_clean",
     "incremental_substring_dedup",
+    # round-7: wedge work is sum outdeg^2 — the one entry where a
+    # superlinear term is structurally plausible, so give it the
+    # curvature point (kx copies are key-disjoint, so the graph is k
+    # disjoint components and an honest plan should scale linearly)
+    "triangle_count_copurchase",
 ]
 
 # fourth scaling point (round-6 verdict item 7) for the two entries

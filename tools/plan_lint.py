@@ -111,6 +111,10 @@ WHITELIST: dict[str, dict[str, str]] = {
         "fixed-point idfs) cross-joined onto the per-doc frame (same "
         "shape as tfidf's corpus count)"
     },
+    "pmi_collocations": {
+        "bnl_join": "1-row (N1, NB) totals aggregate cross-joined onto "
+        "the supported-bigram frame (same shape as tfidf's corpus count)"
+    },
     "dsir_importance_weights": {
         "bnl_join": "1-row bucket-total aggregate cross-joined onto the "
         "fixed 256-row bucket-stats frame (constant-sized both sides)"
