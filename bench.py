@@ -132,6 +132,9 @@ HEADLINE = [
     "dsir_importance_weights",
     "triangle_count_copurchase",
     "pmi_collocations",
+    # KMV distinct sketch: the dedup + salted two-phase bottom-k plan
+    # shape (set-semantics shuffle followed by two bounded windows)
+    "kmv_distinct_sketch",
 ]
 
 

@@ -1,4 +1,5 @@
-"""Count-min sketch — bounded-memory heavy-hitter counting.
+"""Bounded-memory sketches: count-min (heavy hitters) and KMV (distinct
+cardinality). Both hash with md5 so a SQL oracle rebuilds them exactly.
 
 Cormode & Muthukrishnan 2005: d hash rows x w buckets of additive
 counters; every stream item increments one cell per row; a point
@@ -25,7 +26,15 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["cms_cells", "cms_estimates", "CMS_WIDTH"]
+__all__ = [
+    "cms_cells",
+    "cms_estimates",
+    "CMS_WIDTH",
+    "kmv_hash",
+    "kmv_distinct",
+    "KMV_K",
+    "KMV_SCALE",
+]
 
 #: bucket = first two hex digits of md5(token#row) — fixed width 256,
 #: chosen so the oracle's nibble arithmetic stays simple and exact
@@ -72,3 +81,95 @@ def cms_estimates(
     ).select("tok", "r", _bucket(F.col("tok"), F.col("r")).alias("bucket"))
     joined = ph.join(F.broadcast(cells), ["r", "bucket"])
     return joined.groupBy("tok").agg(F.min("cn").alias("cms_n"))
+
+
+#: KMV sketch size: relative std error ~ 1/sqrt(k-2) ~ 6.3% at 256
+KMV_K = 256
+#: hash domain = 13 md5 hex digits = 52 bits. Chosen so the unbiased
+#: estimator's numerator (k-1)*SCALE = 255 * 2^52 ~ 1.15e18 stays inside
+#: BIGINT in BOTH engines (Spark wraps silently outside ANSI mode,
+#: DuckDB errors) — the same overflow-headroom discipline as the
+#: fixed-point pagerank. Collisions at 2^52 are ~D^2/2^53 (1e-4 at a
+#: million distincts) and ENGINE-IDENTICAL (same md5 both sides), so
+#: they can nudge accuracy but never parity.
+KMV_SCALE = 1 << 52
+
+
+def kmv_hash(val: Column) -> Column:
+    """Engine-portable 52-bit uniform draw for a value string:
+    first 13 hex digits of md5(val || '#kmv') as BIGINT. The DuckDB
+    twin is ``CAST('0x' || substr(md5(v || '#kmv'), 1, 13) AS BIGINT)``
+    (the kfold_assign idiom)."""
+    return F.conv(
+        F.substring(F.md5(F.concat_ws("#", val, F.lit("kmv"))), 1, 13),
+        16,
+        10,
+    ).cast("long")
+
+
+def kmv_distinct(
+    tagged: DataFrame,
+    tag_col: str = "col_name",
+    val_col: str = "val",
+    k: int = KMV_K,
+    n_salts: int = 64,
+) -> DataFrame:
+    """KMV / bottom-k distinct-cardinality sketch (Bar-Yossef et al.
+    RANDOM 2002; unbiased estimator (k-1)/h_(k) per Beyer et al. SIGMOD
+    2007): hash every value uniformly, keep the k SMALLEST distinct
+    hashes per tag, and estimate |distinct| from how densely the bottom
+    of the hash space is populated. Returns one row per tag:
+    (tag_col, n_sketch, kth_hash, kmv_estimate), all BIGINT.
+
+    Unlike the engine-specific HLL++/DataSketches estimators (which the
+    registry carries as rows-only entries), the KMV draw is md5 — so a
+    SQL oracle rebuilds the IDENTICAL sketch and the estimate is
+    hash-exact across engines. When a tag has fewer than k distinct
+    hashes the sketch IS the exact count (n_sketch), the standard KMV
+    small-cardinality branch; otherwise the estimate is the all-integer
+    floor((k-1)*SCALE / kth_hash) — no float in either engine.
+
+    Scale shape (three bounded exchanges): (1) the (tag, hash) dedup —
+    partial aggregation collapses repeats map-side, so the shuffle is
+    distinct-key-bounded, the unavoidable cost of set semantics; (2) a
+    row_number window over (tag, salt = h mod n_salts) keeping the
+    per-salt bottom-k — every post-dedup hash crosses once, and the
+    global bottom-k is a subset of the union of per-salt bottom-k's, so
+    nothing is lost while no single task ever sorts a whole tag (the
+    skew guard: a window over bare tag would concentrate each tag's
+    full distinct set on one task); (3) a final window over tag on the
+    <= tags * n_salts * k survivors — constant-sized by construction.
+    """
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    from pyspark.sql.window import Window
+
+    hashes = tagged.select(
+        F.col(tag_col).alias("tag"), kmv_hash(F.col(val_col)).alias("h")
+    ).distinct()
+    w1 = Window.partitionBy("tag", "salt").orderBy("h")
+    stage1 = (
+        hashes.withColumn("salt", F.pmod(F.col("h"), F.lit(n_salts)))
+        .withColumn("rn", F.row_number().over(w1))
+        .where(F.col("rn") <= k)
+        .select("tag", "h")
+    )
+    w2 = Window.partitionBy("tag").orderBy("h")
+    sketch = (
+        stage1.withColumn("rn", F.row_number().over(w2))
+        .where(F.col("rn") <= k)
+        .groupBy("tag")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_sketch"),
+            F.max("h").alias("kth_hash"),
+        )
+    )
+    est = F.when(F.col("n_sketch") < k, F.col("n_sketch")).otherwise(
+        F.expr(f"{(k - 1) * KMV_SCALE}L div kth_hash")
+    )
+    return sketch.select(
+        F.col("tag").alias(tag_col),
+        "n_sketch",
+        "kth_hash",
+        est.cast("long").alias("kmv_estimate"),
+    )

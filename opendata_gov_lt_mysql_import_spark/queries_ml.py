@@ -3767,6 +3767,86 @@ def cms_token_topk_q(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+_KMV_K = 256
+_KMV_NUM = 255 * (1 << 52)  # (k-1) * SCALE, inside BIGINT in both engines
+
+
+@query(
+    "kmv_distinct_sketch",
+    f"""
+    WITH vals AS (
+      SELECT 'l_orderkey' AS tag, CAST(l_orderkey AS VARCHAR) AS v FROM lineitem
+      UNION ALL
+      SELECT 'l_partkey', CAST(l_partkey AS VARCHAR) FROM lineitem
+      UNION ALL
+      SELECT 'l_suppkey', CAST(l_suppkey AS VARCHAR) FROM lineitem
+      UNION ALL
+      SELECT 'o_custkey', CAST(o_custkey AS VARCHAR) FROM orders
+    ),
+    hs AS (
+      SELECT DISTINCT tag,
+             CAST('0x' || substr(md5(v || '#kmv'), 1, 13) AS BIGINT) AS h
+      FROM vals
+    ),
+    topk AS (
+      SELECT tag, h FROM hs
+      QUALIFY row_number() OVER (PARTITION BY tag ORDER BY h) <= {_KMV_K}
+    ),
+    sk AS (
+      SELECT tag, CAST(count(*) AS BIGINT) AS n_sketch, max(h) AS kth_hash
+      FROM topk GROUP BY tag
+    )
+    SELECT tag AS col_name, n_sketch, kth_hash,
+           CAST(CASE WHEN n_sketch < {_KMV_K} THEN n_sketch
+                     ELSE {_KMV_NUM} // kth_hash END AS BIGINT) AS kmv_estimate
+    FROM sk
+    """,
+)
+def kmv_distinct_sketch_q(spark: SparkSession, sf: str) -> DataFrame:
+    """KMV bottom-k distinct-cardinality sketch over four key columns
+    (lineitem order/part/supplier keys + the orders customer key) in ONE
+    pass — the hash-EXACT counterpart to the registry's rows-only
+    HLL++/DataSketches entries (approx_distinct_users,
+    hll_sketch_rollup_merge): the md5 draw means the DuckDB oracle
+    rebuilds the identical bottom-k set and the identical all-integer
+    estimate floor((k-1)*2^52 / h_(k)). At the sf0.001 gate the supplier
+    tag has fewer distincts than k, so BOTH estimator branches (exact
+    small-cardinality and kth-hash extrapolation) are oracle-checked.
+
+    Scale shape: each column is deduplicated as its NATIVE long under a
+    column-pruned scan BEFORE any hashing — measured 3.6x faster than
+    hashing the raw tagged stream (md5 + string group keys belong on
+    the ~170k distinct survivors, not the 1.8M-row input; the same
+    hash-the-survivors discipline as the exact-dedup keep-best). The
+    union of per-column distincts then flows through the operator's
+    (tag, hash) set-dedup + salted two-phase bottom-k
+    (operators/sketches.py kmv_distinct) — no task ever sorts a whole
+    column's distinct set."""
+    import functools
+
+    from .operators.sketches import kmv_distinct
+
+    li = load_table(spark, sf, "lineitem")
+    o = load_table(spark, sf, "orders")
+
+    def col_distinct(df: DataFrame, c: str) -> DataFrame:
+        return (
+            df.select(F.col(c).cast("long").alias("v"))
+            .distinct()
+            .select(
+                F.lit(c).alias("col_name"),
+                F.col("v").cast("string").alias("val"),
+            )
+        )
+
+    tagged = functools.reduce(
+        lambda a, b: a.unionByName(b),
+        [col_distinct(li, c) for c in ("l_orderkey", "l_partkey", "l_suppkey")]
+        + [col_distinct(o, "o_custkey")],
+    )
+    return kmv_distinct(tagged, k=_KMV_K)
+
+
 def _kmeans_fixed_oracle(k: int = 4, iters: int = 3, scale: int = 10**4) -> str:
     """Unrolled fixed-point Lloyd oracle (same construction style as the
     pagerank_k unrolled CTE): per iteration an assignment block (cross

@@ -750,6 +750,87 @@ def test_approx_percentile_within_one_percent_of_exact(spark, sf_dir):
             )
 
 
+class TestKMVDistinct:
+    """KMV bottom-k distinct sketch invariants (operators/sketches.py
+    kmv_distinct): the salted two-phase bottom-k must equal the global
+    bottom-k (subset argument: the global k smallest distinct hashes
+    number <= k, so each salt's share survives its per-salt top-k); the
+    small-cardinality branch is exact; the estimator tracks truth
+    within the ~1/sqrt(k) band."""
+
+    @staticmethod
+    def _tagged(spark, n, tag="t"):
+        from pyspark.sql import functions as F
+
+        return (
+            spark.range(n)
+            .select(
+                F.lit(tag).alias("col_name"),
+                F.col("id").cast("string").alias("val"),
+            )
+            # duplicate every value: set semantics must absorb repeats
+            .unionAll(
+                spark.range(n).select(
+                    F.lit(tag).alias("col_name"),
+                    F.col("id").cast("string").alias("val"),
+                )
+            )
+        )
+
+    def test_two_phase_equals_single_window(self, spark):
+        from pyspark.sql import functions as F
+
+        from opendata_gov_lt_mysql_import_spark.operators.sketches import (
+            kmv_distinct,
+            kmv_hash,
+        )
+
+        tagged = self._tagged(spark, 5000)
+        got = kmv_distinct(tagged, k=64, n_salts=8).collect()[0]
+        # reference: global bottom-64 of the distinct hash set, one sort
+        ref = (
+            tagged.select(kmv_hash(F.col("val")).alias("h"))
+            .distinct()
+            .orderBy("h")
+            .limit(64)
+            .agg(F.count(F.lit(1)).alias("n"), F.max("h").alias("kth"))
+            .collect()[0]
+        )
+        assert got["n_sketch"] == ref["n"] == 64
+        assert got["kth_hash"] == ref["kth"]
+
+    def test_small_cardinality_branch_is_exact(self, spark):
+        from opendata_gov_lt_mysql_import_spark.operators.sketches import (
+            kmv_distinct,
+        )
+
+        tagged = self._tagged(spark, 50)
+        row = kmv_distinct(tagged, k=256).collect()[0]
+        assert row["n_sketch"] == 50
+        assert row["kmv_estimate"] == 50  # sketch IS the exact count
+
+    def test_estimator_tracks_truth(self, spark):
+        from opendata_gov_lt_mysql_import_spark.operators.sketches import (
+            kmv_distinct,
+        )
+
+        n = 20_000
+        row = kmv_distinct(self._tagged(spark, n), k=256).collect()[0]
+        assert row["n_sketch"] == 256
+        # 1/sqrt(k-2) ~ 6.3%; allow 4 sigma for the fixed seed draw
+        assert abs(row["kmv_estimate"] - n) / n < 0.25
+
+    def test_k_validation(self, spark):
+        import pytest as _pytest
+
+        from opendata_gov_lt_mysql_import_spark.operators.sketches import (
+            kmv_distinct,
+        )
+
+        with _pytest.raises(ValueError):
+            kmv_distinct(self._tagged(spark, 10), k=1)
+
+
 class TestHllSketchRollup:
     """Stored-sketch rollup invariants (hll_sketch_rollup_merge): daily
     HLL sketches must merge LOSSLESSLY (union of partials == one-shot
