@@ -135,6 +135,8 @@ HEADLINE = [
     # KMV distinct sketch: the dedup + salted two-phase bottom-k plan
     # shape (set-semantics shuffle followed by two bounded windows)
     "kmv_distinct_sketch",
+    # boilerplate scrub: line-DF count + key join + positional re-agg
+    "boilerplate_line_scrub",
 ]
 
 

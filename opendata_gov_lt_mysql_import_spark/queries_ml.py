@@ -3767,6 +3767,118 @@ def cms_token_topk_q(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+_BP_HDR = "subscribe to our newsletter | site navigation"
+_BP_FTR = "copyright footer all rights reserved"
+_BP_MIN_DOCS = 10
+
+_BP_DOCS_SQL = f"""
+      SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0
+                  THEN '{_BP_HDR}' || chr(10) || text || chr(10) || '{_BP_FTR}'
+                  ELSE text END AS text
+      FROM documents
+"""
+
+
+@query(
+    "boilerplate_line_scrub",
+    f"""
+    WITH docs AS ({_BP_DOCS_SQL}),
+    l AS (
+      SELECT doc_id, unnest(str_split(text, chr(10))) AS line,
+             generate_subscripts(str_split(text, chr(10)), 1) AS pos
+      FROM docs
+    ),
+    freq AS (
+      SELECT trim(line) AS k, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+      FROM l WHERE trim(line) <> '' GROUP BY 1
+    ),
+    flagged AS (
+      SELECT l.doc_id, l.pos, l.line,
+             COALESCE(f.df, 0) >= {_BP_MIN_DOCS} AS is_bp
+      FROM l LEFT JOIN freq f ON trim(l.line) = f.k
+    )
+    SELECT doc_id,
+           COALESCE(array_to_string(list(line ORDER BY pos)
+                      FILTER (WHERE NOT is_bp), chr(10)), '') AS clean_text,
+           CAST(count(*) FILTER (WHERE is_bp) AS BIGINT) AS n_removed
+    FROM flagged GROUP BY doc_id
+    """,
+)
+def boilerplate_line_scrub_q(spark: SparkSession, sf: str) -> DataFrame:
+    """CCNet/RefinedWeb-style boilerplate removal: a line is boilerplate
+    iff its trimmed form appears in >= {min_docs} DISTINCT documents
+    (nav bars, subscribe prompts, copyright footers repeat across a
+    site; real content doesn't), and every such line is scrubbed while
+    the remaining lines are reassembled IN ORIGINAL ORDER. The fixture
+    corpus is single-line, so — the `_documents_with_dups` discipline —
+    a deterministic header/footer pair is injected into every third
+    document and the query must remove exactly those lines and nothing
+    else (originals are unique, so they can never cross the threshold).
+
+    Scale shape: one shuffle computes per-line document frequency
+    (partial count-distinct map-side); the line stream then LEFT-joins
+    that frequency table on the trimmed line key (shuffle join — the
+    boilerplate SET is bounded by total_lines/min_docs but the
+    frequency table is not, so no broadcast is assumed; AQE may still
+    elect one when it fits); one final doc_id shuffle reassembles with
+    an array_sort on the captured positions. The line stream feeds two
+    consumers (frequency + join), which re-runs its map-only
+    split/explode lineage rather than materializing it — recomputing a
+    generator is cheaper than checkpointing it at corpus scale.
+
+    Engine bridges: empty-after-scrub reassembly COALESCEs DuckDB's
+    NULL array_to_string([]) to match Spark's '' concat_ws; positions
+    are 0- vs 1-based but only ever ORDER keys."""
+    d = load_table(spark, sf, "documents")
+    docs = d.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat_ws(
+                "\n", F.lit(_BP_HDR), F.col("text"), F.lit(_BP_FTR)
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    lines = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.col("text"), "\n")).alias("pos", "line"),
+    )
+    freq = (
+        lines.where(F.trim(F.col("line")) != "")
+        .groupBy(F.trim(F.col("line")).alias("k"))
+        .agg(F.count_distinct("doc_id").cast("long").alias("df"))
+    )
+    flagged = lines.join(
+        freq, F.trim(lines["line"]) == freq["k"], "left"
+    ).select(
+        "doc_id",
+        "pos",
+        "line",
+        (F.coalesce(F.col("df"), F.lit(0)) >= _BP_MIN_DOCS).alias("is_bp"),
+    )
+    kept = F.filter(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("pos"), F.col("line"), F.col("is_bp")))
+        ),
+        lambda x: ~x["is_bp"],
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(kept, lambda x: x["line"]), "\n"
+        ).alias("clean_text"),
+        F.sum(F.col("is_bp").cast("long")).cast("long").alias("n_removed"),
+    )
+
+
+# patch the docstring's literal placeholder with the real threshold
+boilerplate_line_scrub_q.__doc__ = boilerplate_line_scrub_q.__doc__.replace(
+    "{min_docs}", str(_BP_MIN_DOCS)
+)
+
+
 _KMV_K = 256
 _KMV_NUM = 255 * (1 << 52)  # (k-1) * SCALE, inside BIGINT in both engines
 

@@ -124,3 +124,28 @@ class TestPackSequences:
         out = self._packed(spark, rows, cap=100)
         n_bins = len({r.bin_id for r in out})
         assert n_bins < 100  # 5 docs of 20 fit a 100-token bin per shard
+
+
+class TestBoilerplateScrub:
+    """boilerplate_line_scrub must remove EXACTLY the injected
+    header/footer lines (the only lines crossing the min-docs
+    threshold) and reassemble every document to its original text in
+    original line order."""
+
+    def test_exactly_injected_lines_removed(self, spark, sf_dir):
+        import opendata_gov_lt_mysql_import_spark.queries_ml  # noqa: F401
+        from opendata_gov_lt_mysql_import_spark.queries import all_queries
+        from opendata_gov_lt_mysql_import_spark.sources.parquet import (
+            load_table,
+        )
+
+        out = all_queries()["boilerplate_line_scrub"](spark, sf_dir)
+        orig = load_table(spark, sf_dir, "documents").select(
+            "doc_id", F.col("text").alias("orig")
+        )
+        joined = out.join(orig, "doc_id").collect()
+        assert len(joined) == 500
+        for r in joined:
+            expected_removed = 2 if r["doc_id"] % 3 == 0 else 0
+            assert r["n_removed"] == expected_removed, r["doc_id"]
+            assert r["clean_text"] == r["orig"], r["doc_id"]

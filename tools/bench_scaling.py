@@ -91,6 +91,9 @@ TOP = [
     "triangle_count_copurchase",
     "bm25_topk_docs",
     "dsir_importance_weights",
+    # KMV sketch: cost should track the distinct-key count, not the row
+    # count (the kx derivation offsets keys, so distincts DO grow kx)
+    "kmv_distinct_sketch",
 ]
 
 # third scaling point for the heaviest candidate-generating entries —
