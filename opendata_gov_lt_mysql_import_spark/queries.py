@@ -87,7 +87,12 @@ DRIVER_TOP50: tuple[str, ...] = (
     # exact verification under one oracle
     "ngram_jaccard_verify_md5",
     "f4_package_tags",
-    "f9_json_extract",
+    # f9_json_extract rotated out round 7 (the F9/S11 JSON
+    # decode path is exercised in-window by staging_zero_date_roundtrip's
+    # to_json → from_json hop; f9 stays registered + full-gate-verified)
+    # for the KMV bottom-k distinct sketch — the hash-exact cardinality
+    # estimator next to the rows-only HLL entries
+    "kmv_distinct_sketch",
     # F7 zero-date sentinel hazard made driver-visible (round-6 verdict
     # item 8): legacy string → sentinel→null normalize → staging IR
     # encode → S10/S11 JSON hop
@@ -155,7 +160,13 @@ DRIVER_TOP50: tuple[str, ...] = (
     # round-7 exact-substring duplicated-span detector (Lee et al. 2022)
     "substring_dup_spans",
     "dup_clusters",
-    "minhash_lsh_pairs_md5",
+    # minhash_lsh_pairs_md5 rotated out round 7 (its banded candidate
+    # generation is recomputed verbatim inside the in-window
+    # ngram_jaccard_verify_md5 oracle, so the semantics keep a driver
+    # row; the standalone stays registered + full-gate-verified) for
+    # the CCNet boilerplate line scrub — cross-document line-frequency
+    # cleaning, the corpus family's only cross-doc transform
+    "boilerplate_line_scrub",
     # simhash_pairs_md5 slot rotated (round 5 fourth wave) to the
     # incremental batch-vs-history near-dup probe — minhash_lsh_pairs_md5
     # keeps the hash-verified one-shot LSH family in-window; simhash's
