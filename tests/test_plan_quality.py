@@ -391,3 +391,25 @@ def test_dsir_broadcasts_ratio_table_and_prunes_doc_scan(
     for ln in scans:
         schema = ln.split("ReadSchema:")[-1]
         assert "text" not in schema, f"unpruned scan: {ln.strip()[:160]}"
+
+
+def test_kmv_bottomk_prunes_mapside_and_scans_keys_only(
+    spark, sf_dir, queries
+):
+    """kmv_distinct_sketch: both bottom-k windows must run as
+    WindowGroupLimit (partial + final) so each task emits at most k
+    rows per group instead of sorting a whole tag's distinct set
+    through the exchange; every parquet scan must read ONLY its key
+    column (the sketch never needs another byte)."""
+    plan = final_plan(queries["kmv_distinct_sketch"](spark, sf_dir))
+    final_section = plan.split("== Initial Plan ==")[0]
+    assert final_section.count("WindowGroupLimit") >= 2
+    assert "CartesianProduct" not in final_section
+    scans = [
+        ln for ln in final_section.splitlines() if "ReadSchema" in ln
+    ]
+    assert len(scans) == 4, f"expected 4 column-pruned scans, {len(scans)}"
+    for ln in scans:
+        schema = ln.split("ReadSchema:")[-1]
+        # one struct field each: the key column and nothing else
+        assert schema.count(":") == 1, f"unpruned scan: {ln.strip()[:160]}"
