@@ -137,6 +137,8 @@ HEADLINE = [
     "kmv_distinct_sketch",
     # boilerplate scrub: line-DF count + key join + positional re-agg
     "boilerplate_line_scrub",
+    # RRF hybrid retrieval: two TakeOrdered top-k's fused on <=2k rows
+    "rrf_hybrid_topk",
 ]
 
 

@@ -4338,6 +4338,147 @@ def bm25_topk_docs_q(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "rrf_hybrid_topk",
+    f"""
+    WITH per AS (
+      SELECT doc_id,
+             CAST({_NTOK_SQL} AS BIGINT) AS dl,
+             {_bm25_tf_sql(_BM25_TERMS[0])} AS tf_0,
+             {_bm25_tf_sql(_BM25_TERMS[1])} AS tf_1,
+             {_bm25_tf_sql(_BM25_TERMS[2])} AS tf_2
+      FROM documents
+    ),
+    stats AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(dl) AS BIGINT) AS sum_dl,
+             {_bm25_idf_sql(0)},
+             {_bm25_idf_sql(1)},
+             {_bm25_idf_sql(2)}
+      FROM per
+    ),
+    lex AS (
+      SELECT doc_id,
+             CAST(floor(({_bm25_term_sql(0)} + {_bm25_term_sql(1)}
+               + {_bm25_term_sql(2)}) * 1000000.0) AS BIGINT) AS score_e6
+      FROM per, stats
+      ORDER BY score_e6 DESC, doc_id
+      LIMIT 20
+    ),
+    lexr AS (
+      SELECT doc_id,
+             CAST(row_number() OVER (ORDER BY score_e6 DESC, doc_id)
+                  AS BIGINT) AS rank_lex
+      FROM lex
+    ),
+    qv AS (
+      SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings
+      WHERE vec_id = 0
+    ),
+    sem AS (
+      SELECT vec_id AS doc_id,
+             round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), qe), 4)
+               AS sim
+      FROM embeddings, qv
+      WHERE vec_id <> 0
+      ORDER BY sim DESC, vec_id
+      LIMIT 20
+    ),
+    semr AS (
+      SELECT doc_id,
+             CAST(row_number() OVER (ORDER BY sim DESC, doc_id) AS BIGINT)
+               AS rank_sem
+      FROM sem
+    ),
+    fused AS (
+      SELECT COALESCE(l.doc_id, s.doc_id) AS doc_id,
+             CAST(COALESCE(l.rank_lex, 0) AS BIGINT) AS rank_lex,
+             CAST(COALESCE(s.rank_sem, 0) AS BIGINT) AS rank_sem,
+             CAST(
+               (CASE WHEN l.rank_lex IS NULL THEN 0
+                     ELSE 1000000000 // (60 + l.rank_lex) END)
+             + (CASE WHEN s.rank_sem IS NULL THEN 0
+                     ELSE 1000000000 // (60 + s.rank_sem) END)
+               AS BIGINT) AS rrf_fp
+      FROM lexr l FULL OUTER JOIN semr s ON l.doc_id = s.doc_id
+    )
+    SELECT doc_id, rank_lex, rank_sem, rrf_fp
+    FROM fused ORDER BY rrf_fp DESC, doc_id LIMIT 10
+    """,
+)
+def rrf_hybrid_topk_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Hybrid retrieval via Reciprocal Rank Fusion (Cormack, Clarke &
+    Buettcher, SIGIR 2009): the BM25 lexical top-20 (same fixed 3-term
+    query and fixed-point-idf machinery as ``bm25_topk_docs``) and the
+    exact-cosine semantic top-20 against the vec_id=0 embedding (same
+    round-to-4 determinism as ``ann_topk_cosine``) are fused by
+    rrf = sum over lists of 1/(60 + rank) — computed as the all-integer
+    floor(1e9/(60+rank)) per list so the fusion, like every ranking
+    feeding it, is engine-exact. A doc absent from one list contributes
+    0 from it (standard truncated-list RRF); ranks surface as columns
+    (0 = absent) so the oracle checks the full fusion evidence, not
+    just the winners.
+
+    Scale shape: both input rankings are global top-k's
+    (TakeOrderedAndProject — no global sort); the rank windows then run
+    on the LIMIT-k frames (<= 20 rows by construction, whitelisted),
+    and the fusion is a full outer join of two k-row frames. Nothing
+    downstream of the two retrievals ever sees more than 2k rows."""
+    from pyspark.sql import Window
+
+    from .operators.ranking import bm25_topk
+    from .operators.similarity import cosine
+
+    d = load_table(spark, sf, "documents")
+    emb = load_table(spark, sf, "embeddings")
+
+    lex = bm25_topk(d, list(_BM25_TERMS), k=20)
+    wl = Window.orderBy(F.desc("score_e6"), F.asc("doc_id"))
+    lexr = lex.select(
+        "doc_id", F.row_number().over(wl).cast("long").alias("rank_lex")
+    )
+
+    qvec = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    ]
+    q = F.array(*[F.lit(x) for x in qvec])
+    sem = (
+        emb.filter(F.col("vec_id") != 0)
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(cosine(F.col("embedding"), q), 4).alias("sim"),
+        )
+        .orderBy(F.desc("sim"), F.asc("doc_id"))
+        .limit(20)
+    )
+    ws = Window.orderBy(F.desc("sim"), F.asc("doc_id"))
+    semr = sem.select(
+        "doc_id", F.row_number().over(ws).cast("long").alias("rank_sem")
+    )
+
+    fused = lexr.join(
+        semr.withColumnRenamed("doc_id", "s_doc_id"),
+        lexr["doc_id"] == F.col("s_doc_id"),
+        "full",
+    ).select(
+        F.coalesce(lexr["doc_id"], F.col("s_doc_id")).alias("doc_id"),
+        F.coalesce(F.col("rank_lex"), F.lit(0)).cast("long").alias("rank_lex"),
+        F.coalesce(F.col("rank_sem"), F.lit(0)).cast("long").alias("rank_sem"),
+        (
+            F.coalesce(
+                F.expr("1000000000L div (60 + rank_lex)"), F.lit(0)
+            )
+            + F.coalesce(
+                F.expr("1000000000L div (60 + rank_sem)"), F.lit(0)
+            )
+        )
+        .cast("long")
+        .alias("rrf_fp"),
+    )
+    return fused.orderBy(F.desc("rrf_fp"), F.asc("doc_id")).limit(10)
+
+
+@query(
     "dsir_importance_weights",
     f"""
     WITH tb AS (

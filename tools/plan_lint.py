@@ -111,6 +111,12 @@ WHITELIST: dict[str, dict[str, str]] = {
         "fixed-point idfs) cross-joined onto the per-doc frame (same "
         "shape as tfidf's corpus count)"
     },
+    "rrf_hybrid_topk": {
+        "bnl_join": "embeds bm25_topk_docs (1-row corpus-stats "
+        "cross-join, see that entry)",
+        "global_window": "rank windows over the two LIMIT-20 retrieval "
+        "outputs — <= 20 rows each by construction",
+    },
     "pmi_collocations": {
         "bnl_join": "1-row (N1, NB) totals aggregate cross-joined onto "
         "the supported-bigram frame (same shape as tfidf's corpus count)"
