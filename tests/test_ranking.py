@@ -183,3 +183,28 @@ def test_triangle_count_two_shared_edge_triangles(spark):
     # exercises the (degree, id) tie-break inside the orientation
     r = _tri_row(spark, [(1, 2), (1, 3), (2, 3), (1, 4), (2, 4)])
     assert (r.n_nodes, r.n_edges, r.n_triangles) == (4, 5, 2)
+
+
+class TestRRFFusion:
+    """rrf_hybrid_topk fusion invariants: the rank->contribution map is
+    the exact integer floor(1e9/(60+rank)); a doc absent from a list
+    contributes zero from it; output ordering is (rrf_fp DESC, doc_id)."""
+
+    def test_fusion_arithmetic_and_ordering(self, spark, sf_dir):
+        import opendata_gov_lt_mysql_import_spark.queries_ml  # noqa: F401
+        from opendata_gov_lt_mysql_import_spark.queries import all_queries
+
+        rows = (
+            all_queries()["rrf_hybrid_topk"](spark, sf_dir).collect()
+        )
+        assert 0 < len(rows) <= 10
+        def contrib(rank):
+            return 10**9 // (60 + rank) if rank > 0 else 0
+        for r in rows:
+            assert r["rrf_fp"] == contrib(r["rank_lex"]) + contrib(
+                r["rank_sem"]
+            )
+            # at least one list must have ranked the doc
+            assert r["rank_lex"] > 0 or r["rank_sem"] > 0
+        keys = [(-r["rrf_fp"], r["doc_id"]) for r in rows]
+        assert keys == sorted(keys)
