@@ -139,6 +139,8 @@ HEADLINE = [
     "boilerplate_line_scrub",
     # RRF hybrid retrieval: two TakeOrdered top-k's fused on <=2k rows
     "rrf_hybrid_topk",
+    # incremental boilerplate scrub: index build + batch-sized probe
+    "incremental_boilerplate_scrub",
 ]
 
 

@@ -3780,6 +3780,30 @@ _BP_DOCS_SQL = f"""
 """
 
 
+def _bp_inject(d: DataFrame) -> DataFrame:
+    """Header/footer boilerplate injected into every third document
+    (by the PRE-offset doc_id, so batch copies inherit their source
+    row's injection) — the fixture corpus is single-line, so the scrub
+    queries synthesize their boilerplate deterministically, the
+    `_documents_with_dups` discipline."""
+    return d.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat_ws("\n", F.lit(_BP_HDR), F.col("text"), F.lit(_BP_FTR)),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+
+
+def _bp_lines(docs: DataFrame) -> DataFrame:
+    return docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.col("text"), "\n")).alias("pos", "line"),
+    )
+
+
 @query(
     "boilerplate_line_scrub",
     f"""
@@ -3830,22 +3854,8 @@ def boilerplate_line_scrub_q(spark: SparkSession, sf: str) -> DataFrame:
     Engine bridges: empty-after-scrub reassembly COALESCEs DuckDB's
     NULL array_to_string([]) to match Spark's '' concat_ws; positions
     are 0- vs 1-based but only ever ORDER keys."""
-    d = load_table(spark, sf, "documents")
-    docs = d.select(
-        "doc_id",
-        F.when(
-            F.col("doc_id") % 3 == 0,
-            F.concat_ws(
-                "\n", F.lit(_BP_HDR), F.col("text"), F.lit(_BP_FTR)
-            ),
-        )
-        .otherwise(F.col("text"))
-        .alias("text"),
-    )
-    lines = docs.select(
-        "doc_id",
-        F.posexplode(F.split(F.col("text"), "\n")).alias("pos", "line"),
-    )
+    docs = _bp_inject(load_table(spark, sf, "documents"))
+    lines = _bp_lines(docs)
     freq = (
         lines.where(F.trim(F.col("line")) != "")
         .groupBy(F.trim(F.col("line")).alias("k"))
@@ -3877,6 +3887,109 @@ def boilerplate_line_scrub_q(spark: SparkSession, sf: str) -> DataFrame:
 boilerplate_line_scrub_q.__doc__ = boilerplate_line_scrub_q.__doc__.replace(
     "{min_docs}", str(_BP_MIN_DOCS)
 )
+
+
+_BP_BATCH_SQL = f"""
+      SELECT doc_id + 2000000 AS doc_id,
+             CASE WHEN doc_id % 3 = 0
+                  THEN '{_BP_HDR}' || chr(10) || text || chr(10) || '{_BP_FTR}'
+                  ELSE text END AS text
+      FROM documents WHERE doc_id < 100
+"""
+
+
+@query(
+    "incremental_boilerplate_scrub",
+    f"""
+    WITH hist AS ({_BP_DOCS_SQL}),
+    batch AS ({_BP_BATCH_SQL}),
+    all_docs AS (SELECT * FROM hist UNION ALL SELECT * FROM batch),
+    l AS (
+      SELECT doc_id, unnest(str_split(text, chr(10))) AS line,
+             generate_subscripts(str_split(text, chr(10)), 1) AS pos
+      FROM all_docs
+    ),
+    freq AS (
+      SELECT trim(line) AS k, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+      FROM l WHERE trim(line) <> '' GROUP BY 1
+    ),
+    bl AS (SELECT doc_id, pos, line FROM l WHERE doc_id >= 2000000),
+    flagged AS (
+      SELECT bl.doc_id, bl.pos, bl.line,
+             COALESCE(f.df, 0) >= {_BP_MIN_DOCS} AS is_bp
+      FROM bl LEFT JOIN freq f ON trim(bl.line) = f.k
+    )
+    SELECT doc_id,
+           COALESCE(array_to_string(list(line ORDER BY pos)
+                      FILTER (WHERE NOT is_bp), chr(10)), '') AS clean_text,
+           CAST(count(*) FILTER (WHERE is_bp) AS BIGINT) AS n_removed
+    FROM flagged GROUP BY doc_id
+    """,
+)
+def incremental_boilerplate_scrub_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Batch-vs-history boilerplate scrub — the incremental twin of
+    ``boilerplate_line_scrub`` (the same move incremental_neardup_lsh
+    makes for the LSH index): a re-ingested batch (first-100 docs, ids
+    offset, boilerplate inherited from the source rows) is cleaned
+    against a PERSISTED per-line document-frequency index built once
+    from history, plus the batch's own internal frequencies. Because
+    history and batch doc-id sets are disjoint, df_hist + df_batch is
+    EXACTLY the document frequency of the union — so the oracle is a
+    full recompute over history ∪ batch restricted to batch docs, and
+    the incremental path must match it hash-exactly (the equivalence
+    that makes incremental maintenance trustworthy).
+
+    Scale shape: history is touched ONLY to build the index (one
+    line-df shuffle, amortized across ingests); per batch the work is
+    batch-sized — its own tiny line-df aggregate, a probe join of
+    batch lines against the index, one doc_id re-agg. A daily ingest
+    never re-reads the corpus."""
+    hist = _bp_inject(load_table(spark, sf, "documents"))
+    batch_src = load_table(spark, sf, "documents").filter(
+        F.col("doc_id") < 100
+    )
+    batch = _bp_inject(batch_src).select(
+        (F.col("doc_id") + F.lit(2000000)).alias("doc_id"), "text"
+    )
+    # the persisted index: line -> document frequency over history
+    index = (
+        _bp_lines(hist)
+        .where(F.trim(F.col("line")) != "")
+        .groupBy(F.trim(F.col("line")).alias("k"))
+        .agg(F.count_distinct("doc_id").cast("long").alias("df_hist"))
+    )
+    blines = _bp_lines(batch)
+    bfreq = (
+        blines.where(F.trim(F.col("line")) != "")
+        .groupBy(F.trim(F.col("line")).alias("bk"))
+        .agg(F.count_distinct("doc_id").cast("long").alias("df_batch"))
+    )
+    flagged = (
+        blines.join(bfreq, F.trim(blines["line"]) == bfreq["bk"], "left")
+        .join(index, F.trim(blines["line"]) == index["k"], "left")
+        .select(
+            "doc_id",
+            "pos",
+            "line",
+            (
+                F.coalesce(F.col("df_hist"), F.lit(0))
+                + F.coalesce(F.col("df_batch"), F.lit(0))
+                >= _BP_MIN_DOCS
+            ).alias("is_bp"),
+        )
+    )
+    kept = F.filter(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("pos"), F.col("line"), F.col("is_bp")))
+        ),
+        lambda x: ~x["is_bp"],
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.array_join(F.transform(kept, lambda x: x["line"]), "\n").alias(
+            "clean_text"
+        ),
+        F.sum(F.col("is_bp").cast("long")).cast("long").alias("n_removed"),
+    )
 
 
 _KMV_K = 256

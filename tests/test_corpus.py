@@ -149,3 +149,22 @@ class TestBoilerplateScrub:
             expected_removed = 2 if r["doc_id"] % 3 == 0 else 0
             assert r["n_removed"] == expected_removed, r["doc_id"]
             assert r["clean_text"] == r["orig"], r["doc_id"]
+
+    def test_incremental_batch_scrub_roundtrips(self, spark, sf_dir):
+        import opendata_gov_lt_mysql_import_spark.queries_ml  # noqa: F401
+        from opendata_gov_lt_mysql_import_spark.queries import all_queries
+        from opendata_gov_lt_mysql_import_spark.sources.parquet import (
+            load_table,
+        )
+
+        out = all_queries()["incremental_boilerplate_scrub"](spark, sf_dir)
+        orig = load_table(spark, sf_dir, "documents").select(
+            (F.col("doc_id") + F.lit(2000000)).alias("doc_id"),
+            F.col("text").alias("orig"),
+        )
+        joined = out.join(orig, "doc_id").collect()
+        assert len(joined) == 100  # every batch doc, nothing else
+        for r in joined:
+            src_id = r["doc_id"] - 2000000
+            assert r["n_removed"] == (2 if src_id % 3 == 0 else 0), src_id
+            assert r["clean_text"] == r["orig"], src_id
