@@ -413,3 +413,26 @@ def test_kmv_bottomk_prunes_mapside_and_scans_keys_only(
         schema = ln.split("ReadSchema:")[-1]
         # one struct field each: the key column and nothing else
         assert schema.count(":") == 1, f"unpruned scan: {ln.strip()[:160]}"
+
+
+def test_boilerplate_scrub_bounded_exchanges_pruned_scans(
+    spark, sf_dir, queries
+):
+    """boilerplate_line_scrub: the whole scrub is 4 exchanges (line-DF
+    partial/final, the frequency join, the doc reassembly) with
+    map-side partial aggregation on the DF count, 2 column-pruned
+    scans (doc_id + text only — the dual-consumer re-scan the
+    docstring documents), and no quadratic join anywhere."""
+    plan = final_plan(queries["boilerplate_line_scrub"](spark, sf_dir))
+    final_section = plan.split("== Initial Plan ==")[0]
+    assert final_section.count("CartesianProduct") == 0
+    assert final_section.count("BroadcastNestedLoopJoin") == 0
+    assert final_section.count("Exchange") <= 4
+    assert "partial_" in final_section  # map-side combine on the DF agg
+    scans = [
+        ln for ln in final_section.splitlines() if "ReadSchema" in ln
+    ]
+    assert len(scans) == 2
+    for ln in scans:
+        schema = ln.split("ReadSchema:")[-1]
+        assert "lang" not in schema and "source" not in schema, ln.strip()[:140]
