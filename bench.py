@@ -141,6 +141,8 @@ HEADLINE = [
     "rrf_hybrid_topk",
     # incremental boilerplate scrub: index build + batch-sized probe
     "incremental_boilerplate_scrub",
+    # winnowing: md5-dense map projection + one posting shuffle
+    "winnow_dup_pairs",
 ]
 
 

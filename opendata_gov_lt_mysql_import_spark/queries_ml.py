@@ -3992,6 +3992,111 @@ def incremental_boilerplate_scrub_q(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@query(
+    "winnow_dup_pairs",
+    f"""
+    WITH docs AS ({_DUP_UNION_SQL}),
+    h AS (
+      SELECT doc_id, list_transform(
+               generate_series(1, greatest(length(text) - 15, 1)),
+               i -> CAST('0x' || substr(md5(substr(text, i, 16)), 1, 13)
+                    AS BIGINT)) AS hs
+      FROM docs
+    ),
+    fp AS (
+      SELECT doc_id, list_distinct(list_transform(
+               generate_series(1, greatest(len(hs) - 7, 1)),
+               j -> list_min(hs[j:j+7]))) AS fps
+      FROM h
+    ),
+    inv AS (
+      SELECT doc_id, CAST(len(fps) AS BIGINT) AS na, unnest(fps) AS f
+      FROM fp
+    ),
+    occ AS (SELECT f, count(*) AS n FROM inv GROUP BY f),
+    small AS (
+      SELECT i.* FROM inv i JOIN occ USING (f)
+      WHERE occ.n BETWEEN 2 AND 64
+    ),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.na AS na, b.na AS nb, CAST(count(*) AS BIGINT) AS n_shared
+      FROM small a JOIN small b ON a.f = b.f AND a.doc_id < b.doc_id
+      GROUP BY 1, 2, 3, 4
+    )
+    SELECT doc_a, doc_b, n_shared,
+           CAST((10000 * n_shared) // (na + nb - n_shared) AS BIGINT)
+             AS jacc_bp
+    FROM pairs
+    ORDER BY jacc_bp DESC, n_shared DESC, doc_a, doc_b
+    LIMIT 150
+    """,
+)
+def winnow_dup_pairs_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Winnowing overlap detection (Schleimer et al. SIGMOD 2003, the
+    MOSS algorithm) over the dup-union corpus: every document is
+    reduced to its winnowed fingerprint set (min 52-bit md5 hash per
+    window of w=8 consecutive 16-char-gram hashes — any shared
+    substring >= w+k-1 = 23 chars is GUARANTEED to share a
+    fingerprint), candidate pairs come from co-occurrence in a
+    fingerprint posting (occupancy-capped at 64, singletons dropped),
+    and pairs rank by exact fingerprint-set Jaccard in integer basis
+    points. The planted exact copies surface at jacc_bp = 10000;
+    organically similar fixture docs rank below — the set-evidence
+    complement to MinHash (probabilistic signatures) and the substring
+    span family (fixed-granularity windows).
+
+    Scale shape: fingerprint derivation is a map-only projection
+    (bounded per doc, ~2/(w+1) density; input _spread like the other
+    md5-dense projections); then ONE shuffle groups the inverted index
+    by fingerprint (bucket width capped, pairs via the posexplode +
+    tail-slice generate — the minhash bucket idiom, no self-join), one
+    pair aggregation, and a TakeOrdered top-150. Set sizes ride along
+    from the projection, so no second pass touches the corpus."""
+    from .operators.winnow import winnow_fingerprints
+
+    d = _documents_with_dups(spark, sf)
+    fps = _spread(d).select(
+        "doc_id", winnow_fingerprints(F.col("text"), k=16, w=8).alias("fps")
+    )
+    inv = fps.select(
+        "doc_id",
+        F.size("fps").cast("long").alias("na"),
+        F.explode("fps").alias("f"),
+    )
+    buckets = (
+        inv.groupBy("f")
+        .agg(F.array_sort(F.collect_list(F.struct("doc_id", "na"))).alias("ms"))
+        .filter(F.size("ms").between(2, 64))
+    )
+    anchored = buckets.select(
+        F.col("ms").alias("_ms"), F.posexplode("ms").alias("_i", "a")
+    )
+    pairs = anchored.select(
+        "a",
+        F.explode(
+            F.slice(F.col("_ms"), F.col("_i") + F.lit(2), F.size("_ms"))
+        ).alias("b"),
+    )
+    shared = pairs.groupBy(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        F.col("a.na").alias("na"),
+        F.col("b.na").alias("nb"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+    out = shared.select(
+        "doc_a",
+        "doc_b",
+        "n_shared",
+        F.expr("(10000 * n_shared) div (na + nb - n_shared)")
+        .cast("long")
+        .alias("jacc_bp"),
+    )
+    return out.orderBy(
+        F.desc("jacc_bp"), F.desc("n_shared"), "doc_a", "doc_b"
+    ).limit(150)
+
+
 _KMV_K = 256
 _KMV_NUM = 255 * (1 << 52)  # (k-1) * SCALE, inside BIGINT in both engines
 

@@ -1010,3 +1010,61 @@ class TestIncrementalNearDup:
         # every clone collides with its source at a full 16/16 match
         full = {(n, h) for n, h, m in inc if m == 16}
         assert {(i + 1000000, i) for i in range(100)} <= full
+
+
+class TestWinnowing:
+    """Winnowing fingerprints (Schleimer et al. 2003): the w+k-1
+    guarantee, density, and planted-dup ranking."""
+
+    def test_shared_substring_guarantee(self, spark):
+        from pyspark.sql import functions as F
+
+        from opendata_gov_lt_mysql_import_spark.operators.winnow import (
+            winnow_fingerprints,
+        )
+
+        # two docs sharing a 23-char substring (= w + k - 1 at k=16,
+        # w=8) embedded in unrelated noise MUST share a fingerprint
+        shared = "abcdefghijklmnopqrstuvw"
+        assert len(shared) == 23
+        rows = [
+            (1, "xxxxyyyyzzzz" + shared + "qqqqrrrrssss"),
+            (2, "mmmmnnnnoooo" + shared + "ttttuuuuvvvv"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        fps = {
+            r["doc_id"]: set(r["fps"])
+            for r in df.select(
+                "doc_id",
+                winnow_fingerprints(F.col("text"), k=16, w=8).alias("fps"),
+            ).collect()
+        }
+        assert fps[1] & fps[2], "guaranteed shared fingerprint missing"
+
+    def test_short_doc_single_fingerprint(self, spark):
+        from pyspark.sql import functions as F
+
+        from opendata_gov_lt_mysql_import_spark.operators.winnow import (
+            winnow_fingerprints,
+        )
+
+        df = spark.createDataFrame([(1, "short")], "doc_id long, text string")
+        r = df.select(
+            winnow_fingerprints(F.col("text"), k=16, w=8).alias("fps")
+        ).collect()[0]
+        assert len(r["fps"]) == 1  # whole-text hash, degenerate window
+
+    def test_planted_dups_rank_at_10000(self, spark, sf_dir):
+        import opendata_gov_lt_mysql_import_spark.queries_ml  # noqa: F401
+        from opendata_gov_lt_mysql_import_spark.queries import all_queries
+
+        rows = all_queries()["winnow_dup_pairs"](spark, sf_dir).collect()
+        planted = [
+            r for r in rows if r["doc_b"] - r["doc_a"] == 1000000
+        ]
+        assert len(planted) >= 95  # a couple may fall to the 64-cap
+        for r in planted:
+            assert r["jacc_bp"] == 10000, (r["doc_a"], r["jacc_bp"])
+        # identical sets: shared == both sizes
+        top = rows[0]
+        assert top["jacc_bp"] == 10000

@@ -94,6 +94,8 @@ TOP = [
     # KMV sketch: cost should track the distinct-key count, not the row
     # count (the kx derivation offsets keys, so distincts DO grow kx)
     "kmv_distinct_sketch",
+    # winnowing: md5-dense map projection — must scale with total chars
+    "winnow_dup_pairs",
 ]
 
 # third scaling point for the heaviest candidate-generating entries —
