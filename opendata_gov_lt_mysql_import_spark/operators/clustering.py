@@ -197,6 +197,16 @@ def lloyd_fixed_point(
     cent = q.filter(F.col("vec_id") < k).select(
         F.col("vec_id").alias("cluster"), F.col("v").alias("centroid")
     )
+    # The id<k seed rule assumes ids dense from 0; on a sparse id space it
+    # silently under-seeds (round-7 advisory). The seed frame is <= k rows,
+    # so this count is a bounded action, and failing loudly beats running
+    # Lloyd with fewer clusters than asked for.
+    n_seed = cent.count()
+    if n_seed != k:
+        raise ValueError(
+            f"lloyd_fixed_point: seed rule id < k={k} found {n_seed} rows —"
+            f" ids must be dense from 0 (pass a reindexed frame)"
+        )
 
     def _int_sqdist(vec: Column, c: Column) -> Column:
         return F.aggregate(

@@ -226,7 +226,12 @@ def minhash_candidate_pairs(
     explicitly to disable for exhaustive small-corpus runs. When
     capping, pass ``dropped_out=[]`` to receive the hot-bucket report
     DataFrame (band, bucket, bucket_size) appended to that list so the
-    truncation is never silent.
+    truncation is never silent. A cap WITHOUT ``dropped_out`` emits a
+    UserWarning at plan-build time (round-7 advisory: the 4096 default
+    made capping the default path, so the un-observed variant must
+    announce itself — a data-dependent warning would force an eager
+    count job inside this otherwise-lazy builder, so the warning is
+    unconditional and the report list is the precise instrument).
 
     ``impl``: 'arrow' (default) computes signatures in a vectorized
     mapInPandas pass — ~2x faster and shuffle-free; 'expr' keeps the
@@ -235,6 +240,17 @@ def minhash_candidate_pairs(
     base hash)."""
     if impl not in ("arrow", "expr"):
         raise ValueError(f"impl must be 'arrow' or 'expr', got {impl!r}")
+    if max_bucket_size is not None and dropped_out is None:
+        import warnings
+
+        warnings.warn(
+            f"minhash_candidate_pairs: buckets over {max_bucket_size} members"
+            " will be dropped without a report; pass dropped_out=[] to"
+            " receive the hot-bucket DataFrame or max_bucket_size=None to"
+            " disable capping",
+            UserWarning,
+            stacklevel=2,
+        )
     sig_fn = minhash_signatures_arrow if impl == "arrow" else minhash_signatures
     rows_per_band = n_hashes // n_bands
     # sigs feeds three subplans (band explode + two signature re-attach

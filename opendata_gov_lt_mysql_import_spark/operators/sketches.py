@@ -74,13 +74,22 @@ def cms_estimates(
     cells: DataFrame, probes: DataFrame, token_col: str, d: int = 4
 ) -> DataFrame:
     """Point estimates for ``probes[token_col]``: min over the d cells.
-    The cell table is d*CMS_WIDTH rows — always broadcastable."""
+    The cell table is d*CMS_WIDTH rows — always broadcastable.
+
+    A probe hashing into a cell the stream never touched has a true
+    CMS count of 0 for that cell, so the join is LEFT with missing
+    cells coalesced to 0 before the min: probes absent from the stream
+    estimate cms_n=0 instead of vanishing from the output (or being
+    over-estimated from only their non-empty cells), keeping the
+    one-sided CMS bound (estimate >= truth) for ALL probes."""
     ph = probes.select(
         F.col(token_col).alias("tok"),
         F.explode(F.sequence(F.lit(0), F.lit(d - 1))).alias("r"),
     ).select("tok", "r", _bucket(F.col("tok"), F.col("r")).alias("bucket"))
-    joined = ph.join(F.broadcast(cells), ["r", "bucket"])
-    return joined.groupBy("tok").agg(F.min("cn").alias("cms_n"))
+    joined = ph.join(F.broadcast(cells), ["r", "bucket"], "left")
+    return joined.groupBy("tok").agg(
+        F.min(F.coalesce(F.col("cn"), F.lit(0).cast("long"))).alias("cms_n")
+    )
 
 
 #: KMV sketch size: relative std error ~ 1/sqrt(k-2) ~ 6.3% at 256

@@ -236,8 +236,11 @@ def remove_duplicated_spans(
             F.col("cov"), (i + F.lit(1)).cast("long")
         ),
     )
-    out = df.join(cov, df[id_col] == cov["id"], "left").select(
-        F.col(id_col).alias("id"),
+    # cov's id is renamed before the join so a caller whose id_col is
+    # literally 'id' doesn't hit an ambiguous-reference AnalysisException.
+    cov = cov.withColumnRenamed("id", "_cov_id")
+    out = df.join(cov, df[id_col] == cov["_cov_id"], "left").select(
+        df[id_col].alias("id"),
         F.when(F.col("cov").isNull(), F.concat_ws(" ", toks))
         .otherwise(F.concat_ws(" ", kept))
         .alias("text"),

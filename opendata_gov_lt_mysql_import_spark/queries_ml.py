@@ -500,7 +500,8 @@ def ngram_jaccard_verify_lsh_q(spark: SparkSession, sf: str) -> DataFrame:
     exact blocked form on the planted-duplicate corpus."""
     d = _documents_with_dups(spark, sf)
     cands = minhash_candidate_pairs(
-        d, "text", "doc_id", min_jaccard_est=0.3, max_bucket_size=200
+        d, "text", "doc_id", min_jaccard_est=0.3, max_bucket_size=200,
+        dropped_out=[],
     )
     return jaccard_verify_pairs(
         d, cands, text_col="text", id_col="doc_id", n=2, min_jaccard=0.5
@@ -688,7 +689,8 @@ def minhash_lsh_pairs_q(spark: SparkSession, sf: str) -> DataFrame:
     (xxhash64 signatures — no portable oracle; pytest checks recall of the
     planted duplicates and precision vs exact jaccard)."""
     return minhash_candidate_pairs(
-        _documents_with_dups(spark, sf), "text", "doc_id", min_jaccard_est=0.5
+        _documents_with_dups(spark, sf), "text", "doc_id",
+        min_jaccard_est=0.5, dropped_out=[],
     )
 
 
@@ -2254,7 +2256,7 @@ def mixture_weights_q(spark: SparkSession, sf: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(token_count(F.col("text"))).alias("n_tokens"),
     )
-    w = Window.partitionBy()  # global min over the tiny per-source aggregate
+    w = Window.partitionBy(F.lit(1))  # global min over the tiny per-source aggregate (constant partition: exact, no WindowExec warning)
     return t.select(
         "source",
         "n_docs",
@@ -2428,7 +2430,7 @@ def mixture_apply_q(spark: SparkSession, sf: str) -> DataFrame:
     from .operators.textanalysis import token_count
 
     t = d.groupBy("source").agg(F.sum(token_count(F.col("text"))).alias("n_tokens"))
-    w = Window.partitionBy()
+    w = Window.partitionBy(F.lit(1))  # tiny per-source frame; constant partition avoids the no-partition warning
     weights = t.select(
         "source",
         F.floor(F.min("n_tokens").over(w) * F.lit(10000) / F.col("n_tokens")).alias(
@@ -4650,7 +4652,12 @@ def rrf_hybrid_topk_q(spark: SparkSession, sf: str) -> DataFrame:
     emb = load_table(spark, sf, "embeddings")
 
     lex = bm25_topk(d, list(_BM25_TERMS), k=20)
-    wl = Window.orderBy(F.desc("score_e6"), F.asc("doc_id"))
+    # partitionBy(lit(1)): the frame is the <=20-row LIMIT output, so a
+    # single-partition window is exact AND keeps WindowExec from logging
+    # the no-partition warning into the bench tail (parseable-tail rule).
+    wl = Window.partitionBy(F.lit(1)).orderBy(
+        F.desc("score_e6"), F.asc("doc_id")
+    )
     lexr = lex.select(
         "doc_id", F.row_number().over(wl).cast("long").alias("rank_lex")
     )
@@ -4669,7 +4676,9 @@ def rrf_hybrid_topk_q(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy(F.desc("sim"), F.asc("doc_id"))
         .limit(20)
     )
-    ws = Window.orderBy(F.desc("sim"), F.asc("doc_id"))
+    ws = Window.partitionBy(F.lit(1)).orderBy(
+        F.desc("sim"), F.asc("doc_id")
+    )
     semr = sem.select(
         "doc_id", F.row_number().over(ws).cast("long").alias("rank_sem")
     )

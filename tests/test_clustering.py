@@ -261,3 +261,12 @@ def test_lloyd_fixed_point_validation_and_negatives(spark):
     # mean of -3100 and -3200 truncates toward zero: -3150 exact here;
     # the (0.2, 0.21) dim: (2000+2100) DIV 2 = 2050
     assert c[0] == [-3150, 2050]
+
+    # round-7 advisory: sparse ids (nothing below k) must fail loudly
+    # instead of silently seeding fewer than k clusters
+    sparse = spark.createDataFrame(
+        [(10, [0.1, 0.2]), (11, [0.3, 0.4]), (12, [0.5, 0.6])],
+        "vec_id long, embedding array<float>",
+    )
+    with pytest.raises(ValueError, match="ids must be dense from 0"):
+        lloyd_fixed_point(sparse, k=2, iters=1)

@@ -146,7 +146,8 @@ class TestDedup:
 
     def test_minhash_finds_exact_dup(self, spark):
         pairs = minhash_candidate_pairs(
-            self._docs(spark), "text", "id", min_jaccard_est=0.9
+            self._docs(spark), "text", "id", min_jaccard_est=0.9,
+            dropped_out=[],
         ).collect()
         assert any(r["id_a"] == 1 and r["id_b"] == 2 for r in pairs)
         est = {(r["id_a"], r["id_b"]): r["jaccard_est"] for r in pairs}
@@ -154,7 +155,8 @@ class TestDedup:
 
     def test_minhash_near_dup_detected_far_pair_excluded(self, spark):
         pairs = minhash_candidate_pairs(
-            self._docs(spark), "text", "id", min_jaccard_est=0.3
+            self._docs(spark), "text", "id", min_jaccard_est=0.3,
+            dropped_out=[],
         ).collect()
         keys = {(r["id_a"], r["id_b"]) for r in pairs}
         assert (1, 3) in keys  # one-word-change near-dup
@@ -289,7 +291,8 @@ class TestDedup:
 
         d = _documents_with_dups(spark, sf_dir)
         cands = minhash_candidate_pairs(
-            d, "text", "doc_id", min_jaccard_est=0.3, max_bucket_size=200
+            d, "text", "doc_id", min_jaccard_est=0.3, max_bucket_size=200,
+            dropped_out=[],
         )
         via_lsh = jaccard_verify_pairs(
             d, cands, text_col="text", id_col="doc_id", n=2, min_jaccard=0.5
@@ -385,7 +388,7 @@ class TestDedup:
             got = {
                 (r["id_a"], r["id_b"])
                 for r in minhash_candidate_pairs(
-                    df, "text", "id", min_jaccard_est=0.0
+                    df, "text", "id", min_jaccard_est=0.0, dropped_out=[]
                 ).collect()
             }
             assert got == expected, f"seed {seed}: {got ^ expected}"
@@ -414,6 +417,28 @@ class TestDedup:
         assert capped.count() == 0  # every bucket was hot → nothing joined
         hot = dropped[0].collect()
         assert len(hot) > 0 and all(r["bucket_size"] == 200 for r in hot)
+
+    def test_cap_without_report_warns(self, spark):
+        """Round-7 advisory: a bucket cap with no dropped_out report must
+        announce itself at plan-build time (and stay silent when either
+        the report is requested or capping is disabled)."""
+        import warnings as _w
+
+        from opendata_gov_lt_mysql_import_spark.operators.dedup import (
+            minhash_candidate_pairs,
+        )
+
+        df = spark.createDataFrame([(1, "a b c")], "id long, text string")
+        with _w.catch_warnings(record=True) as rec:
+            _w.simplefilter("always")
+            minhash_candidate_pairs(df, "text", "id")  # default cap, no report
+        assert any("dropped without a report" in str(r.message) for r in rec)
+
+        for kw in ({"dropped_out": []}, {"max_bucket_size": None}):
+            with _w.catch_warnings(record=True) as rec:
+                _w.simplefilter("always")
+                minhash_candidate_pairs(df, "text", "id", **kw)
+            assert not [r for r in rec if issubclass(r.category, UserWarning)]
 
         dropped_sh: list = []
         capped_sh = simhash_candidate_pairs(
@@ -688,7 +713,7 @@ class TestMinhashImpls:
             pairs = {
                 (r["id_a"], r["id_b"])
                 for r in minhash_candidate_pairs(
-                    corpus, "text", "doc_id", impl=impl
+                    corpus, "text", "doc_id", impl=impl, dropped_out=[]
                 ).collect()
             }
             missed = expected - pairs
@@ -696,7 +721,9 @@ class TestMinhashImpls:
             # exact duplicates must estimate at 1.0 in either impl
             ests = [
                 r["jaccard_est"]
-                for r in minhash_candidate_pairs(corpus, "text", "doc_id", impl=impl)
+                for r in minhash_candidate_pairs(
+                    corpus, "text", "doc_id", impl=impl, dropped_out=[]
+                )
                 .filter(F.col("id_b") - F.col("id_a") == 1000000)
                 .collect()
             ]

@@ -130,7 +130,8 @@ def test_minhash_candidate_pairs_is_two_exchanges_no_smj(spark, sf_dir):
 
     d = _documents_with_dups(spark, sf_dir)
     cands = minhash_candidate_pairs(
-        d, "text", "doc_id", min_jaccard_est=0.3, max_bucket_size=200
+        d, "text", "doc_id", min_jaccard_est=0.3, max_bucket_size=200,
+        dropped_out=[],
     )
     plan = final_plan(cands)
     assert "SortMergeJoin" not in plan, plan

@@ -147,7 +147,8 @@ def _candidate_counts(spark, sf_dir: str) -> dict[str, int]:
     return {
         # the LSH candidate stream feeding the exact-Jaccard verify
         "ngram_jaccard_verify_lsh": minhash_candidate_pairs(
-            d, "text", "doc_id", min_jaccard_est=0.3, max_bucket_size=200
+            d, "text", "doc_id", min_jaccard_est=0.3, max_bucket_size=200,
+            dropped_out=[],
         ).count(),
     }
 
