@@ -248,6 +248,26 @@ def main() -> None:
             fh.write("\n")
     except OSError:
         full_record = None
+    # Fail LOUDLY (stderr, not the parseable stdout line) when the
+    # committed BENCH_LOCAL.json is stale vs the record just emitted —
+    # rounds 6 AND 7 both ended with a working-tree record that never got
+    # committed, missing the stated done-criterion on a technicality.
+    try:
+        import subprocess
+
+        stale = subprocess.run(
+            ["git", "-C", here, "diff", "--quiet", "--", "BENCH_LOCAL.json"],
+            timeout=30,
+        ).returncode
+        if stale:
+            print(
+                "# WARNING: committed BENCH_LOCAL.json is STALE vs this "
+                "run — `git add BENCH_LOCAL.json && git commit` before "
+                "the round ends",
+                file=sys.stderr,
+            )
+    except Exception:
+        pass
     slowest = dict(
         sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:10]
     )

@@ -440,13 +440,22 @@ class TestDedup:
                 minhash_candidate_pairs(df, "text", "id", **kw)
             assert not [r for r in rec if issubclass(r.category, UserWarning)]
 
+        from opendata_gov_lt_mysql_import_spark.operators.dedup import (
+            simhash_candidate_pairs,
+        )
+
+        hot_df = spark.createDataFrame(
+            [(i, "identical boilerplate text repeated everywhere") for i in range(200)],
+            "id long, text string",
+        )
         dropped_sh: list = []
         capped_sh = simhash_candidate_pairs(
-            df, "text", "id", max_hamming=3, max_bucket_size=50,
+            hot_df, "text", "id", max_hamming=3, max_bucket_size=50,
             dropped_out=dropped_sh,
         )
-        assert capped_sh.count() == 0
-        assert dropped_sh[0].count() > 0
+        assert capped_sh.count() == 0  # every bucket hot -> nothing joined
+        hot = dropped_sh[0].collect()
+        assert len(hot) > 0 and all(r["bucket_size"] == 200 for r in hot)
 
 
 class TestTextCleaning:
