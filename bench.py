@@ -143,6 +143,11 @@ HEADLINE = [
     "incremental_boilerplate_scrub",
     # winnowing: md5-dense map projection + one posting shuffle
     "winnow_dup_pairs",
+    # round-9 surface: the winnow→span composition (screen + localize,
+    # the most plan-diverse entry: winnow DAG → checkpoint → restricted
+    # span join → islands) and the per-source token-budget greedy fill
+    "winnow_span_report",
+    "token_budget_mixture",
 ]
 
 

@@ -71,7 +71,12 @@ DRIVER_TOP50: tuple[str, ...] = (
     # slot rotated (round 5) to the round-4 token-budget sharder so new
     # beyond-reference surface earns driver-green rows too
     "j4_semi_existence",
-    "shard_by_token_budget",
+    # shard_by_token_budget rotated out round 9 (its prefix-sum-vs-budget
+    # core is recomputed per source inside the in-window mixture row
+    # below; the sharder stays registered + full-gate-verified) for the
+    # DoReMi-lite domain-mixture token-budget selection — per-source
+    # md5-ranked greedy fill under tiered target weights
+    "token_budget_mixture",
     "j7_stale_anti",
     "a1_groupby_collect",
     # a2_distinct rotated out round 6 (trivial DISTINCT; implicit in

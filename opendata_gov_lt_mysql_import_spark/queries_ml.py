@@ -39,6 +39,19 @@ from .queries import query
 from .sources.parquet import load_table
 
 
+def _const_part(col: str):
+    """Constant-valued but NON-FOLDABLE window partition expression:
+    groups every row into one partition WITHOUT tripping WindowExec's
+    no-partition warning. ``partitionBy(F.lit(1))`` does NOT do this —
+    Catalyst constant-folds any all-literal partition key away and the
+    warning fires anyway (round-9 finding; so does ``col * 0`` over a
+    non-nullable column). ``substring(col, 1, 0)`` is '' for every row
+    but keeps a column child, which no simplification rule removes.
+    Exactness is unchanged; every call site is a dimension-sized or
+    LIMIT-bounded frame where one partition is the intended plan."""
+    return F.substring(F.col(col).cast("string"), 1, 0)
+
+
 def _documents_with_dups(spark: SparkSession, sf: str) -> DataFrame:
     """documents ∪ copy-of-first-100 (ids offset by 1,000,000) — the
     fixture corpus has no exact duplicates, so the dedup queries synthesize
@@ -2256,7 +2269,7 @@ def mixture_weights_q(spark: SparkSession, sf: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(token_count(F.col("text"))).alias("n_tokens"),
     )
-    w = Window.partitionBy(F.lit(1))  # global min over the tiny per-source aggregate (constant partition: exact, no WindowExec warning)
+    w = Window.partitionBy(_const_part("source"))  # one-group window over the tiny per-source aggregate, warning-free (see _const_part)
     return t.select(
         "source",
         "n_docs",
@@ -2430,7 +2443,7 @@ def mixture_apply_q(spark: SparkSession, sf: str) -> DataFrame:
     from .operators.textanalysis import token_count
 
     t = d.groupBy("source").agg(F.sum(token_count(F.col("text"))).alias("n_tokens"))
-    w = Window.partitionBy(F.lit(1))  # tiny per-source frame; constant partition avoids the no-partition warning
+    w = Window.partitionBy(_const_part("source"))  # tiny per-source frame; non-foldable constant partition (see _const_part)
     weights = t.select(
         "source",
         F.floor(F.min("n_tokens").over(w) * F.lit(10000) / F.col("n_tokens")).alias(
@@ -4055,9 +4068,20 @@ def winnow_dup_pairs_q(spark: SparkSession, sf: str) -> DataFrame:
     tail-slice generate — the minhash bucket idiom, no self-join), one
     pair aggregation, and a TakeOrdered top-150. Set sizes ride along
     from the projection, so no second pass touches the corpus."""
+    out = _winnow_pair_scores(_documents_with_dups(spark, sf))
+    return out.orderBy(
+        F.desc("jacc_bp"), F.desc("n_shared"), "doc_a", "doc_b"
+    ).limit(150)
+
+
+def _winnow_pair_scores(d: DataFrame) -> DataFrame:
+    """Winnowed-fingerprint overlap pairs (doc_a, doc_b, n_shared,
+    jacc_bp) for a (doc_id, text) frame — the shared generator behind
+    ``winnow_dup_pairs`` (top-150 report) and ``winnow_span_report``
+    (threshold-confirmed pairs feeding span localization). Plan shape
+    documented at the callers."""
     from .operators.winnow import winnow_fingerprints
 
-    d = _documents_with_dups(spark, sf)
     fps = _spread(d).select(
         "doc_id", winnow_fingerprints(F.col("text"), k=16, w=8).alias("fps")
     )
@@ -4094,9 +4118,7 @@ def winnow_dup_pairs_q(spark: SparkSession, sf: str) -> DataFrame:
         .cast("long")
         .alias("jacc_bp"),
     )
-    return out.orderBy(
-        F.desc("jacc_bp"), F.desc("n_shared"), "doc_a", "doc_b"
-    ).limit(150)
+    return out
 
 
 _KMV_K = 256
@@ -4652,10 +4674,11 @@ def rrf_hybrid_topk_q(spark: SparkSession, sf: str) -> DataFrame:
     emb = load_table(spark, sf, "embeddings")
 
     lex = bm25_topk(d, list(_BM25_TERMS), k=20)
-    # partitionBy(lit(1)): the frame is the <=20-row LIMIT output, so a
-    # single-partition window is exact AND keeps WindowExec from logging
-    # the no-partition warning into the bench tail (parseable-tail rule).
-    wl = Window.partitionBy(F.lit(1)).orderBy(
+    # _const_part: the frame is the <=20-row LIMIT output, so a
+    # single-partition window is exact; the non-foldable constant key
+    # keeps WindowExec from logging the no-partition warning into the
+    # bench tail (parseable-tail rule — a lit(1) key folds and warns).
+    wl = Window.partitionBy(_const_part("doc_id")).orderBy(
         F.desc("score_e6"), F.asc("doc_id")
     )
     lexr = lex.select(
@@ -4676,7 +4699,7 @@ def rrf_hybrid_topk_q(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy(F.desc("sim"), F.asc("doc_id"))
         .limit(20)
     )
-    ws = Window.partitionBy(F.lit(1)).orderBy(
+    ws = Window.partitionBy(_const_part("doc_id")).orderBy(
         F.desc("sim"), F.asc("doc_id")
     )
     semr = sem.select(
@@ -4968,4 +4991,267 @@ def pmi_collocations_q(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy(F.col("lift_e3").desc(), "w1", "w2")
         .limit(30)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-9 surface: domain-mixture token-budget selection (DoReMi-lite) and
+# the winnow→span MOSS match report.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "token_budget_mixture",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, source, CAST({_NTOK_SQL} AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    src AS (
+      SELECT source,
+             CAST(sum(n_tokens) AS BIGINT) AS src_tokens,
+             CAST(substr(source, 4) AS BIGINT) % 4 + 1 AS tier
+      FROM tok GROUP BY source
+    ),
+    budgets AS (
+      SELECT source,
+             (((SELECT CAST(sum(src_tokens) AS BIGINT) FROM src) // 2)
+              * tier)
+             // (SELECT CAST(sum(tier) AS BIGINT) FROM src) AS budget
+      FROM src
+    ),
+    ranked AS (
+      SELECT t.doc_id, t.source, t.n_tokens, b.budget,
+             CAST(sum(t.n_tokens) OVER (
+               PARTITION BY t.source
+               ORDER BY md5(CAST(t.doc_id AS VARCHAR) || '#mix'), t.doc_id
+             ) AS BIGINT) AS cum_tokens
+      FROM tok t JOIN budgets b USING (source)
+    )
+    SELECT doc_id, source, n_tokens, cum_tokens
+    FROM ranked WHERE cum_tokens <= budget
+    """,
+)
+def token_budget_mixture_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Domain-mixture reweighting under a global token budget (DoReMi-
+    lite, Xie et al. 2023 reduced to its deterministic selection step):
+    each source gets a target mixture share (tier ∝ source-index % 4 +
+    1 — a stand-in for learned domain weights), the global budget is
+    half the corpus tokens, and each source contributes documents in
+    salted-md5 order until its token share is filled. The greedy
+    prefix-by-budget rule is the md5-ranked-quota idiom of
+    ``stratified_exact_quota`` generalized from row quotas to TOKEN
+    quotas — deterministic, append-stable per seed salt, and exact-
+    integer on both engines (budgets via BIGINT `div`, running sums
+    CAST from HUGEINT on the oracle side).
+
+    Scale shape: one partial-agg shuffle to per-source token totals
+    (dimension-sized); budgets computed on that tiny frame (constant-
+    partition window) and broadcast back onto the fact scan; ONE
+    per-source window builds the running sum. At extreme per-source
+    volume the window becomes a two-pass threshold search on the md5
+    key (the KMV salted-bottom-k discipline); at fixture skew the
+    single window is the right plan."""
+    from pyspark.sql import Window
+
+    from .operators.textanalysis import token_count
+
+    d = load_table(spark, sf, "documents")
+    tok = d.select(
+        "doc_id",
+        "source",
+        token_count(F.col("text")).cast("long").alias("n_tokens"),
+    )
+    src = tok.groupBy("source").agg(
+        F.sum("n_tokens").cast("long").alias("src_tokens")
+    )
+    src = src.withColumn(
+        "tier", F.substring(F.col("source"), 4, 10).cast("long") % 4 + 1
+    )
+    wall = Window.partitionBy(_const_part("source"))  # dimension-sized frame: one group, warning-free
+    budgets = src.select(
+        "source",
+        "tier",
+        F.sum("src_tokens").over(wall).cast("long").alias("total"),
+        F.sum("tier").over(wall).cast("long").alias("sum_tiers"),
+    ).select(
+        "source",
+        F.expr("((total div 2) * tier) div sum_tiers")
+        .cast("long")
+        .alias("budget"),
+    )
+    wsrc = Window.partitionBy("source").orderBy(
+        F.md5(
+            F.concat_ws("#", F.col("doc_id").cast("string"), F.lit("mix"))
+        ),
+        F.col("doc_id"),
+    )
+    ranked = tok.join(F.broadcast(budgets), "source").select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        "budget",
+        F.sum("n_tokens").over(wsrc).cast("long").alias("cum_tokens"),
+    )
+    return ranked.filter(F.col("cum_tokens") <= F.col("budget")).select(
+        "doc_id", "source", "n_tokens", "cum_tokens"
+    )
+
+
+@query(
+    "winnow_span_report",
+    f"""
+    WITH docs AS ({_SPAN_UNION_SQL}),
+    h AS (
+      SELECT doc_id, list_transform(
+               generate_series(1, greatest(length(text) - 15, 1)),
+               i -> CAST('0x' || substr(md5(substr(text, i, 16)), 1, 13)
+                    AS BIGINT)) AS hs
+      FROM docs
+    ),
+    fpw AS (
+      SELECT doc_id, list_distinct(list_transform(
+               generate_series(1, greatest(len(hs) - 7, 1)),
+               j -> list_min(hs[j:j+7]))) AS fps
+      FROM h
+    ),
+    inv AS (
+      SELECT doc_id, CAST(len(fps) AS BIGINT) AS na, unnest(fps) AS f
+      FROM fpw
+    ),
+    occ AS (SELECT f, count(*) AS n FROM inv GROUP BY f),
+    small AS (
+      SELECT i.* FROM inv i JOIN occ USING (f)
+      WHERE occ.n BETWEEN 2 AND 64
+    ),
+    conf AS (
+      SELECT doc_a, doc_b FROM (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               a.na AS na, b.na AS nb, CAST(count(*) AS BIGINT) AS n_shared
+        FROM small a JOIN small b ON a.f = b.f AND a.doc_id < b.doc_id
+        GROUP BY 1, 2, 3, 4
+      ) p WHERE (10000 * n_shared) // (na + nb - n_shared) >= 5000
+    ),
+    t AS (
+      SELECT doc_id,
+             CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                  ELSE str_split_regex(trim(text), '\\s+') END AS toks
+      FROM docs
+    ),
+    w AS (
+      SELECT doc_id, CAST(u.i AS BIGINT) AS pos,
+             md5(array_to_string(list_slice(toks, u.i, u.i + 19), ' ')) AS fp
+      FROM t, UNNEST(range(1, len(toks) - 18)) AS u(i)
+    ),
+    shared AS (
+      SELECT DISTINCT c.doc_a, c.doc_b, wa.pos AS pos_a
+      FROM conf c
+      JOIN w wa ON wa.doc_id = c.doc_a
+      JOIN w wb ON wb.doc_id = c.doc_b AND wb.fp = wa.fp
+    ),
+    gapped AS (
+      SELECT doc_a, doc_b, pos_a,
+             CASE WHEN max(pos_a + 19) OVER (
+                    PARTITION BY doc_a, doc_b ORDER BY pos_a
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                  ) IS NULL
+                  OR pos_a > max(pos_a + 19) OVER (
+                    PARTITION BY doc_a, doc_b ORDER BY pos_a
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                  ) + 1
+             THEN 1 ELSE 0 END AS gap
+      FROM shared
+    ),
+    isl AS (
+      SELECT doc_a, doc_b, pos_a,
+             CAST(sum(gap) OVER (
+               PARTITION BY doc_a, doc_b ORDER BY pos_a
+             ) AS BIGINT) AS island
+      FROM gapped
+    )
+    SELECT doc_a, doc_b,
+           CAST(min(pos_a) AS BIGINT) AS a_start,
+           CAST(max(pos_a) + 19 AS BIGINT) AS a_end,
+           CAST(count(*) AS BIGINT) AS n_windows
+    FROM isl GROUP BY doc_a, doc_b, island
+    """,
+)
+def winnow_span_report_q(spark: SparkSession, sf: str) -> DataFrame:
+    """MOSS-style match report: winnowing CONFIRMS overlapping pairs,
+    the substring window family then LOCALIZES the shared content —
+    for every winnow-confirmed pair (fingerprint-set Jaccard >= 50%,
+    guaranteed to catch any shared >= 23-char substring), the k=20-token
+    windows present in BOTH documents are merged gaps-and-islands
+    into maximal intervals over doc_a's token positions. This is the
+    composition round-7's two independent families were built for:
+    the winnow stage is the cheap screen (one fingerprint shuffle,
+    occupancy-capped), the span stage runs only on docs that appear in
+    a confirmed pair. Output (doc_a, doc_b, a_start, a_end, n_windows),
+    1-based inclusive token positions.
+
+    Scale shape: winnow pairs as in ``winnow_dup_pairs``; the confirmed
+    pair list is localCheckpointed (consumed twice — id restriction +
+    pair join — under AQE a lazy handle would recompute the whole
+    winnow DAG, the round-5 matview lesson); span fingerprinting runs
+    on the semi-join-restricted corpus only; shared-window detection is
+    a fp-equijoin of two restricted sides joined to the broadcast pair
+    list; the islands merge is two windows + one groupBy all sharing
+    the (doc_a, doc_b) partitioning."""
+    from pyspark.sql import Window
+
+    from .operators.substring import span_fingerprints
+
+    d = _documents_with_span_dups(spark, sf)
+    conf = (
+        _winnow_pair_scores(d)
+        .filter(F.col("jacc_bp") >= 5000)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=True)
+    )
+    ids = (
+        conf.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(conf.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    sub = d.join(F.broadcast(ids), "doc_id", "left_semi")
+    w = span_fingerprints(sub, "text", "doc_id", k=20)
+    wa = w.select(
+        F.col("id").alias("doc_a"), F.col("pos").alias("pos_a"), "fp"
+    )
+    wb = w.select(F.col("id").alias("doc_b"), "fp")
+    shared = (
+        wa.join(wb, "fp")
+        .join(F.broadcast(conf), ["doc_a", "doc_b"])
+        .select("doc_a", "doc_b", "pos_a")
+        .distinct()
+    )
+    ordered = Window.partitionBy("doc_a", "doc_b").orderBy("pos_a")
+    prev_max_end = F.max(F.col("pos_a") + F.lit(19)).over(
+        ordered.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    gapped = shared.select(
+        "doc_a",
+        "doc_b",
+        "pos_a",
+        F.when(
+            prev_max_end.isNull() | (F.col("pos_a") > prev_max_end + 1),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("gap"),
+    )
+    isl = gapped.select(
+        "doc_a",
+        "doc_b",
+        "pos_a",
+        F.sum("gap").over(ordered).cast("long").alias("island"),
+    )
+    return (
+        isl.groupBy("doc_a", "doc_b", "island")
+        .agg(
+            F.min("pos_a").cast("long").alias("a_start"),
+            (F.max("pos_a") + F.lit(19)).cast("long").alias("a_end"),
+            F.count(F.lit(1)).cast("long").alias("n_windows"),
+        )
+        .select("doc_a", "doc_b", "a_start", "a_end", "n_windows")
     )

@@ -129,3 +129,48 @@ def test_split_by_dup_cluster_never_splits_a_cluster(spark, sf_dir):
     assert per_cluster.filter("n > 1").count() > 0
     labels = {r["split"] for r in df.select("split").distinct().collect()}
     assert labels == {"train", "val", "test"}
+
+
+def test_token_budget_mixture_greedy_prefix(spark, sf_dir):
+    """DoReMi-lite selection contract: per source, kept docs are exactly
+    the greedy md5-ranked prefix whose running token sum fits the
+    source's tiered budget — recomputed independently in Python."""
+    import hashlib
+
+    import __spark_entry__ as entrymod
+    from pyspark.sql import functions as F
+
+    kept = entrymod.queries()["token_budget_mixture"](spark, sf_dir).collect()
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "source", "text")
+        .collect()
+    )
+
+    # independent recomputation
+    from collections import defaultdict
+
+    ntok = {r["doc_id"]: len(r["text"].split()) if r["text"].strip() else 0 for r in docs}
+    by_src = defaultdict(list)
+    for r in docs:
+        by_src[r["source"]].append(r["doc_id"])
+    src_tokens = {s: sum(ntok[i] for i in ids) for s, ids in by_src.items()}
+    tier = {s: int(s[3:]) % 4 + 1 for s in by_src}
+    total, sum_tiers = sum(src_tokens.values()), sum(tier.values())
+    budget = {s: (total // 2) * tier[s] // sum_tiers for s in by_src}
+
+    expected = set()
+    for s, ids in by_src.items():
+        ids.sort(key=lambda i: (hashlib.md5(f"{i}#mix".encode()).hexdigest(), i))
+        cum = 0
+        for i in ids:
+            cum += ntok[i]
+            if cum <= budget[s]:
+                expected.add(i)
+    assert {r["doc_id"] for r in kept} == expected
+    # budget is respected per source, and selection is non-trivial
+    got_by_src = defaultdict(int)
+    for r in kept:
+        got_by_src[r["source"]] += r["n_tokens"]
+    assert all(got_by_src[s] <= budget[s] for s in got_by_src)
+    assert 0 < len(kept) < len(docs)

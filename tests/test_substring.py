@@ -377,3 +377,38 @@ class TestPlanShape:
         )
         n_exch = plan.count("Exchange hashpartitioning")
         assert n_exch <= 2, f"{n_exch} hash exchanges\n{plan}"
+
+
+def test_winnow_span_report_localizes_planted_copies(spark, sf_dir):
+    """Winnow→span composition: every prefix-shifted planted copy pair
+    (n, n+2000000) whose original has >= 20 tokens must be winnow-
+    confirmed AND localized to the FULL original text — the shared
+    windows are every window of the original, so the merged interval is
+    exactly (1, n_tokens)."""
+    import __spark_entry__ as entrymod
+
+    report = entrymod.queries()["winnow_span_report"](spark, sf_dir).collect()
+    by_pair = {}
+    for r in report:
+        by_pair.setdefault((r["doc_a"], r["doc_b"]), []).append(r)
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .collect()
+    )
+    checked = 0
+    for d in docs:
+        if d["doc_id"] >= 100:
+            continue
+        ntok = len(d["text"].split()) if d["text"].strip() else 0
+        if ntok < 20:
+            continue
+        pair = (d["doc_id"], d["doc_id"] + 2000000)
+        assert pair in by_pair, f"planted pair {pair} not confirmed"
+        spans = by_pair[pair]
+        assert any(
+            r["a_start"] == 1 and r["a_end"] == ntok for r in spans
+        ), f"pair {pair}: full-text span not localized ({spans})"
+        checked += 1
+    assert checked >= 5  # the invariant actually ran
