@@ -169,6 +169,64 @@ def pagerank_fixed_point(
     return ranks
 
 
+def _oriented_edges(edges: DataFrame, src: str, dst: str):
+    """(degrees, oriented) for the canonical undirected edge set of
+    ``edges``: self-loops dropped, (u,v)/(v,u)/dups collapsed to u<v,
+    then each edge oriented lower→higher under the (degree, id) total
+    order. Both frames are eagerly localCheckpointed — each is consumed
+    by multiple downstream subtrees in every caller, and under AQE a
+    lazy handle re-runs the (often pair-exploding) upstream lineage per
+    consumer. Shared by ``triangle_count`` and ``oriented_wedge_count``
+    so the scaling tool's evidence counter measures the EXACT wedge
+    space the counting join runs on."""
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .where(F.col("u") < F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("deg").alias("deg_u"))
+    dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("deg_v"))
+    ej = e.join(du, "u").join(dv, "v")
+    lo = F.struct(F.col("deg_u").alias("dk"), F.col("u").alias("nk"))
+    hi = F.struct(F.col("deg_v").alias("dk"), F.col("v").alias("nk"))
+    oriented = ej.select(
+        F.when(lo < hi, F.col("u")).otherwise(F.col("v")).alias("s"),
+        F.when(lo < hi, F.col("v")).otherwise(F.col("u")).alias("d"),
+        F.when(lo < hi, hi).otherwise(lo).alias("dkey"),
+    ).localCheckpoint(eager=True)
+    return deg, oriented
+
+
+def oriented_wedge_count(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> int:
+    """sum_v C(outdeg(v), 2) under the (degree, id) orientation — the
+    size of the wedge space ``triangle_count``'s closing join probes,
+    i.e. the evidence count the SCALING.json discipline records next to
+    the triangle timings (time tracking wedge growth = linear per-wedge
+    work; time outrunning it = a plan regression, not data growth)."""
+    _deg, oriented = _oriented_edges(edges, src, dst)
+    row = (
+        oriented.groupBy("s")
+        .agg(F.count(F.lit(1)).cast("long").alias("od"))
+        .agg(
+            F.sum(F.expr("od * (od - 1) div 2")).cast("long").alias("wedges")
+        )
+        .collect()[0]
+    )
+    return int(row["wedges"] or 0)
+
+
 def triangle_count(
     edges: DataFrame, src: str = "src", dst: str = "dst"
 ) -> DataFrame:
@@ -205,31 +263,7 @@ def triangle_count(
     construction single-value counts and returned as a literal row.
     """
     spark = edges.sparkSession
-    e = (
-        edges.select(
-            F.least(F.col(src), F.col(dst)).alias("u"),
-            F.greatest(F.col(src), F.col(dst)).alias("v"),
-        )
-        .where(F.col("u") < F.col("v"))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
-    deg = (
-        e.select(F.col("u").alias("node"))
-        .unionAll(e.select(F.col("v").alias("node")))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
-    )
-    du = deg.select(F.col("node").alias("u"), F.col("deg").alias("deg_u"))
-    dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("deg_v"))
-    ej = e.join(du, "u").join(dv, "v")
-    lo = F.struct(F.col("deg_u").alias("dk"), F.col("u").alias("nk"))
-    hi = F.struct(F.col("deg_v").alias("dk"), F.col("v").alias("nk"))
-    oriented = ej.select(
-        F.when(lo < hi, F.col("u")).otherwise(F.col("v")).alias("s"),
-        F.when(lo < hi, F.col("v")).otherwise(F.col("u")).alias("d"),
-        F.when(lo < hi, hi).otherwise(lo).alias("dkey"),
-    ).localCheckpoint(eager=True)
+    deg, oriented = _oriented_edges(edges, src, dst)
     w1 = oriented.select(
         F.col("s"), F.col("d").alias("b"), F.col("dkey").alias("bk")
     )

@@ -4847,6 +4847,15 @@ def triangle_count_copurchase_q(spark: SparkSession, sf: str) -> DataFrame:
     is an exact integer."""
     from .operators.graph import triangle_count
 
+    return triangle_count(_copurchase_sampled_edges(spark, sf)).withColumn(
+        "doulion_estimate", F.col("n_triangles") * F.lit(64).cast("long")
+    )
+
+
+def _copurchase_sampled_edges(spark: SparkSession, sf: str) -> DataFrame:
+    """DOULION-sampled (p=1/4, md5 nibble) part co-purchase edge stream
+    — the exact input ``triangle_count_copurchase`` counts on, shared
+    with tools/bench_scaling.py's wedge-evidence counter."""
     li = load_table(spark, sf, "lineitem")
     # per-order part sets in ONE aggregation, pairs by the posexplode
     # anchor + tail-slice generate (the minhash bucket-pair idiom,
@@ -4884,9 +4893,7 @@ def triangle_count_copurchase_q(spark: SparkSession, sf: str) -> DataFrame:
         ).cast("int")
         < 4
     )
-    return triangle_count(pairs.where(keep)).withColumn(
-        "doulion_estimate", F.col("n_triangles") * F.lit(64).cast("long")
-    )
+    return pairs.where(keep)
 
 
 @query(

@@ -112,6 +112,10 @@ TOP_4X = [
     "substring_dup_spans",
     "substring_dedup_clean",
     "incremental_substring_dedup",
+    # round-9 (verdict item 4): the bench's #1 entry gets the full
+    # curvature treatment — md5-dense map projection + one posting
+    # shuffle should be linear, but it now dominates the record
+    "winnow_dup_pairs",
     # round-7: wedge work is sum outdeg^2 — the one entry where a
     # superlinear term is structurally plausible, so give it the
     # curvature point (kx copies are key-disjoint, so the graph is k
@@ -129,6 +133,12 @@ TOP_4X = [
 TOP_8X = [
     "ngram_jaccard_verify_lsh",
     "decontaminate_hits",
+    # round-9 (verdict item 4): the bench's two most expensive entries
+    # get 8x points with evidence counts — winnow pair candidates and
+    # oriented wedge counts — so evidence growth is separated from
+    # per-item cost exactly like the LSH candidate discipline
+    "winnow_dup_pairs",
+    "triangle_count_copurchase",
 ]
 
 
@@ -139,8 +149,13 @@ def _candidate_counts(spark, sf_dir: str) -> dict[str, int]:
     from opendata_gov_lt_mysql_import_spark.operators.dedup import (
         minhash_candidate_pairs,
     )
+    from opendata_gov_lt_mysql_import_spark.operators.graph import (
+        oriented_wedge_count,
+    )
     from opendata_gov_lt_mysql_import_spark.queries_ml import (
+        _copurchase_sampled_edges,
         _documents_with_dups,
+        _winnow_pair_scores,
     )
 
     d = _documents_with_dups(spark, sf_dir)
@@ -150,6 +165,13 @@ def _candidate_counts(spark, sf_dir: str) -> dict[str, int]:
             d, "text", "doc_id", min_jaccard_est=0.3, max_bucket_size=200,
             dropped_out=[],
         ).count(),
+        # winnow: candidate pairs from capped fingerprint postings
+        # (pre-top-150 — the full pair stream the agg runs over)
+        "winnow_dup_pairs": _winnow_pair_scores(d).count(),
+        # triangle: the oriented wedge space the closing join probes
+        "triangle_count_copurchase": oriented_wedge_count(
+            _copurchase_sampled_edges(spark, sf_dir)
+        ),
     }
 
 
