@@ -132,6 +132,19 @@ class TestSpanDetection:
         assert out[20]["n_removed"] == 20 and out[20]["text"] == _toks("q", 3)
         assert out[30]["n_removed"] == 20 and out[30]["text"] == ""
 
+    def test_id_col_named_id_not_ambiguous(self, spark):
+        # round-7 advisory: the coverage frame also carries a column
+        # named 'id'; before the _cov_id rename a caller whose id_col is
+        # literally 'id' hit an ambiguous-reference AnalysisException
+        span = _toks("s", K)
+        df = spark.createDataFrame(
+            [(1, span + " " + _toks("a", 3)), (2, span + " " + _toks("b", 3))],
+            "id long, text string",
+        )
+        out = {r["id"]: r for r in
+               remove_duplicated_spans(df, "text", "id", k=K).collect()}
+        assert out[1]["n_removed"] == 0 and out[2]["n_removed"] == K
+
 
 class TestIntervals:
     def test_planted_span_merges_to_one_interval(self, spark, corpus):
@@ -236,6 +249,37 @@ class TestCountMinSketch:
         }
         for i in range(50):
             assert est[f"tok{i}"] >= i + 1  # never underestimates
+
+    def test_absent_probe_estimates_zero_not_missing(self, spark):
+        # round-7 advisory: probes absent from the stream must come back
+        # as rows (left join), and a probe whose d cells are all
+        # untouched estimates exactly 0 — the one-sided bound for ALL
+        # probes, not only stream members. A 3-token stream in a
+        # 4x256-cell sketch leaves almost every cell empty, so at least
+        # one of an absent probe's d cells is empty w.h.p.; assert the
+        # row EXISTS and never underestimates (0), and exercise many
+        # absent probes so a single unlucky full-collision can't mask a
+        # reintroduced inner join (which would drop ALL of them).
+        from opendata_gov_lt_mysql_import_spark.operators.sketches import (
+            cms_cells,
+            cms_estimates,
+        )
+
+        df = spark.createDataFrame([("a",), ("b",), ("c",)], "tok string")
+        cells = cms_cells(df, "tok", d=4)
+        probes = spark.createDataFrame(
+            [(f"ghost{i}",) for i in range(20)] + [("a",)], "tok string"
+        )
+        est = {
+            r["tok"]: r["cms_n"]
+            for r in cms_estimates(cells, probes, "tok", d=4).collect()
+        }
+        assert len(est) == 21  # no probe vanished
+        assert est["a"] >= 1
+        assert all(est[f"ghost{i}"] >= 0 for i in range(20))
+        # with 3 stream tokens in 1024 cells, 20 ghosts all fully
+        # colliding has probability ~(12/256)^80 — assert most are 0
+        assert sum(est[f"ghost{i}"] == 0 for i in range(20)) >= 15
 
     def test_preaggregated_input_identical_sketch(self, spark):
         from opendata_gov_lt_mysql_import_spark.operators.sketches import (
