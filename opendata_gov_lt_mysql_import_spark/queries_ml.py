@@ -5262,3 +5262,459 @@ def winnow_span_report_q(spark: SparkSession, sf: str) -> DataFrame:
         )
         .select("doc_a", "doc_b", "a_start", "a_end", "n_windows")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-9 surface: web-corpus provenance + model-side data prep — URL
+# canonicalization dedup, CCNet perplexity buckets, hashed linear
+# quality classifier, hard-negative mining, corpus datasheet.
+# ---------------------------------------------------------------------------
+
+# the fixture has no URL column, so (like _documents_with_dups) the
+# query synthesizes deterministic MESSY urls from doc_id/lang: scheme
+# case, www + host case, default port, trailing slash, tracking params
+# in shuffled order, fragments — all transport noise over the same page
+# identity (doc_id % 499, lang). The canonicalizer must collapse them.
+_URL_SYNTH_SQL = r"""
+      SELECT doc_id,
+        (CASE WHEN doc_id % 3 = 0 THEN 'HTTPS://' ELSE 'https://' END)
+        || (CASE WHEN doc_id % 2 = 0 THEN 'WWW.Data.Gov.LT'
+                 ELSE 'data.gov.lt' END)
+        || (CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END)
+        || '/datasets/' || CAST(doc_id % 499 AS VARCHAR)
+        || (CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END)
+        || (CASE WHEN doc_id % 2 = 0
+            THEN '?lang=' || lang || '&page='
+                 || CAST((doc_id % 499) % 7 AS VARCHAR) || '&utm_source=feed'
+            ELSE '?utm_campaign=x&page='
+                 || CAST((doc_id % 499) % 7 AS VARCHAR) || '&lang=' || lang
+            END)
+        || (CASE WHEN doc_id % 3 = 1 THEN '#sec1' ELSE '' END) AS url
+      FROM documents
+"""
+
+
+def _synthetic_urls(d: DataFrame) -> DataFrame:
+    """Spark twin of ``_URL_SYNTH_SQL`` over a documents frame."""
+    did = F.col("doc_id")
+    page = (did % 499).cast("string")
+    pm = ((did % 499) % 7).cast("string")
+    url = F.concat(
+        F.when(did % 3 == 0, F.lit("HTTPS://")).otherwise(F.lit("https://")),
+        F.when(did % 2 == 0, F.lit("WWW.Data.Gov.LT")).otherwise(
+            F.lit("data.gov.lt")
+        ),
+        F.when(did % 5 == 0, F.lit(":443")).otherwise(F.lit("")),
+        F.lit("/datasets/"),
+        page,
+        F.when(did % 4 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(
+            did % 2 == 0,
+            F.concat(
+                F.lit("?lang="), F.col("lang"), F.lit("&page="), pm,
+                F.lit("&utm_source=feed"),
+            ),
+        ).otherwise(
+            F.concat(
+                F.lit("?utm_campaign=x&page="), pm, F.lit("&lang="),
+                F.col("lang"),
+            )
+        ),
+        F.when(did % 3 == 1, F.lit("#sec1")).otherwise(F.lit("")),
+    )
+    return d.select("doc_id", url.alias("url"))
+
+
+@query(
+    "url_canonical_dedup",
+    rf"""
+    WITH urls AS ({_URL_SYNTH_SQL}),
+    nf AS (
+      SELECT doc_id, regexp_replace(url, '#.*$', '') AS nofrag FROM urls
+    ),
+    comp AS (
+      SELECT doc_id,
+        lower(regexp_extract(nofrag,
+                             '^([A-Za-z][A-Za-z0-9+.\-]*)://', 1)) AS scheme,
+        regexp_replace(
+          lower(regexp_replace(
+            regexp_extract(
+              regexp_replace(nofrag, '^[A-Za-z][A-Za-z0-9+.\-]*://', ''),
+              '^([^/?]+)', 1),
+            ':(443|80)$', '')),
+          '^www\.', '') AS host,
+        regexp_replace(
+          regexp_extract(
+            regexp_replace(nofrag, '^[A-Za-z][A-Za-z0-9+.\-]*://', ''),
+            '^[^/?]*([^?]*)', 1),
+          '/+$', '') AS path0,
+        list_sort(list_filter(
+          str_split(regexp_extract(nofrag, '\?([^#]*)$', 1), '&'),
+          p -> p <> '' AND NOT regexp_matches(p, '^(utm_|fbclid|gclid)')
+        )) AS kept
+      FROM nf
+    ),
+    built AS (
+      SELECT doc_id,
+        (CASE WHEN scheme <> '' THEN scheme || '://' ELSE '' END)
+        || host
+        || (CASE WHEN path0 = '' THEN '/' ELSE path0 END)
+        || (CASE WHEN len(kept) > 0
+            THEN '?' || COALESCE(array_to_string(kept, '&'), '')
+            ELSE '' END) AS canonical_url
+      FROM comp
+    )
+    SELECT canonical_url, CAST(count(*) AS BIGINT) AS n_variants,
+           min(doc_id) AS keeper
+    FROM built GROUP BY 1
+    """,
+)
+def url_canonical_dedup_q(spark: SparkSession, sf: str) -> DataFrame:
+    """URL-dedup groups over canonicalized URLs (RefinedWeb §3.1 runs
+    exactly this before any content dedup): synthesize messy URL
+    variants (scheme/host case, :443, www., trailing slash, utm_*
+    params in shuffled order, fragments), canonicalize with
+    ``functions.urls.canonical_url`` (pure JVM regexp/HOF — map-only),
+    group by the canonical form: (canonical_url, n_variants, keeper).
+
+    Scale shape: canonicalization is projection work fused into the
+    scan; the ONLY shuffle is the dedup groupBy on the canonical key —
+    identical to the exact-dedup workhorse, because after this
+    transform URL dedup IS exact dedup."""
+    from .functions.urls import canonical_url
+
+    d = load_table(spark, sf, "documents")
+    u = _synthetic_urls(d)
+    return (
+        u.select("doc_id", canonical_url(F.col("url")).alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_variants"),
+            F.min("doc_id").alias("keeper"),
+        )
+    )
+
+
+@query(
+    "ccnet_perplexity_buckets",
+    r"""
+    WITH t AS (
+      SELECT doc_id,
+             CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                  ELSE str_split_regex(trim(text), '\s+') END AS toks
+      FROM documents
+    ),
+    bg AS (
+      SELECT doc_id, toks[u.i] AS w1, toks[u.i + 1] AS w2
+      FROM t, UNNEST(range(1, len(toks))) u(i)
+    ),
+    c2 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2
+           FROM bg GROUP BY 1, 2),
+    c1 AS (SELECT w1, CAST(count(*) AS BIGINT) AS c1 FROM bg GROUP BY 1),
+    v AS (
+      SELECT CAST(count(DISTINCT tok) AS BIGINT) AS v
+      FROM (SELECT unnest(toks) AS tok FROM t)
+    ),
+    sc AS (
+      SELECT bg.doc_id,
+             CAST(sum((c2.c2 * 1000000) // (c1.c1 + v.v)) AS BIGINT)
+               AS prob_fp_sum,
+             CAST(count(*) AS BIGINT) AS n_bigrams
+      FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1), v
+      GROUP BY bg.doc_id
+    ),
+    scored AS (
+      SELECT s.doc_id, d.lang,
+             CAST(prob_fp_sum // n_bigrams AS BIGINT) AS score_fp,
+             n_bigrams
+      FROM sc s JOIN documents d USING (doc_id)
+    )
+    SELECT doc_id, lang, score_fp, n_bigrams,
+           CASE ntile(3) OVER (PARTITION BY lang
+                               ORDER BY score_fp DESC, doc_id)
+                WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                ELSE 'tail' END AS bucket
+    FROM scored
+    """,
+)
+def ccnet_perplexity_buckets_q(spark: SparkSession, sf: str) -> DataFrame:
+    """CCNet-style LM-quality tertiles (Wenzek et al. 2020 §3: score
+    every document with a language model, split each language into
+    head/middle/tail by perplexity; downstream pipelines keep head+
+    middle). The LM is the in-repo corpus bigram model; the score is a
+    FIXED-POINT mean bigram probability — sum of
+    (c(w1,w2)*1e6 div (c(w1·)+V)) div n_bigrams — exact BIGINT on both
+    engines (the ``bigram_logprob_score`` pipeline with the
+    transcendental ln swapped for integer lift, same monotone ranking
+    intent), so the per-language ntile(3) cut is bit-deterministic
+    (ties broken on doc_id) instead of float-ulp-dependent.
+
+    Scale shape = bigram_logprob_score: one map-only bigram projection
+    (materialized slice-zip, no HOF recapture), eager localCheckpoint
+    on the triple-consumed bigram frame, vocabulary-sized broadcast
+    re-joins, one per-doc aggregate; then ONE per-language window for
+    the tertile cut (CCNet shards exactly this way — per-language
+    partitions are the natural key)."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf, "documents")
+    t = d.select("doc_id", tokens(F.col("text")).alias("toks"))
+    tk = F.col("toks")
+    n = F.size(tk)
+    zipped = F.arrays_zip(
+        F.slice(tk, 1, n - 1).alias("w1"), F.slice(tk, 2, n - 1).alias("w2")
+    )
+    bg = (
+        t.select(
+            "doc_id",
+            F.explode(
+                F.when(n >= 2, zipped).otherwise(
+                    F.array().cast("array<struct<w1:string,w2:string>>")
+                )
+            ).alias("b"),
+        )
+        .select("doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+        .localCheckpoint(eager=True)
+    )
+    c2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    c1 = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    v = d.select(F.explode(tokens(F.col("text"))).alias("tok")).agg(
+        F.countDistinct("tok").alias("v")
+    )
+    sc = (
+        bg.join(F.broadcast(c2), ["w1", "w2"])
+        .join(F.broadcast(c1), "w1")
+        .crossJoin(F.broadcast(v))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.expr("(c2 * 1000000) div (c1 + v)"))
+            .cast("long")
+            .alias("prob_fp_sum"),
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        )
+    )
+    scored = sc.join(d.select("doc_id", "lang"), "doc_id").select(
+        "doc_id",
+        "lang",
+        F.expr("prob_fp_sum div n_bigrams").cast("long").alias("score_fp"),
+        "n_bigrams",
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.col("score_fp").desc(), F.col("doc_id")
+    )
+    nt = F.ntile(3).over(w)
+    return scored.select(
+        "doc_id",
+        "lang",
+        "score_fp",
+        "n_bigrams",
+        F.when(nt == 1, F.lit("head"))
+        .when(nt == 2, F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
+    )
+
+
+@query(
+    "quality_classifier_hashed",
+    rf"""
+    WITH t AS (
+      SELECT doc_id,
+             CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                  ELSE str_split_regex(trim(text), '\s+') END AS toks
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(COALESCE(list_sum(list_transform(toks, tok ->
+             ((CAST('0x' || substr(md5(tok), 1, 2) AS BIGINT)
+               * 2654435761) % 1024) - 512
+           )), 0) AS BIGINT) AS score,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           CAST(COALESCE(list_sum(list_transform(toks, tok ->
+             ((CAST('0x' || substr(md5(tok), 1, 2) AS BIGINT)
+               * 2654435761) % 1024) - 512
+           )), 0) >= 0 AS INT) AS keep
+    FROM t
+    """,
+)
+def quality_classifier_hashed_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Linear quality-classifier INFERENCE at corpus scale (the
+    fastText-classifier stage of GPT-3/CCNet-style pipelines, Brown et
+    al. 2020 App. A): hashing-trick features — token → md5 byte bucket
+    (256-wide, the CMS bucket idiom) — scored against a fixed integer
+    weight vector (weights derived from the bucket id by a Knuth
+    multiplicative hash, standing in for trained coefficients the
+    container can't ship), keep = score >= 0. Exact BIGINT both
+    engines.
+
+    Scale shape: ZERO shuffles — tokenization, hashing, and the
+    weighted sum are one fused map-only projection (aggregate over the
+    materialized token array; the weight lookup is arithmetic, not a
+    join, so there isn't even a broadcast). This is the cheapest
+    possible per-doc inference plan; a real trained weight vector
+    would swap the arithmetic for a 256-entry broadcast map lookup
+    with the same shape."""
+    d = load_table(spark, sf, "documents")
+    t = d.select("doc_id", tokens(F.col("text")).alias("toks"))
+    weight = lambda tok: (  # noqa: E731
+        F.conv(F.substring(F.md5(tok), 1, 2), 16, 10).cast("long")
+        * F.lit(2654435761).cast("long")
+    ) % 1024 - 512
+    score = F.aggregate(
+        F.transform(F.col("toks"), weight),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return t.select(
+        "doc_id",
+        score.alias("score"),
+        F.size("toks").cast("long").alias("n_tokens"),
+    ).withColumn("keep", (F.col("score") >= 0).cast("int"))
+
+
+@query(
+    "hard_negative_mining",
+    """
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e, label
+      FROM embeddings
+    ),
+    q AS (SELECT vec_id AS qid, e AS qe, label AS ql FROM v
+          WHERE vec_id < 8),
+    scored AS (
+      SELECT q.qid, v.vec_id,
+             round(list_cosine_similarity(v.e, q.qe), 4) AS sim
+      FROM q JOIN v ON v.label <> q.ql AND v.vec_id >= 8
+    ),
+    r AS (
+      SELECT *, row_number() OVER (PARTITION BY qid
+                                   ORDER BY sim DESC, vec_id) AS rnk
+      FROM scored
+    )
+    SELECT qid, vec_id, sim, CAST(rnk AS BIGINT) AS rnk
+    FROM r WHERE rnk <= 5
+    """,
+)
+def hard_negative_mining_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Hard-negative mining for contrastive training (the retrieval-
+    training data prep of DPR, Karpukhin et al. 2020 §4.2): for each
+    anchor vector (vec_id < 8 — a bounded query set), the top-5 most
+    similar vectors with a DIFFERENT label — near misses that make the
+    strongest negatives. Rank on the ROUNDED similarity (4 dp, the ANN
+    family convention) with vec_id tie-break so the cut is engine-
+    deterministic.
+
+    Scale shape: the K anchors are broadcast, so scoring is ONE scan
+    of the embedding table with no shuffle; per-anchor top-5 is a
+    window over the anchor key which Spark executes as WindowGroupLimit
+    (rank pushed below the exchange — each partition forwards only its
+    local top-5 per anchor). At billion-row scale the scan side drops
+    to ANN candidates first (ann_topk_suite's LSH/IVF tiers) with this
+    same broadcast-probe shape."""
+    from pyspark.sql import Window
+
+    from .operators.similarity import cosine
+
+    emb = load_table(spark, sf, "embeddings")
+    q = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qe"),
+        F.col("label").alias("ql"),
+    )
+    cand = emb.filter(F.col("vec_id") >= 8)
+    scored = cand.join(
+        F.broadcast(q), cand["label"] != q["ql"], "inner"
+    ).select(
+        "qid",
+        "vec_id",
+        F.round(cosine(F.col("embedding"), F.col("qe")), 4).alias("sim"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 5)
+        .select("qid", "vec_id", "sim", "rnk")
+    )
+
+
+@query(
+    "corpus_datasheet",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, source, lang, n_chars,
+             CAST({_NTOK_SQL} AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    per AS (
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+             CAST(sum(n_chars) AS BIGINT) AS total_chars,
+             CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+             CAST(sum(CASE WHEN n_tokens = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_empty
+      FROM tok GROUP BY source
+    ),
+    lc AS (SELECT source, lang, count(*) AS c FROM tok GROUP BY 1, 2),
+    top AS (
+      SELECT source, lang AS top_lang,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY c DESC, lang) AS rn
+      FROM lc
+    )
+    SELECT p.source, n_docs, total_tokens,
+           CAST(total_tokens // n_docs AS BIGINT) AS avg_tokens,
+           total_chars, n_langs, n_empty, t.top_lang
+    FROM per p JOIN top t ON p.source = t.source AND t.rn = 1
+    """,
+)
+def corpus_datasheet_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Datasheet-for-datasets rollup (Gebru et al. 2021): the per-source
+    composition card every corpus release ships — doc/token/char
+    volumes, integer mean doc length, language spread, dominant
+    language (count-desc, lang-asc tie-break), empty-doc count. All
+    exact integers.
+
+    Scale shape: two partial-agg shuffles onto dimension-sized keys
+    (source; source×lang) — both map-side combined — then a
+    dimension-sized window + broadcast-sized join to attach the modal
+    language. Nothing here grows with corpus size except the scan."""
+    from pyspark.sql import Window
+
+    from .operators.textanalysis import token_count
+
+    d = load_table(spark, sf, "documents")
+    tok = d.select(
+        "doc_id",
+        "source",
+        "lang",
+        "n_chars",
+        token_count(F.col("text")).cast("long").alias("n_tokens"),
+    )
+    per = tok.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.countDistinct("lang").cast("long").alias("n_langs"),
+        F.sum((F.col("n_tokens") == 0).cast("int")).cast("long")
+        .alias("n_empty"),
+    )
+    lc = tok.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("c"))
+    wtop = Window.partitionBy("source").orderBy(
+        F.col("c").desc(), F.col("lang")
+    )
+    top = (
+        lc.withColumn("rn", F.row_number().over(wtop))
+        .filter(F.col("rn") == 1)
+        .select("source", F.col("lang").alias("top_lang"))
+    )
+    return per.join(F.broadcast(top), "source").select(
+        "source",
+        "n_docs",
+        "total_tokens",
+        F.expr("total_tokens div n_docs").cast("long").alias("avg_tokens"),
+        "total_chars",
+        "n_langs",
+        "n_empty",
+        "top_lang",
+    )

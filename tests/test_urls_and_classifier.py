@@ -1,0 +1,158 @@
+"""Round-9 surface: URL canonicalization, hashed linear classifier,
+CCNet buckets, hard negatives, datasheet — edge cases the sf-fixture
+oracle runs can't isolate."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from opendata_gov_lt_mysql_import_spark.functions.urls import canonical_url
+
+
+def _canon(spark, url: str) -> str:
+    df = spark.createDataFrame([(url,)], "url string")
+    return df.select(canonical_url(F.col("url")).alias("c")).first()["c"]
+
+
+class TestCanonicalUrl:
+    def test_noise_dimensions_collapse(self, spark):
+        # scheme case, host case, www., :443, trailing slash, utm_*
+        # order, fragment — every variant lands on the same canonical
+        variants = [
+            "https://data.gov.lt/datasets/7?lang=lt&page=3",
+            "HTTPS://WWW.Data.Gov.LT/datasets/7?page=3&lang=lt#sec1",
+            "https://data.gov.lt:443/datasets/7/?lang=lt&page=3&utm_source=x",
+            "https://www.data.gov.lt/datasets/7?utm_campaign=a&page=3&lang=lt",
+            "https://Data.Gov.LT/datasets/7//?fbclid=abc&lang=lt&page=3",
+        ]
+        out = {_canon(spark, u) for u in variants}
+        assert out == {"https://data.gov.lt/datasets/7?lang=lt&page=3"}
+
+    def test_distinct_identities_stay_distinct(self, spark):
+        a = _canon(spark, "https://data.gov.lt/datasets/7?page=3")
+        b = _canon(spark, "https://data.gov.lt/datasets/7?page=4")
+        c = _canon(spark, "https://data.gov.lt/datasets/8?page=3")
+        d = _canon(spark, "http://data.gov.lt/datasets/7?page=3")
+        assert len({a, b, c, d}) == 4  # scheme http vs https is identity
+
+    def test_port_8080_kept_port_80_stripped(self, spark):
+        assert _canon(spark, "https://h.lt:8080/x") == "https://h.lt:8080/x"
+        assert _canon(spark, "http://h.lt:80/x") == "http://h.lt/x"
+
+    def test_empty_path_and_query(self, spark):
+        assert _canon(spark, "https://h.lt") == "https://h.lt/"
+        assert (
+            _canon(spark, "https://h.lt/?utm_source=only") == "https://h.lt/"
+        )
+
+    def test_schemeless_degrades(self, spark):
+        assert _canon(spark, "www.h.lt/a/") == "h.lt/a"
+
+
+class TestHashedClassifier:
+    def test_empty_doc_scores_zero_and_keeps(self, spark):
+        from opendata_gov_lt_mysql_import_spark.queries_ml import (
+            quality_classifier_hashed_q,
+        )
+        import opendata_gov_lt_mysql_import_spark.queries_ml as qml
+
+        # drive through the query against a stubbed load_table
+        orig = qml.load_table
+        df = spark.createDataFrame(
+            [(1, ""), (2, "   "), (3, "one token stream")],
+            "doc_id long, text string",
+        )
+        try:
+            qml.load_table = lambda s, sf, t: df
+            out = {
+                r["doc_id"]: r
+                for r in quality_classifier_hashed_q(spark, "x").collect()
+            }
+        finally:
+            qml.load_table = orig
+        assert out[1]["score"] == 0 and out[1]["keep"] == 1
+        assert out[2]["score"] == 0 and out[2]["n_tokens"] == 0
+        assert out[3]["n_tokens"] == 3
+        # score is the sum of per-token weights, each in [-512, 511]
+        assert -512 * 3 <= out[3]["score"] <= 511 * 3
+
+    def test_score_is_token_order_invariant(self, spark):
+        from opendata_gov_lt_mysql_import_spark.queries_ml import (
+            quality_classifier_hashed_q,
+        )
+        import opendata_gov_lt_mysql_import_spark.queries_ml as qml
+
+        df = spark.createDataFrame(
+            [(1, "alpha beta gamma"), (2, "gamma alpha beta")],
+            "doc_id long, text string",
+        )
+        orig = qml.load_table
+        try:
+            qml.load_table = lambda s, sf, t: df
+            rows = {
+                r["doc_id"]: r["score"]
+                for r in quality_classifier_hashed_q(spark, "x").collect()
+            }
+        finally:
+            qml.load_table = orig
+        assert rows[1] == rows[2]
+
+
+class TestHardNegatives:
+    def test_negatives_never_share_anchor_label(self, spark):
+        from opendata_gov_lt_mysql_import_spark.queries_ml import (
+            hard_negative_mining_q,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        out = hard_negative_mining_q(spark, sf).collect()
+        from opendata_gov_lt_mysql_import_spark.sources.parquet import (
+            load_table,
+        )
+
+        labels = {
+            r["vec_id"]: r["label"]
+            for r in load_table(spark, sf, "embeddings")
+            .select("vec_id", "label")
+            .collect()
+        }
+        assert len(out) > 0
+        for r in out:
+            assert labels[r["qid"]] != labels[r["vec_id"]]
+            assert 1 <= r["rnk"] <= 5
+        # every anchor contributes a full, densely-ranked top-5
+        by_q = {}
+        for r in out:
+            by_q.setdefault(r["qid"], []).append(r["rnk"])
+        for ranks in by_q.values():
+            assert sorted(ranks) == [1, 2, 3, 4, 5]
+
+
+class TestDatasheet:
+    def test_top_lang_tie_breaks_ascending(self, spark):
+        import opendata_gov_lt_mysql_import_spark.queries_ml as qml
+        from opendata_gov_lt_mysql_import_spark.queries_ml import (
+            corpus_datasheet_q,
+        )
+
+        df = spark.createDataFrame(
+            [
+                (1, "a b", "lt", "s1", 3),
+                (2, "c", "en", "s1", 1),  # tie 1-1 -> 'en' wins (asc)
+                (3, "", "lt", "s2", 0),
+            ],
+            "doc_id long, text string, lang string, source string,"
+            " n_chars long",
+        )
+        orig = qml.load_table
+        try:
+            qml.load_table = lambda s, sf, t: df
+            out = {
+                r["source"]: r for r in corpus_datasheet_q(spark, "x").collect()
+            }
+        finally:
+            qml.load_table = orig
+        assert out["s1"]["top_lang"] == "en"
+        assert out["s1"]["n_docs"] == 2 and out["s1"]["total_tokens"] == 3
+        assert out["s1"]["avg_tokens"] == 1  # 3 div 2 truncates
+        assert out["s2"]["n_empty"] == 1 and out["s2"]["total_tokens"] == 0
