@@ -161,10 +161,21 @@ DRIVER_TOP50: tuple[str, ...] = (
     "zorder_pruned_scan",
     # ngram_jaccard_pairs rotated out round 7 (its blocked exact-verify
     # math is recomputed inside ngram_jaccard_verify_md5's oracle, now
-    # in-window; pairs stays registered + full-gate-verified) for the
-    # round-7 exact-substring duplicated-span detector (Lee et al. 2022)
-    "substring_dup_spans",
-    "dup_clusters",
+    # in-window; pairs stays registered + full-gate-verified). That slot
+    # then held substring_dup_spans, rotated out round 9: its window-
+    # fingerprint span detection is recomputed end-to-end inside the
+    # in-window substring_dedup_clean (the removal transform is BUILT on
+    # the span detector; spans stays registered + full-gate-verified)
+    # for the RefinedWeb-style URL-canonicalization dedup — the web-
+    # corpus provenance key normalizer in front of exact dedup
+    "url_canonical_dedup",
+    # dup_clusters rotated out round 9: its connected_components core is
+    # recomputed inside the in-window entity_resolution_customers row
+    # (linkage.py:86 calls the same min-label propagation; dup_clusters
+    # stays registered + full-gate-verified) for the CCNet per-language
+    # perplexity tertile cut — fixed-point bigram-LM scored, the
+    # quality-bucketing stage every web pipeline runs after lang-id
+    "ccnet_perplexity_buckets",
     # minhash_lsh_pairs_md5 rotated out round 7 (its banded candidate
     # generation is recomputed verbatim inside the in-window
     # ngram_jaccard_verify_md5 oracle, so the semantics keep a driver
