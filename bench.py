@@ -148,6 +148,13 @@ HEADLINE = [
     # span join → islands) and the per-source token-budget greedy fill
     "winnow_span_report",
     "token_budget_mixture",
+    # round-9 wave: URL-canonical dedup (map-only canonicalize + one
+    # groupBy), CCNet tertiles (bigram DAG + per-lang window), hashed
+    # classifier (zero-shuffle fused map), datasheet (two dim-keyed aggs)
+    "url_canonical_dedup",
+    "ccnet_perplexity_buckets",
+    "quality_classifier_hashed",
+    "corpus_datasheet",
 ]
 
 

@@ -5573,71 +5573,6 @@ def quality_classifier_hashed_q(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "hard_negative_mining",
-    """
-    WITH v AS (
-      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e, label
-      FROM embeddings
-    ),
-    q AS (SELECT vec_id AS qid, e AS qe, label AS ql FROM v
-          WHERE vec_id < 8),
-    scored AS (
-      SELECT q.qid, v.vec_id,
-             round(list_cosine_similarity(v.e, q.qe), 4) AS sim
-      FROM q JOIN v ON v.label <> q.ql AND v.vec_id >= 8
-    ),
-    r AS (
-      SELECT *, row_number() OVER (PARTITION BY qid
-                                   ORDER BY sim DESC, vec_id) AS rnk
-      FROM scored
-    )
-    SELECT qid, vec_id, sim, CAST(rnk AS BIGINT) AS rnk
-    FROM r WHERE rnk <= 5
-    """,
-)
-def hard_negative_mining_q(spark: SparkSession, sf: str) -> DataFrame:
-    """Hard-negative mining for contrastive training (the retrieval-
-    training data prep of DPR, Karpukhin et al. 2020 §4.2): for each
-    anchor vector (vec_id < 8 — a bounded query set), the top-5 most
-    similar vectors with a DIFFERENT label — near misses that make the
-    strongest negatives. Rank on the ROUNDED similarity (4 dp, the ANN
-    family convention) with vec_id tie-break so the cut is engine-
-    deterministic.
-
-    Scale shape: the K anchors are broadcast, so scoring is ONE scan
-    of the embedding table with no shuffle; per-anchor top-5 is a
-    window over the anchor key which Spark executes as WindowGroupLimit
-    (rank pushed below the exchange — each partition forwards only its
-    local top-5 per anchor). At billion-row scale the scan side drops
-    to ANN candidates first (ann_topk_suite's LSH/IVF tiers) with this
-    same broadcast-probe shape."""
-    from pyspark.sql import Window
-
-    from .operators.similarity import cosine
-
-    emb = load_table(spark, sf, "embeddings")
-    q = emb.filter(F.col("vec_id") < 8).select(
-        F.col("vec_id").alias("qid"),
-        F.col("embedding").alias("qe"),
-        F.col("label").alias("ql"),
-    )
-    cand = emb.filter(F.col("vec_id") >= 8)
-    scored = cand.join(
-        F.broadcast(q), cand["label"] != q["ql"], "inner"
-    ).select(
-        "qid",
-        "vec_id",
-        F.round(cosine(F.col("embedding"), F.col("qe")), 4).alias("sim"),
-    )
-    w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("vec_id"))
-    return (
-        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
-        .filter(F.col("rnk") <= 5)
-        .select("qid", "vec_id", "sim", "rnk")
-    )
-
-
-@query(
     "corpus_datasheet",
     f"""
     WITH tok AS (

@@ -437,3 +437,69 @@ def test_boilerplate_scrub_bounded_exchanges_pruned_scans(
     for ln in scans:
         schema = ln.split("ReadSchema:")[-1]
         assert "lang" not in schema and "source" not in schema, ln.strip()[:140]
+
+
+def test_hashed_classifier_is_zero_shuffle_map_projection(
+    spark, sf_dir, queries
+):
+    """quality_classifier_hashed: the entire inference is ONE fused
+    map-only projection — zero exchanges, zero joins, one scan reading
+    only doc_id + text. The cheapest possible per-doc scoring plan."""
+    plan = final_plan(queries["quality_classifier_hashed"](spark, sf_dir))
+    final_section = plan.split("== Initial Plan ==")[0]
+    assert "Exchange" not in final_section
+    assert "Join" not in final_section
+    scans = [ln for ln in final_section.splitlines() if "ReadSchema" in ln]
+    assert len(scans) == 1
+    schema = scans[0].split("ReadSchema:")[-1]
+    assert "doc_id" in schema and "text" in schema
+    assert "lang" not in schema and "n_chars" not in schema
+
+
+def test_url_dedup_single_groupby_shuffle_pruned_scan(
+    spark, sf_dir, queries
+):
+    """url_canonical_dedup: canonicalization fuses into the scan
+    projection; the ONLY exchange is the dedup groupBy on the canonical
+    key, map-side combined. The scan reads doc_id + lang (the synth
+    inputs) and never touches text."""
+    plan = final_plan(queries["url_canonical_dedup"](spark, sf_dir))
+    final_section = plan.split("== Initial Plan ==")[0]
+    assert final_section.count("Exchange") == 1
+    assert "partial_" in final_section  # map-side combine before it
+    scans = [ln for ln in final_section.splitlines() if "ReadSchema" in ln]
+    assert len(scans) == 1
+    assert "text" not in scans[0].split("ReadSchema:")[-1]
+
+
+def test_ccnet_buckets_broadcast_counts_partitioned_window(
+    spark, sf_dir, queries
+):
+    """ccnet_perplexity_buckets: the c2/c1 count tables re-attach as
+    BROADCAST joins (never shuffled hash joins — the bigram stream must
+    not re-partition), the 1-row V total is the whitelisted nested-loop
+    attach, and the tertile window runs PARTITIONED by lang (no global
+    window)."""
+    plan = final_plan(queries["ccnet_perplexity_buckets"](spark, sf_dir))
+    final_section = plan.split("== Initial Plan ==")[0]
+    assert final_section.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in final_section
+    assert "SortMergeJoin" not in final_section
+    import re
+
+    wins = re.findall(r"Window \[.*?\]", final_section)
+    assert all("lang" in w or "partitionBy" not in w for w in wins)
+
+
+def test_datasheet_dimension_aggs_broadcast_modal_lang(
+    spark, sf_dir, queries
+):
+    """corpus_datasheet: both rollups partial-aggregate map-side, the
+    modal-language attach is a broadcast join (dimension-sized), and no
+    join degenerates to nested-loop."""
+    plan = final_plan(queries["corpus_datasheet"](spark, sf_dir))
+    final_section = plan.split("== Initial Plan ==")[0]
+    assert "partial_" in final_section
+    assert "BroadcastHashJoin" in final_section
+    assert "BroadcastNestedLoopJoin" not in final_section
+    assert "CartesianProduct" not in final_section
