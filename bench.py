@@ -155,6 +155,8 @@ HEADLINE = [
     "ccnet_perplexity_buckets",
     "quality_classifier_hashed",
     "corpus_datasheet",
+    # k-center coreset: k-1 TakeOrdered(1) scans + one broadcast-argmin
+    "kcenter_coreset",
 ]
 
 

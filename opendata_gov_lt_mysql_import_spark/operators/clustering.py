@@ -252,3 +252,101 @@ def lloyd_fixed_point(
             )
         )
     return assigned, cent
+
+
+def kcenter_greedy(
+    e: DataFrame,
+    k: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    scale: int = 10**4,
+) -> tuple[list[tuple[int, int]], DataFrame]:
+    """Greedy k-center (farthest-point traversal, Gonzalez 1985) in
+    FIXED-POINT integer arithmetic — coreset / diversity selection for
+    training data: pick the point farthest from the selected set, k-1
+    times, starting from the minimum-id seed. The classic 2-approx
+    cover whose selections a curriculum/coreset pipeline uses to
+    subsample a corpus while preserving spread (vs random sampling
+    which over-samples dense regions).
+
+    Exactness: quantized BIGINT coordinates (``quantize_vectors``,
+    round-half-away on the double promotion — engine-identical), exact
+    integer squared distances, argmax tie-broken on the smaller id —
+    every pick is bit-deterministic, so a SQL oracle can unroll the k
+    steps (the ``pagerank_k`` / ``kmeans_k_fixed`` construction).
+
+    Scale shape: each of the k-1 rounds is ONE map-side scan — the
+    selected set (≤ k×D BIGINTs) rides along as a literal array, the
+    min-distance is an ``array_min`` over it, and the argmax is a
+    TakeOrdered(1) (no global sort, no shuffle). Driver-side state is
+    k ids + k vectors — bounded by construction, N is never collected.
+
+    Returns ``(centers, assigned)``: ``centers`` as [(step, id)] in
+    selection order; ``assigned`` maps every point to its nearest
+    center — (id_col, center_step, center_id, d2) — ties on (d2, step).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    q = e.select(
+        F.col(id_col).alias("vec_id"),
+        quantize_vectors(e, vec_col, scale).alias("v"),
+    ).localCheckpoint(eager=True)  # feeds k-1 argmax rounds + assignment
+
+    def _int_sqdist(vec: Column, c: Column) -> Column:
+        return F.aggregate(
+            F.zip_with(vec, c, lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    seed = q.orderBy("vec_id").limit(1).collect()[0]
+    centers = [(0, int(seed["vec_id"]))]
+    center_vecs = [list(seed["v"])]
+    for step in range(1, k):
+        sel = F.array(
+            *[
+                F.array(*[F.lit(int(x)).cast("long") for x in cv])
+                for cv in center_vecs
+            ]
+        )
+        mind2 = F.array_min(
+            F.transform(sel, lambda c: _int_sqdist(F.col("v"), c))
+        )
+        picked = (
+            q.filter(~F.col("vec_id").isin([c[1] for c in centers]))
+            .select("vec_id", "v", mind2.alias("d2"))
+            .orderBy(F.col("d2").desc(), F.col("vec_id"))
+            .limit(1)
+            .collect()[0]
+        )
+        centers.append((step, int(picked["vec_id"])))
+        center_vecs.append(list(picked["v"]))
+    packed = F.array(
+        *[
+            F.struct(
+                F.lit(step).cast("long").alias("step"),
+                F.lit(cid).cast("long").alias("cid"),
+                F.array(
+                    *[F.lit(int(x)).cast("long") for x in cv]
+                ).alias("cv"),
+            )
+            for (step, cid), cv in zip(centers, center_vecs)
+        ]
+    )
+    best = F.array_min(
+        F.transform(
+            packed,
+            lambda s: F.struct(
+                _int_sqdist(F.col("v"), s["cv"]).alias("d2"),
+                s["step"].alias("step"),
+                s["cid"].alias("cid"),
+            ),
+        )
+    )
+    assigned = q.withColumn("_b", best).select(
+        F.col("vec_id").alias(id_col),
+        F.col("_b.step").alias("center_step"),
+        F.col("_b.cid").alias("center_id"),
+        F.col("_b.d2").alias("d2"),
+    )
+    return centers, assigned

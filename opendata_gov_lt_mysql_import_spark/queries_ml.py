@@ -5653,3 +5653,87 @@ def corpus_datasheet_q(spark: SparkSession, sf: str) -> DataFrame:
         "n_empty",
         "top_lang",
     )
+
+
+@query(
+    "kcenter_coreset",
+    """
+    WITH q AS (
+      SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+               x -> CAST(round(x * 10000) AS BIGINT)) AS v
+      FROM embeddings
+    ),
+    s0 AS (SELECT vec_id, v FROM q ORDER BY vec_id LIMIT 1),
+    m1 AS (
+      SELECT q.vec_id, q.v,
+             CAST(list_sum(list_transform(range(1, len(q.v) + 1),
+                  i -> (q.v[i] - s0.v[i]) * (q.v[i] - s0.v[i])))
+                  AS BIGINT) AS d2
+      FROM q, s0 WHERE q.vec_id <> s0.vec_id
+    ),
+    p1 AS (SELECT vec_id, v FROM m1 ORDER BY d2 DESC, vec_id LIMIT 1),
+    m2 AS (
+      SELECT m1.vec_id, m1.v,
+             least(m1.d2,
+                   CAST(list_sum(list_transform(range(1, len(m1.v) + 1),
+                        i -> (m1.v[i] - p1.v[i]) * (m1.v[i] - p1.v[i])))
+                        AS BIGINT)) AS d2
+      FROM m1, p1 WHERE m1.vec_id <> p1.vec_id
+    ),
+    p2 AS (SELECT vec_id, v FROM m2 ORDER BY d2 DESC, vec_id LIMIT 1),
+    cen AS (
+      SELECT 0 AS step, vec_id, v FROM s0
+      UNION ALL SELECT 1 AS step, vec_id, v FROM p1
+      UNION ALL SELECT 2 AS step, vec_id, v FROM p2
+    ),
+    dist AS (
+      SELECT q.vec_id, c.step, c.vec_id AS cid,
+             CAST(list_sum(list_transform(range(1, len(q.v) + 1),
+                  i -> (q.v[i] - c.v[i]) * (q.v[i] - c.v[i])))
+                  AS BIGINT) AS d2
+      FROM q CROSS JOIN cen c
+    ),
+    a AS (
+      SELECT vec_id, step, cid, d2 FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY d2, step) AS rn
+        FROM dist) WHERE rn = 1
+    )
+    SELECT CAST(step AS BIGINT) AS step,
+           CAST(cid AS BIGINT) AS center_id,
+           CAST(count(*) AS BIGINT) AS n_members,
+           CAST(max(d2) AS BIGINT) AS radius_d2
+    FROM a GROUP BY 1, 2
+    """,
+)
+def kcenter_coreset_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Greedy k-center coreset selection (K=3 — Gonzalez 1985 farthest-
+    point traversal): diversity subsampling for training data, the
+    spread-preserving complement to density-blind random sampling.
+    Fixed-point BIGINT distances make every pick bit-deterministic, so
+    the oracle unrolls the K steps (the pagerank_k / kmeans_k_fixed
+    construction: pick = TakeOrdered(1) on (d2 DESC, id), running min
+    via ``least``). Output: per selected center, its selection step,
+    member count and cluster radius (max squared distance) under
+    nearest-center assignment (ties on (d2, step)).
+
+    Scale shape (operators/clustering.kcenter_greedy): each round is
+    one map-side scan with the ≤K×D-literal selected set riding along
+    — argmax by TakeOrdered(1), NO shuffle, NO N-sized collect; the
+    final assignment is the same broadcast-argmin projection the
+    k-means family uses, one partial-agg shuffle onto K cells."""
+    from .operators.clustering import kcenter_greedy
+
+    emb = load_table(spark, sf, "embeddings")
+    _centers, assigned = kcenter_greedy(
+        emb, k=3, vec_col="embedding", id_col="vec_id"
+    )
+    return assigned.groupBy("center_step", "center_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+        F.max("d2").cast("long").alias("radius_d2"),
+    ).select(
+        F.col("center_step").alias("step"),
+        "center_id",
+        "n_members",
+        "radius_d2",
+    )

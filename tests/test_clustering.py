@@ -270,3 +270,41 @@ def test_lloyd_fixed_point_validation_and_negatives(spark):
     )
     with pytest.raises(ValueError, match="ids must be dense from 0"):
         lloyd_fixed_point(sparse, k=2, iters=1)
+
+
+class TestKCenterGreedy:
+    def test_planted_geometry_picks_and_radii(self, spark):
+        from opendata_gov_lt_mysql_import_spark.operators.clustering import (
+            kcenter_greedy,
+        )
+
+        # seed = id 0 at origin; farthest is id 1 at (10,0); then id 3
+        # at (5,5) (min-dist 50) beats id 2 at (0,1) (min-dist 1)
+        df = spark.createDataFrame(
+            [
+                (0, [0.0, 0.0]),
+                (1, [10.0, 0.0]),
+                (2, [0.0, 1.0]),
+                (3, [5.0, 5.0]),
+            ],
+            "vec_id long, embedding array<float>",
+        )
+        centers, assigned = kcenter_greedy(df, k=3)
+        assert centers == [(0, 0), (1, 1), (2, 3)]
+        rows = {r["vec_id"]: r for r in assigned.collect()}
+        s = 10**4
+        assert rows[2]["center_id"] == 0 and rows[2]["d2"] == 1 * s * s
+        for cid in (0, 1, 3):
+            assert rows[cid]["center_id"] == cid and rows[cid]["d2"] == 0
+
+    def test_k1_is_seed_only(self, spark):
+        from opendata_gov_lt_mysql_import_spark.operators.clustering import (
+            kcenter_greedy,
+        )
+
+        df = spark.createDataFrame(
+            [(7, [1.0]), (9, [2.0])], "vec_id long, embedding array<float>"
+        )
+        centers, assigned = kcenter_greedy(df, k=1)
+        assert centers == [(0, 7)]
+        assert all(r["center_id"] == 7 for r in assigned.collect())
