@@ -157,6 +157,8 @@ HEADLINE = [
     "corpus_datasheet",
     # k-center coreset: k-1 TakeOrdered(1) scans + one broadcast-argmin
     "kcenter_coreset",
+    # JL sketch: 16 fused zip_with aggregates, zero-shuffle map pass
+    "jl_projection_sketch",
 ]
 
 

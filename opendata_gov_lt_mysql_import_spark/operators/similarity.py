@@ -366,3 +366,66 @@ def cosine_dup_pairs_arrow(
     return emb.select(
         F.col(id_col), F.col(block_col).alias("_blk"), F.col(vec_col)
     ).groupBy("_blk").applyInPandas(per_block, schema=schema)
+
+
+def jl_sign_matrix(in_dim: int, out_dim: int) -> list[list[int]]:
+    """Deterministic ±1 random-projection matrix (dense Achlioptas
+    variant of Johnson–Lindenstrauss): sign(i, j) = +1 iff the first
+    hex digit of md5("{i}#{j}#jl") is 0-7 (i, j 1-based) — the same
+    derivation a SQL oracle can replay with its own md5, so the
+    projection is engine-exact rather than seeded-PRNG-dependent.
+    Computed driver-side once (in_dim × out_dim ints) and shipped as a
+    plan literal; no per-row hashing."""
+    import hashlib
+
+    return [
+        [
+            1
+            if hashlib.md5(f"{i}#{j}#jl".encode()).hexdigest()[0]
+            in "01234567"
+            else -1
+            for j in range(1, out_dim + 1)
+        ]
+        for i in range(1, in_dim + 1)
+    ]
+
+
+def jl_project(
+    e: DataFrame,
+    in_dim: int,
+    out_dim: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    scale: int = 10**4,
+) -> DataFrame:
+    """Fixed-point JL sketch: quantize to BIGINT (1/scale units), then
+    y_j = Σ_i v_i · sign(i, j) — exact integer arithmetic, so sketches
+    are bit-identical across engines (|y_j| ≤ in_dim·scale·max|x|,
+    far inside BIGINT at any sane scale). Returns (id_col, proj
+    array<long>).
+
+    Scale shape: ZERO shuffles — the sign matrix is a literal, each
+    output component is one zip_with/aggregate over the row's own
+    array, all fused into the scan projection. This is the standard
+    dimensionality-reduction step in front of LSH/IVF indexing
+    (project 64→16, bucket on the short vector) and costs one map
+    pass at any corpus size."""
+    from .clustering import quantize_vectors
+
+    signs = jl_sign_matrix(in_dim, out_dim)
+    q = e.select(
+        F.col(id_col), quantize_vectors(e, vec_col, scale).alias("_v")
+    )
+    comps = [
+        F.aggregate(
+            F.zip_with(
+                F.col("_v"),
+                F.array(*[F.lit(signs[i][j]).cast("long") for i in range(in_dim)]),
+                lambda a, s: a * s,
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        for j in range(out_dim)
+    ]
+    return q.select(F.col(id_col), F.array(*comps).alias("proj"))

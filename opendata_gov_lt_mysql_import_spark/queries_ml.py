@@ -5737,3 +5737,49 @@ def kcenter_coreset_q(spark: SparkSession, sf: str) -> DataFrame:
         "n_members",
         "radius_d2",
     )
+
+
+@query(
+    "jl_projection_sketch",
+    """
+    WITH q AS (
+      SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+               x -> CAST(round(x * 10000) AS BIGINT)) AS v
+      FROM embeddings
+    )
+    SELECT vec_id,
+           array_to_string(list_transform(range(1, 17), j ->
+             CAST(CAST(list_sum(list_transform(range(1, len(v) + 1), i ->
+               v[i] * (CASE WHEN substr(md5(CAST(i AS VARCHAR) || '#'
+                                         || CAST(j AS VARCHAR) || '#jl'),
+                                   1, 1) BETWEEN '0' AND '7'
+                       THEN 1 ELSE -1 END)
+             )) AS BIGINT) AS VARCHAR)
+           ), '|') AS proj_sig
+    FROM q
+    """,
+)
+def jl_projection_sketch_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Johnson–Lindenstrauss random-sign projection 64→16 (dense
+    Achlioptas ±1 variant): the dimensionality-reduction front end for
+    LSH/IVF indexing at scale — bucket on the 4×-shorter sketch, refine
+    on the full vector. Signs derive from md5("{i}#{j}#jl"), so the
+    oracle replays the EXACT matrix with SQL md5 while the Spark plan
+    ships it as a literal (computed once driver-side — no per-row
+    hashing); fixed-point BIGINT arithmetic makes every component
+    engine-exact. Sketch serialized as '|'-joined components (the
+    canonical-hash array convention).
+
+    Scale shape (operators/similarity.jl_project): ZERO shuffles — 16
+    zip_with/aggregate expressions fused into the scan projection, one
+    map pass at any corpus size."""
+    from .operators.similarity import jl_project
+
+    emb = load_table(spark, sf, "embeddings")
+    proj = jl_project(emb, in_dim=64, out_dim=16)
+    return proj.select(
+        "vec_id",
+        F.array_join(
+            F.transform(F.col("proj"), lambda x: x.cast("string")), "|"
+        ).alias("proj_sig"),
+    )

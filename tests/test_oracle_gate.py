@@ -61,9 +61,29 @@ def test_every_registry_query_matches_oracle(spark, gate_sf):
     queries = entrymod.queries()
     oracles = entrymod.oracle_sql()
     con = duckdb_connect(gate_sf)
-    failures = {}
-    for name, fn in queries.items():
-        err, _nrows = check_query(spark, con, gate_sf, fn, oracles.get(name))
-        if err is not None:
-            failures[name] = err
+
+    # The ~195 checks are independent (each query touches only its own
+    # temp-view names / mkdtemp dirs; the two in-query conf.sets are
+    # idempotent same-value writes), so run them on a small thread pool:
+    # Spark's scheduler interleaves the jobs across the same executor
+    # slots while DuckDB/pandas/py4j latency overlaps instead of
+    # serializing — the suite's dominant wall-clock cost (round-7
+    # verdict item 7). DuckDB connections are not thread-safe; each
+    # worker thread takes its own cursor (shared catalog, own state).
+    import threading
+    from concurrent.futures import ThreadPoolExecutor
+
+    tl = threading.local()
+
+    def _run(item):
+        name, fn = item
+        cur = getattr(tl, "cur", None)
+        if cur is None:
+            cur = tl.cur = con.cursor()
+        err, _nrows = check_query(spark, cur, gate_sf, fn, oracles.get(name))
+        return name, err
+
+    with ThreadPoolExecutor(max_workers=8) as ex:
+        results = list(ex.map(_run, queries.items()))
+    failures = {name: err for name, err in results if err is not None}
     assert not failures, "\n".join(f"{k}: {v}" for k, v in failures.items())

@@ -503,3 +503,15 @@ def test_datasheet_dimension_aggs_broadcast_modal_lang(
     assert "BroadcastHashJoin" in final_section
     assert "BroadcastNestedLoopJoin" not in final_section
     assert "CartesianProduct" not in final_section
+
+
+def test_jl_projection_zero_shuffle_fused_map(spark, sf_dir, queries):
+    """jl_projection_sketch: the sign matrix is a plan literal and all
+    16 components fuse into the scan projection — zero exchanges, zero
+    joins, one scan."""
+    plan = final_plan(queries["jl_projection_sketch"](spark, sf_dir))
+    final_section = plan.split("== Initial Plan ==")[0]
+    assert "Exchange" not in final_section
+    assert "Join" not in final_section
+    scans = [ln for ln in final_section.splitlines() if "ReadSchema" in ln]
+    assert len(scans) == 1

@@ -158,3 +158,43 @@ class TestDatasheet:
         assert out["s1"]["n_docs"] == 2 and out["s1"]["total_tokens"] == 3
         assert out["s1"]["avg_tokens"] == 1  # 3 div 2 truncates
         assert out["s2"]["n_empty"] == 1 and out["s2"]["total_tokens"] == 0
+
+
+class TestJLProjection:
+    def test_matches_hand_computed_signs(self, spark):
+        from opendata_gov_lt_mysql_import_spark.operators.similarity import (
+            jl_project,
+            jl_sign_matrix,
+        )
+
+        vec = [1.0, 2.0, 3.0]
+        signs = jl_sign_matrix(3, 2)
+        s = 10**4
+        expected = [
+            sum(int(round(v * s)) * signs[i][j] for i, v in enumerate(vec))
+            for j in range(2)
+        ]
+        df = spark.createDataFrame(
+            [(0, vec)], "vec_id long, embedding array<float>"
+        )
+        row = jl_project(df, in_dim=3, out_dim=2).first()
+        assert list(row["proj"]) == expected
+
+    def test_linearity_on_integer_grid(self, spark):
+        # quantization is exact on integer-valued floats, so the
+        # projection must be exactly linear: proj(a+b) = proj(a)+proj(b)
+        from opendata_gov_lt_mysql_import_spark.operators.similarity import (
+            jl_project,
+        )
+
+        a = [3.0, -1.0, 4.0, 1.0]
+        b = [-5.0, 9.0, 2.0, -6.0]
+        ab = [x + y for x, y in zip(a, b)]
+        df = spark.createDataFrame(
+            [(0, a), (1, b), (2, ab)], "vec_id long, embedding array<float>"
+        )
+        rows = {
+            r["vec_id"]: list(r["proj"])
+            for r in jl_project(df, in_dim=4, out_dim=8).collect()
+        }
+        assert rows[2] == [x + y for x, y in zip(rows[0], rows[1])]
