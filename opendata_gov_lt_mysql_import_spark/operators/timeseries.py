@@ -61,17 +61,27 @@ def gap_fill(
     )
 
 
-def build_calendar_dim(start: str, end: str) -> "DataFrame":
+def build_calendar_dim(start: str, end: str, spark=None) -> "DataFrame":
     """Calendar dimension for [start, end] (inclusive, ISO dates):
     one row per day with year/quarter/month/day/day-of-week/ISO-week/
     weekend flag. Generated JVM-side from a single-row ``sequence``
     explode — no driver loop, no data source; |days| rows regardless of
     any fact's size, so it always broadcasts. Join it to a date-keyed
     fact for fiscal rollups the raw date functions can't express
-    (trading-day logic slots in here as extra flag columns)."""
-    from pyspark.sql import SparkSession
+    (trading-day logic slots in here as extra flag columns).
 
-    spark = SparkSession.getActiveSession()
+    ``spark`` falls back to the active session, then the default one:
+    getActiveSession() is THREAD-LOCAL and returns None on a pool
+    worker (found by the parallelized full-registry gate), while
+    getOrCreate() returns the existing default session from any
+    thread."""
+    if spark is None:
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.getActiveSession()
+            or SparkSession.builder.getOrCreate()
+        )
     days = spark.range(1).select(
         F.explode(
             F.sequence(

@@ -2042,7 +2042,7 @@ def calendar_weekend_revenue(spark: SparkSession, sf: str) -> DataFrame:
     dayofweek, cross-checking the calendar's correctness."""
     from .operators.timeseries import build_calendar_dim
 
-    cal = build_calendar_dim("1995-01-01", "2001-12-31")
+    cal = build_calendar_dim("1995-01-01", "2001-12-31", spark)
     o = load_table(spark, sf, "orders")
     joined = o.join(
         F.broadcast(cal), F.to_date("o_orderdate") == cal["date"], "left"
