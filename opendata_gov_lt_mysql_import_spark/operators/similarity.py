@@ -416,16 +416,16 @@ def jl_project(
     q = e.select(
         F.col(id_col), quantize_vectors(e, vec_col, scale).alias("_v")
     )
-    comps = [
-        F.aggregate(
-            F.zip_with(
-                F.col("_v"),
-                F.array(*[F.lit(signs[i][j]).cast("long") for i in range(in_dim)]),
-                lambda a, s: a * s,
-            ),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
-        )
+    # The whole projection is ONE parsed SQL expression. Building it
+    # from in_dim*out_dim F.lit() Columns instead costs a py4j round
+    # trip per literal — measured ~3s of pure DRIVER time at 64x16
+    # (flat across 4x data: all plan construction, zero execution).
+    cols = ", ".join(
+        "array(" + ", ".join(f"{signs[i][j]}L" for i in range(in_dim)) + ")"
         for j in range(out_dim)
-    ]
-    return q.select(F.col(id_col), F.array(*comps).alias("proj"))
+    )
+    proj = F.expr(
+        f"transform(array({cols}), s -> aggregate("
+        "zip_with(_v, s, (a, b) -> a * b), 0L, (acc, x) -> acc + x))"
+    )
+    return q.select(F.col(id_col), proj.alias("proj"))
