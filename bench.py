@@ -159,6 +159,8 @@ HEADLINE = [
     "kcenter_coreset",
     # JL sketch: 16 fused zip_with aggregates, zero-shuffle map pass
     "jl_projection_sketch",
+    # next-event pairs: WindowGroupLimit cap + map-side count + collect
+    "next_event_training_pairs",
 ]
 
 

@@ -5783,3 +5783,84 @@ def jl_projection_sketch_q(spark: SparkSession, sf: str) -> DataFrame:
             F.transform(F.col("proj"), lambda x: x.cast("string")), "|"
         ).alias("proj_sig"),
     )
+
+
+@query(
+    "next_event_training_pairs",
+    """
+    WITH agg AS (
+      SELECT user_id,
+             list(event_type ORDER BY ts, event_id) AS seq
+      FROM events GROUP BY user_id
+    ),
+    t AS (
+      SELECT user_id, len(seq) AS n,
+             list_slice(seq, greatest(1, len(seq) - 20), len(seq) - 1)
+               AS ctx,
+             seq[len(seq)] AS label
+      FROM agg WHERE len(seq) >= 3
+    )
+    SELECT user_id, array_to_string(ctx, ' ') AS context, label,
+           CAST(n AS BIGINT) AS n_events
+    FROM t
+    """,
+)
+def next_event_training_pairs_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Next-event-prediction dataset construction (the sequence-model
+    training-pair builder behind session-based recommendation — GRU4Rec
+    and successors): per user, the time-ordered event-type context
+    (capped at the 20 most recent before the target) and the final
+    event as the label; users need >= 3 events so the context holds at
+    least 2. Deterministic order (ts, event_id) both engines.
+
+    Scale shape: the CAP is applied BEFORE collection — the rank
+    filter stands ALONE on its window so it executes as
+    WindowGroupLimit (each task forwards at most 21 rows per user; a
+    hot user never funnels its full history into one task), while the
+    exact per-user total comes from a separate map-side-combined
+    groupBy count on a user_id-only scan (an unbounded count window
+    riding next to the rank would block the group-limit push — it
+    needs every row). The oracle slices the full sequence instead
+    (oracle-side plans don't need to scale)."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    counts = (
+        load_table(spark, sf, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+        .filter(F.col("n_events") >= 3)
+    )
+    wdesc = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    capped = (
+        e.select(
+            "user_id",
+            "event_type",
+            "ts",
+            "event_id",
+            F.row_number().over(wdesc).alias("rn"),
+        )
+        .filter(F.col("rn") <= 21)
+        .join(counts, "user_id")
+    )
+    agg = capped.groupBy("user_id", "n_events").agg(
+        F.array_sort(
+            F.collect_list(F.struct("ts", "event_id", "event_type"))
+        ).alias("s")
+    )
+    m = F.size("s")
+    return agg.select(
+        "user_id",
+        F.array_join(
+            F.transform(
+                F.slice(F.col("s"), 1, m - 1), lambda x: x["event_type"]
+            ),
+            " ",
+        ).alias("context"),
+        F.element_at(F.col("s"), m)["event_type"].alias("label"),
+        "n_events",
+    )

@@ -515,3 +515,19 @@ def test_jl_projection_zero_shuffle_fused_map(spark, sf_dir, queries):
     assert "Join" not in final_section
     scans = [ln for ln in final_section.splitlines() if "ReadSchema" in ln]
     assert len(scans) == 1
+
+
+def test_next_event_pairs_caps_before_collect(spark, sf_dir, queries):
+    """next_event_training_pairs: the 21-row per-user cap must execute
+    as WindowGroupLimit (rank pushed below the exchange — a hot user
+    never funnels its full history into one task's collect_list), and
+    the window + aggregation share ONE user_id exchange."""
+    plan = final_plan(queries["next_event_training_pairs"](spark, sf_dir))
+    final_section = plan.split("== Initial Plan ==")[0]
+    assert "WindowGroupLimit" in final_section
+    assert final_section.count("Exchange") <= 3
+    # the count side reads only user_id
+    scans = [ln for ln in final_section.splitlines() if "ReadSchema" in ln]
+    assert any(
+        "event_type" not in ln.split("ReadSchema:")[-1] for ln in scans
+    )

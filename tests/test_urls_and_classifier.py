@@ -198,3 +198,48 @@ class TestJLProjection:
             for r in jl_project(df, in_dim=4, out_dim=8).collect()
         }
         assert rows[2] == [x + y for x, y in zip(rows[0], rows[1])]
+
+
+class TestNextEventPairs:
+    def test_cap_label_and_order(self, spark):
+        import opendata_gov_lt_mysql_import_spark.queries_ml as qml
+        from opendata_gov_lt_mysql_import_spark.queries_ml import (
+            next_event_training_pairs_q,
+        )
+        import datetime as dt
+
+        base = dt.datetime(2024, 1, 1)
+        rows = [
+            # user 1: 25 events e00..e24 -> context = e04..e23, label e24
+            *[
+                (i, base + dt.timedelta(minutes=i), 1, f"e{i:02d}")
+                for i in range(25)
+            ],
+            # user 2: exactly 3 events
+            (100, base, 2, "a"),
+            (101, base + dt.timedelta(minutes=1), 2, "b"),
+            (102, base + dt.timedelta(minutes=2), 2, "c"),
+            # user 3: only 2 events -> excluded
+            (200, base, 3, "x"),
+            (201, base + dt.timedelta(minutes=1), 3, "y"),
+        ]
+        df = spark.createDataFrame(
+            rows, "event_id long, ts timestamp_ntz, user_id long,"
+            " event_type string"
+        )
+        orig = qml.load_table
+        try:
+            qml.load_table = lambda s, sf, t: df
+            out = {
+                r["user_id"]: r
+                for r in next_event_training_pairs_q(spark, "x").collect()
+            }
+        finally:
+            qml.load_table = orig
+        assert set(out) == {1, 2}
+        u1 = out[1]
+        assert u1["label"] == "e24" and u1["n_events"] == 25
+        assert u1["context"] == " ".join(f"e{i:02d}" for i in range(4, 24))
+        u2 = out[2]
+        assert u2["context"] == "a b" and u2["label"] == "c"
+        assert u2["n_events"] == 3

@@ -96,6 +96,17 @@ TOP = [
     "kmv_distinct_sketch",
     # winnowing: md5-dense map projection — must scale with total chars
     "winnow_dup_pairs",
+    # round-9 wave: the winnow→span composition (the bench's new #1 —
+    # both stages carry 4x/8x points separately, this checks their
+    # SUM), the bigram-DAG tertile cut, the canonical-URL groupBy, the
+    # zero-shuffle classifier/JL maps (expected ratio << 2: fixed
+    # plan-build overhead dominates at sf0.1), k-center's K scans
+    "winnow_span_report",
+    "ccnet_perplexity_buckets",
+    "url_canonical_dedup",
+    "quality_classifier_hashed",
+    "jl_projection_sketch",
+    "kcenter_coreset",
 ]
 
 # third scaling point for the heaviest candidate-generating entries —
