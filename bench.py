@@ -161,6 +161,8 @@ HEADLINE = [
     "jl_projection_sketch",
     # next-event pairs: WindowGroupLimit cap + map-side count + collect
     "next_event_training_pairs",
+    # image dHash dedup: BMP encode/decode/hash through mapInPandas
+    "image_dhash_dedup",
 ]
 
 

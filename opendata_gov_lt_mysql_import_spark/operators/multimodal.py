@@ -512,3 +512,103 @@ def extract_media_features(media: DataFrame, use_real_decode: bool = False) -> D
             )
 
     return media.mapInPandas(extract, schema=FEATURE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Perceptual image hashing (dHash) — image near-dup for training corpora
+# ---------------------------------------------------------------------------
+
+DHASH_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("dhash", StringType()),
+    ]
+)
+
+
+def dhash_bits(payload: bytes) -> str:
+    """Difference hash (dHash, the classic 64-bit perceptual image
+    fingerprint): decode → integer grayscale → nearest-neighbor 9×8
+    downsample → bit per adjacent-column comparison, returned as 16
+    lowercase hex chars (a string, not BIGINT — the top bit of a full
+    64-bit hash overflows signed long). Scale-invariant for exact
+    nearest-neighbor upscales: arange(8)·(2s)//8 indexes the same
+    source pixels as arange(8)·s//8, so a 2× resize shares the hash —
+    exactly why pipelines dedup on dHash instead of byte md5."""
+    import numpy as np
+
+    img = decode_image(payload)
+    if img.ndim == 3:
+        gray = img.astype(np.int64).sum(axis=2) // img.shape[2]
+    else:
+        gray = img.astype(np.int64)
+    h, w = gray.shape
+    rows = (np.arange(8) * h // 8).clip(0, h - 1)
+    cols = (np.arange(9) * w // 9).clip(0, w - 1)
+    g = gray[rows][:, cols]
+    bits = (g[:, :-1] > g[:, 1:]).flatten()
+    val = 0
+    for b in bits:
+        val = (val << 1) | int(b)
+    return f"{val:016x}"
+
+
+def dhash_hamming(a: str, b: str) -> int:
+    """Bit distance between two 16-hex dHashes."""
+    return bin(int(a, 16) ^ int(b, 16)).count("1")
+
+
+def image_dhash(media: DataFrame) -> DataFrame:
+    """Arrow mapInPandas dHash stage: (media_id, payload) → (media_id,
+    dhash hex16). Constant memory per task; the downstream dedup is a
+    plain groupBy on the hash — at 100 TB the hash column IS the
+    shuffle key and payloads never move."""
+
+    def hash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": batch["media_id"],
+                    "dhash": [
+                        dhash_bits(p if p is not None else b"")
+                        for p in batch["payload"]
+                    ],
+                }
+            )
+
+    return media.mapInPandas(hash_batches, schema=DHASH_SCHEMA)
+
+
+def attach_synthetic_bmp(df: DataFrame, id_col: str) -> DataFrame:
+    """Deterministic 24-bit BMP generator for the image-dedup path:
+    pattern index = id % 50 (so ~1/50 of ids share pixel content), a
+    32×32 gradient parameterized by the pattern, and every third id
+    carrying the 64×64 nearest-neighbor UPSCALE of its pattern instead
+    — byte-distinct payloads (md5 differs) that dHash must still
+    collapse."""
+    import numpy as np
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            payloads = []
+            for mid in batch[id_col]:
+                p = int(mid) % 50
+                x = np.arange(32)
+                base = (
+                    (x[None, :] * (3 + p) + x[:, None] * (7 + 2 * (p % 5)))
+                    % 251
+                ).astype(np.uint8)
+                img = np.stack([base, base, base], axis=2)
+                payload = encode_bmp(img)
+                if int(mid) % 3 == 0:
+                    payload = resize_bmp(payload, 64, 64)
+                payloads.append(payload)
+            yield pd.DataFrame(
+                {
+                    "media_id": batch[id_col],
+                    "mime": ["image/bmp"] * len(payloads),
+                    "payload": payloads,
+                }
+            )
+
+    return df.select(F.col(id_col)).mapInPandas(gen, schema=MEDIA_SCHEMA)

@@ -5864,3 +5864,35 @@ def next_event_training_pairs_q(spark: SparkSession, sf: str) -> DataFrame:
         F.element_at(F.col("s"), m)["event_type"].alias("label"),
         "n_events",
     )
+
+
+@query("image_dhash_dedup")
+def image_dhash_dedup_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Perceptual image dedup on dHash (the 64-bit difference hash
+    every multimodal pipeline runs before training — byte-md5 misses
+    re-encodes/resizes, dHash collapses them): deterministic 24-bit
+    BMPs are REALLY encoded from doc_id-parameterized gradients (every
+    third id shipped as a byte-distinct 64×64 nearest-neighbor upscale
+    of its 32×32 pattern), REALLY decoded and hashed in an Arrow
+    mapInPandas stage, then grouped on the hash. Output (dhash,
+    n_images, keeper) — the upscales MUST land in their pattern's
+    group, which a payload-md5 dedup provably cannot do.
+
+    Rows-only by design: pixel decode + perceptual hashing of real BMP
+    bytes is not SQL-expressible; the hash-level invariants (scale
+    invariance, pattern separation, hamming distance) are pytest-pinned
+    in tests/test_multimodal.py.
+
+    Scale shape: payload bytes flow through ONE narrow mapInPandas
+    projection (constant memory per task) and never shuffle — the
+    16-char hash is the groupBy key; keeper selection is the exact-dedup
+    min-id idiom."""
+    from .operators.multimodal import attach_synthetic_bmp, image_dhash
+
+    d = _spread(load_table(spark, sf, "documents").select("doc_id"))
+    media = attach_synthetic_bmp(d, "doc_id")
+    hashed = image_dhash(media)
+    return hashed.groupBy("dhash").agg(
+        F.count(F.lit(1)).cast("long").alias("n_images"),
+        F.min("media_id").alias("keeper"),
+    )

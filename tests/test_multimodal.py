@@ -314,3 +314,57 @@ class TestPgmCodec:
             rows = (np.arange(3) * 6 // 3).clip(0, 5)
             cols = (np.arange(4) * 8 // 4).clip(0, 7)
             assert np.array_equal(out, a[rows][:, cols])
+
+
+class TestImageDHash:
+    def test_upscale_shares_hash_md5_does_not(self, spark):
+        import hashlib
+
+        import numpy as np
+
+        from opendata_gov_lt_mysql_import_spark.operators.multimodal import (
+            dhash_bits,
+            encode_bmp,
+            resize_bmp,
+        )
+
+        x = np.arange(32)
+        base = ((x[None, :] * 3 + x[:, None] * 7) % 251).astype(np.uint8)
+        small = encode_bmp(np.stack([base] * 3, axis=2))
+        big = resize_bmp(small, 64, 64)
+        assert hashlib.md5(small).hexdigest() != hashlib.md5(big).hexdigest()
+        assert dhash_bits(small) == dhash_bits(big)
+
+    def test_distinct_patterns_separate(self, spark):
+        import numpy as np
+
+        from opendata_gov_lt_mysql_import_spark.operators.multimodal import (
+            dhash_bits,
+            dhash_hamming,
+            encode_bmp,
+        )
+
+        x = np.arange(32)
+        hashes = []
+        for p in range(8):
+            base = (
+                (x[None, :] * (3 + p) + x[:, None] * (7 + 2 * (p % 5))) % 251
+            ).astype(np.uint8)
+            hashes.append(dhash_bits(encode_bmp(np.stack([base] * 3, axis=2))))
+        assert len(set(hashes)) == len(hashes)
+        for i in range(len(hashes)):
+            for j in range(i + 1, len(hashes)):
+                assert dhash_hamming(hashes[i], hashes[j]) >= 1
+
+    def test_dedup_query_groups_upscales_with_patterns(self, spark):
+        from opendata_gov_lt_mysql_import_spark.queries_ml import (
+            image_dhash_dedup_q,
+        )
+
+        out = image_dhash_dedup_q(spark, "/root/testdata/sf0.001").collect()
+        # 500 ids over 50 patterns -> every pattern group holds its 10
+        # ids INCLUDING the byte-distinct 64x64 upscales (id % 3 == 0)
+        assert sum(r["n_images"] for r in out) == 500
+        assert all(r["n_images"] == 10 for r in out) and len(out) == 50
+        keepers = sorted(r["keeper"] for r in out)
+        assert keepers == list(range(50))

@@ -127,6 +127,9 @@ TOP_4X = [
     # curvature treatment — md5-dense map projection + one posting
     # shuffle should be linear, but it now dominates the record
     "winnow_dup_pairs",
+    # round-9 late wave: the winnow→span composition took over the #1
+    # bench slot (7.4s) — same discipline applies to it
+    "winnow_span_report",
     # round-7: wedge work is sum outdeg^2 — the one entry where a
     # superlinear term is structurally plausible, so give it the
     # curvature point (kx copies are key-disjoint, so the graph is k
@@ -150,6 +153,9 @@ TOP_8X = [
     # per-item cost exactly like the LSH candidate discipline
     "winnow_dup_pairs",
     "triangle_count_copurchase",
+    # round-9 late wave: the composition entry, evidence = its
+    # winnow-CONFIRMED pair count (what stage 2's span work scales on)
+    "winnow_span_report",
 ]
 
 
@@ -166,6 +172,7 @@ def _candidate_counts(spark, sf_dir: str) -> dict[str, int]:
     from opendata_gov_lt_mysql_import_spark.queries_ml import (
         _copurchase_sampled_edges,
         _documents_with_dups,
+        _documents_with_span_dups,
         _winnow_pair_scores,
     )
 
@@ -183,6 +190,12 @@ def _candidate_counts(spark, sf_dir: str) -> dict[str, int]:
         "triangle_count_copurchase": oriented_wedge_count(
             _copurchase_sampled_edges(spark, sf_dir)
         ),
+        # winnow->span: the confirmed-pair list that gates stage 2
+        "winnow_span_report": _winnow_pair_scores(
+            _documents_with_span_dups(spark, sf_dir)
+        )
+        .filter(F.col("jacc_bp") >= 5000)
+        .count(),
     }
 
 
