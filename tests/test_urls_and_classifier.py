@@ -243,3 +243,36 @@ class TestNextEventPairs:
         u2 = out[2]
         assert u2["context"] == "a b" and u2["label"] == "c"
         assert u2["n_events"] == 3
+
+
+class TestCanonicalIdempotence:
+    def test_canon_of_canon_is_canon(self, spark):
+        # canonicalization must be idempotent — re-canonicalizing an
+        # already-canonical URL (the common re-crawl path) cannot move
+        # it to a new dedup group. One Spark job over 300 seeded-random
+        # messy URLs instead of a per-example hypothesis loop.
+        import random
+
+        rng = random.Random(99)
+        urls = []
+        for _ in range(300):
+            scheme = rng.choice(["http://", "https://", "HTTPS://", ""])
+            host = rng.choice(
+                ["www.A.lt", "a.LT", "x.example.org", "WWW.X.EXAMPLE.ORG"]
+            )
+            port = rng.choice(["", ":80", ":443", ":8080"])
+            path = rng.choice(["", "/", "/a", "/a/b/", "/a//", "/a/b/c"])
+            params = rng.sample(
+                ["q=1", "lang=lt", "utm_source=z", "fbclid=9", "b=2", ""],
+                k=rng.randint(0, 4),
+            )
+            frag = rng.choice(["", "#top", "#s1"])
+            q = ("?" + "&".join(params)) if params else ""
+            urls.append(f"{scheme}{host}{port}{path}{q}{frag}")
+        df = spark.createDataFrame([(u,) for u in urls], "url string")
+        out = df.select(
+            canonical_url(F.col("url")).alias("c1"),
+            canonical_url(canonical_url(F.col("url"))).alias("c2"),
+        ).collect()
+        bad = [(r["c1"], r["c2"]) for r in out if r["c1"] != r["c2"]]
+        assert not bad, bad[:5]
