@@ -163,6 +163,8 @@ HEADLINE = [
     "next_event_training_pairs",
     # image dHash dedup: BMP encode/decode/hash through mapInPandas
     "image_dhash_dedup",
+    # estimator calibration: md5 LSH + linear verify + 10-cell report
+    "minhash_estimate_calibration",
 ]
 
 

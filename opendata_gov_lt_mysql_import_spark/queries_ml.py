@@ -5896,3 +5896,113 @@ def image_dhash_dedup_q(spark: SparkSession, sf: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_images"),
         F.min("media_id").alias("keeper"),
     )
+
+
+@query(
+    "minhash_estimate_calibration",
+    f"""
+    WITH docs AS ({_DUP_UNION_SQL}),
+    toks AS (
+      SELECT doc_id, str_split_regex(trim(text), '\\s+') AS toks FROM docs
+    ),
+    grams AS (
+      SELECT doc_id, list_distinct(list_transform(
+               generate_series(1, greatest(len(toks) - 2, 1)),
+               i -> array_to_string(toks[i:i+2], ' '))) AS gs
+      FROM toks
+    ),
+    sigs AS (
+      SELECT doc_id, list_transform(range(0, 16),
+               p -> list_min(list_transform(gs,
+                      g -> md5(g || '#' || CAST(p AS VARCHAR))))) AS sig
+      FROM grams
+    ),
+    banded AS (
+      SELECT doc_id, t.b AS b,
+             md5(sig[2*t.b + 1] || sig[2*t.b + 2]
+                 || '@' || CAST(t.b AS VARCHAR)) AS bkey
+      FROM sigs CROSS JOIN (SELECT unnest(range(0, 8)) AS b) t
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+      FROM banded a
+      JOIN banded c ON a.b = c.b AND a.bkey = c.bkey
+                   AND a.doc_id < c.doc_id
+    ),
+    scored AS (
+      SELECT p.id_a, p.id_b,
+             len(list_filter(range(1, 17), i -> sa.sig[i] = sb.sig[i]))
+               AS n_match
+      FROM cand p
+      JOIN sigs sa ON sa.doc_id = p.id_a
+      JOIN sigs sb ON sb.doc_id = p.id_b
+    ),
+    ex AS (
+      SELECT s.id_a, s.id_b, s.n_match,
+             floor((len(list_intersect(a.gs, b.gs))
+                    / CAST(len(list_distinct(a.gs || b.gs)) AS DOUBLE))
+                   * 1000.0) AS exact_milli
+      FROM scored s
+      JOIN grams a ON a.doc_id = s.id_a
+      JOIN grams b ON b.doc_id = s.id_b
+    ),
+    m AS (
+      SELECT CAST((n_match * 1000) // 16 AS BIGINT) AS est_milli,
+             CAST(exact_milli AS BIGINT) AS exact_milli
+      FROM ex
+    )
+    SELECT CAST(abs(est_milli - exact_milli) // 100 AS BIGINT) AS err_decile,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(CAST(sum(est_milli) AS BIGINT) // count(*) AS BIGINT)
+             AS mean_est_milli,
+           CAST(CAST(sum(exact_milli) AS BIGINT) // count(*) AS BIGINT)
+             AS mean_exact_milli
+    FROM m GROUP BY 1
+    """,
+)
+def minhash_estimate_calibration_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Estimator QA for the dedup stack: how well does the 16-component
+    MinHash signature overlap (est = n_match/16) track the EXACT 3-gram
+    Jaccard on the candidate pairs it generates? Report: pairs bucketed
+    by |est − exact| decile (milli-units), with per-bucket mean
+    estimated and exact similarity — the calibration table a pipeline
+    owner reads before trusting an LSH threshold (a fat high-error
+    tail means more permutations or a verify stage; the repo ships the
+    verify stage, this measures WHY). Exact integers except the
+    division-then-scale floor, computed with the identical IEEE double
+    op on both engines.
+
+    Scale shape: candidates and signatures from the md5 LSH generator
+    (one signature shuffle, banded join); exact Jaccard via the
+    linear-in-candidates verifier idiom; the report itself is a
+    16×~10-cell aggregate. Zero-overlap candidates (LSH false
+    positives with no shared gram) coalesce to exact 0 — the verifier
+    emits only intersecting pairs."""
+    from .operators.dedup import jaccard_verify_pairs, minhash_md5_pairs
+
+    d = _spread(_documents_with_dups(spark, sf))
+    cands = minhash_md5_pairs(
+        d, "text", "doc_id", n_gram=3, k=16, bands=8
+    ).localCheckpoint(eager=True)  # feeds the verify AND the left join
+    ver = jaccard_verify_pairs(
+        d, cands, text_col="text", id_col="doc_id", n=3, min_jaccard=0.0
+    )
+    m = cands.join(ver, ["id_a", "id_b"], "left").select(
+        F.expr("(n_match * 1000) div 16").cast("long").alias("est_milli"),
+        F.floor(F.coalesce(F.col("jaccard"), F.lit(0.0)) * 1000.0)
+        .cast("long")
+        .alias("exact_milli"),
+    )
+    return m.select(
+        F.expr("abs(est_milli - exact_milli) div 100")
+        .cast("long")
+        .alias("err_decile"),
+        "est_milli",
+        "exact_milli",
+    ).groupBy("err_decile").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.expr("sum(est_milli) div count(1)").cast("long")
+        .alias("mean_est_milli"),
+        F.expr("sum(exact_milli) div count(1)").cast("long")
+        .alias("mean_exact_milli"),
+    )

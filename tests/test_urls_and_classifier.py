@@ -276,3 +276,26 @@ class TestCanonicalIdempotence:
         ).collect()
         bad = [(r["c1"], r["c2"]) for r in out if r["c1"] != r["c2"]]
         assert not bad, bad[:5]
+
+
+class TestMinhashCalibration:
+    def test_exact_clones_land_in_zero_error_decile(self, spark):
+        from opendata_gov_lt_mysql_import_spark.queries_ml import (
+            minhash_estimate_calibration_q,
+        )
+
+        rows = {
+            r["err_decile"]: r
+            for r in minhash_estimate_calibration_q(
+                spark, "/root/testdata/sf0.001"
+            ).collect()
+        }
+        # the synthesized duplicate corpus guarantees 100 exact clones:
+        # est 16/16 and exact 1.0 -> error 0, so decile 0 must exist and
+        # hold pairs whose mean est and exact are both ~1000 milli
+        assert 0 in rows
+        z = rows[0]
+        assert z["n_pairs"] >= 100
+        assert z["mean_est_milli"] >= 900 and z["mean_exact_milli"] >= 900
+        # calibration total == candidate pair count (nothing dropped)
+        assert sum(r["n_pairs"] for r in rows.values()) >= z["n_pairs"]
