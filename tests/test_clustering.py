@@ -308,3 +308,60 @@ class TestKCenterGreedy:
         centers, assigned = kcenter_greedy(df, k=1)
         assert centers == [(0, 7)]
         assert all(r["center_id"] == 7 for r in assigned.collect())
+
+
+class TestKCenterRandomizedModel:
+    def test_matches_pure_python_reference(self, spark):
+        # randomized cross-check against an independent pure-Python
+        # greedy k-center (the snapshot-model-test discipline applied
+        # to the coreset operator): integer-grid vectors so
+        # quantization is exact and ties are real and must break the
+        # same way ((d2 DESC, id) argmax; assignment (d2, step) min).
+        import random
+
+        from opendata_gov_lt_mysql_import_spark.operators.clustering import (
+            kcenter_greedy,
+        )
+
+        rng = random.Random(4242)
+        for trial in range(3):
+            n, dim, k = 40, 4, 4
+            pts = {
+                i: [float(rng.randint(-20, 20)) for _ in range(dim)]
+                for i in range(n)
+            }
+            s = 10**4
+
+            def d2(a, b):
+                return sum(
+                    (int(x * s) - int(y * s)) ** 2 for x, y in zip(a, b)
+                )
+
+            centers = [(0, 0)]
+            for step in range(1, k):
+                chosen = {cid for _, cid in centers}
+                best = max(
+                    (
+                        (min(d2(pts[i], pts[c]) for _, c in centers), -i, i)
+                        for i in pts
+                        if i not in chosen
+                    ),
+                )
+                centers.append((step, best[2]))
+            expect_assign = {}
+            for i in pts:
+                expect_assign[i] = min(
+                    (d2(pts[i], pts[c]), st, c) for st, c in centers
+                )
+
+            df = spark.createDataFrame(
+                [(i, v) for i, v in pts.items()],
+                "vec_id long, embedding array<float>",
+            )
+            got_centers, assigned = kcenter_greedy(df, k=k)
+            assert got_centers == centers, f"trial {trial}"
+            got = {
+                r["vec_id"]: (r["d2"], r["center_step"], r["center_id"])
+                for r in assigned.collect()
+            }
+            assert got == expect_assign, f"trial {trial}"

@@ -299,3 +299,85 @@ class TestMinhashCalibration:
         assert z["mean_est_milli"] >= 900 and z["mean_exact_milli"] >= 900
         # calibration total == candidate pair count (nothing dropped)
         assert sum(r["n_pairs"] for r in rows.values()) >= z["n_pairs"]
+
+
+def _py_canonical(url: str) -> str:
+    """Independent pure-Python implementation of the canonical_url
+    contract (no regex shared with the Column version) — the randomized
+    cross-check reference."""
+    nofrag = url.split("#", 1)[0]
+    scheme, rest = "", nofrag
+    for i, ch in enumerate(nofrag):
+        if ch == ":":
+            if nofrag[i : i + 3] == "://" and i > 0 and nofrag[0].isalpha():
+                head = nofrag[:i]
+                if all(c.isalnum() or c in "+.-" for c in head):
+                    scheme, rest = head.lower(), nofrag[i + 3 :]
+            break
+        if not (ch.isalnum() or ch in "+.-"):
+            break
+    hostport = rest.split("/", 1)[0].split("?", 1)[0]
+    after = rest[len(hostport):]
+    path = after.split("?", 1)[0]
+    qs = after.split("?", 1)[1] if "?" in after else ""
+    host = hostport.lower()
+    for p in (":443", ":80"):
+        if host.endswith(p):
+            host = host[: -len(p)]
+            break
+    if host.startswith("www."):
+        host = host[4:]
+    path = path.rstrip("/") or "/"
+    kept = sorted(
+        p
+        for p in qs.split("&")
+        if p and not p.startswith(("utm_", "fbclid", "gclid"))
+    )
+    return (
+        (scheme + "://" if scheme else "")
+        + host
+        + path
+        + ("?" + "&".join(kept) if kept else "")
+    )
+
+
+class TestCanonicalReferenceParity:
+    def test_random_urls_match_pure_python_reference(self, spark):
+        import random
+
+        rng = random.Random(7)
+        urls = []
+        for _ in range(400):
+            scheme = rng.choice(
+                ["http://", "https://", "HTTPS://", "HtTp://", ""]
+            )
+            host = rng.choice(
+                ["www.A.lt", "a.LT", "x.example.org", "WWW.X.Y.Z"]
+            )
+            port = rng.choice(["", ":80", ":443", ":8080"])
+            path = rng.choice(
+                ["", "/", "/a", "/a/b/", "/a//", "/UP/case", "/a.b/c-d"]
+            )
+            params = rng.sample(
+                [
+                    "q=1", "lang=lt", "utm_source=z", "utm_x=1",
+                    "fbclid=9", "gclid=2", "b=2", "a=x%20y", "",
+                ],
+                k=rng.randint(0, 5),
+            )
+            frag = rng.choice(["", "#top", "#a?b=1"])
+            q = ("?" + "&".join(params)) if params else ""
+            urls.append(f"{scheme}{host}{port}{path}{q}{frag}")
+        df = spark.createDataFrame([(u,) for u in urls], "url string")
+        got = [
+            r["c"]
+            for r in df.select(
+                canonical_url(F.col("url")).alias("c")
+            ).collect()
+        ]
+        bad = [
+            (u, g, _py_canonical(u))
+            for u, g in zip(urls, got)
+            if g != _py_canonical(u)
+        ]
+        assert not bad, bad[:5]
