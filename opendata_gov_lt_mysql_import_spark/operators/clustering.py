@@ -299,7 +299,10 @@ def kcenter_greedy(
             lambda acc, x: acc + x,
         )
 
-    seed = q.orderBy("vec_id").limit(1).collect()[0]
+    seeds = q.orderBy("vec_id").limit(1).collect()
+    if not seeds:
+        raise ValueError("kcenter_greedy: input frame is empty")
+    seed = seeds[0]
     centers = [(0, int(seed["vec_id"]))]
     center_vecs = [list(seed["v"])]
     for step in range(1, k):
@@ -312,13 +315,19 @@ def kcenter_greedy(
         mind2 = F.array_min(
             F.transform(sel, lambda c: _int_sqdist(F.col("v"), c))
         )
-        picked = (
+        picks = (
             q.filter(~F.col("vec_id").isin([c[1] for c in centers]))
             .select("vec_id", "v", mind2.alias("d2"))
             .orderBy(F.col("d2").desc(), F.col("vec_id"))
             .limit(1)
-            .collect()[0]
+            .collect()
         )
+        if not picks:
+            raise ValueError(
+                f"kcenter_greedy: k={k} exceeds the number of distinct "
+                f"points ({len(centers)} available)"
+            )
+        picked = picks[0]
         centers.append((step, int(picked["vec_id"])))
         center_vecs.append(list(picked["v"]))
     packed = F.array(

@@ -365,3 +365,17 @@ class TestKCenterRandomizedModel:
                 for r in assigned.collect()
             }
             assert got == expect_assign, f"trial {trial}"
+
+
+def test_kcenter_k_exceeding_points_fails_loudly(spark):
+    import pytest as _pytest
+
+    from opendata_gov_lt_mysql_import_spark.operators.clustering import (
+        kcenter_greedy,
+    )
+
+    df = spark.createDataFrame(
+        [(0, [1.0]), (1, [2.0])], "vec_id long, embedding array<float>"
+    )
+    with _pytest.raises(ValueError, match="exceeds the number"):
+        kcenter_greedy(df, k=5)
