@@ -12,8 +12,10 @@ queries_ml.url_canonical_dedup):
 
 - fragment stripped;
 - scheme lowercased;
-- host lowercased, default ports (:80/:443) stripped, leading ``www.``
-  stripped;
+- host lowercased, the scheme's OWN default port stripped (:80 only
+  for http, :443 only for https — an http server genuinely listening
+  on 443 is a different resource and must not merge), leading
+  ``www.`` stripped;
 - path: trailing slashes stripped, empty path becomes ``/``;
 - query params: tracking params (utm_*, fbclid, gclid) dropped, the
   rest SORTED and rejoined — param order is transport noise, not
@@ -41,11 +43,19 @@ def canonical_url(url: Column) -> Column:
     )
     rest = F.regexp_replace(nofrag, r"^[A-Za-z][A-Za-z0-9+.\-]*://", "")
     hostport = F.regexp_extract(rest, r"^([^/?]+)", 1)
-    host = F.regexp_replace(
-        F.lower(F.regexp_replace(hostport, r":(443|80)$", "")),
-        r"^www\.",
-        "",
+    default_port = (
+        F.when(scheme == "http", F.lit(":80"))
+        .when(scheme == "https", F.lit(":443"))
+        .otherwise(F.lit(""))
     )
+    lower_hp = F.lower(hostport)
+    stripped = F.when(
+        (default_port != "") & lower_hp.endswith(default_port),
+        lower_hp.substr(
+            F.lit(1), F.length(lower_hp) - F.length(default_port)
+        ),
+    ).otherwise(lower_hp)
+    host = F.regexp_replace(stripped, r"^www\.", "")
     rawpath = F.regexp_extract(rest, r"^[^/?]*([^?]*)", 1)
     path = F.regexp_replace(rawpath, r"/+$", "")
     path = F.when(path == "", F.lit("/")).otherwise(path)

@@ -305,12 +305,18 @@ def kcenter_greedy(
     seed = seeds[0]
     centers = [(0, int(seed["vec_id"]))]
     center_vecs = [list(seed["v"])]
+
+    def _arr_sql(cv) -> str:
+        return "array(" + ", ".join(f"{int(x)}L" for x in cv) + ")"
+
     for step in range(1, k):
-        sel = F.array(
-            *[
-                F.array(*[F.lit(int(x)).cast("long") for x in cv])
-                for cv in center_vecs
-            ]
+        # literal selected set as ONE parsed SQL expression — building
+        # it from per-element F.lit() Columns costs a py4j round trip
+        # per literal (the jl_project lesson in similarity.py: ~3s of
+        # pure driver time at ~1k literals; here O(k^2 * D) across the
+        # rounds)
+        sel = F.expr(
+            "array(" + ", ".join(_arr_sql(cv) for cv in center_vecs) + ")"
         )
         mind2 = F.array_min(
             F.transform(sel, lambda c: _int_sqdist(F.col("v"), c))
@@ -324,23 +330,28 @@ def kcenter_greedy(
         )
         if not picks:
             raise ValueError(
-                f"kcenter_greedy: k={k} exceeds the number of distinct "
-                f"points ({len(centers)} available)"
+                f"kcenter_greedy: k={k} exceeds the number of input rows "
+                f"({len(centers)} available)"
             )
         picked = picks[0]
+        # the argmax landing at distance 0 means every remaining row
+        # DUPLICATES a selected center — a coincident "center" covers
+        # nothing new, so k exceeds the distinct-point count
+        if int(picked["d2"]) == 0:
+            raise ValueError(
+                f"kcenter_greedy: k={k} exceeds the number of DISTINCT "
+                f"points ({len(centers)} found before duplicates)"
+            )
         centers.append((step, int(picked["vec_id"])))
         center_vecs.append(list(picked["v"]))
-    packed = F.array(
-        *[
-            F.struct(
-                F.lit(step).cast("long").alias("step"),
-                F.lit(cid).cast("long").alias("cid"),
-                F.array(
-                    *[F.lit(int(x)).cast("long") for x in cv]
-                ).alias("cv"),
-            )
+    packed = F.expr(
+        "array("
+        + ", ".join(
+            f"named_struct('step', {step}L, 'cid', {cid}L,"
+            f" 'cv', {_arr_sql(cv)})"
             for (step, cid), cv in zip(centers, center_vecs)
-        ]
+        )
+        + ")"
     )
     best = F.array_min(
         F.transform(

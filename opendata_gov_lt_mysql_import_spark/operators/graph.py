@@ -193,6 +193,10 @@ def _oriented_edges(edges: DataFrame, src: str, dst: str):
         .unionAll(e.select(F.col("v").alias("node")))
         .groupBy("node")
         .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+        # three consumers (du, dv, callers' n_nodes count) — without the
+        # pin each re-runs the union+groupBy from e (round-9 review:
+        # the docstring claimed this and the code didn't do it)
+        .localCheckpoint(eager=True)
     )
     du = deg.select(F.col("node").alias("u"), F.col("deg").alias("deg_u"))
     dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("deg_v"))

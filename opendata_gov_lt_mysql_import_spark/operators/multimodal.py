@@ -566,11 +566,16 @@ def image_dhash(media: DataFrame) -> DataFrame:
 
     def hash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:
+            # NULL/empty payloads hash to NULL (decode_image(b"") would
+            # otherwise fall through the magic-byte checks and raise a
+            # misleading missing-codec error, killing the whole job for
+            # one bad row); downstream groupBy treats NULL as its own
+            # quarantine group
             yield pd.DataFrame(
                 {
                     "media_id": batch["media_id"],
                     "dhash": [
-                        dhash_bits(p if p is not None else b"")
+                        dhash_bits(p) if p else None
                         for p in batch["payload"]
                     ],
                 }

@@ -428,4 +428,15 @@ def jl_project(
         f"transform(array({cols}), s -> aggregate("
         "zip_with(_v, s, (a, b) -> a * b), 0L, (acc, x) -> acc + x))"
     )
-    return q.select(F.col(id_col), proj.alias("proj"))
+    # zip_with NULL-pads a length mismatch, which would silently poison
+    # every component to NULL (and collapse downstream LSH bucketing to
+    # one NULL bucket) — fail loudly per row instead
+    guarded = F.when(F.size("_v") == in_dim, proj).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(f"jl_project: in_dim={in_dim} but vector length "),
+                F.size("_v").cast("string"),
+            )
+        )
+    )
+    return q.select(F.col(id_col), guarded.alias("proj"))

@@ -4323,6 +4323,44 @@ def per_source_cap_q(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _bigram_count_frames(d: DataFrame):
+    """Shared bigram-LM count DAG: (bg, c2, c1, v) for a documents
+    frame — the corpus bigram stream (eagerly checkpointed: THREE
+    consumers), pair counts, prefix counts, and the 1-row vocabulary
+    total. Both hot-path rules discovered on this DAG live here ONCE
+    (round-9 review: ccnet_perplexity_buckets had re-implemented the
+    35 lines verbatim): (1) bigrams come from ``arrays_zip(slice,
+    slice)`` over a MATERIALIZED token array — a ``transform(sequence,
+    i -> element_at(toks, i))`` lambda re-evaluates the captured
+    tokens() split PER ELEMENT (the HOF-recapture trap, measured ×14);
+    (2) the bigram frame is pinned with an eager localCheckpoint or
+    AQE re-runs the explode per consumer."""
+    t = d.select("doc_id", tokens(F.col("text")).alias("toks"))
+    tk = F.col("toks")
+    n = F.size(tk)
+    zipped = F.arrays_zip(
+        F.slice(tk, 1, n - 1).alias("w1"), F.slice(tk, 2, n - 1).alias("w2")
+    )
+    bg = (
+        t.select(
+            "doc_id",
+            F.explode(
+                F.when(n >= 2, zipped).otherwise(
+                    F.array().cast("array<struct<w1:string,w2:string>>")
+                )
+            ).alias("b"),
+        )
+        .select("doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+        .localCheckpoint(eager=True)
+    )
+    c2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    c1 = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    v = d.select(F.explode(tokens(F.col("text"))).alias("tok")).agg(
+        F.countDistinct("tok").alias("v")
+    )
+    return bg, c2, c1, v
+
+
 @query(
     "bigram_logprob_score",
     r"""
@@ -4370,32 +4408,8 @@ def bigram_logprob_score_q(spark: SparkSession, sf: str) -> DataFrame:
     HOF-recapture trap, found again here); (2) the bigram frame feeds
     three consumers (c2, c1, probe), so it is pinned with an eager
     localCheckpoint or AQE re-runs the explode per consumer."""
-    from .operators.textanalysis import tokens
-
     d = load_table(spark, sf, "documents")
-    t = d.select("doc_id", tokens(F.col("text")).alias("toks"))
-    tk = F.col("toks")
-    n = F.size(tk)
-    zipped = F.arrays_zip(
-        F.slice(tk, 1, n - 1).alias("w1"), F.slice(tk, 2, n - 1).alias("w2")
-    )
-    bg = (
-        t.select(
-            "doc_id",
-            F.explode(
-                F.when(n >= 2, zipped).otherwise(
-                    F.array().cast("array<struct<w1:string,w2:string>>")
-                )
-            ).alias("b"),
-        )
-        .select("doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
-        .localCheckpoint(eager=True)
-    )
-    c2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
-    c1 = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
-    v = d.select(F.explode(tokens(F.col("text"))).alias("tok")).agg(
-        F.countDistinct("tok").alias("v")
-    )
+    bg, c2, c1, v = _bigram_count_frames(d)
     return (
         bg.join(F.broadcast(c2), ["w1", "w2"])
         .join(F.broadcast(c1), "w1")
@@ -5332,17 +5346,13 @@ def _synthetic_urls(d: DataFrame) -> DataFrame:
     nf AS (
       SELECT doc_id, regexp_replace(url, '#.*$', '') AS nofrag FROM urls
     ),
-    comp AS (
+    comp0 AS (
       SELECT doc_id,
         lower(regexp_extract(nofrag,
                              '^([A-Za-z][A-Za-z0-9+.\-]*)://', 1)) AS scheme,
-        regexp_replace(
-          lower(regexp_replace(
-            regexp_extract(
+        lower(regexp_extract(
               regexp_replace(nofrag, '^[A-Za-z][A-Za-z0-9+.\-]*://', ''),
-              '^([^/?]+)', 1),
-            ':(443|80)$', '')),
-          '^www\.', '') AS host,
+              '^([^/?]+)', 1)) AS hostport,
         regexp_replace(
           regexp_extract(
             regexp_replace(nofrag, '^[A-Za-z][A-Za-z0-9+.\-]*://', ''),
@@ -5353,6 +5363,18 @@ def _synthetic_urls(d: DataFrame) -> DataFrame:
           p -> p <> '' AND NOT regexp_matches(p, '^(utm_|fbclid|gclid)')
         )) AS kept
       FROM nf
+    ),
+    comp AS (
+      -- the scheme's OWN default port only: http:443 / https:80 are
+      -- real non-default listeners and stay distinct
+      SELECT *, regexp_replace(
+        CASE WHEN scheme = 'http' AND hostport LIKE '%:80'
+             THEN substr(hostport, 1, len(hostport) - 3)
+             WHEN scheme = 'https' AND hostport LIKE '%:443'
+             THEN substr(hostport, 1, len(hostport) - 4)
+             ELSE hostport END,
+        '^www\.', '') AS host
+      FROM comp0
     ),
     built AS (
       SELECT doc_id,
@@ -5458,29 +5480,7 @@ def ccnet_perplexity_buckets_q(spark: SparkSession, sf: str) -> DataFrame:
     from pyspark.sql import Window
 
     d = load_table(spark, sf, "documents")
-    t = d.select("doc_id", tokens(F.col("text")).alias("toks"))
-    tk = F.col("toks")
-    n = F.size(tk)
-    zipped = F.arrays_zip(
-        F.slice(tk, 1, n - 1).alias("w1"), F.slice(tk, 2, n - 1).alias("w2")
-    )
-    bg = (
-        t.select(
-            "doc_id",
-            F.explode(
-                F.when(n >= 2, zipped).otherwise(
-                    F.array().cast("array<struct<w1:string,w2:string>>")
-                )
-            ).alias("b"),
-        )
-        .select("doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
-        .localCheckpoint(eager=True)
-    )
-    c2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
-    c1 = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
-    v = d.select(F.explode(tokens(F.col("text"))).alias("tok")).agg(
-        F.countDistinct("tok").alias("v")
-    )
+    bg, c2, c1, v = _bigram_count_frames(d)
     sc = (
         bg.join(F.broadcast(c2), ["w1", "w2"])
         .join(F.broadcast(c1), "w1")

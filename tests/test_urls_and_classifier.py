@@ -38,6 +38,10 @@ class TestCanonicalUrl:
     def test_port_8080_kept_port_80_stripped(self, spark):
         assert _canon(spark, "https://h.lt:8080/x") == "https://h.lt:8080/x"
         assert _canon(spark, "http://h.lt:80/x") == "http://h.lt/x"
+        assert _canon(spark, "https://h.lt:443/x") == "https://h.lt/x"
+        # the OTHER scheme's default port is a real listener: keep it
+        assert _canon(spark, "http://h.lt:443/x") == "http://h.lt:443/x"
+        assert _canon(spark, "https://h.lt:80/x") == "https://h.lt:80/x"
 
     def test_empty_path_and_query(self, spark):
         assert _canon(spark, "https://h.lt") == "https://h.lt/"
@@ -321,10 +325,10 @@ def _py_canonical(url: str) -> str:
     path = after.split("?", 1)[0]
     qs = after.split("?", 1)[1] if "?" in after else ""
     host = hostport.lower()
-    for p in (":443", ":80"):
-        if host.endswith(p):
-            host = host[: -len(p)]
-            break
+    if scheme == "http" and host.endswith(":80"):
+        host = host[:-3]
+    elif scheme == "https" and host.endswith(":443"):
+        host = host[:-4]
     if host.startswith("www."):
         host = host[4:]
     path = path.rstrip("/") or "/"
@@ -381,3 +385,17 @@ class TestCanonicalReferenceParity:
             if g != _py_canonical(u)
         ]
         assert not bad, bad[:5]
+
+
+def test_jl_dimension_mismatch_fails_loudly(spark):
+    import pytest as _pytest
+
+    from opendata_gov_lt_mysql_import_spark.operators.similarity import (
+        jl_project,
+    )
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 2.0, 3.0])], "vec_id long, embedding array<float>"
+    )
+    with _pytest.raises(Exception, match="jl_project: in_dim=8"):
+        jl_project(df, in_dim=8, out_dim=4).collect()
