@@ -165,6 +165,8 @@ HEADLINE = [
     "image_dhash_dedup",
     # estimator calibration: md5 LSH + linear verify + 10-cell report
     "minhash_estimate_calibration",
+    # winnow production twin: xxhash64 fingerprints, same plan as md5
+    "winnow_dup_pairs_fast",
 ]
 
 

@@ -38,12 +38,25 @@ __all__ = ["kgram_hashes", "winnow_fingerprints"]
 _HEX_DIGITS = 13
 
 
-def kgram_hashes(text: Column, k: int = 16) -> Column:
-    """Array of 52-bit hashes of every k-character gram of ``text``
+def kgram_hashes(text: Column, k: int = 16, hash_fn: str = "md5") -> Column:
+    """Array of hashes of every k-character gram of ``text``
     (positions 1..len-k+1; a document shorter than k contributes the
     single hash of its whole text — the same degenerate-input rule as
-    the substring window family)."""
+    the substring window family).
+
+    ``hash_fn``: 'md5' (default) is the engine-portable 52-bit
+    verification idiom a SQL oracle can replay; 'xxhash64' is the
+    JVM-native production path (~3-5x cheaper per gram, full signed-64
+    domain) — rows-only checkable, like the minhash family's xxhash
+    twin. The winnowing guarantee is hash-agnostic."""
     n_kg = F.greatest(F.length(text) - (k - 1), F.lit(1))
+    if hash_fn == "xxhash64":
+        return F.transform(
+            F.sequence(F.lit(1), n_kg),
+            lambda i: F.xxhash64(F.substr(text, i, F.lit(k))),
+        )
+    if hash_fn != "md5":
+        raise ValueError(f"hash_fn must be 'md5' or 'xxhash64', got {hash_fn!r}")
     return F.transform(
         F.sequence(F.lit(1), n_kg),
         lambda i: F.conv(
@@ -54,7 +67,9 @@ def kgram_hashes(text: Column, k: int = 16) -> Column:
     )
 
 
-def winnow_fingerprints(text: Column, k: int = 16, w: int = 8) -> Column:
+def winnow_fingerprints(
+    text: Column, k: int = 16, w: int = 8, hash_fn: str = "md5"
+) -> Column:
     """Distinct winnowed fingerprint set: the minimum hash of each
     window of ``w`` consecutive k-gram hashes, deduplicated. Guarantee:
     documents sharing a substring of >= w + k - 1 chars share a
@@ -74,5 +89,5 @@ def winnow_fingerprints(text: Column, k: int = 16, w: int = 8) -> Column:
         )
 
     return F.element_at(
-        F.transform(F.array(kgram_hashes(text, k)), select_mins), 1
+        F.transform(F.array(kgram_hashes(text, k, hash_fn)), select_mins), 1
     )

@@ -4074,16 +4074,19 @@ def winnow_dup_pairs_q(spark: SparkSession, sf: str) -> DataFrame:
     ).limit(150)
 
 
-def _winnow_pair_scores(d: DataFrame) -> DataFrame:
+def _winnow_pair_scores(d: DataFrame, hash_fn: str = "md5") -> DataFrame:
     """Winnowed-fingerprint overlap pairs (doc_a, doc_b, n_shared,
     jacc_bp) for a (doc_id, text) frame — the shared generator behind
-    ``winnow_dup_pairs`` (top-150 report) and ``winnow_span_report``
-    (threshold-confirmed pairs feeding span localization). Plan shape
-    documented at the callers."""
+    ``winnow_dup_pairs`` (top-150 report, md5 oracle idiom),
+    ``winnow_dup_pairs_fast`` (xxhash64 production twin, rows-only),
+    and ``winnow_span_report`` (threshold-confirmed pairs feeding span
+    localization). Plan shape documented at the callers."""
     from .operators.winnow import winnow_fingerprints
 
     fps = _spread(d).select(
-        "doc_id", winnow_fingerprints(F.col("text"), k=16, w=8).alias("fps")
+        "doc_id",
+        winnow_fingerprints(F.col("text"), k=16, w=8, hash_fn=hash_fn)
+        .alias("fps"),
     )
     inv = fps.select(
         "doc_id",
@@ -6006,3 +6009,24 @@ def minhash_estimate_calibration_q(spark: SparkSession, sf: str) -> DataFrame:
         F.expr("sum(exact_milli) div count(1)").cast("long")
         .alias("mean_exact_milli"),
     )
+
+
+@query("winnow_dup_pairs_fast")
+def winnow_dup_pairs_fast_q(spark: SparkSession, sf: str) -> DataFrame:
+    """xxhash64 PRODUCTION twin of ``winnow_dup_pairs`` — identical
+    plan (map-only winnowed fingerprints → one posting shuffle with
+    bucket cap 64 → posexplode pair generate → top-150), with the
+    JVM-native hash replacing the ~3-5× costlier engine-portable md5
+    idiom. The exact pattern the minhash family ships (xxhash
+    ``minhash_lsh_pairs`` rows-only next to oracle-exact
+    ``minhash_lsh_pairs_md5``): verify semantics on the md5 twin, run
+    production on this one. Rows-only: xxhash64 is JVM-specific; the
+    hash-agnostic winnowing guarantee (shared ≥23-char substring ⇒
+    shared fingerprint ⇒ pair surfaced) is pytest-pinned for THIS
+    hash in tests/test_urls_and_classifier.py."""
+    out = _winnow_pair_scores(
+        _documents_with_dups(spark, sf), hash_fn="xxhash64"
+    )
+    return out.orderBy(
+        F.desc("jacc_bp"), F.desc("n_shared"), "doc_a", "doc_b"
+    ).limit(150)

@@ -31,6 +31,10 @@ ROWS_ONLY = {
     "image_dhash_dedup": "pixel decode + perceptual dHash of real BMP "
     "bytes is not SQL-expressible; scale-invariance, pattern "
     "separation and hamming pinned in tests/test_multimodal.py",
+    "winnow_dup_pairs_fast": "xxhash64 fingerprints are JVM-specific "
+    "(production twin of the oracle-exact winnow_dup_pairs); the "
+    "hash-agnostic detection guarantee is pytest-pinned in "
+    "tests/test_urls_and_classifier.py",
 }
 
 

@@ -399,3 +399,40 @@ def test_jl_dimension_mismatch_fails_loudly(spark):
     )
     with _pytest.raises(Exception, match="jl_project: in_dim=8"):
         jl_project(df, in_dim=8, out_dim=4).collect()
+
+
+class TestWinnowFastTwin:
+    def test_guaranteed_detection_holds_with_xxhash(self, spark):
+        # the winnowing guarantee (shared >= w+k-1 = 23-char substring
+        # => shared fingerprint) is hash-agnostic — pin it for the
+        # xxhash64 production twin on planted overlaps
+        import opendata_gov_lt_mysql_import_spark.queries_ml as qml
+
+        shared = "the quick brown fox jumps over the lazy dog " * 3
+        rows = [
+            (1, "prefix one " + shared + " tail alpha"),
+            (2, "another start " + shared + " different end"),
+            (3, "completely unrelated text with no overlap at all here"),
+            (4, "yet more disjoint filler content nothing shared above"),
+        ]
+        d = spark.createDataFrame(rows, "doc_id long, text string")
+        out = qml._winnow_pair_scores(d, hash_fn="xxhash64").collect()
+        pairs = {(r["doc_a"], r["doc_b"]): r for r in out}
+        assert (1, 2) in pairs
+        assert pairs[(1, 2)]["n_shared"] >= 1
+        # the disjoint docs never pair with anything at high overlap
+        for (a, b), r in pairs.items():
+            if {a, b} & {3, 4} and {a, b} != {3, 4}:
+                assert r["jacc_bp"] < 5000
+
+    def test_fast_twin_query_runs_and_ranks(self, spark):
+        from opendata_gov_lt_mysql_import_spark.queries_ml import (
+            winnow_dup_pairs_fast_q,
+        )
+
+        out = winnow_dup_pairs_fast_q(spark, "/root/testdata/sf0.001").collect()
+        assert 0 < len(out) <= 150
+        # synthesized exact clones must rank at the top with jacc 100%
+        assert out[0]["jacc_bp"] == 10000
+        bps = [r["jacc_bp"] for r in out]
+        assert bps == sorted(bps, reverse=True)
