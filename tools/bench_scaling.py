@@ -107,6 +107,13 @@ TOP = [
     "quality_classifier_hashed",
     "jl_projection_sketch",
     "kcenter_coreset",
+    # round-9 second wave: estimator calibration (LSH + full-candidate
+    # verify), the xxhash winnow production twin, the WindowGroupLimit
+    # sequence builder, and the mapInPandas image-hash dedup
+    "minhash_estimate_calibration",
+    "winnow_dup_pairs_fast",
+    "next_event_training_pairs",
+    "image_dhash_dedup",
 ]
 
 # third scaling point for the heaviest candidate-generating entries —
