@@ -531,3 +531,19 @@ def test_next_event_pairs_caps_before_collect(spark, sf_dir, queries):
     assert any(
         "event_type" not in ln.split("ReadSchema:")[-1] for ln in scans
     )
+
+
+def test_calibration_no_quadratic_join_checkpointed_candidates(
+    spark, sf_dir, queries
+):
+    """minhash_estimate_calibration: the candidate stream is computed
+    ONCE (eager localCheckpoint — it feeds the verifier AND the left
+    join; under AQE a lazy handle would re-run the banded LSH generator
+    per consumer) and nothing in the composition degenerates to a
+    quadratic join."""
+    plan = final_plan(queries["minhash_estimate_calibration"](spark, sf_dir))
+    final_section = plan.split("== Initial Plan ==")[0]
+    assert "CartesianProduct" not in final_section
+    assert "BroadcastNestedLoopJoin" not in final_section
+    # the checkpointed candidate pair set shows as scan-from-RDD nodes
+    assert "Scan ExistingRDD" in final_section
