@@ -547,3 +547,33 @@ def test_calibration_no_quadratic_join_checkpointed_candidates(
     assert "BroadcastNestedLoopJoin" not in final_section
     # the checkpointed candidate pair set shows as scan-from-RDD nodes
     assert "Scan ExistingRDD" in final_section
+
+
+def test_winnow_pairs_bounded_shuffles_no_self_join(spark, sf_dir, queries):
+    """winnow_dup_pairs (the bench's heaviest md5 projection): exactly
+    the documented shuffle budget — 3 exchanges (_spread repartition,
+    posting groupBy on the fingerprint, pair aggregation), pairs via
+    the posexplode+tail-slice generate idiom (NO bucket self-join, no
+    quadratic node), global top-150 as TakeOrdered (no global sort)."""
+    plan = final_plan(queries["winnow_dup_pairs"](spark, sf_dir))
+    final_section = plan.split("== Initial Plan ==")[0]
+    assert final_section.count("Exchange") <= 3
+    assert "CartesianProduct" not in final_section
+    assert "BroadcastNestedLoopJoin" not in final_section
+    assert "TakeOrdered" in final_section
+    assert "SortMergeJoin" not in final_section  # no pair self-join
+
+
+def test_winnow_span_report_stage_boundary_checkpoints(
+    spark, sf_dir, queries
+):
+    """winnow_span_report (bench #1): the winnow screen's confirmed
+    pairs must be CHECKPOINTED at the stage boundary (Scan ExistingRDD
+    nodes) so the span stage never re-runs the fingerprint DAG per
+    consumer, and nothing in the two-stage composition degenerates to
+    a quadratic join."""
+    plan = final_plan(queries["winnow_span_report"](spark, sf_dir))
+    final_section = plan.split("== Initial Plan ==")[0]
+    assert "Scan ExistingRDD" in final_section
+    assert "CartesianProduct" not in final_section
+    assert "BroadcastNestedLoopJoin" not in final_section
