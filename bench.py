@@ -167,6 +167,8 @@ HEADLINE = [
     "minhash_estimate_calibration",
     # winnow production twin: xxhash64 fingerprints, same plan as md5
     "winnow_dup_pairs_fast",
+    # epoch upsampling: zero-shuffle explode whose fan-out IS the recipe
+    "epoch_upsample_mixture",
 ]
 
 

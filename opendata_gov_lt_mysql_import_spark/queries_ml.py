@@ -6030,3 +6030,81 @@ def winnow_dup_pairs_fast_q(spark: SparkSession, sf: str) -> DataFrame:
     return out.orderBy(
         F.desc("jacc_bp"), F.desc("n_shared"), "doc_a", "doc_b"
     ).limit(150)
+
+
+@query(
+    "epoch_upsample_mixture",
+    """
+    WITH d AS (
+      SELECT doc_id, source,
+             1000 + (CAST(substr(source, 4) AS BIGINT) % 13) * 250
+               AS epochs_milli,
+             CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#ep'),
+                                 1, 13) AS BIGINT) % 1000 AS frac_draw
+      FROM documents
+    ),
+    n AS (
+      SELECT doc_id, source, epochs_milli,
+             CAST(epochs_milli // 1000
+                  + CASE WHEN frac_draw < epochs_milli % 1000
+                         THEN 1 ELSE 0 END AS BIGINT) AS n_copies
+      FROM d
+    )
+    SELECT doc_id, source, epochs_milli,
+           CAST(u.i AS BIGINT) AS copy_idx
+    FROM n, UNNEST(range(1, n_copies + 1)) u(i)
+    """,
+)
+def epoch_upsample_mixture_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Epoch-multiplier upsampling (the LLaMA/GPT data-recipe stage
+    where high-quality sources repeat fractionally — e.g. Wikipedia at
+    2.25 epochs): per-source multiplier in milli-epochs (derived from
+    the source index — a stand-in for the recipe table), every doc
+    emitted floor(epochs) times plus ONE extra copy iff its salted-md5
+    draw (mod 1000) falls under the fractional part — so a source at
+    2250 milli-epochs reproduces each doc 2 times and a deterministic
+    25% of docs 3 times, exactly, repeatably, on any engine. The
+    md5-threshold idiom is ``stratified_exact_quota``'s rank salt
+    reused as a Bernoulli gate.
+
+    Scale shape: ZERO shuffles and ZERO joins — the multiplier is
+    arithmetic on the source column (a real recipe table would be a
+    dimension broadcast), the draw is a map-side md5, and the copies
+    come from one explode whose fan-out is the mixture's true token
+    multiplier. Nothing here is corpus-size-dependent except the scan."""
+    d = load_table(spark, sf, "documents")
+    src_idx = F.substring(F.col("source"), 4, 10).cast("long")
+    epochs_milli = (F.lit(1000) + (src_idx % 13) * 250).cast("long")
+    frac_draw = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws("#", F.col("doc_id").cast("string"), F.lit("ep"))
+                ),
+                1,
+                13,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 1000
+    )
+    n_copies = (
+        F.expr("epochs_milli div 1000")
+        + F.when(F.col("frac_draw") < F.col("epochs_milli") % 1000, 1)
+        .otherwise(0)
+    ).cast("long")
+    base = d.select(
+        "doc_id",
+        "source",
+        epochs_milli.alias("epochs_milli"),
+        frac_draw.alias("frac_draw"),
+    ).withColumn("n_copies", n_copies)
+    return base.select(
+        "doc_id",
+        "source",
+        "epochs_milli",
+        F.explode(
+            F.sequence(F.lit(1).cast("long"), F.col("n_copies"))
+        ).alias("copy_idx"),
+    )

@@ -436,3 +436,42 @@ class TestWinnowFastTwin:
         assert out[0]["jacc_bp"] == 10000
         bps = [r["jacc_bp"] for r in out]
         assert bps == sorted(bps, reverse=True)
+
+
+class TestEpochUpsample:
+    def test_exact_copy_counts_per_source(self, spark):
+        import opendata_gov_lt_mysql_import_spark.queries_ml as qml
+        from opendata_gov_lt_mysql_import_spark.queries_ml import (
+            epoch_upsample_mixture_q,
+        )
+
+        # src0: 1000 milli-epochs -> exactly 1 copy per doc;
+        # src4: 2000 milli     -> exactly 2 copies per doc;
+        # src2: 1500 milli     -> 1 copy + deterministic ~half get a 2nd
+        df = spark.createDataFrame(
+            [(i, "src0") for i in range(40)]
+            + [(100 + i, "src4") for i in range(40)]
+            + [(200 + i, "src2") for i in range(40)],
+            "doc_id long, source string",
+        )
+        orig = qml.load_table
+        try:
+            qml.load_table = lambda s, sf, t: df
+            out = epoch_upsample_mixture_q(spark, "x").collect()
+        finally:
+            qml.load_table = orig
+        by_src = {}
+        for r in out:
+            by_src.setdefault(r["source"], []).append(r)
+        assert len(by_src["src0"]) == 40
+        assert all(r["copy_idx"] == 1 for r in by_src["src0"])
+        assert len(by_src["src4"]) == 80
+        n2 = len(by_src["src2"])
+        assert 40 < n2 < 80  # 1 + Bernoulli(0.5) copies
+        # determinism: same draw every run
+        try:
+            qml.load_table = lambda s, sf, t: df
+            again = epoch_upsample_mixture_q(spark, "x").collect()
+        finally:
+            qml.load_table = orig
+        assert sorted(map(tuple, out)) == sorted(map(tuple, again))
