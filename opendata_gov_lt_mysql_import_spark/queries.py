@@ -61,10 +61,20 @@ def query(name: str, oracle: str | None = None):
 DRIVER_TOP50: tuple[str, ...] = (
     # SURVEY.md §2 core (S/P/J/A/W/F)
     "s2_filtered_scan",
-    "s5_point_lookup",
-    "p4_projection_rename",
+    # s5_point_lookup + p4_projection_rename rotated out round 10 (both
+    # trivial single-table scans, green since round 1, fully re-covered
+    # by the full-registry gate; s2 keeps the scan family in-window) for
+    # two round-9 oracle-exact newcomers that never earned a driver row:
+    # the Gonzalez greedy k-center coreset and the Achlioptas JL
+    # random-sign projection sketch
+    "kcenter_coreset",
+    "jl_projection_sketch",
     "j1_left_join_default",
-    "j2_dim_chain",
+    # j2_dim_chain rotated out round 10 (its two-hop dim chain is
+    # recomputed inside q3/q1-style star joins and stays registered +
+    # full-gate-verified) for the per-user next-event training-pair
+    # builder — the WindowGroupLimit-capped sequence constructor
+    "next_event_training_pairs",
     "j3_mn_collect",
     # j4_semi_existence covers the J4-J6 existence-probe semantics in the
     # window; the anti twin stays registered + full-gate-verified, its
@@ -84,7 +94,10 @@ DRIVER_TOP50: tuple[str, ...] = (
     # full-gate-verified
     "entity_resolution_customers",
     "w1_tree_closure",
-    "f1_fixcase",
+    # f1_fixcase rotated out round 10 (trivial map-only casing fix,
+    # green since round 1, full-gate-covered) for the hashing-trick
+    # linear quality classifier — zero-shuffle fused inference
+    "quality_classifier_hashed",
     # f3_tagify rotated out round 7 (tagify is f4's first stage — F3
     # semantics stay covered by the order-preserving f4 row; f3 stays
     # registered + full-gate-verified) for the end-to-end md5 LSH→verify
@@ -107,7 +120,11 @@ DRIVER_TOP50: tuple[str, ...] = (
     # round 6 for the K-round pagerank — q1/q3 keep the TPC-H shapes
     # in-window; q5 stays registered + full-gate-verified)
     "q1_pricing_summary",
-    "q3_top_revenue",
+    # q3_top_revenue rotated out round 10 (q1 keeps the TPC-H shapes
+    # in-window; q3 stays registered + full-gate-verified) for the
+    # epoch-multiplier upsampling mixture — the fractional-epoch explode
+    # stage of the LLaMA-style data recipe
+    "epoch_upsample_mixture",
     "pagerank_k",
     # window / SQL analytics surface (window_top_order_per_customer
     # rotated out round 7 — rank-then-filter is subsumed by
@@ -125,7 +142,11 @@ DRIVER_TOP50: tuple[str, ...] = (
     # the streaming batch twin)
     "events_gap_fill_hourly",
     "events_sessionize",
-    "events_asof_last_order",
+    # events_asof_last_order rotated out round 10 (gap-fill + sessionize
+    # keep the event-stream family in-window; as-of stays registered +
+    # full-gate-verified) for the corpus datasheet rollup — the
+    # provenance/attrition summary every released dataset ships with
+    "corpus_datasheet",
     # events_range_join_recent + events_behavior_suite rotated out
     # round 7 (as-of keeps the temporal-join family in-window, gap-fill
     # + sessionize keep 3 events rows total; both stay registered +
