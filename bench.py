@@ -169,6 +169,10 @@ HEADLINE = [
     "winnow_dup_pairs_fast",
     # epoch upsampling: zero-shuffle explode whose fan-out IS the recipe
     "epoch_upsample_mixture",
+    # round-10 flagship: the nine-stage corpus recipe as one DAG —
+    # url dedup → exact dedup → scrub → LSH near-dup → gopher gate →
+    # decontaminate → mixture → upsample → shard, datasheet output
+    "corpus_recipe_pipeline",
 ]
 
 

@@ -174,7 +174,12 @@ DRIVER_TOP50: tuple[str, ...] = (
     "corpus_terms_suite",
     "pii_scrub",
     "chunk_documents",
-    "corpus_export_pipeline",
+    # corpus_export_pipeline rotated out round 10 (its scrub→chunk→pack→
+    # shard composition is subsumed by the full recipe below; stays
+    # registered + full-gate-verified) for the flagship end-to-end
+    # RedPajama/Dolma-style corpus recipe — all nine pipeline stages as
+    # ONE lazy DAG with a per-stage attrition datasheet, oracle-exact
+    "corpus_recipe_pipeline",
     # dedup family (dedup_exact rotated out round 6 — the family keeps
     # ngram/clusters/md5-LSH/incremental rows in-window — for the
     # ZORDER pruned snapshot read, putting the table-format read path

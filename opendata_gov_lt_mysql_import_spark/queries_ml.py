@@ -6108,3 +6108,654 @@ def epoch_upsample_mixture_q(spark: SparkSession, sf: str) -> DataFrame:
             F.sequence(F.lit(1).cast("long"), F.col("n_copies"))
         ).alias("copy_idx"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 10: the end-to-end corpus-recipe composition — every stage of a
+# RedPajama/Dolma-style data recipe chained as ONE lazy DataFrame DAG
+# with per-stage attrition accounting (the datasheet idiom), oracle-exact
+# ---------------------------------------------------------------------------
+
+# synthetic crawl structure: per-site boilerplate (8 sites so the line-DF
+# threshold triggers even at sf0.001's 50 base docs), re-crawl URL
+# variants (%5), exact content mirrors (%7), near-dup edits (%11)
+_RECIPE_SITES = 8
+_RECIPE_BP_MIN = 10
+_RECIPE_SHARD_TOKENS = 2000
+
+_RECIPE_CORPUS_SQL = f"""
+    SELECT doc_id AS base_id, source,
+           CASE WHEN doc_id % 3 = 0
+                THEN 'site ' || CAST(doc_id % {_RECIPE_SITES} AS VARCHAR)
+                     || ' navigation menu subscribe newsletter'
+                     || chr(10) || text || chr(10)
+                     || 'site ' || CAST(doc_id % {_RECIPE_SITES} AS VARCHAR)
+                     || ' copyright footer all rights reserved'
+                ELSE text END AS text
+    FROM documents
+"""
+
+
+def _corpus_recipe_oracle() -> str:
+    ntok = (
+        "CASE WHEN trim({t}) = '' THEN 0 "
+        r"ELSE len(str_split_regex(trim({t}), '\s+')) END"
+    )
+    return rf"""
+    WITH inj AS ({_RECIPE_CORPUS_SQL}),
+    corpus AS (
+      SELECT base_id AS doc_id, base_id, source, text FROM inj
+      UNION ALL
+      SELECT base_id + 1000000, base_id, source, text
+      FROM inj WHERE base_id % 5 = 0
+      UNION ALL
+      SELECT base_id + 2000000, base_id, source, text
+      FROM inj WHERE base_id % 7 = 0
+      UNION ALL
+      SELECT base_id + 3000000, base_id, source,
+             text || chr(10) || 'variant note ' || CAST(base_id AS VARCHAR)
+      FROM inj WHERE base_id % 11 = 0
+    ),
+    -- stage 2 spec: a re-crawl variant (+1e6) canonicalizes onto its
+    -- base URL; mirrors (+2e6) and edits (+3e6) live on distinct hosts.
+    -- The Spark side runs the REAL canonical_url() — if it failed to
+    -- merge (or over-merged) any variant, the stage counts diverge.
+    s2 AS (
+      SELECT * FROM corpus
+      WHERE doc_id IN (
+        SELECT min(doc_id) FROM corpus
+        GROUP BY CASE WHEN doc_id < 2000000 THEN base_id ELSE doc_id END)
+    ),
+    s3 AS (
+      SELECT * FROM s2
+      WHERE doc_id IN (SELECT min(doc_id) FROM s2 GROUP BY md5(text))
+    ),
+    lines AS (
+      SELECT doc_id, unnest(str_split(text, chr(10))) AS line,
+             generate_subscripts(str_split(text, chr(10)), 1) AS pos
+      FROM corpus
+    ),
+    bp AS (
+      SELECT trim(line) AS k FROM lines WHERE trim(line) <> ''
+      GROUP BY 1 HAVING count(DISTINCT doc_id) >= {_RECIPE_BP_MIN}
+    ),
+    cleaned AS (
+      SELECT l.doc_id,
+             COALESCE(array_to_string(list(l.line ORDER BY l.pos)
+                        FILTER (WHERE b.k IS NULL), chr(10)), '') AS ctext
+      FROM lines l LEFT JOIN bp b ON trim(l.line) = b.k
+      GROUP BY l.doc_id
+    ),
+    s4 AS (
+      SELECT s.doc_id, s.base_id, s.source, c.ctext AS text
+      FROM s3 s JOIN cleaned c USING (doc_id)
+    ),
+    ntoks AS (
+      SELECT doc_id, CASE WHEN trim(ctext) = '' THEN []::VARCHAR[]
+                          ELSE str_split_regex(trim(ctext), '\s+') END AS toks
+      FROM cleaned
+    ),
+    ngrams AS (
+      SELECT doc_id, list_distinct(list_transform(
+               generate_series(1, greatest(len(toks) - 2, 1)),
+               i -> array_to_string(toks[i:i+2], ' '))) AS gs
+      FROM ntoks
+    ),
+    nsigs AS (
+      SELECT doc_id, list_transform(range(0, 16),
+               p -> list_min(list_transform(gs,
+                      g -> md5(g || '#' || CAST(p AS VARCHAR))))) AS sig
+      FROM ngrams
+    ),
+    nbanded AS (
+      SELECT doc_id, t.b AS b,
+             md5(sig[2*t.b + 1] || sig[2*t.b + 2]
+                 || '@' || CAST(t.b AS VARCHAR)) AS bkey
+      FROM nsigs CROSS JOIN (SELECT unnest(range(0, 8)) AS b) t
+    ),
+    ncand AS (
+      SELECT DISTINCT a.doc_id AS id_a, c2.doc_id AS id_b
+      FROM nbanded a
+      JOIN nbanded c2 ON a.b = c2.b AND a.bkey = c2.bkey
+                     AND a.doc_id < c2.doc_id
+    ),
+    nkept AS (
+      SELECT p.id_a, p.id_b
+      FROM ncand p
+      JOIN nsigs sa ON sa.doc_id = p.id_a
+      JOIN nsigs sb ON sb.doc_id = p.id_b
+      WHERE len(list_filter(range(1, 17), i -> sa.sig[i] = sb.sig[i])) >= 5
+    ),
+    ng2 AS (
+      SELECT doc_id, list_distinct(list_transform(
+               generate_series(1, greatest(len(toks) - 1, 1)),
+               i -> CASE WHEN i + 1 <= len(toks)
+                         THEN toks[i] || ' ' || toks[i+1]
+                         ELSE toks[i] END)) AS gs2
+      FROM ntoks
+    ),
+    ndrop AS (
+      SELECT DISTINCT k.id_b AS doc_id
+      FROM nkept k
+      JOIN ng2 a ON a.doc_id = k.id_a
+      JOIN ng2 b ON b.doc_id = k.id_b
+      WHERE len(list_intersect(a.gs2, b.gs2))
+              / CAST(len(list_distinct(a.gs2 || b.gs2)) AS DOUBLE) >= 0.5
+    ),
+    s5 AS (
+      SELECT * FROM s4 WHERE doc_id NOT IN (SELECT doc_id FROM ndrop)
+    ),
+    qt AS (
+      SELECT doc_id, CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                          ELSE str_split_regex(trim(text), '\s+') END AS toks
+      FROM s5
+    ),
+    qb AS (
+      SELECT doc_id,
+             CAST(len(toks) AS BIGINT) AS n,
+             CAST(list_sum(list_transform(toks, x -> len(x))) AS BIGINT)
+               AS tl,
+             CAST(len(list_filter(
+                    toks, x -> list_contains({_STOPWORD_SQL_LIST}, lower(x))
+                  )) AS BIGINT) AS sh,
+             toks
+      FROM qt
+    ),
+    qm AS (
+      SELECT doc_id, CAST(max(c) AS BIGINT) AS mx
+      FROM (
+        SELECT b.doc_id, u.tok, count(*) AS c
+        FROM qb b, unnest(b.toks) AS u(tok)
+        GROUP BY 1, 2
+      )
+      GROUP BY 1
+    ),
+    s6 AS (
+      SELECT s.* FROM s5 s JOIN qb USING (doc_id) JOIN qm USING (doc_id)
+      WHERE qb.n BETWEEN 20 AND 1000
+        AND qb.tl >= 3 * qb.n AND qb.tl <= 10 * qb.n
+        AND qb.sh >= 2 AND qm.mx * 8 <= qb.n
+    ),
+    dg AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+               generate_series(1, greatest(len(toks) - 4, 1)),
+               i -> array_to_string(toks[i:i+4], ' ')))) AS gram
+      FROM ntoks
+    ),
+    ev AS (
+      SELECT DISTINCT gram FROM dg
+      WHERE doc_id % 20 = 0 AND doc_id < 1000000
+    ),
+    dhit AS (SELECT DISTINCT dg.doc_id FROM dg JOIN ev USING (gram)),
+    s7 AS (
+      SELECT * FROM s6 WHERE doc_id NOT IN (SELECT doc_id FROM dhit)
+    ),
+    tok7 AS (
+      SELECT doc_id, source,
+             CAST({ntok.format(t="text")} AS BIGINT) AS n_tokens
+      FROM s7
+    ),
+    src AS (
+      SELECT source, CAST(sum(n_tokens) AS BIGINT) AS src_tokens,
+             CAST(substr(source, 4) AS BIGINT) % 4 + 1 AS tier
+      FROM tok7 GROUP BY source
+    ),
+    bud AS (
+      SELECT source,
+             (((SELECT CAST(sum(src_tokens) AS BIGINT) FROM src) // 2)
+              * tier)
+             // (SELECT CAST(sum(tier) AS BIGINT) FROM src) AS budget
+      FROM src
+    ),
+    rk AS (
+      SELECT t.doc_id, t.source, t.n_tokens, b.budget,
+             CAST(sum(t.n_tokens) OVER (
+               PARTITION BY t.source
+               ORDER BY md5(CAST(t.doc_id AS VARCHAR) || '#mix'), t.doc_id
+             ) AS BIGINT) AS cum
+      FROM tok7 t JOIN bud b USING (source)
+    ),
+    s8 AS (
+      SELECT doc_id, source, n_tokens FROM rk WHERE cum <= budget
+    ),
+    e AS (
+      SELECT doc_id, source, n_tokens,
+             1000 + (CAST(substr(source, 4) AS BIGINT) % 13) * 250 AS em,
+             CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#ep'),
+                                 1, 13) AS BIGINT) % 1000 AS fd
+      FROM s8
+    ),
+    ups AS (
+      SELECT doc_id, source, n_tokens, CAST(u.i AS BIGINT) AS copy_idx
+      FROM (SELECT *, CAST(em // 1000 + CASE WHEN fd < em % 1000
+                                             THEN 1 ELSE 0 END AS BIGINT)
+                        AS n_copies
+            FROM e) n,
+      UNNEST(range(1, n_copies + 1)) u(i)
+    ),
+    sh AS (
+      SELECT source, n_tokens,
+             CAST(sum(n_tokens) OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR) || '#'
+                            || CAST(copy_idx AS VARCHAR) || '#pk'),
+                        doc_id, copy_idx
+             ) AS BIGINT) AS cum2
+      FROM ups
+    ),
+    shn AS (
+      SELECT source, n_tokens,
+             (cum2 - 1) // {_RECIPE_SHARD_TOKENS} AS shard_id
+      FROM sh
+    )
+    SELECT CAST(1 AS BIGINT) AS stage_ord, 'ingest' AS stage,
+           CAST(count(*) AS BIGINT) AS rows_out,
+           CAST(COALESCE(sum({ntok.format(t="text")}), 0) AS BIGINT)
+             AS tokens_out
+    FROM corpus
+    UNION ALL
+    SELECT 2, 'url_dedup', CAST(count(*) AS BIGINT),
+           CAST(COALESCE(sum({ntok.format(t="text")}), 0) AS BIGINT) FROM s2
+    UNION ALL
+    SELECT 3, 'exact_dedup', CAST(count(*) AS BIGINT),
+           CAST(COALESCE(sum({ntok.format(t="text")}), 0) AS BIGINT) FROM s3
+    UNION ALL
+    SELECT 4, 'boilerplate_scrub', CAST(count(*) AS BIGINT),
+           CAST(COALESCE(sum({ntok.format(t="text")}), 0) AS BIGINT) FROM s4
+    UNION ALL
+    SELECT 5, 'neardup_lsh', CAST(count(*) AS BIGINT),
+           CAST(COALESCE(sum({ntok.format(t="text")}), 0) AS BIGINT) FROM s5
+    UNION ALL
+    SELECT 6, 'quality_gate', CAST(count(*) AS BIGINT),
+           CAST(COALESCE(sum({ntok.format(t="text")}), 0) AS BIGINT) FROM s6
+    UNION ALL
+    SELECT 7, 'decontaminate', CAST(count(*) AS BIGINT),
+           CAST(COALESCE(sum({ntok.format(t="text")}), 0) AS BIGINT) FROM s7
+    UNION ALL
+    SELECT 8, 'token_mixture', CAST(count(*) AS BIGINT),
+           CAST(COALESCE(sum(n_tokens), 0) AS BIGINT) FROM s8
+    UNION ALL
+    SELECT 9, 'epoch_upsample', CAST(count(*) AS BIGINT),
+           CAST(COALESCE(sum(n_tokens), 0) AS BIGINT) FROM ups
+    UNION ALL
+    SELECT 10, 'pack_shard',
+           CAST(count(DISTINCT source || '#' || CAST(shard_id AS VARCHAR))
+                AS BIGINT),
+           CAST(COALESCE(sum(n_tokens), 0) AS BIGINT) FROM shn
+    """
+
+
+def _recipe_corpus(spark: SparkSession, sf: str) -> DataFrame:
+    """Synthetic crawl for the recipe: per-site boilerplate injected into
+    every third base doc, plus three clone families — re-crawl URL
+    variants (+1e6, messy URL of the SAME page), exact content mirrors
+    (+2e6, distinct host), near-dup edits (+3e6, one extra line)."""
+    d = load_table(spark, sf, "documents").select("doc_id", "text", "source")
+    site = (F.col("doc_id") % _RECIPE_SITES).cast("string")
+    hdr = F.concat(
+        F.lit("site "), site, F.lit(" navigation menu subscribe newsletter")
+    )
+    ftr = F.concat(
+        F.lit("site "), site, F.lit(" copyright footer all rights reserved")
+    )
+    inj = d.select(
+        F.col("doc_id").alias("base_id"),
+        "source",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat_ws("\n", hdr, F.col("text"), ftr),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    b = F.col("base_id").cast("string")
+    s = (F.col("base_id") % _RECIPE_SITES).cast("string")
+    q = (F.col("base_id") % 7).cast("string")
+    base = inj.select(
+        F.col("base_id").alias("doc_id"),
+        "base_id",
+        "source",
+        "text",
+        F.concat(
+            F.lit("http://site"), s, F.lit(".example.com/docs/"), b,
+            F.lit("?ref=a&q="), q,
+        ).alias("url"),
+    )
+    recrawl = inj.filter(F.col("base_id") % 5 == 0).select(
+        (F.col("base_id") + 1000000).alias("doc_id"),
+        "base_id",
+        "source",
+        "text",
+        F.concat(
+            F.lit("HTTP://WWW.Site"), s, F.lit(".EXAMPLE.COM:80/docs/"), b,
+            F.lit("/?utm_source=feed&q="), q, F.lit("&ref=a#top"),
+        ).alias("url"),
+    )
+    mirror = inj.filter(F.col("base_id") % 7 == 0).select(
+        (F.col("base_id") + 2000000).alias("doc_id"),
+        "base_id",
+        "source",
+        "text",
+        F.concat(F.lit("http://mirror.example.net/m/"), b).alias("url"),
+    )
+    edit = inj.filter(F.col("base_id") % 11 == 0).select(
+        (F.col("base_id") + 3000000).alias("doc_id"),
+        "base_id",
+        "source",
+        F.concat(F.col("text"), F.lit("\nvariant note "), b).alias("text"),
+        F.concat(F.lit("http://copy.example.org/c/"), b).alias("url"),
+    )
+    return (
+        base.unionByName(recrawl).unionByName(mirror).unionByName(edit)
+    )
+
+
+@query("corpus_recipe_pipeline", _corpus_recipe_oracle())
+def corpus_recipe_pipeline_q(spark: SparkSession, sf: str) -> DataFrame:
+    """The flagship RedPajama/Dolma-style data recipe as ONE lazy DAG:
+    URL-canonical dedup → exact dedup → boilerplate line scrub →
+    MinHash-LSH near-dup (verified at bigram Jaccard ≥ 0.5) → Gopher
+    rule gate → n-gram decontamination → DoReMi-lite token-budget
+    mixture → epoch-multiplier upsampling → token-budget pack/shard,
+    with a 10-row per-stage attrition datasheet (rows_out, tokens_out)
+    as the output. Scrub runs BEFORE fuzzy dedup (the CCNet order):
+    shared per-site boilerplate would otherwise pollute the shingle
+    space and inflate LSH candidates quadratically per site.
+
+    Composition design: stages 2-7 are computed as survival LABELS on a
+    single labeled frame (keeper windows conditioned on prior-stage
+    aliveness; small drop-sets joined in), not as chained filters — so
+    the per-stage counts come from ONE aggregation pass instead of
+    re-running the prefix DAG per stage. The labeled frame is
+    localCheckpointed once (the winnow_span_report discipline: it feeds
+    the budget aggregate, the mixture window, and the report aggregate,
+    and AQE would otherwise recompute the whole labeling per consumer).
+    The near-dup, boilerplate-frequency, and contamination drop-sets are
+    independent bounded sub-DAGs joined back in: the boilerplate set is
+    a 1-row array broadcast (bounded by total_lines/min_docs), the
+    near-dup and contamination sets are id-sets bounded by the confirmed
+    pair/hit volume.
+
+    Every number in the report is integer-exact (token counts, row
+    counts), and every stage semantics is recomputed independently by
+    the DuckDB oracle — including the full md5-MinHash signature/band/
+    verify chain — so the COMPOSITION is oracle-checked end to end, not
+    just its stages. Stage-2's oracle is a specification (re-crawl
+    variants merge with their base; mirrors/edits don't): the Spark side
+    runs the real ``canonical_url``, so an under- or over-merge shows up
+    as a count divergence."""
+    from pyspark.sql import Window
+
+    from .functions.urls import canonical_url
+    from .operators.decontam import contamination_hits
+    from .operators.dedup import jaccard_verify_pairs, minhash_md5_pairs
+    from .operators.textanalysis import max_multiplicity, token_count, tokens
+
+    corpus = _spread(_recipe_corpus(spark, sf))
+
+    # --- stages 2-3: keeper windows (url groups, then exact-text groups
+    # conditioned on url-stage survival)
+    w_url = Window.partitionBy(canonical_url(F.col("url")))
+    x1 = corpus.withColumn("n_tok_raw", token_count(F.col("text"))).withColumn(
+        "alive2", F.col("doc_id") == F.min("doc_id").over(w_url)
+    )
+    w_fp = Window.partitionBy(F.md5(F.col("text")))
+    x2 = x1.withColumn(
+        "keeper3",
+        F.min(F.when(F.col("alive2"), F.col("doc_id"))).over(w_fp),
+    ).withColumn(
+        "alive3", F.col("alive2") & (F.col("doc_id") == F.col("keeper3"))
+    )
+
+    # --- stage 4: boilerplate scrub — line-DF over the raw corpus, the
+    # qualifying lines collected into a single broadcast array (bounded
+    # by total_lines / min_docs), then a map-side HOF filter + rejoin
+    lines = corpus.select(
+        "doc_id", F.explode(F.split(F.col("text"), "\n")).alias("line")
+    )
+    bp = (
+        lines.where(F.trim(F.col("line")) != "")
+        .groupBy(F.trim(F.col("line")).alias("k"))
+        .agg(F.count_distinct("doc_id").alias("df"))
+        .filter(F.col("df") >= _RECIPE_BP_MIN)
+        .agg(F.collect_list("k").alias("bp_lines"))
+    )
+    clean_expr = F.array_join(
+        F.filter(
+            F.split(F.col("text"), "\n"),
+            lambda line: ~F.coalesce(
+                F.array_contains(F.col("bp_lines"), F.trim(line)),
+                F.lit(False),
+            ),
+        ),
+        "\n",
+    )
+    x3 = (
+        x2.crossJoin(F.broadcast(bp))
+        .withColumn("clean_text", clean_expr)
+        .withColumn("n_tok_clean", token_count(F.col("clean_text")))
+        .drop("bp_lines")
+    )
+
+    # --- stage 5 drop-set: md5-MinHash LSH on the SCRUBBED full corpus,
+    # exact bigram-Jaccard verification, drop the larger id of each
+    # confirmed pair (an independent sub-DAG; its scan+scrub lineage is
+    # map-only and cheaper to recompute than to checkpoint)
+    scrubbed = (
+        corpus.crossJoin(F.broadcast(bp))
+        .select("doc_id", clean_expr.alias("text"))
+    )
+    cands = minhash_md5_pairs(
+        scrubbed, "text", "doc_id", n_gram=3, k=16, bands=8
+    ).filter(F.col("n_match") >= 5)
+    confirmed = jaccard_verify_pairs(
+        scrubbed, cands, text_col="text", id_col="doc_id", n=2,
+        min_jaccard=0.5,
+    )
+    nd_drop = (
+        confirmed.select(F.col("id_b").alias("doc_id"))
+        .distinct()
+        .withColumn("nd_hit", F.lit(True))
+    )
+    x4 = x3.join(nd_drop, "doc_id", "left").withColumn(
+        "alive5", F.col("alive3") & F.col("nd_hit").isNull()
+    )
+
+    # --- stage 6: Gopher rule gate on the scrubbed text (map-only)
+    toks = tokens(F.col("clean_text"))
+    n = F.size(toks).cast("long")
+    total_len = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda a, t: a + F.length(t)
+    )
+    stop_hits = F.size(
+        F.filter(toks, lambda t: F.lower(t).isin(*_ALL_STOPWORDS))
+    ).cast("long")
+    gopher_keep = F.coalesce(
+        n.between(20, 1000)
+        & (total_len >= 3 * n)
+        & (total_len <= 10 * n)
+        & (stop_hits >= 2)
+        & (max_multiplicity(toks) * 8 <= n),
+        F.lit(False),
+    )
+    x5 = x4.withColumn("alive6", F.col("alive5") & gopher_keep)
+
+    # --- stage 7 drop-set: distinct-5-gram contamination against the
+    # eval split (scrubbed base docs, id % 20 == 0) — broadcast gram set
+    ev = scrubbed.filter(
+        (F.col("doc_id") % 20 == 0) & (F.col("doc_id") < 1000000)
+    )
+    hit = (
+        contamination_hits(scrubbed, ev, text_col="text", id_col="doc_id", n=5)
+        .select("doc_id")
+        .withColumn("cont_hit", F.lit(True))
+    )
+    x6 = x5.join(hit, "doc_id", "left").withColumn(
+        "alive7", F.col("alive6") & F.col("cont_hit").isNull()
+    )
+
+    # one materialization of the labeled corpus: feeds the budget
+    # aggregate, the mixture window, and the report aggregate (AQE would
+    # recompute the full labeling DAG per consumer otherwise)
+    lab = x6.localCheckpoint(eager=True)
+
+    # --- stage 8: DoReMi-lite token-budget mixture over survivors
+    src = (
+        lab.filter(F.col("alive7"))
+        .groupBy("source")
+        .agg(F.sum("n_tok_clean").cast("long").alias("src_tokens"))
+        .withColumn(
+            "tier", F.substring(F.col("source"), 4, 10).cast("long") % 4 + 1
+        )
+    )
+    wall = Window.partitionBy(_const_part("source"))
+    budgets = src.select(
+        "source",
+        "tier",
+        F.sum("src_tokens").over(wall).cast("long").alias("total"),
+        F.sum("tier").over(wall).cast("long").alias("sum_tiers"),
+    ).select(
+        "source",
+        F.expr("((total div 2) * tier) div sum_tiers")
+        .cast("long")
+        .alias("budget"),
+    )
+    w_mix = Window.partitionBy("source").orderBy(
+        F.md5(F.concat_ws("#", F.col("doc_id").cast("string"), F.lit("mix"))),
+        F.col("doc_id"),
+    )
+    lab2 = (
+        lab.join(F.broadcast(budgets), "source", "left")
+        .withColumn(
+            "cum",
+            F.sum(
+                F.when(F.col("alive7"), F.col("n_tok_clean")).otherwise(0)
+            )
+            .over(w_mix)
+            .cast("long"),
+        )
+        .withColumn(
+            "alive8",
+            F.col("alive7")
+            & (F.col("cum") <= F.coalesce(F.col("budget"), F.lit(0))),
+        )
+    )
+
+    # --- stages 9-10: epoch-multiplier upsampling + token-budget shards
+    src_idx = F.substring(F.col("source"), 4, 10).cast("long")
+    sel = (
+        lab2.filter(F.col("alive8"))
+        .select("doc_id", "source", F.col("n_tok_clean").alias("n_tokens"))
+        .withColumn(
+            "epochs_milli", (F.lit(1000) + (src_idx % 13) * 250).cast("long")
+        )
+        .withColumn(
+            "frac_draw",
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            "#", F.col("doc_id").cast("string"), F.lit("ep")
+                        )
+                    ),
+                    1,
+                    13,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 1000,
+        )
+        .withColumn(
+            "n_copies",
+            (
+                F.expr("epochs_milli div 1000")
+                + F.when(
+                    F.col("frac_draw") < F.col("epochs_milli") % 1000, 1
+                ).otherwise(0)
+            ).cast("long"),
+        )
+    )
+    ups = sel.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        F.explode(
+            F.sequence(F.lit(1).cast("long"), F.col("n_copies"))
+        ).alias("copy_idx"),
+    )
+    w_pk = Window.partitionBy("source").orderBy(
+        F.md5(
+            F.concat_ws(
+                "#",
+                F.col("doc_id").cast("string"),
+                F.col("copy_idx").cast("string"),
+                F.lit("pk"),
+            )
+        ),
+        F.col("doc_id"),
+        F.col("copy_idx"),
+    )
+    sharded = ups.withColumn(
+        "cum2", F.sum("n_tokens").over(w_pk).cast("long")
+    ).withColumn(
+        "shard_id", F.expr(f"(cum2 - 1) div {_RECIPE_SHARD_TOKENS}")
+    )
+
+    # --- the datasheet: stage counts from ONE aggregation over the
+    # labeled frame plus one over the upsampled stream
+    def _cnt(cond):
+        return F.sum(F.when(cond, 1).otherwise(0)).cast("long")
+
+    def _tok(cond, col):
+        return F.sum(F.when(cond, F.col(col)).otherwise(0)).cast("long")
+
+    r18 = lab2.agg(
+        F.count(F.lit(1)).cast("long").alias("r1"),
+        F.sum("n_tok_raw").cast("long").alias("t1"),
+        _cnt(F.col("alive2")).alias("r2"),
+        _tok(F.col("alive2"), "n_tok_raw").alias("t2"),
+        _cnt(F.col("alive3")).alias("r3"),
+        _tok(F.col("alive3"), "n_tok_raw").alias("t3"),
+        _cnt(F.col("alive3")).alias("r4"),
+        _tok(F.col("alive3"), "n_tok_clean").alias("t4"),
+        _cnt(F.col("alive5")).alias("r5"),
+        _tok(F.col("alive5"), "n_tok_clean").alias("t5"),
+        _cnt(F.col("alive6")).alias("r6"),
+        _tok(F.col("alive6"), "n_tok_clean").alias("t6"),
+        _cnt(F.col("alive7")).alias("r7"),
+        _tok(F.col("alive7"), "n_tok_clean").alias("t7"),
+        _cnt(F.col("alive8")).alias("r8"),
+        _tok(F.col("alive8"), "n_tok_clean").alias("t8"),
+    )
+    r910 = sharded.agg(
+        F.count(F.lit(1)).cast("long").alias("r9"),
+        F.sum("n_tokens").cast("long").alias("t9"),
+        F.count_distinct(
+            F.concat_ws("#", F.col("source"), F.col("shard_id").cast("string"))
+        )
+        .cast("long")
+        .alias("r10"),
+    )
+    names = [
+        "ingest", "url_dedup", "exact_dedup", "boilerplate_scrub",
+        "neardup_lsh", "quality_gate", "decontaminate", "token_mixture",
+        "epoch_upsample", "pack_shard",
+    ]
+    rep = r18.crossJoin(r910)
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(i + 1).cast("long").alias("stage_ord"),
+                F.lit(nm).alias("stage"),
+                F.col(f"r{i + 1}").alias("rows_out"),
+                F.coalesce(
+                    F.col(f"t{i + 1}" if i + 1 != 10 else "t9"), F.lit(0)
+                ).alias("tokens_out"),
+            )
+            for i, nm in enumerate(names)
+        ]
+    )
+    return rep.select(F.explode(entries).alias("e")).select(
+        "e.stage_ord", "e.stage", "e.rows_out", "e.tokens_out"
+    )

@@ -577,3 +577,27 @@ def test_winnow_span_report_stage_boundary_checkpoints(
     assert "Scan ExistingRDD" in final_section
     assert "CartesianProduct" not in final_section
     assert "BroadcastNestedLoopJoin" not in final_section
+
+
+def test_corpus_recipe_post_checkpoint_plan_is_bounded(
+    spark, sf_dir, queries
+):
+    """corpus_recipe_pipeline (the flagship nine-stage recipe): the
+    labeled corpus is localCheckpointed once, so the report-side plan —
+    budget aggregate, mixture window, upsample explode, shard window,
+    two report aggregates — must stay bounded: no cartesian products,
+    no sort-merge joins (budgets broadcast), at most one
+    BroadcastNestedLoopJoin (the 1-row report crossJoin), and a fixed
+    exchange budget. The upstream labeling DAG (url/fp windows, scrub
+    broadcast, LSH drop-set joins) is pinned by its own operators'
+    tests; this pin holds the composition's post-checkpoint half."""
+    df = queries["corpus_recipe_pipeline"](spark, sf_dir)
+    plan = final_plan(df)
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("CartesianProduct") == 0, plan
+    assert final.count("SortMergeJoin") == 0, plan
+    assert final.count("BroadcastNestedLoopJoin") <= 1, plan
+    assert final.count("Exchange hashpartitioning") <= 6, plan
+    # the checkpointed labeled frame is consumed a bounded number of
+    # times (budgets, mixture window chain, report agg)
+    assert final.count("Scan ExistingRDD") <= 4, plan
