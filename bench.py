@@ -173,6 +173,11 @@ HEADLINE = [
     # url dedup → exact dedup → scrub → LSH near-dup → gopher gate →
     # decontaminate → mixture → upsample → shard, datasheet output
     "corpus_recipe_pipeline",
+    # skew pair: zipfian key (60% of rows on one key) through the
+    # salted join vs the plain shuffle join — the wall-clock delta IS
+    # the measurement (how much of the straggler AQE recovers alone)
+    "skew_salted_join_zipf",
+    "skew_plain_join_zipf",
 ]
 
 

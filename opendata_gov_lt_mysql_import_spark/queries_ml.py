@@ -6759,3 +6759,100 @@ def corpus_recipe_pipeline_q(spark: SparkSession, sf: str) -> DataFrame:
     return rep.select(F.explode(entries).alias("e")).select(
         "e.stage_ord", "e.stage", "e.rows_out", "e.tokens_out"
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 10: skew-robustness demonstration — a genuinely zipfian join key
+# through the salted join vs the plain shuffle join (verdict item 6: the
+# last common 100x scale-killer class with no empirical bench row)
+# ---------------------------------------------------------------------------
+
+# zipf-ish synthetic key over lineitem: one key owns ~60% of the fact
+# rows, three keys split the next ~30%, a 996-key tail shares ~10% —
+# the "one hot partition stalls the stage" distribution
+_ZIPF_KEY_SQL = """
+    CASE WHEN l_orderkey % 100 < 60 THEN 0
+         WHEN l_orderkey % 100 < 90 THEN 1 + (l_orderkey % 3)
+         ELSE 4 + (l_orderkey % 996) END
+"""
+
+_ZIPF_JOIN_ORACLE = f"""
+    WITH fact AS (
+      SELECT CAST({_ZIPF_KEY_SQL} AS BIGINT) AS zkey,
+             CAST(l_extendedprice AS DECIMAL(18,2)) AS price
+      FROM lineitem
+    ),
+    dim AS (
+      SELECT CAST(p_partkey % 1000 AS BIGINT) AS zkey,
+             min(p_brand) AS attr
+      FROM part GROUP BY 1
+    )
+    SELECT d.attr,
+           CAST(count(*) AS BIGINT) AS n_items,
+           CAST(sum(f.price) * 100 AS BIGINT) AS revenue_cents
+    FROM fact f JOIN dim d USING (zkey)
+    GROUP BY 1
+"""
+
+
+def _zipf_fact(spark: SparkSession, sf: str) -> DataFrame:
+    return load_table(spark, sf, "lineitem").select(
+        F.expr(_ZIPF_KEY_SQL).cast("long").alias("zkey"),
+        F.col("l_extendedprice").cast("decimal(18,2)").alias("price"),
+    )
+
+
+def _zipf_dim(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        load_table(spark, sf, "part")
+        .groupBy((F.col("p_partkey") % 1000).cast("long").alias("zkey"))
+        .agg(F.min("p_brand").alias("attr"))
+    )
+
+
+@query("skew_salted_join_zipf", _ZIPF_JOIN_ORACLE)
+def skew_salted_join_zipf_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Salted join under REAL key skew (the earlier salted entry,
+    ``salted_join_revenue``, exercises the mechanism on a uniform key —
+    this one exercises it on the distribution it exists for): the hot
+    key's rows spread across 16 salt partitions, the dim replicates
+    16x, and the shuffle-hash hint keeps the dim off the broadcast path
+    so the shuffle actually happens (at 100 TB the non-broadcastable
+    dim is the premise of salting; at bench scale the hint simulates
+    it). Result rows are identical to the plain join — the oracle runs
+    the plain join — so the entry pins both the parity property and the
+    wall-clock effect of de-skewing. Twin: ``skew_plain_join_zipf``."""
+    from .operators.joins import salted_join
+
+    j = salted_join(
+        _zipf_fact(spark, sf),
+        _zipf_dim(spark, sf).hint("shuffle_hash"),
+        on="zkey",
+        n_salts=16,
+    )
+    return j.groupBy("attr").agg(
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+        (F.sum("price") * 100).cast("long").alias("revenue_cents"),
+    )
+
+
+@query("skew_plain_join_zipf", _ZIPF_JOIN_ORACLE)
+def skew_plain_join_zipf_q(spark: SparkSession, sf: str) -> DataFrame:
+    """The unsalted twin of ``skew_salted_join_zipf``: the same zipfian
+    fact joined to the same dim with a plain shuffle join (shuffle-hash
+    hint, broadcast off the table for the same reason). The hot key
+    lands in ONE shuffle partition; AQE's skew splitter
+    (OptimizeSkewedJoin) may subdivide it at runtime — the bench pair
+    records how much of the straggler the built-in mitigation recovers
+    vs explicit salting, which is the number you consult before
+    reaching for salts at 100 TB."""
+    f_ = _zipf_fact(spark, sf)
+    d_ = _zipf_dim(spark, sf).hint("shuffle_hash")
+    return (
+        f_.join(d_, "zkey")
+        .groupBy("attr")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+            (F.sum("price") * 100).cast("long").alias("revenue_cents"),
+        )
+    )

@@ -601,3 +601,25 @@ def test_corpus_recipe_post_checkpoint_plan_is_bounded(
     # the checkpointed labeled frame is consumed a bounded number of
     # times (budgets, mixture window chain, report agg)
     assert final.count("Scan ExistingRDD") <= 4, plan
+
+
+def test_skew_salted_join_salts_the_shuffle_not_broadcast(
+    spark, sf_dir, queries
+):
+    """skew_salted_join_zipf: the salt fan-out must actually reach the
+    physical join — (zkey, __salt) composite shuffle key, dim exploded
+    16x, shuffle-hash (broadcast would make salting vacuous), and the
+    plain twin keeps the same non-broadcast join for an apples-to-apples
+    bench comparison."""
+    df = queries["skew_salted_join_zipf"](spark, sf_dir)
+    plan = final_plan(df)
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("BroadcastHashJoin") == 0, plan
+    assert final.count("ShuffledHashJoin") == 1, plan
+    assert "__salt" in final, plan  # salt survives into the join key
+    assert "explode" in final.lower(), plan  # dim-side salt replication
+
+    twin = queries["skew_plain_join_zipf"](spark, sf_dir)
+    tplan = final_plan(twin).split("== Initial Plan ==")[0]
+    assert tplan.count("BroadcastHashJoin") == 0, tplan
+    assert tplan.count("ShuffledHashJoin") == 1, tplan
