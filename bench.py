@@ -178,6 +178,9 @@ HEADLINE = [
     # the measurement (how much of the straggler AQE recovers alone)
     "skew_salted_join_zipf",
     "skew_plain_join_zipf",
+    # audio perceptual dedup: WAV encode/decode/envelope-hash through
+    # mapInPandas (the audio twin of image_dhash_dedup)
+    "audio_envelope_dedup",
 ]
 
 

@@ -617,3 +617,117 @@ def attach_synthetic_bmp(df: DataFrame, id_col: str) -> DataFrame:
             )
 
     return df.select(F.col(id_col)).mapInPandas(gen, schema=MEDIA_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Perceptual audio hashing (energy-envelope hash) — audio near-dup
+# ---------------------------------------------------------------------------
+
+EHASH_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("ehash", StringType()),
+    ]
+)
+
+
+def audio_envelope_hash(payload: bytes) -> str:
+    """Perceptual audio fingerprint, the dHash idea transposed to the
+    time axis: decode → mono mix → 65 equal-TIME segments → per-segment
+    RMS energy → bit per adjacent-segment comparison → 16 lowercase hex
+    chars (64 bits). Invariances a byte-md5 dedup provably lacks:
+
+    - GAIN: scaling every sample by g scales every segment energy by g,
+      so the adjacent-energy comparisons are unchanged;
+    - RESAMPLING: segment boundaries are FRACTIONS of total duration
+      (``i*n//65``), so a rate-doubled payload slices the same signal
+      regions; boundary rounding perturbs a 123-sample segment's RMS by
+      O(1%), far under any real envelope step.
+
+    Chromaprint/AcoustID fingerprint the spectrogram; the envelope hash
+    is its dependency-free integer cousin with the same pipeline role —
+    the groupBy key that collapses re-encoded/gain-shifted/resampled
+    uploads of one recording."""
+    import numpy as np
+
+    arr, _rate = decode_wav(payload)
+    x = arr.astype(np.float64).mean(axis=1)
+    n = x.shape[0]
+    if n == 0:
+        return "0" * 16
+    bounds = np.arange(66) * n // 65
+    energies = []
+    for i in range(65):
+        seg = x[bounds[i] : max(bounds[i + 1], bounds[i] + 1)]
+        energies.append(float(np.sqrt(np.mean(seg * seg))))
+    val = 0
+    for i in range(64):
+        val = (val << 1) | int(energies[i] > energies[i + 1])
+    return f"{val:016x}"
+
+
+def audio_envelope(media: DataFrame) -> DataFrame:
+    """Arrow mapInPandas envelope-hash stage: (media_id, payload) →
+    (media_id, ehash hex16). Same scale contract as ``image_dhash``:
+    payload bytes never leave the stage, the 16-char hash is the
+    downstream shuffle key; NULL/empty payloads hash to NULL (their own
+    quarantine group) instead of aborting the job."""
+
+    def hash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": batch["media_id"],
+                    "ehash": [
+                        audio_envelope_hash(p) if p else None
+                        for p in batch["payload"]
+                    ],
+                }
+            )
+
+    return media.mapInPandas(hash_batches, schema=EHASH_SCHEMA)
+
+
+def attach_synthetic_wav(df: DataFrame, id_col: str) -> DataFrame:
+    """Deterministic WAV generator for the audio-dedup path: pattern
+    index = id % 50, a 65-step amplitude staircase with a PER-PATTERN
+    step size (a fixed step would make the mod-97 wrap sequence — and
+    hence the sign-of-difference bits — coincide across offsets;
+    adjacent steps stay ≥3900 int16 units apart so envelope comparisons
+    never sit on a tie), ~0.5 s at 16 kHz. Every third id ships the 2×
+    NEAREST-NEIGHBOR RESAMPLE (32 kHz, byte-distinct), every fifth id
+    the 0.5× GAIN-SHIFTED copy — both md5-distinct payloads the
+    envelope hash must collapse onto their pattern's group."""
+    import numpy as np
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            payloads = []
+            for mid in batch[id_col]:
+                p = int(mid) % 50
+                j = np.arange(65)
+                amps = 800.0 + ((j * (13 + p) + p * 7) % 97) * 300.0
+                samples = np.repeat(amps, 123)  # ~8k samples ≈ 0.5 s
+                # alternate sign per sample: a ±A square carrier whose
+                # RMS is exactly the step amplitude
+                samples = samples * np.where(
+                    np.arange(samples.shape[0]) % 2 == 0, 1.0, -1.0
+                )
+                if int(mid) % 5 == 0:
+                    samples = samples * 0.5
+                rate = 16000
+                if int(mid) % 3 == 0:
+                    samples = np.repeat(samples, 2)
+                    rate = 32000
+                payloads.append(
+                    encode_wav(samples.astype(np.int16), sample_rate=rate)
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": batch[id_col],
+                    "mime": ["audio/wav"] * len(payloads),
+                    "payload": payloads,
+                }
+            )
+
+    return df.select(F.col(id_col)).mapInPandas(gen, schema=MEDIA_SCHEMA)

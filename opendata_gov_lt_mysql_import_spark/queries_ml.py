@@ -6856,3 +6856,36 @@ def skew_plain_join_zipf_q(spark: SparkSession, sf: str) -> DataFrame:
             (F.sum("price") * 100).cast("long").alias("revenue_cents"),
         )
     )
+
+
+@query("audio_envelope_dedup")
+def audio_envelope_dedup_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Perceptual audio dedup on the energy-envelope hash (the audio
+    analog of ``image_dhash_dedup`` — byte-md5 misses resampled and
+    gain-shifted uploads of one recording; the envelope hash collapses
+    them): deterministic 65-step amplitude-staircase WAVs are REALLY
+    encoded from doc_id-parameterized patterns (every third id shipped
+    as the byte-distinct 2× resample at 32 kHz, every fifth as the 0.5×
+    gain-shifted copy), REALLY decoded (RIFF chunk walk + PCM16 parse)
+    and envelope-hashed in an Arrow mapInPandas stage, then grouped on
+    the hash. Output (ehash, n_clips, keeper) — the resampled and
+    gain-shifted variants MUST land in their pattern's group.
+
+    Rows-only by design: WAV decode + perceptual envelope hashing is
+    not SQL-expressible; the hash-level invariants (gain invariance,
+    resample invariance, pattern separation) are pytest-pinned in
+    tests/test_multimodal.py.
+
+    Scale shape: identical to the image path — payload bytes flow
+    through ONE narrow mapInPandas projection and never shuffle; the
+    16-char hash is the groupBy key, keeper selection is the
+    exact-dedup min-id idiom."""
+    from .operators.multimodal import attach_synthetic_wav, audio_envelope
+
+    d = _spread(load_table(spark, sf, "documents").select("doc_id"))
+    media = attach_synthetic_wav(d, "doc_id")
+    hashed = audio_envelope(media)
+    return hashed.groupBy("ehash").agg(
+        F.count(F.lit(1)).cast("long").alias("n_clips"),
+        F.min("media_id").alias("keeper"),
+    )

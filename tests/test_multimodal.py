@@ -368,3 +368,62 @@ class TestImageDHash:
         assert all(r["n_images"] == 10 for r in out) and len(out) == 50
         keepers = sorted(r["keeper"] for r in out)
         assert keepers == list(range(50))
+
+
+class TestAudioEnvelopeDedup:
+    def test_gain_and_resample_invariance_md5_distinct(self):
+        import hashlib
+
+        import numpy as np
+
+        from opendata_gov_lt_mysql_import_spark.operators.multimodal import (
+            audio_envelope_hash,
+            encode_wav,
+        )
+
+        j = np.arange(65)
+        amps = 800.0 + ((j * (13 + 3) + 3 * 7) % 97) * 300.0
+        s = np.repeat(amps, 123)
+        s = s * np.where(np.arange(s.shape[0]) % 2 == 0, 1.0, -1.0)
+        base = encode_wav(s.astype(np.int16), 16000)
+        up = encode_wav(np.repeat(s, 2).astype(np.int16), 32000)
+        gain = encode_wav((s * 0.5).astype(np.int16), 16000)
+        assert (
+            len({hashlib.md5(x).hexdigest() for x in (base, up, gain)}) == 3
+        )
+        assert (
+            audio_envelope_hash(base)
+            == audio_envelope_hash(up)
+            == audio_envelope_hash(gain)
+        )
+
+    def test_distinct_patterns_separate(self):
+        import numpy as np
+
+        from opendata_gov_lt_mysql_import_spark.operators.multimodal import (
+            audio_envelope_hash,
+            encode_wav,
+        )
+
+        j = np.arange(65)
+        hashes = []
+        for p in range(8):
+            amps = 800.0 + ((j * (13 + p) + p * 7) % 97) * 300.0
+            s = np.repeat(amps, 123)
+            s = s * np.where(np.arange(s.shape[0]) % 2 == 0, 1.0, -1.0)
+            hashes.append(audio_envelope_hash(encode_wav(s.astype(np.int16))))
+        assert len(set(hashes)) == len(hashes)
+
+    def test_dedup_query_groups_variants_with_patterns(self, spark):
+        from opendata_gov_lt_mysql_import_spark.queries_ml import (
+            audio_envelope_dedup_q,
+        )
+
+        out = audio_envelope_dedup_q(spark, "/root/testdata/sf0.001").collect()
+        # 500 ids over 50 patterns -> every pattern group holds its 10
+        # ids INCLUDING the byte-distinct resamples (id % 3 == 0) and
+        # gain shifts (id % 5 == 0)
+        assert sum(r["n_clips"] for r in out) == 500
+        assert all(r["n_clips"] == 10 for r in out) and len(out) == 50
+        keepers = sorted(r["keeper"] for r in out)
+        assert keepers == list(range(50))

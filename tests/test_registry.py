@@ -35,6 +35,10 @@ ROWS_ONLY = {
     "(production twin of the oracle-exact winnow_dup_pairs); the "
     "hash-agnostic detection guarantee is pytest-pinned in "
     "tests/test_urls_and_classifier.py",
+    "audio_envelope_dedup": "WAV decode + perceptual envelope hashing "
+    "of real RIFF/PCM16 bytes is not SQL-expressible; gain invariance, "
+    "resample invariance and pattern separation pinned in "
+    "tests/test_multimodal.py",
 }
 
 
