@@ -168,3 +168,51 @@ class TestBoilerplateScrub:
             src_id = r["doc_id"] - 2000000
             assert r["n_removed"] == (2 if src_id % 3 == 0 else 0), src_id
             assert r["clean_text"] == r["orig"], src_id
+
+
+class TestCorpusRecipePipeline:
+    """Structural invariants of the flagship recipe datasheet — the
+    oracle pins exact values; these pin the SEMANTICS a reader assumes
+    (monotone attrition, the planted clone families dying at their
+    stage) so a synth/oracle co-drift can't silently change meaning."""
+
+    def test_datasheet_invariants(self, spark):
+        from opendata_gov_lt_mysql_import_spark.queries_ml import (
+            corpus_recipe_pipeline_q,
+        )
+
+        rows = {
+            r["stage_ord"]: r
+            for r in corpus_recipe_pipeline_q(
+                spark, "/root/testdata/sf0.001"
+            ).collect()
+        }
+        assert sorted(rows) == list(range(1, 11))
+        n_base = 500
+        n_recrawl = len([i for i in range(n_base) if i % 5 == 0])
+        n_mirror = len([i for i in range(n_base) if i % 7 == 0])
+        # ingest = base + recrawl variants + mirrors + near-dup edits
+        assert rows[1]["rows_out"] == n_base + n_recrawl + n_mirror + len(
+            [i for i in range(n_base) if i % 11 == 0]
+        )
+        # stage 2 removes EXACTLY the re-crawl URL variants
+        assert rows[1]["rows_out"] - rows[2]["rows_out"] == n_recrawl
+        # stage 3 removes EXACTLY the byte-identical mirrors
+        assert rows[2]["rows_out"] - rows[3]["rows_out"] == n_mirror
+        # scrub drops tokens, never docs
+        assert rows[4]["rows_out"] == rows[3]["rows_out"]
+        assert rows[4]["tokens_out"] < rows[3]["tokens_out"]
+        # docs monotone non-increasing through the selection stages
+        for k in range(4, 8):
+            assert rows[k + 1]["rows_out"] <= rows[k]["rows_out"]
+        # near-dup kills at least every surviving planted edit (+3e6
+        # ids are > any base id, so each confirmed pair drops the edit)
+        assert rows[5]["rows_out"] < rows[4]["rows_out"]
+        # the mixture budget is half the corpus tokens split by tier —
+        # per-source floors only round DOWN, so the ceiling is strict
+        assert rows[8]["tokens_out"] <= rows[7]["tokens_out"] // 2
+        # upsampling only multiplies: every selected doc appears >= 1x
+        assert rows[9]["rows_out"] >= rows[8]["rows_out"]
+        assert rows[9]["tokens_out"] >= rows[8]["tokens_out"]
+        # sharding preserves tokens and bounds shard size
+        assert rows[10]["tokens_out"] == rows[9]["tokens_out"]

@@ -114,6 +114,19 @@ TOP = [
     "winnow_dup_pairs_fast",
     "next_event_training_pairs",
     "image_dhash_dedup",
+    # round-10 (verdict item 2): 2x points for the three map/agg-shaped
+    # stragglers that landed without one
+    "corpus_datasheet",
+    "epoch_upsample_mixture",
+    "token_budget_mixture",
+    # round-10 surface: the nine-stage recipe composition (the new
+    # bench #1), the audio envelope-hash dedup, and the skew join pair
+    # (the salted twin should HOLD its ratio as the hot key doubles;
+    # the plain twin is the one allowed to degrade)
+    "corpus_recipe_pipeline",
+    "audio_envelope_dedup",
+    "skew_salted_join_zipf",
+    "skew_plain_join_zipf",
 ]
 
 # third scaling point for the heaviest candidate-generating entries —
@@ -142,6 +155,14 @@ TOP_4X = [
     # curvature point (kx copies are key-disjoint, so the graph is k
     # disjoint components and an honest plan should scale linearly)
     "triangle_count_copurchase",
+    # round-10 (verdict item 2): the calibration entry's 2x ratio ran
+    # 1.39 with no candidate-count column — it gets the 4x point AND
+    # candidate counts (below) so the time ratio is interpretable
+    # against candidate growth
+    "minhash_estimate_calibration",
+    # round-10: the recipe composition is the new bench #1 — same
+    # curvature discipline as winnow_span_report
+    "corpus_recipe_pipeline",
 ]
 
 # fourth scaling point (round-6 verdict item 7) for the two entries
@@ -379,11 +400,13 @@ def main() -> None:
     print("# --- 4x sweep ---", file=sys.stderr)
     r4 = _sweep(spark, queries, TOP_4X, DERIVED_4X)
     results_4x = {}
-    for name, (tb, t4, _nb, _nk) in r4.items():
+    for name, (tb, t4, nb4, nk4) in r4.items():
         entry = {
             "t_sf0.1": round(tb, 4),
             "t_4x": round(t4, 4),
             "ratio_4x": round(t4 / tb, 2),
+            "rows_sf0.1": nb4,
+            "rows_4x": nk4,
         }
         if name in results:
             # curvature: ratio(4x)/ratio(2x) ~1 = linear, ~2 = quadratic
@@ -391,6 +414,31 @@ def main() -> None:
                 (t4 / tb) / max(results[name]["ratio"], 0.01), 2
             )
         results_4x[name] = entry
+    # calibration evidence counts (round-10 verdict item 2): its cost is
+    # linear in the md5-LSH candidate stream, so record that stream's
+    # size at 1x and 4x next to the time ratio
+    if "minhash_estimate_calibration" in results_4x:
+        from opendata_gov_lt_mysql_import_spark.operators.dedup import (
+            minhash_md5_pairs,
+        )
+        from opendata_gov_lt_mysql_import_spark.queries_ml import (
+            _documents_with_dups,
+        )
+
+        def _calib_cands(sf_dir: str) -> int:
+            d = _documents_with_dups(spark, sf_dir)
+            return minhash_md5_pairs(
+                d, "text", "doc_id", n_gram=3, k=16, bands=8
+            ).count()
+
+        c1, c4 = _calib_cands(BASE), _calib_cands(DERIVED_4X)
+        results_4x["minhash_estimate_calibration"].update(
+            {
+                "candidates_sf0.1": c1,
+                "candidates_4x": c4,
+                "candidate_ratio_4x": round(c4 / max(c1, 1), 2),
+            }
+        )
 
     print("# --- 8x sweep ---", file=sys.stderr)
     build_kx(spark, 8, DERIVED_8X)
