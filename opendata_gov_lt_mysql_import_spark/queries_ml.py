@@ -6513,12 +6513,17 @@ def corpus_recipe_pipeline_q(spark: SparkSession, sf: str) -> DataFrame:
     lines = corpus.select(
         "doc_id", F.explode(F.split(F.col("text"), "\n")).alias("line")
     )
+    # eager checkpoint: this 1-row frame is consumed by the labeling
+    # flow AND by every sub-DAG built on the scrubbed corpus (LSH
+    # signatures, pair verification, contamination grams) — without it,
+    # each consumer re-runs the full line-DF aggregation over the corpus
     bp = (
         lines.where(F.trim(F.col("line")) != "")
         .groupBy(F.trim(F.col("line")).alias("k"))
         .agg(F.count_distinct("doc_id").alias("df"))
         .filter(F.col("df") >= _RECIPE_BP_MIN)
         .agg(F.collect_list("k").alias("bp_lines"))
+        .localCheckpoint(eager=True)
     )
     clean_expr = F.array_join(
         F.filter(

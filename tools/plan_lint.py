@@ -125,6 +125,13 @@ WHITELIST: dict[str, dict[str, str]] = {
         "bnl_join": "1-row bucket-total aggregate cross-joined onto the "
         "fixed 256-row bucket-stats frame (constant-sized both sides)"
     },
+    "corpus_recipe_pipeline": {
+        "bnl_join": "1-row stage-count aggregate cross-joined with the "
+        "1-row upsample/shard aggregate to assemble the 10-row "
+        "datasheet (both sides single rows by construction; the "
+        "corpus-side boilerplate cross-join sits behind the "
+        "localCheckpoint and is the whitelisted 1-row-array shape)"
+    },
     "assign_row_ids": {
         # the operator exists to AVOID the global window; its per-partition
         # count aggregate groups by spark_partition_id (no global window)
