@@ -181,6 +181,11 @@ HEADLINE = [
     # audio perceptual dedup: WAV encode/decode/envelope-hash through
     # mapInPandas (the audio twin of image_dhash_dedup)
     "audio_envelope_dedup",
+    # ANN recall calibration: exact panel scoring + IVF probe overlap
+    "ann_recall_calibration",
+    # in-engine perceptron training: 3 unrolled epochs of broadcast
+    # weight joins + gradient aggregates over the hashed feature frame
+    "classifier_train_perceptron",
 ]
 
 

@@ -6894,3 +6894,353 @@ def audio_envelope_dedup_q(spark: SparkSession, sf: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_clips"),
         F.min("media_id").alias("keeper"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 10: ANN recall calibration — the estimator-calibration discipline
+# (minhash_estimate_calibration) applied to the IVF index: don't just run
+# the approximate path, MEASURE what it loses against exact top-k
+# ---------------------------------------------------------------------------
+
+@query(
+    "ann_recall_calibration",
+    """
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ),
+    qs AS (SELECT vec_id AS qid, e AS qe FROM v WHERE vec_id % 31 = 7),
+    c AS (SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id BETWEEN 1 AND 16),
+    asg AS (
+      SELECT vec_id, cid FROM (
+        SELECT v.vec_id, c.cid,
+               row_number() OVER (PARTITION BY v.vec_id
+                 ORDER BY list_dot_product(v.e, c.ce) DESC, c.cid) AS rn
+        FROM v, c)
+      WHERE rn = 1
+    ),
+    probe AS (
+      SELECT qid, cid FROM (
+        SELECT q.qid, c.cid,
+               row_number() OVER (PARTITION BY q.qid
+                 ORDER BY list_dot_product(q.qe, c.ce) DESC, c.cid) AS rn
+        FROM qs q, c)
+      WHERE rn <= 2
+    ),
+    top10 AS (
+      SELECT qid, vec_id FROM (
+        SELECT q.qid, v.vec_id,
+               row_number() OVER (PARTITION BY q.qid
+                 ORDER BY round(list_cosine_similarity(v.e, q.qe), 4) DESC,
+                          v.vec_id) AS rn
+        FROM v, qs q WHERE v.vec_id <> q.qid)
+      WHERE rn <= 10
+    ),
+    hits AS (
+      SELECT t.qid, count(*) AS h
+      FROM top10 t
+      JOIN asg a USING (vec_id)
+      JOIN probe p ON p.qid = t.qid AND p.cid = a.cid
+      GROUP BY 1
+    ),
+    probed AS (
+      SELECT p.qid, count(*) AS np
+      FROM probe p JOIN asg a USING (cid) GROUP BY 1
+    )
+    SELECT q.qid,
+           CAST(COALESCE(pr.np, 0) AS BIGINT) AS n_probed,
+           CAST(COALESCE(h.h, 0) AS BIGINT) AS hits10,
+           CAST(COALESCE(h.h, 0) * 1000 AS BIGINT) AS recall_bp
+    FROM qs q
+    LEFT JOIN hits h USING (qid)
+    LEFT JOIN probed pr USING (qid)
+    """,
+)
+def ann_recall_calibration_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Recall@10 of the IVF index against exact cosine top-10, per
+    query, oracle-exact — the ``minhash_estimate_calibration``
+    discipline applied to similarity search: before trusting the
+    approximate path at 100 TB, measure exactly what nprobe=2 over 16
+    cells loses. A deterministic query panel (vec_id % 31 == 7) is
+    scored exactly against the whole collection (rounded-cosine rank,
+    vec_id tiebreak — the selection stays engine-deterministic) and
+    against the IVF candidate cells (same pivot centroids and probe
+    rule as ``ann_ivf_topk``); the report is (qid, n_probed, hits10,
+    recall_bp), all integers. n_probed is the pruning evidence: the
+    per-query exact work the index actually avoided.
+
+    Scale shape: the query panel and the 16-pivot frame broadcast (the
+    exact-scoring cross join is Q-bounded BY CONSTRUCTION — a recall
+    audit samples a fixed panel no matter the corpus size); assignment
+    is one window over N×16 rows keyed by vec_id — the same shuffle the
+    IVF build itself pays; per-query ranking shuffles Q×N scored rows
+    on qid. At extreme N the exact side becomes per-query TakeOrdered
+    (bounded state) — the panel stays the unit of account either way."""
+    from pyspark.sql import Window
+
+    from .operators.similarity import cosine, dot
+
+    emb = load_table(spark, sf, "embeddings")
+    qs = emb.filter(F.col("vec_id") % 31 == 7).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    piv = emb.filter(F.col("vec_id").between(1, 16)).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
+    )
+    w_asg = Window.partitionBy("vec_id").orderBy(
+        F.desc("d"), F.asc("cid")
+    )
+    asg = (
+        emb.crossJoin(F.broadcast(piv))
+        .select(
+            "vec_id",
+            "cid",
+            dot(F.col("embedding"), F.col("ce")).alias("d"),
+        )
+        .withColumn("rn", F.row_number().over(w_asg))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cid")
+    )
+    w_probe = Window.partitionBy("qid").orderBy(F.desc("d"), F.asc("cid"))
+    probe = (
+        qs.crossJoin(F.broadcast(piv))
+        .select("qid", "cid", dot(F.col("qe"), F.col("ce")).alias("d"))
+        .withColumn("rn", F.row_number().over(w_probe))
+        .filter(F.col("rn") <= 2)
+        .select("qid", "cid")
+    )
+    w_top = Window.partitionBy("qid").orderBy(
+        F.desc("sim"), F.asc("vec_id")
+    )
+    top10 = (
+        emb.crossJoin(F.broadcast(qs))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            F.round(cosine(F.col("embedding"), F.col("qe")), 4).alias("sim"),
+        )
+        .withColumn("rn", F.row_number().over(w_top))
+        .filter(F.col("rn") <= 10)
+        .select("qid", "vec_id")
+    )
+    hits = (
+        top10.join(asg, "vec_id")
+        .join(probe, ["qid", "cid"])
+        .groupBy("qid")
+        .agg(F.count(F.lit(1)).alias("h"))
+    )
+    probed = (
+        probe.join(asg, "cid")
+        .groupBy("qid")
+        .agg(F.count(F.lit(1)).alias("np"))
+    )
+    return (
+        qs.select("qid")
+        .join(hits, "qid", "left")
+        .join(probed, "qid", "left")
+        .select(
+            "qid",
+            F.coalesce(F.col("np"), F.lit(0)).cast("long").alias("n_probed"),
+            F.coalesce(F.col("h"), F.lit(0)).cast("long").alias("hits10"),
+            (F.coalesce(F.col("h"), F.lit(0)) * 1000)
+            .cast("long")
+            .alias("recall_bp"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round 10: in-engine classifier TRAINING — the training-side complement
+# to quality_classifier_hashed's inference: a batch perceptron over the
+# same hashing-trick feature space, integer-exact, 3 unrolled epochs
+# ---------------------------------------------------------------------------
+
+_TRAIN_ORACLE = rf"""
+    WITH t AS (
+      SELECT doc_id,
+             CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                  ELSE str_split_regex(trim(text), '\s+') END AS toks
+      FROM documents
+    ),
+    lab AS (
+      SELECT doc_id,
+             CASE WHEN len(toks) BETWEEN 20 AND 1000
+                   AND len(list_filter(toks,
+                         x -> list_contains({{sw}}, lower(x)))) >= 2
+                  THEN 1 ELSE -1 END AS y
+      FROM t
+    ),
+    f AS (
+      SELECT doc_id, CAST('0x' || substr(md5(u.tok), 1, 2) AS BIGINT)
+               AS bucket,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM t, unnest(t.toks) AS u(tok)
+      GROUP BY 1, 2
+    ),
+    w0 AS (
+      SELECT DISTINCT bucket,
+             (bucket * 2654435761) % 1024 - 512 AS w
+      FROM f
+    ),
+    s1 AS (
+      SELECT l.doc_id, l.y,
+             COALESCE((SELECT CAST(sum(w0.w * f.cnt) AS BIGINT)
+                       FROM f JOIN w0 USING (bucket)
+                       WHERE f.doc_id = l.doc_id), 0) AS score
+      FROM lab l
+    ),
+    m1 AS (SELECT doc_id, y FROM s1 WHERE y * score <= 0),
+    w1 AS (
+      SELECT w0.bucket,
+             CAST(w0.w + COALESCE(g.g, 0) AS BIGINT) AS w
+      FROM w0 LEFT JOIN (
+        SELECT bucket, sum(m.y * f.cnt) AS g
+        FROM f JOIN m1 m USING (doc_id) GROUP BY 1
+      ) g USING (bucket)
+    ),
+    s2 AS (
+      SELECT l.doc_id, l.y,
+             COALESCE((SELECT CAST(sum(w1.w * f.cnt) AS BIGINT)
+                       FROM f JOIN w1 USING (bucket)
+                       WHERE f.doc_id = l.doc_id), 0) AS score
+      FROM lab l
+    ),
+    m2 AS (SELECT doc_id, y FROM s2 WHERE y * score <= 0),
+    w2 AS (
+      SELECT w1.bucket,
+             CAST(w1.w + COALESCE(g.g, 0) AS BIGINT) AS w
+      FROM w1 LEFT JOIN (
+        SELECT bucket, sum(m.y * f.cnt) AS g
+        FROM f JOIN m2 m USING (doc_id) GROUP BY 1
+      ) g USING (bucket)
+    ),
+    s3 AS (
+      SELECT l.doc_id, l.y,
+             COALESCE((SELECT CAST(sum(w2.w * f.cnt) AS BIGINT)
+                       FROM f JOIN w2 USING (bucket)
+                       WHERE f.doc_id = l.doc_id), 0) AS score
+      FROM lab l
+    ),
+    m3 AS (SELECT doc_id, y FROM s3 WHERE y * score <= 0),
+    w3 AS (
+      SELECT w2.bucket,
+             CAST(w2.w + COALESCE(g.g, 0) AS BIGINT) AS w
+      FROM w2 LEFT JOIN (
+        SELECT bucket, sum(m.y * f.cnt) AS g
+        FROM f JOIN m3 m USING (doc_id) GROUP BY 1
+      ) g USING (bucket)
+    )
+    SELECT w0.bucket,
+           CAST(w0.w AS BIGINT) AS w_init,
+           w1.w AS w_ep1, w2.w AS w_ep2, w3.w AS w_ep3,
+           CAST((SELECT count(*) FROM m1) AS BIGINT) AS err1,
+           CAST((SELECT count(*) FROM m2) AS BIGINT) AS err2,
+           CAST((SELECT count(*) FROM m3) AS BIGINT) AS err3
+    FROM w0 JOIN w1 USING (bucket) JOIN w2 USING (bucket)
+            JOIN w3 USING (bucket)
+"""
+
+
+@query(
+    "classifier_train_perceptron",
+    _TRAIN_ORACLE.format(sw=_STOPWORD_SQL_LIST),
+)
+def classifier_train_perceptron_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Classifier TRAINING in the engine, integer-exact: a batch
+    perceptron (Rosenblatt update, lr=1) over the SAME md5-byte
+    hashing-trick feature space as ``quality_classifier_hashed``,
+    initialized from that query's shipped arithmetic weights and
+    trained for 3 unrolled epochs against a deterministic label rule
+    (the Gopher word-count + stopword core). Output: the full weight
+    trace (bucket, w_init, w_ep1..3) plus per-epoch misclassification
+    counts — every number a BIGINT, the whole trajectory recomputed
+    independently by the oracle. err1 is the shipped weights' error;
+    err2/err3 show the training actually moving.
+
+    Scale shape: the feature frame (doc × bucket counts — one shuffle
+    off the token stream) and the label frame are built once and
+    localCheckpointed (consumed by all 3 epochs); each epoch is one
+    broadcast of the ≤256-row weight vector onto the feature frame, a
+    per-doc score aggregate, and a per-bucket gradient aggregate — cost
+    is epochs × O(tokens), never epochs × O(docs²). The unrolled-round
+    discipline is kcenter_coreset's; the 1-row error counts ride the
+    output via bounded cross-joins."""
+    from pyspark.sql import Window  # noqa: F401
+
+    d = load_table(spark, sf, "documents")
+    t = d.select("doc_id", tokens(F.col("text")).alias("toks"))
+    n = F.size("toks").cast("long")
+    stop_hits = F.size(
+        F.filter(F.col("toks"), lambda x: F.lower(x).isin(*_ALL_STOPWORDS))
+    ).cast("long")
+    lab = t.select(
+        "doc_id",
+        F.when(n.between(20, 1000) & (stop_hits >= 2), 1)
+        .otherwise(-1)
+        .cast("long")
+        .alias("y"),
+    ).localCheckpoint(eager=True)
+    f = (
+        t.select("doc_id", F.explode("toks").alias("tok"))
+        .select(
+            "doc_id",
+            F.conv(F.substring(F.md5("tok"), 1, 2), 16, 10)
+            .cast("long")
+            .alias("bucket"),
+        )
+        .groupBy("doc_id", "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .localCheckpoint(eager=True)
+    )
+    w = f.select("bucket").distinct().select(
+        "bucket",
+        ((F.col("bucket") * F.lit(2654435761).cast("long")) % 1024 - 512)
+        .cast("long")
+        .alias("w"),
+    )
+
+    def epoch(wprev):
+        sc = (
+            f.join(F.broadcast(wprev), "bucket")
+            .groupBy("doc_id")
+            .agg(F.sum(F.col("w") * F.col("cnt")).cast("long").alias("sc"))
+        )
+        s = lab.join(sc, "doc_id", "left").select(
+            "doc_id", "y", F.coalesce(F.col("sc"), F.lit(0)).alias("score")
+        )
+        mis = s.filter(F.col("y") * F.col("score") <= 0).select("doc_id", "y")
+        err = mis.agg(F.count(F.lit(1)).cast("long").alias("err"))
+        g = (
+            f.join(mis, "doc_id")
+            .groupBy("bucket")
+            .agg(F.sum(F.col("y") * F.col("cnt")).cast("long").alias("g"))
+        )
+        wnext = wprev.join(g, "bucket", "left").select(
+            "bucket",
+            (F.col("w") + F.coalesce(F.col("g"), F.lit(0)))
+            .cast("long")
+            .alias("w"),
+        )
+        return wnext, err
+
+    w1, e1 = epoch(w)
+    # each epoch's weights feed BOTH the next epoch and the output trace
+    w1 = w1.localCheckpoint(eager=True)
+    w2, e2 = epoch(w1)
+    w2 = w2.localCheckpoint(eager=True)
+    w3, e3 = epoch(w2)
+    errs = (
+        e1.withColumnRenamed("err", "err1")
+        .crossJoin(e2.withColumnRenamed("err", "err2"))
+        .crossJoin(e3.withColumnRenamed("err", "err3"))
+    )
+    trace = (
+        w.withColumnRenamed("w", "w_init")
+        .join(w1.withColumnRenamed("w", "w_ep1"), "bucket")
+        .join(w2.withColumnRenamed("w", "w_ep2"), "bucket")
+        .join(w3.withColumnRenamed("w", "w_ep3"), "bucket")
+    )
+    return trace.crossJoin(F.broadcast(errs)).select(
+        "bucket", "w_init", "w_ep1", "w_ep2", "w_ep3",
+        "err1", "err2", "err3",
+    )

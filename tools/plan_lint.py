@@ -77,6 +77,11 @@ WHITELIST: dict[str, dict[str, str]] = {
         "bnl_join": "1-row vocabulary-size aggregate cross-joined onto "
         "the bigram stream (same shape as unigram_logprob_score)"
     },
+    "ccnet_perplexity_buckets": {
+        "bnl_join": "embeds the bigram LM's 1-row vocabulary-size "
+        "cross-join (see bigram_logprob_score; surfaced by the round-10 "
+        "full-registry sweep)"
+    },
     "q11_important_parts": {
         "bnl_join": "1-row (total, n) threshold aggregate cross-joined "
         "onto the per-part frame (replaces an eager two-pass collect; "
@@ -124,6 +129,17 @@ WHITELIST: dict[str, dict[str, str]] = {
     "dsir_importance_weights": {
         "bnl_join": "1-row bucket-total aggregate cross-joined onto the "
         "fixed 256-row bucket-stats frame (constant-sized both sides)"
+    },
+    "classifier_train_perceptron": {
+        "bnl_join": "three 1-row per-epoch error aggregates cross-joined "
+        "with each other and onto the <=256-row weight trace (same "
+        "shape as tfidf's corpus count)"
+    },
+    "ann_recall_calibration": {
+        "bnl_join": "bounded query panel (vec_id % 31 == 7) and the "
+        "16-pivot frame broadcast against the collection — the exact "
+        "side of a recall audit is Q-bounded by construction (same "
+        "contract as hard_negatives/semantic_decontaminate)"
     },
     "corpus_recipe_pipeline": {
         "bnl_join": "1-row stage-count aggregate cross-joined with the "
