@@ -127,6 +127,13 @@ TOP = [
     "audio_envelope_dedup",
     "skew_salted_join_zipf",
     "skew_plain_join_zipf",
+    # round-10 second wave: the recall audit (the %31 panel grows WITH
+    # the collection in the kx derivation, so exact-side work is
+    # Q x N = k² — a sublinear time ratio here is fixed-overhead
+    # amortization; production pins a fixed panel) and the perceptron
+    # trainer (epochs x token-linear gradient passes)
+    "ann_recall_calibration",
+    "classifier_train_perceptron",
 ]
 
 # third scaling point for the heaviest candidate-generating entries —
