@@ -186,6 +186,9 @@ HEADLINE = [
     # in-engine perceptron training: 3 unrolled epochs of broadcast
     # weight joins + gradient aggregates over the hashed feature frame
     "classifier_train_perceptron",
+    # recipe removed-sample audit: shares the labeled frame with the
+    # datasheet; cost is the labeling DAG + six bounded rank partitions
+    "corpus_recipe_rejects",
 ]
 
 

@@ -6450,40 +6450,13 @@ def _recipe_corpus(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@query("corpus_recipe_pipeline", _corpus_recipe_oracle())
-def corpus_recipe_pipeline_q(spark: SparkSession, sf: str) -> DataFrame:
-    """The flagship RedPajama/Dolma-style data recipe as ONE lazy DAG:
-    URL-canonical dedup → exact dedup → boilerplate line scrub →
-    MinHash-LSH near-dup (verified at bigram Jaccard ≥ 0.5) → Gopher
-    rule gate → n-gram decontamination → DoReMi-lite token-budget
-    mixture → epoch-multiplier upsampling → token-budget pack/shard,
-    with a 10-row per-stage attrition datasheet (rows_out, tokens_out)
-    as the output. Scrub runs BEFORE fuzzy dedup (the CCNet order):
-    shared per-site boilerplate would otherwise pollute the shingle
-    space and inflate LSH candidates quadratically per site.
-
-    Composition design: stages 2-7 are computed as survival LABELS on a
-    single labeled frame (keeper windows conditioned on prior-stage
-    aliveness; small drop-sets joined in), not as chained filters — so
-    the per-stage counts come from ONE aggregation pass instead of
-    re-running the prefix DAG per stage. The labeled frame is
-    localCheckpointed once (the winnow_span_report discipline: it feeds
-    the budget aggregate, the mixture window, and the report aggregate,
-    and AQE would otherwise recompute the whole labeling per consumer).
-    The near-dup, boilerplate-frequency, and contamination drop-sets are
-    independent bounded sub-DAGs joined back in: the boilerplate set is
-    a 1-row array broadcast (bounded by total_lines/min_docs), the
-    near-dup and contamination sets are id-sets bounded by the confirmed
-    pair/hit volume.
-
-    Every number in the report is integer-exact (token counts, row
-    counts), and every stage semantics is recomputed independently by
-    the DuckDB oracle — including the full md5-MinHash signature/band/
-    verify chain — so the COMPOSITION is oracle-checked end to end, not
-    just its stages. Stage-2's oracle is a specification (re-crawl
-    variants merge with their base; mirrors/edits don't): the Spark side
-    runs the real ``canonical_url``, so an under- or over-merge shows up
-    as a count divergence."""
+def _recipe_labeled(spark: SparkSession, sf: str) -> DataFrame:
+    """Stages 1-8 of the recipe as ONE labeled frame: every corpus row
+    carries its survival labels (alive2..alive8), raw/clean token
+    counts, and the mixture running sum — shared by the datasheet
+    (``corpus_recipe_pipeline``) and the removed-sample audit
+    (``corpus_recipe_rejects``). See the pipeline docstring for the
+    composition design."""
     from pyspark.sql import Window
 
     from .functions.urls import canonical_url
@@ -6645,6 +6618,47 @@ def corpus_recipe_pipeline_q(spark: SparkSession, sf: str) -> DataFrame:
             & (F.col("cum") <= F.coalesce(F.col("budget"), F.lit(0))),
         )
     )
+
+    return lab2
+
+
+@query("corpus_recipe_pipeline", _corpus_recipe_oracle())
+def corpus_recipe_pipeline_q(spark: SparkSession, sf: str) -> DataFrame:
+    """The flagship RedPajama/Dolma-style data recipe as ONE lazy DAG:
+    URL-canonical dedup → exact dedup → boilerplate line scrub →
+    MinHash-LSH near-dup (verified at bigram Jaccard ≥ 0.5) → Gopher
+    rule gate → n-gram decontamination → DoReMi-lite token-budget
+    mixture → epoch-multiplier upsampling → token-budget pack/shard,
+    with a 10-row per-stage attrition datasheet (rows_out, tokens_out)
+    as the output. Scrub runs BEFORE fuzzy dedup (the CCNet order):
+    shared per-site boilerplate would otherwise pollute the shingle
+    space and inflate LSH candidates quadratically per site.
+
+    Composition design: stages 2-7 are computed as survival LABELS on a
+    single labeled frame (keeper windows conditioned on prior-stage
+    aliveness; small drop-sets joined in), not as chained filters — so
+    the per-stage counts come from ONE aggregation pass instead of
+    re-running the prefix DAG per stage. The labeled frame is
+    localCheckpointed once (the winnow_span_report discipline: it feeds
+    the budget aggregate, the mixture window, and the report aggregate,
+    and AQE would otherwise recompute the whole labeling per consumer).
+    The near-dup, boilerplate-frequency, and contamination drop-sets are
+    independent bounded sub-DAGs joined back in: the boilerplate set is
+    a 1-row array broadcast (bounded by total_lines/min_docs), the
+    near-dup and contamination sets are id-sets bounded by the confirmed
+    pair/hit volume.
+
+    Every number in the report is integer-exact (token counts, row
+    counts), and every stage semantics is recomputed independently by
+    the DuckDB oracle — including the full md5-MinHash signature/band/
+    verify chain — so the COMPOSITION is oracle-checked end to end, not
+    just its stages. Stage-2's oracle is a specification (re-crawl
+    variants merge with their base; mirrors/edits don't): the Spark side
+    runs the real ``canonical_url``, so an under- or over-merge shows up
+    as a count divergence."""
+    from pyspark.sql import Window
+
+    lab2 = _recipe_labeled(spark, sf)
 
     # --- stages 9-10: epoch-multiplier upsampling + token-budget shards
     src_idx = F.substring(F.col("source"), 4, 10).cast("long")
@@ -7243,4 +7257,114 @@ def classifier_train_perceptron_q(spark: SparkSession, sf: str) -> DataFrame:
     return trace.crossJoin(F.broadcast(errs)).select(
         "bucket", "w_init", "w_ep1", "w_ep2", "w_ep3",
         "err1", "err2", "err3",
+    )
+
+
+def _corpus_recipe_ctes() -> str:
+    """The recipe oracle's WITH-chain (everything up to the report
+    SELECT) — shared verbatim by the datasheet and rejects oracles so
+    the two can never drift apart."""
+    full = _corpus_recipe_oracle()
+    return full[: full.index("SELECT CAST(1 AS BIGINT)")]
+
+
+def _corpus_recipe_rejects_oracle() -> str:
+    ntok = (
+        "CASE WHEN trim({t}) = '' THEN 0 "
+        r"ELSE len(str_split_regex(trim({t}), '\s+')) END"
+    )
+    return _corpus_recipe_ctes() + rf""", rej AS (
+      SELECT 2 AS stage_ord, 'url_dedup' AS stage, doc_id, base_id,
+             CAST({ntok.format(t="text")} AS BIGINT) AS n_tokens
+      FROM corpus WHERE doc_id NOT IN (SELECT doc_id FROM s2)
+      UNION ALL
+      SELECT 3, 'exact_dedup', doc_id, base_id,
+             CAST({ntok.format(t="text")} AS BIGINT)
+      FROM s2 WHERE doc_id NOT IN (SELECT doc_id FROM s3)
+      UNION ALL
+      SELECT 5, 'neardup_lsh', doc_id, base_id,
+             CAST({ntok.format(t="text")} AS BIGINT)
+      FROM s4 WHERE doc_id NOT IN (SELECT doc_id FROM s5)
+      UNION ALL
+      SELECT 6, 'quality_gate', doc_id, base_id,
+             CAST({ntok.format(t="text")} AS BIGINT)
+      FROM s5 WHERE doc_id NOT IN (SELECT doc_id FROM s6)
+      UNION ALL
+      SELECT 7, 'decontaminate', doc_id, base_id,
+             CAST({ntok.format(t="text")} AS BIGINT)
+      FROM s6 WHERE doc_id NOT IN (SELECT doc_id FROM s7)
+      UNION ALL
+      SELECT 8, 'token_mixture', s.doc_id, s.base_id,
+             CAST({ntok.format(t="s.text")} AS BIGINT)
+      FROM s7 s WHERE s.doc_id NOT IN (SELECT doc_id FROM s8)
+    ),
+    ranked_rej AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY stage_ord
+        ORDER BY md5(CAST(doc_id AS VARCHAR) || '#rej'), doc_id) AS rn
+      FROM rej
+    )
+    SELECT CAST(stage_ord AS BIGINT) AS stage_ord, stage, doc_id,
+           base_id, n_tokens
+    FROM ranked_rej WHERE rn <= 3
+    """
+
+
+@query("corpus_recipe_rejects", _corpus_recipe_rejects_oracle())
+def corpus_recipe_rejects_q(spark: SparkSession, sf: str) -> DataFrame:
+    """The recipe's removed-sample audit (the FineWeb/Dolma release
+    artifact next to the datasheet: for every filtering stage, a
+    deterministic sample of what it threw away, so a human can inspect
+    whether the filters cut what they claim to): for each dropping
+    stage, the md5-ranked top-3 removed documents with their id,
+    provenance base_id, and token count at the point of removal (raw
+    tokens for the pre-scrub stages, scrubbed after). Shares
+    ``_recipe_labeled`` with the datasheet on the Spark side and the
+    verbatim CTE chain on the oracle side — the two views cannot drift.
+
+    Scale shape: one filter + one per-stage window over the REMOVED
+    subset of the already-checkpointed labeled frame (six bounded rank
+    partitions); the md5 rank is the stratified-quota idiom, so the
+    sample is stable under appends."""
+    from pyspark.sql import Window
+
+    lab2 = _recipe_labeled(spark, sf)
+    stage_ord = (
+        F.when(~F.col("alive2"), 2)
+        .when(~F.col("alive3"), 3)
+        .when(~F.col("alive5"), 5)
+        .when(~F.col("alive6"), 6)
+        .when(~F.col("alive7"), 7)
+        .when(~F.col("alive8"), 8)
+    )
+    stage_name = (
+        F.when(F.col("stage_ord") == 2, "url_dedup")
+        .when(F.col("stage_ord") == 3, "exact_dedup")
+        .when(F.col("stage_ord") == 5, "neardup_lsh")
+        .when(F.col("stage_ord") == 6, "quality_gate")
+        .when(F.col("stage_ord") == 7, "decontaminate")
+        .otherwise("token_mixture")
+    )
+    rej = (
+        lab2.withColumn("stage_ord", stage_ord)
+        .filter(F.col("stage_ord").isNotNull())
+        .select(
+            F.col("stage_ord").cast("long").alias("stage_ord"),
+            stage_name.alias("stage"),
+            "doc_id",
+            "base_id",
+            F.when(F.col("stage_ord") <= 3, F.col("n_tok_raw"))
+            .otherwise(F.col("n_tok_clean"))
+            .cast("long")
+            .alias("n_tokens"),
+        )
+    )
+    w = Window.partitionBy("stage_ord").orderBy(
+        F.md5(F.concat_ws("#", F.col("doc_id").cast("string"), F.lit("rej"))),
+        F.col("doc_id"),
+    )
+    return (
+        rej.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .drop("rn")
     )
