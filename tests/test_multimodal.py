@@ -427,3 +427,51 @@ class TestAudioEnvelopeDedup:
         assert all(r["n_clips"] == 10 for r in out) and len(out) == 50
         keepers = sorted(r["keeper"] for r in out)
         assert keepers == list(range(50))
+
+
+class TestAudioEnvelopeProperties:
+    """Property tests over RANDOM staircase signals — the fixed 50
+    patterns above pin the query; these pin the hash's contract for any
+    signal in its stated invariance class (adjacent segment energies
+    well-separated)."""
+
+    def test_gain_and_resample_invariance_random_staircases(self):
+        import numpy as np
+
+        from opendata_gov_lt_mysql_import_spark.operators.multimodal import (
+            audio_envelope_hash,
+            encode_wav,
+        )
+
+        rng = np.random.default_rng(421)
+        for _ in range(25):
+            # random amplitudes with a guaranteed >=600-unit adjacent gap
+            # (the invariance class: comparisons never sit on a tie)
+            amps = rng.integers(1, 50, size=65) * 600.0 + 500.0
+            while np.any(np.abs(np.diff(amps)) < 600):
+                amps = rng.integers(1, 50, size=65) * 600.0 + 500.0
+            s = np.repeat(amps, 123)
+            s = s * np.where(np.arange(s.shape[0]) % 2 == 0, 1.0, -1.0)
+            base = audio_envelope_hash(encode_wav(s.astype(np.int16), 16000))
+            for variant in (
+                encode_wav(np.repeat(s, 2).astype(np.int16), 32000),
+                encode_wav(np.repeat(s, 3).astype(np.int16), 48000),
+                encode_wav((s * 0.5).astype(np.int16), 16000),
+                encode_wav((s * 0.25).astype(np.int16), 16000),
+            ):
+                assert audio_envelope_hash(variant) == base
+
+    def test_hash_format_and_stability(self):
+        import numpy as np
+
+        from opendata_gov_lt_mysql_import_spark.operators.multimodal import (
+            audio_envelope_hash,
+            encode_wav,
+        )
+
+        rng = np.random.default_rng(77)
+        s = (rng.standard_normal(4000) * 3000).astype(np.int16)
+        payload = encode_wav(s, 16000)
+        h = audio_envelope_hash(payload)
+        assert len(h) == 16 and int(h, 16) >= 0
+        assert audio_envelope_hash(payload) == h  # pure function

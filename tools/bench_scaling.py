@@ -191,6 +191,11 @@ TOP_8X = [
     # round-9 late wave: the composition entry, evidence = its
     # winnow-CONFIRMED pair count (what stage 2's span work scales on)
     "winnow_span_report",
+    # round-10: the recipe composition took the #1 bench slot — full
+    # curvature treatment; evidence = confirmed near-dup drops (the
+    # verify stage's output) and stage-7 survivors (what the mixture/
+    # upsample/shard stages scale on)
+    "corpus_recipe_pipeline",
 ]
 
 
@@ -208,6 +213,7 @@ def _candidate_counts(spark, sf_dir: str) -> dict[str, int]:
         _copurchase_sampled_edges,
         _documents_with_dups,
         _documents_with_span_dups,
+        _recipe_labeled,
         _winnow_pair_scores,
     )
 
@@ -230,6 +236,11 @@ def _candidate_counts(spark, sf_dir: str) -> dict[str, int]:
             _documents_with_span_dups(spark, sf_dir)
         )
         .filter(F.col("jacc_bp") >= 5000)
+        .count(),
+        # recipe: confirmed near-dup drops — the verified output of the
+        # composition's heaviest stage (the LSH verify chain)
+        "corpus_recipe_pipeline": _recipe_labeled(spark, sf_dir)
+        .filter(F.col("nd_hit").isNotNull())
         .count(),
     }
 
