@@ -189,6 +189,10 @@ HEADLINE = [
     # recipe removed-sample audit: shares the labeled frame with the
     # datasheet; cost is the labeling DAG + six bounded rank partitions
     "corpus_recipe_rejects",
+    # product quantization: subspace explode + 32-row codebook argmin;
+    # ADC search: 32-entry lookup-table join + TakeOrdered
+    "pq_quantize_embeddings",
+    "pq_adc_topk",
 ]
 
 

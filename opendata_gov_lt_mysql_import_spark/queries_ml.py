@@ -7368,3 +7368,192 @@ def corpus_recipe_rejects_q(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .drop("rn")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 10: product quantization — the standard ANN compression stage
+# (Jégou et al. 2011) next to the IVF/LSH candidate generators
+# ---------------------------------------------------------------------------
+
+def _pq_sub(spark: SparkSession, sf: str) -> DataFrame:
+    """(vec_id, m, sv): the corpus exploded into its 4 16-dim
+    subvectors — explode the subspace index first, then slice, so the
+    subvectors never materialize together as one wide row."""
+    emb = load_table(spark, sf, "embeddings")
+    ms = F.array(*[F.lit(i) for i in range(4)])
+    return (
+        emb.select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
+        .select("vec_id", F.explode(ms).alias("m0"), "e")
+        .select("vec_id", F.col("m0").cast("long").alias("m"), "e")
+        .select(
+            "vec_id",
+            "m",
+            F.expr("slice(e, cast(m * 16 + 1 as int), 16)").alias("sv"),
+        )
+    )
+
+
+def _pq_dist():
+    return F.aggregate(
+        F.zip_with(F.col("sv"), F.col("cv"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _pq_assign(spark: SparkSession, sf: str) -> DataFrame:
+    """(vec_id, m, cid, d): every subvector's nearest codeword (squared
+    L2, codeword-id tiebreak) from the data-as-codebook rows 1..8 —
+    shared by the quantizer and the ADC search."""
+    from pyspark.sql import Window
+
+    sub = _pq_sub(spark, sf)
+    cb = sub.filter(F.col("vec_id").between(1, 8)).select(
+        F.col("vec_id").alias("cid"), "m", F.col("sv").alias("cv")
+    )
+    w = Window.partitionBy("vec_id", "m").orderBy(F.asc("d"), F.asc("cid"))
+    return (
+        sub.join(F.broadcast(cb), "m")
+        .select("vec_id", "m", "cid", _pq_dist().alias("d"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+
+
+@query(
+    "pq_quantize_embeddings",
+    """
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ),
+    sub AS (
+      SELECT v.vec_id, CAST(u.m AS BIGINT) AS m,
+             v.e[u.m * 16 + 1 : u.m * 16 + 16] AS sv
+      FROM v, UNNEST(range(0, 4)) u(m)
+    ),
+    cb AS (
+      SELECT vec_id AS cid, m, sv AS cv FROM sub WHERE vec_id BETWEEN 1 AND 8
+    ),
+    asg AS (
+      SELECT vec_id, m, cid, d FROM (
+        SELECT s.vec_id, s.m, c.cid,
+               list_sum(list_transform(range(1, 17),
+                 i -> (s.sv[i] - c.cv[i]) * (s.sv[i] - c.cv[i]))) AS d,
+               row_number() OVER (PARTITION BY s.vec_id, s.m
+                 ORDER BY list_sum(list_transform(range(1, 17),
+                   i -> (s.sv[i] - c.cv[i]) * (s.sv[i] - c.cv[i]))),
+                   c.cid) AS rn
+        FROM sub s JOIN cb c USING (m))
+      WHERE rn = 1
+    )
+    SELECT vec_id,
+           CAST(max(CASE WHEN m = 0 THEN cid END) AS BIGINT) AS c0,
+           CAST(max(CASE WHEN m = 1 THEN cid END) AS BIGINT) AS c1,
+           CAST(max(CASE WHEN m = 2 THEN cid END) AS BIGINT) AS c2,
+           CAST(max(CASE WHEN m = 3 THEN cid END) AS BIGINT) AS c3,
+           round(sum(d), 4) AS recon_err
+    FROM asg GROUP BY vec_id
+    """,
+)
+def pq_quantize_embeddings_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Product quantization (Jégou et al. 2011): the 64-dim embedding
+    splits into 4 subspaces of 16 dims; each subvector is assigned its
+    nearest codeword (squared L2, codeword-id tiebreak) from an 8-entry
+    per-subspace codebook, compressing every vector to 4 small codes —
+    the memory layout ANN systems scan when the raw vectors no longer
+    fit. Codebooks are the subvectors of data vectors 1..8 (the
+    ``ann_ivf_topk`` data-as-pivots discipline — deterministic, so the
+    whole assignment AND the per-vector reconstruction error are
+    oracle-exact). Output: (vec_id, c0..c3, recon_err rounded 4).
+
+    Scale shape: the 32-row codebook broadcasts; the subspace explode
+    is 4× map fan-out; assignment is one window keyed (vec_id, m) — at
+    100 TB the argmin folds into a min_by aggregate on the same key,
+    and codes append to the vector table as 4 BYTE columns (16x
+    compression at these parameters)."""
+    asg = _pq_assign(spark, sf)
+    code = lambda i: (  # noqa: E731
+        F.max(F.when(F.col("m") == i, F.col("cid"))).cast("long")
+    )
+    return asg.groupBy("vec_id").agg(
+        code(0).alias("c0"),
+        code(1).alias("c1"),
+        code(2).alias("c2"),
+        code(3).alias("c3"),
+        F.round(F.sum("d"), 4).alias("recon_err"),
+    )
+
+
+@query(
+    "pq_adc_topk",
+    """
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ),
+    sub AS (
+      SELECT v.vec_id, CAST(u.m AS BIGINT) AS m,
+             v.e[u.m * 16 + 1 : u.m * 16 + 16] AS sv
+      FROM v, UNNEST(range(0, 4)) u(m)
+    ),
+    cb AS (
+      SELECT vec_id AS cid, m, sv AS cv FROM sub WHERE vec_id BETWEEN 1 AND 8
+    ),
+    asg AS (
+      SELECT vec_id, m, cid FROM (
+        SELECT s.vec_id, s.m, c.cid,
+               row_number() OVER (PARTITION BY s.vec_id, s.m
+                 ORDER BY list_sum(list_transform(range(1, 17),
+                   i -> (s.sv[i] - c.cv[i]) * (s.sv[i] - c.cv[i]))),
+                   c.cid) AS rn
+        FROM sub s JOIN cb c USING (m))
+      WHERE rn = 1
+    ),
+    qt AS (
+      SELECT s.m, c.cid,
+             list_sum(list_transform(range(1, 17),
+               i -> (s.sv[i] - c.cv[i]) * (s.sv[i] - c.cv[i]))) AS qd
+      FROM sub s JOIN cb c USING (m) WHERE s.vec_id = 0
+    ),
+    adc AS (
+      SELECT a.vec_id, round(sum(q.qd), 4) AS adc_dist
+      FROM asg a JOIN qt q ON a.m = q.m AND a.cid = q.cid
+      WHERE a.vec_id <> 0
+      GROUP BY 1
+    )
+    SELECT vec_id, adc_dist FROM adc
+    ORDER BY adc_dist, vec_id LIMIT 10
+    """,
+)
+def pq_adc_topk_q(spark: SparkSession, sf: str) -> DataFrame:
+    """The search half of product quantization — asymmetric distance
+    computation (ADC, Jégou et al. 2011 §III): the query's exact
+    squared distance to every codeword forms a 32-entry lookup table
+    (4 subspaces × 8 codewords), and each database vector's approximate
+    distance is the sum of 4 table lookups on its stored codes — no
+    vector arithmetic per document at query time, which is why
+    PQ-compressed indexes scan billions of codes per node. Top-10 by
+    ADC distance (rounded, id tiebreak), oracle-exact end to end
+    because the codebook is the data-as-pivots discipline.
+
+    Scale shape: the lookup table is query-time constant (32 rows,
+    broadcast); the scan side touches only the 4 code columns
+    (16 bytes/vector at these parameters, not 256), one join on
+    (m, cid) that AQE broadcasts, one TakeOrdered top-k."""
+    emb = load_table(spark, sf, "embeddings")
+    asg = _pq_assign(spark, sf).select("vec_id", "m", "cid")
+    sub = _pq_sub(spark, sf)
+    cb = sub.filter(F.col("vec_id").between(1, 8)).select(
+        F.col("vec_id").alias("cid"), "m", F.col("sv").alias("cv")
+    )
+    qt = (
+        sub.filter(F.col("vec_id") == 0)
+        .join(F.broadcast(cb), "m")
+        .select("m", "cid", _pq_dist().alias("qd"))
+    )
+    adc = (
+        asg.filter(F.col("vec_id") != 0)
+        .join(F.broadcast(qt), ["m", "cid"])
+        .groupBy("vec_id")
+        .agg(F.round(F.sum("qd"), 4).alias("adc_dist"))
+    )
+    return adc.orderBy(F.asc("adc_dist"), F.asc("vec_id")).limit(10)
