@@ -193,6 +193,8 @@ HEADLINE = [
     # ADC search: 32-entry lookup-table join + TakeOrdered
     "pq_quantize_embeddings",
     "pq_adc_topk",
+    # PQ recall: the calibration trilogy's third leg (ADC vs exact L2)
+    "pq_recall_calibration",
 ]
 
 

@@ -7557,3 +7557,143 @@ def pq_adc_topk_q(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.round(F.sum("qd"), 4).alias("adc_dist"))
     )
     return adc.orderBy(F.asc("adc_dist"), F.asc("vec_id")).limit(10)
+
+
+@query(
+    "pq_recall_calibration",
+    """
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ),
+    qs AS (SELECT vec_id AS qid, e AS qe FROM v WHERE vec_id % 31 = 7),
+    sub AS (
+      SELECT v.vec_id, CAST(u.m AS BIGINT) AS m,
+             v.e[u.m * 16 + 1 : u.m * 16 + 16] AS sv
+      FROM v, UNNEST(range(0, 4)) u(m)
+    ),
+    cb AS (
+      SELECT vec_id AS cid, m, sv AS cv FROM sub WHERE vec_id BETWEEN 1 AND 8
+    ),
+    asg AS (
+      SELECT vec_id, m, cid FROM (
+        SELECT s.vec_id, s.m, c.cid,
+               row_number() OVER (PARTITION BY s.vec_id, s.m
+                 ORDER BY list_sum(list_transform(range(1, 17),
+                   i -> (s.sv[i] - c.cv[i]) * (s.sv[i] - c.cv[i]))),
+                   c.cid) AS rn
+        FROM sub s JOIN cb c USING (m))
+      WHERE rn = 1
+    ),
+    qt AS (
+      SELECT s.vec_id AS qid, s.m, c.cid,
+             list_sum(list_transform(range(1, 17),
+               i -> (s.sv[i] - c.cv[i]) * (s.sv[i] - c.cv[i]))) AS qd
+      FROM sub s JOIN cb c USING (m)
+      WHERE s.vec_id % 31 = 7
+    ),
+    adc10 AS (
+      SELECT qid, vec_id FROM (
+        SELECT q.qid, a.vec_id,
+               row_number() OVER (PARTITION BY q.qid
+                 ORDER BY round(sum(q.qd), 4), a.vec_id) AS rn
+        FROM asg a JOIN qt q ON a.m = q.m AND a.cid = q.cid
+        WHERE a.vec_id <> q.qid
+        GROUP BY q.qid, a.vec_id)
+      WHERE rn <= 10
+    ),
+    exact10 AS (
+      SELECT qid, vec_id FROM (
+        SELECT q.qid, v.vec_id,
+               row_number() OVER (PARTITION BY q.qid
+                 ORDER BY round(list_sum(list_transform(range(1, 65),
+                   i -> (v.e[i] - q.qe[i]) * (v.e[i] - q.qe[i]))), 4),
+                   v.vec_id) AS rn
+        FROM v, qs q WHERE v.vec_id <> q.qid)
+      WHERE rn <= 10
+    ),
+    hits AS (
+      SELECT e.qid, count(*) AS h
+      FROM exact10 e JOIN adc10 a ON a.qid = e.qid AND a.vec_id = e.vec_id
+      GROUP BY 1
+    )
+    SELECT q.qid,
+           CAST(COALESCE(h.h, 0) AS BIGINT) AS hits10,
+           CAST(COALESCE(h.h, 0) * 1000 AS BIGINT) AS recall_bp
+    FROM qs q LEFT JOIN hits h USING (qid)
+    """,
+)
+def pq_recall_calibration_q(spark: SparkSession, sf: str) -> DataFrame:
+    """The calibration trilogy's third leg (minhash estimator → IVF
+    recall → PQ recall): recall@10 of ADC-ranked search against exact
+    squared-L2 top-10, per query on the same %31 panel as
+    ``ann_recall_calibration`` — the number that tells you what the
+    16x compression costs in ranking quality before you deploy the
+    codes. Exact side ranks by rounded squared L2 (same metric family
+    as the quantizer, so the comparison is apples-to-apples); ADC side
+    ranks by the 4-lookup table sum. All-integer report, oracle-exact.
+
+    Scale shape: the per-query lookup tables are (panel × 32) rows
+    broadcast; the ADC scan touches codes only; the exact side is the
+    audit's bounded Q×N cross join (panel fixed by construction)."""
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf, "embeddings")
+    sub = _pq_sub(spark, sf)
+    cb = sub.filter(F.col("vec_id").between(1, 8)).select(
+        F.col("vec_id").alias("cid"), "m", F.col("sv").alias("cv")
+    )
+    asg = _pq_assign(spark, sf).select("vec_id", "m", "cid")
+    qt = (
+        sub.filter(F.col("vec_id") % 31 == 7)
+        .join(F.broadcast(cb), "m")
+        .select(
+            F.col("vec_id").alias("qid"), "m", "cid", _pq_dist().alias("qd")
+        )
+    )
+    w_adc = Window.partitionBy("qid").orderBy(F.asc("adc"), F.asc("vec_id"))
+    adc10 = (
+        asg.join(F.broadcast(qt), ["m", "cid"])
+        .filter(F.col("vec_id") != F.col("qid"))
+        .groupBy("qid", "vec_id")
+        .agg(F.round(F.sum("qd"), 4).alias("adc"))
+        .withColumn("rn", F.row_number().over(w_adc))
+        .filter(F.col("rn") <= 10)
+        .select("qid", "vec_id")
+    )
+    qs = emb.filter(F.col("vec_id") % 31 == 7).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").cast("array<double>").alias("qe"),
+    )
+    l2 = F.aggregate(
+        F.zip_with(
+            F.col("e"), F.col("qe"), lambda x, y: (x - y) * (x - y)
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    w_ex = Window.partitionBy("qid").orderBy(F.asc("d"), F.asc("vec_id"))
+    exact10 = (
+        emb.select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("e")
+        )
+        .crossJoin(F.broadcast(qs))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id", F.round(l2, 4).alias("d"))
+        .withColumn("rn", F.row_number().over(w_ex))
+        .filter(F.col("rn") <= 10)
+        .select("qid", "vec_id")
+    )
+    hits = exact10.join(adc10, ["qid", "vec_id"]).groupBy("qid").agg(
+        F.count(F.lit(1)).alias("h")
+    )
+    return (
+        qs.select("qid")
+        .join(hits, "qid", "left")
+        .select(
+            "qid",
+            F.coalesce(F.col("h"), F.lit(0)).cast("long").alias("hits10"),
+            (F.coalesce(F.col("h"), F.lit(0)) * 1000)
+            .cast("long")
+            .alias("recall_bp"),
+        )
+    )

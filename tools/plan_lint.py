@@ -141,6 +141,10 @@ WHITELIST: dict[str, dict[str, str]] = {
         "side of a recall audit is Q-bounded by construction (same "
         "contract as hard_negatives/semantic_decontaminate)"
     },
+    "pq_recall_calibration": {
+        "bnl_join": "same bounded %31 query panel broadcast for the "
+        "exact-L2 side (see ann_recall_calibration)"
+    },
     "corpus_recipe_pipeline": {
         "bnl_join": "1-row stage-count aggregate cross-joined with the "
         "1-row upsample/shard aggregate to assemble the 10-row "
