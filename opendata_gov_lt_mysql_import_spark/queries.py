@@ -209,15 +209,17 @@ DRIVER_TOP50: tuple[str, ...] = (
     # the CCNet boilerplate line scrub — cross-document line-frequency
     # cleaning, the corpus family's only cross-doc transform
     "boilerplate_line_scrub",
-    # simhash_pairs_md5 slot rotated (round 5 fourth wave) to the
-    # incremental batch-vs-history near-dup probe — minhash_lsh_pairs_md5
-    # keeps the hash-verified one-shot LSH family in-window; simhash's
-    # md5 twin stays registered + full-gate-verified
-    "incremental_neardup_lsh",
-    # incremental_dedup slot rotated (round 5) to the CDC-refreshed
-    # materialized aggregate - the same batch-vs-history increment idea
-    # generalized to stored state; incremental_dedup stays registered
-    "matview_incremental_refresh",
+    # incremental_neardup_lsh rotated out round 10 (the dedup family
+    # keeps five rows in-window: ngram verify, substring, url, scrub,
+    # and the full recipe; incremental stays registered +
+    # full-gate-verified) for the ANN recall calibration — the
+    # estimator-audit discipline applied to the IVF index
+    "ann_recall_calibration",
+    # matview_incremental_refresh rotated out round 10 (zorder keeps the
+    # table-format family in-window; matview stays registered +
+    # full-gate-verified + benched) for the in-engine perceptron
+    # trainer — the training-side complement of the hashed classifier
+    "classifier_train_perceptron",
     # similarity / multimodal families (emb_dup_pairs slot rotated to the
     # BPE tokenizer-training feed — ann_topk_suite keeps embedding
     # similarity in-window; emb_dup_pairs stays registered + gate-verified)

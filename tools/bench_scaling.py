@@ -127,6 +127,13 @@ TOP = [
     "audio_envelope_dedup",
     "skew_salted_join_zipf",
     "skew_plain_join_zipf",
+    # round-10 third wave: the recipe's removed-sample audit (shares
+    # the labeling DAG with the datasheet), the PQ compress/search pair
+    # and its recall audit (the %31 panel caveat below applies)
+    "corpus_recipe_rejects",
+    "pq_quantize_embeddings",
+    "pq_adc_topk",
+    "pq_recall_calibration",
     # round-10 second wave: the recall audit (the %31 panel grows WITH
     # the collection in the kx derivation, so exact-side work is
     # Q x N = k² — a sublinear time ratio here is fixed-overhead
