@@ -379,3 +379,42 @@ def test_kcenter_k_exceeding_points_fails_loudly(spark):
     )
     with _pytest.raises(ValueError, match="exceeds the number"):
         kcenter_greedy(df, k=5)
+
+
+class TestPQModel:
+    """Randomized model test: the engine's PQ assignment must agree
+    with an independent numpy brute-force quantizer on the same
+    codebook — catches slice/indexing/tiebreak bugs the oracle can't
+    (both engines could share a misreading of the spec)."""
+
+    def test_pq_codes_match_numpy(self, spark):
+        import numpy as np
+
+        from opendata_gov_lt_mysql_import_spark.queries_ml import (
+            pq_quantize_embeddings_q,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        rows = {
+            r["vec_id"]: r
+            for r in pq_quantize_embeddings_q(spark, sf).collect()
+        }
+        emb = {
+            r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+            for r in spark.read.parquet(f"{sf}/embeddings.parquet").collect()
+        }
+        cb = {m: [(cid, emb[cid][m * 16 : m * 16 + 16]) for cid in range(1, 9)]
+              for m in range(4)}
+        rng = np.random.default_rng(99)
+        sample = rng.choice(sorted(emb), size=40, replace=False)
+        for vid in sample:
+            v = emb[vid]
+            err = 0.0
+            for m in range(4):
+                sv = v[m * 16 : m * 16 + 16]
+                dists = [(float(((sv - cv) ** 2).sum()), cid)
+                         for cid, cv in cb[m]]
+                best_d, best_c = min(dists)  # ties -> min cid via tuple
+                assert rows[vid][f"c{m}"] == best_c, (vid, m)
+                err += best_d
+            assert abs(rows[vid]["recon_err"] - round(err, 4)) < 1e-9, vid
