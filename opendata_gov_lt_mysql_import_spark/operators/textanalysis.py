@@ -287,3 +287,37 @@ def exact_k_sample(
         .filter(F.col("_rk") <= k)
         .drop("_rk")
     )
+
+
+def gopher_flags(toks: Column, stopwords) -> dict[str, Column]:
+    """The Gopher rule family (Rae et al. 2021 §A1.1 adapted to the
+    fixture vocabulary) as named Column expressions — the single engine
+    source of truth shared by ``gopher_quality_flags`` (per-flag report)
+    and the corpus recipe's quality-gate stage, so the rule set cannot
+    drift between the standalone report and the pipeline. All
+    comparisons are INTEGER (total_len vs 3n/10n, mx*8 vs n). Keys:
+    n, total_len, stop_hits, flag_wc, flag_ml, flag_sw, flag_tt, keep
+    (keep is NULL-coalesced to False for empty/null token arrays)."""
+    n = F.size(toks).cast("long")
+    total_len = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda a, t: a + F.length(t)
+    )
+    stop_hits = F.size(
+        F.filter(toks, lambda t: F.lower(t).isin(*stopwords))
+    ).cast("long")
+    flag_wc = n.between(20, 1000)
+    flag_ml = (total_len >= 3 * n) & (total_len <= 10 * n)
+    flag_sw = stop_hits >= 2
+    flag_tt = max_multiplicity(toks) * 8 <= n
+    return {
+        "n": n,
+        "total_len": total_len,
+        "stop_hits": stop_hits,
+        "flag_wc": flag_wc,
+        "flag_ml": flag_ml,
+        "flag_sw": flag_sw,
+        "flag_tt": flag_tt,
+        "keep": F.coalesce(
+            flag_wc & flag_ml & flag_sw & flag_tt, F.lit(False)
+        ),
+    }

@@ -3220,31 +3220,23 @@ def gopher_quality_flags_q(spark: SparkSession, sf: str) -> DataFrame:
     compares INTEGERS (total_len vs 3n/10n, mx*8 vs n) so no float
     boundary can flip between engines; mean_word_len is reported
     rounded but never compared."""
-    from .operators.textanalysis import max_multiplicity, tokens
+    from .operators.textanalysis import gopher_flags, tokens
 
     d = load_table(spark, sf, "documents")
-    toks = tokens(F.col("text"))
-    n = F.size(toks).cast("long")
-    total_len = F.aggregate(
-        toks, F.lit(0).cast("long"), lambda a, t: a + F.length(t)
-    )
-    stop_hits = F.size(
-        F.filter(toks, lambda t: F.lower(t).isin(*_ALL_STOPWORDS))
-    ).cast("long")
-    mx = max_multiplicity(toks)
-    flag_wc = n.between(20, 1000)
-    flag_ml = (total_len >= 3 * n) & (total_len <= 10 * n)
-    flag_sw = stop_hits >= 2
-    flag_tt = mx * 8 <= n
+    g = gopher_flags(tokens(F.col("text")), _ALL_STOPWORDS)
     return d.select(
         "doc_id",
-        n.alias("n_words"),
-        F.when(n > 0, F.round(total_len / n, 4)).alias("mean_word_len"),
-        flag_wc.alias("flag_word_count"),
-        flag_ml.alias("flag_mean_len"),
-        flag_sw.alias("flag_stopword"),
-        flag_tt.alias("flag_top_token"),
-        (flag_wc & flag_ml & flag_sw & flag_tt).alias("keep"),
+        g["n"].alias("n_words"),
+        F.when(g["n"] > 0, F.round(g["total_len"] / g["n"], 4)).alias(
+            "mean_word_len"
+        ),
+        g["flag_wc"].alias("flag_word_count"),
+        g["flag_ml"].alias("flag_mean_len"),
+        g["flag_sw"].alias("flag_stopword"),
+        g["flag_tt"].alias("flag_top_token"),
+        (g["flag_wc"] & g["flag_ml"] & g["flag_sw"] & g["flag_tt"]).alias(
+            "keep"
+        ),
     )
 
 
@@ -6462,7 +6454,7 @@ def _recipe_labeled(spark: SparkSession, sf: str) -> DataFrame:
     from .functions.urls import canonical_url
     from .operators.decontam import contamination_hits
     from .operators.dedup import jaccard_verify_pairs, minhash_md5_pairs
-    from .operators.textanalysis import max_multiplicity, token_count, tokens
+    from .operators.textanalysis import gopher_flags, token_count, tokens
 
     corpus = _spread(_recipe_corpus(spark, sf))
 
@@ -6539,23 +6531,13 @@ def _recipe_labeled(spark: SparkSession, sf: str) -> DataFrame:
         "alive5", F.col("alive3") & F.col("nd_hit").isNull()
     )
 
-    # --- stage 6: Gopher rule gate on the scrubbed text (map-only)
-    toks = tokens(F.col("clean_text"))
-    n = F.size(toks).cast("long")
-    total_len = F.aggregate(
-        toks, F.lit(0).cast("long"), lambda a, t: a + F.length(t)
-    )
-    stop_hits = F.size(
-        F.filter(toks, lambda t: F.lower(t).isin(*_ALL_STOPWORDS))
-    ).cast("long")
-    gopher_keep = F.coalesce(
-        n.between(20, 1000)
-        & (total_len >= 3 * n)
-        & (total_len <= 10 * n)
-        & (stop_hits >= 2)
-        & (max_multiplicity(toks) * 8 <= n),
-        F.lit(False),
-    )
+    # --- stage 6: Gopher rule gate on the scrubbed text (map-only;
+    # gopher_flags is the SAME expression set gopher_quality_flags
+    # reports, so the pipeline gate and the standalone report cannot
+    # drift apart)
+    gopher_keep = gopher_flags(
+        tokens(F.col("clean_text")), _ALL_STOPWORDS
+    )["keep"]
     x5 = x4.withColumn("alive6", F.col("alive5") & gopher_keep)
 
     # --- stage 7 drop-set: distinct-5-gram contamination against the
@@ -7179,8 +7161,6 @@ def classifier_train_perceptron_q(spark: SparkSession, sf: str) -> DataFrame:
     is epochs × O(tokens), never epochs × O(docs²). The unrolled-round
     discipline is kcenter_coreset's; the 1-row error counts ride the
     output via bounded cross-joins."""
-    from pyspark.sql import Window  # noqa: F401
-
     d = load_table(spark, sf, "documents")
     t = d.select("doc_id", tokens(F.col("text")).alias("toks"))
     n = F.size("toks").cast("long")
@@ -7420,9 +7400,10 @@ def _pq_assign(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@query(
-    "pq_quantize_embeddings",
-    """
+# Shared oracle prefix for the PQ trio (the _corpus_recipe_ctes
+# discipline: one WITH-chain, three tails — the quantizer, the ADC
+# search, and the recall audit can never check drifting PQ semantics)
+_PQ_BASE_CTES = """
     WITH v AS (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
     ),
@@ -7446,6 +7427,12 @@ def _pq_assign(spark: SparkSession, sf: str) -> DataFrame:
         FROM sub s JOIN cb c USING (m))
       WHERE rn = 1
     )
+"""
+
+
+@query(
+    "pq_quantize_embeddings",
+    _PQ_BASE_CTES + """
     SELECT vec_id,
            CAST(max(CASE WHEN m = 0 THEN cid END) AS BIGINT) AS c0,
            CAST(max(CASE WHEN m = 1 THEN cid END) AS BIGINT) AS c1,
@@ -7486,29 +7473,8 @@ def pq_quantize_embeddings_q(spark: SparkSession, sf: str) -> DataFrame:
 
 @query(
     "pq_adc_topk",
-    """
-    WITH v AS (
-      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
-    ),
-    sub AS (
-      SELECT v.vec_id, CAST(u.m AS BIGINT) AS m,
-             v.e[u.m * 16 + 1 : u.m * 16 + 16] AS sv
-      FROM v, UNNEST(range(0, 4)) u(m)
-    ),
-    cb AS (
-      SELECT vec_id AS cid, m, sv AS cv FROM sub WHERE vec_id BETWEEN 1 AND 8
-    ),
-    asg AS (
-      SELECT vec_id, m, cid FROM (
-        SELECT s.vec_id, s.m, c.cid,
-               row_number() OVER (PARTITION BY s.vec_id, s.m
-                 ORDER BY list_sum(list_transform(range(1, 17),
-                   i -> (s.sv[i] - c.cv[i]) * (s.sv[i] - c.cv[i]))),
-                   c.cid) AS rn
-        FROM sub s JOIN cb c USING (m))
-      WHERE rn = 1
-    ),
-    qt AS (
+    _PQ_BASE_CTES + """
+    , qt AS (
       SELECT s.m, c.cid,
              list_sum(list_transform(range(1, 17),
                i -> (s.sv[i] - c.cv[i]) * (s.sv[i] - c.cv[i]))) AS qd
@@ -7539,7 +7505,6 @@ def pq_adc_topk_q(spark: SparkSession, sf: str) -> DataFrame:
     broadcast); the scan side touches only the 4 code columns
     (16 bytes/vector at these parameters, not 256), one join on
     (m, cid) that AQE broadcasts, one TakeOrdered top-k."""
-    emb = load_table(spark, sf, "embeddings")
     asg = _pq_assign(spark, sf).select("vec_id", "m", "cid")
     sub = _pq_sub(spark, sf)
     cb = sub.filter(F.col("vec_id").between(1, 8)).select(
@@ -7561,29 +7526,8 @@ def pq_adc_topk_q(spark: SparkSession, sf: str) -> DataFrame:
 
 @query(
     "pq_recall_calibration",
-    """
-    WITH v AS (
-      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
-    ),
-    qs AS (SELECT vec_id AS qid, e AS qe FROM v WHERE vec_id % 31 = 7),
-    sub AS (
-      SELECT v.vec_id, CAST(u.m AS BIGINT) AS m,
-             v.e[u.m * 16 + 1 : u.m * 16 + 16] AS sv
-      FROM v, UNNEST(range(0, 4)) u(m)
-    ),
-    cb AS (
-      SELECT vec_id AS cid, m, sv AS cv FROM sub WHERE vec_id BETWEEN 1 AND 8
-    ),
-    asg AS (
-      SELECT vec_id, m, cid FROM (
-        SELECT s.vec_id, s.m, c.cid,
-               row_number() OVER (PARTITION BY s.vec_id, s.m
-                 ORDER BY list_sum(list_transform(range(1, 17),
-                   i -> (s.sv[i] - c.cv[i]) * (s.sv[i] - c.cv[i]))),
-                   c.cid) AS rn
-        FROM sub s JOIN cb c USING (m))
-      WHERE rn = 1
-    ),
+    _PQ_BASE_CTES + """
+    , qs AS (SELECT vec_id AS qid, e AS qe FROM v WHERE vec_id % 31 = 7),
     qt AS (
       SELECT s.vec_id AS qid, s.m, c.cid,
              list_sum(list_transform(range(1, 17),
