@@ -177,6 +177,12 @@ TOP_4X = [
     # round-10: the recipe composition is the new bench #1 — same
     # curvature discipline as winnow_span_report
     "corpus_recipe_pipeline",
+    # round-10 third wave: the two new bench heavies — the rejects
+    # audit (shares the recipe's labeling DAG, should mirror its
+    # curvature) and the recall audit (panel×collection = k² exact-side
+    # work in the kx derivation, see the TOP comment)
+    "corpus_recipe_rejects",
+    "ann_recall_calibration",
 ]
 
 # fourth scaling point (round-6 verdict item 7) for the two entries
