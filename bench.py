@@ -195,6 +195,9 @@ HEADLINE = [
     "pq_adc_topk",
     # PQ recall: the calibration trilogy's third leg (ADC vs exact L2)
     "pq_recall_calibration",
+    # source overlap matrix: fingerprint groupBy + HOF pair explode —
+    # the no-self-join provenance diagnostic
+    "source_overlap_matrix",
 ]
 
 

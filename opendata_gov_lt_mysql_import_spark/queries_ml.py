@@ -7641,3 +7641,84 @@ def pq_recall_calibration_q(spark: SparkSession, sf: str) -> DataFrame:
             .alias("recall_bp"),
         )
     )
+
+
+@query(
+    "source_overlap_matrix",
+    """
+    WITH docs AS (
+      SELECT doc_id, source, text FROM documents
+      UNION ALL
+      -- planted cross-source mirrors: the first 200 docs re-appear
+      -- under a rotated source, src((i+1) % 10) (the fixture has no
+      -- natural cross-source duplicates, _documents_with_dups style)
+      SELECT doc_id + 5000000,
+             'src' || CAST((CAST(substr(source, 4) AS BIGINT) + 1) % 10
+                           AS VARCHAR),
+             text
+      FROM documents WHERE doc_id < 200
+    ),
+    fps AS (
+      SELECT md5(text) AS fp, list_sort(list_distinct(list(source)))
+               AS srcs
+      FROM docs GROUP BY 1
+    ),
+    pairs AS (
+      SELECT u1.a AS src_a, u2.b AS src_b
+      FROM fps, unnest(srcs) u1(a), unnest(srcs) u2(b)
+      WHERE u1.a < u2.b
+    )
+    SELECT src_a, src_b, CAST(count(*) AS BIGINT) AS n_shared_docs
+    FROM pairs GROUP BY 1, 2
+    """,
+)
+def source_overlap_matrix_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-source duplicate-overlap matrix — the provenance diagnostic
+    a multi-source corpus release ships (how much of source A is
+    byte-identical content also in source B; RedPajama/Dolma publish
+    exactly this before mixing weights are chosen): content fingerprint
+    → per-fingerprint DISTINCT source set → all source pairs within the
+    set → (src_a, src_b, n_shared_docs). Cross-source mirrors are
+    planted (first 200 docs re-appear under a rotated source) since the
+    fixture has none naturally.
+
+    Scale shape: Spark-first pair generation WITHOUT a self-join — one
+    fingerprint groupBy (collect_set bounded by #sources, a dimension,
+    not the corpus), pairs exploded from each set by an array HOF
+    (≤ |sources|² per fingerprint), then a dimension-sized pair
+    aggregate. A fingerprint self-join would shuffle the doc stream
+    twice and blow up on hot fingerprints; the set form is bounded by
+    construction."""
+    d = load_table(spark, sf, "documents").select("doc_id", "source", "text")
+    src_idx = F.substring(F.col("source"), 4, 10).cast("long")
+    mirrors = d.filter(F.col("doc_id") < 200).select(
+        (F.col("doc_id") + 5000000).alias("doc_id"),
+        F.concat(F.lit("src"), ((src_idx + 1) % 10).cast("string")).alias(
+            "source"
+        ),
+        "text",
+    )
+    docs = d.unionByName(mirrors)
+    fps = docs.groupBy(F.md5("text").alias("fp")).agg(
+        F.array_sort(F.collect_set("source")).alias("srcs")
+    )
+    # all ordered pairs within each fingerprint's source set: flatten of
+    # per-element transforms — pure JVM HOFs, no join
+    pair_expr = F.flatten(
+        F.transform(
+            F.col("srcs"),
+            lambda a: F.filter(
+                F.transform(
+                    F.col("srcs"),
+                    lambda b: F.when(a < b, F.struct(a.alias("src_a"), b.alias("src_b"))),
+                ),
+                lambda s: s.isNotNull(),
+            ),
+        )
+    )
+    pairs = fps.select(F.explode(pair_expr).alias("p")).select(
+        "p.src_a", "p.src_b"
+    )
+    return pairs.groupBy("src_a", "src_b").agg(
+        F.count(F.lit(1)).cast("long").alias("n_shared_docs")
+    )

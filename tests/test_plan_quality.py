@@ -623,3 +623,15 @@ def test_skew_salted_join_salts_the_shuffle_not_broadcast(
     tplan = final_plan(twin).split("== Initial Plan ==")[0]
     assert tplan.count("BroadcastHashJoin") == 0, tplan
     assert tplan.count("ShuffledHashJoin") == 1, tplan
+
+
+def test_source_overlap_matrix_has_no_join(spark, sf_dir, queries):
+    """source_overlap_matrix's whole design claim is pair generation
+    WITHOUT a fingerprint self-join (which would shuffle the doc stream
+    twice and blow up on hot fingerprints): one fingerprint groupBy,
+    HOF pair explode, one pair aggregate — two exchanges, zero joins."""
+    df = queries["source_overlap_matrix"](spark, sf_dir)
+    plan = final_plan(df)
+    final = plan.split("== Initial Plan ==")[0]
+    assert "Join" not in final, plan
+    assert final.count("Exchange hashpartitioning") <= 2, plan

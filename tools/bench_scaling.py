@@ -127,6 +127,8 @@ TOP = [
     "audio_envelope_dedup",
     "skew_salted_join_zipf",
     "skew_plain_join_zipf",
+    # source overlap matrix: fingerprint groupBy + HOF pair explode
+    "source_overlap_matrix",
     # round-10 third wave: the recipe's removed-sample audit (shares
     # the labeling DAG with the datasheet), the PQ compress/search pair
     # and its recall audit (the %31 panel caveat below applies)
