@@ -6898,13 +6898,48 @@ def audio_envelope_dedup_q(spark: SparkSession, sf: str) -> DataFrame:
 # the approximate path, MEASURE what it loses against exact top-k
 # ---------------------------------------------------------------------------
 
+# Fixed audit-panel size shared by the recall calibrations (round-11
+# verdict item 1: the former vec_id % 31 panel was a fixed FRACTION of
+# the corpus, making the exact-scoring side O(N²/31); a fixed COUNT
+# keeps it Q·N with constant Q at any corpus size).
+_AUDIT_PANEL_K = 64
+
+# DuckDB twin of _audit_panel below — identical ranking expression
+# (md5 of the decimal string, vec_id tiebreak) so engine and oracle
+# select the same panel at any scale.
+_PANEL_CTE = """
+    panel AS (
+      SELECT vec_id FROM v
+      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 64
+    )
+"""
+
+
+def _audit_panel(emb: DataFrame) -> DataFrame:
+    """The fixed-count deterministic query panel for recall audits:
+    the _AUDIT_PANEL_K vec_ids ranked first by md5 of their decimal
+    string (vec_id tiebreak). Compiles to TakeOrderedAndProject —
+    one bounded-heap scan, O(N) work and 64 rows out no matter the
+    corpus size, so every consumer's exact-scoring side is Q·N with
+    Q constant BY CONSTRUCTION (unlike a modulus panel, which grows
+    with the corpus and turns the audit quadratic)."""
+    return (
+        emb.select("vec_id")
+        .orderBy(F.md5(F.col("vec_id").cast("string")), F.asc("vec_id"))
+        .limit(_AUDIT_PANEL_K)
+    )
+
+
 @query(
     "ann_recall_calibration",
     """
     WITH v AS (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
     ),
-    qs AS (SELECT vec_id AS qid, e AS qe FROM v WHERE vec_id % 31 = 7),
+    """ + _PANEL_CTE + """,
+    qs AS (
+      SELECT v.vec_id AS qid, v.e AS qe FROM v JOIN panel USING (vec_id)
+    ),
     c AS (SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id BETWEEN 1 AND 16),
     asg AS (
       SELECT vec_id, cid FROM (
@@ -6956,27 +6991,29 @@ def ann_recall_calibration_q(spark: SparkSession, sf: str) -> DataFrame:
     query, oracle-exact — the ``minhash_estimate_calibration``
     discipline applied to similarity search: before trusting the
     approximate path at 100 TB, measure exactly what nprobe=2 over 16
-    cells loses. A deterministic query panel (vec_id % 31 == 7) is
-    scored exactly against the whole collection (rounded-cosine rank,
-    vec_id tiebreak — the selection stays engine-deterministic) and
-    against the IVF candidate cells (same pivot centroids and probe
-    rule as ``ann_ivf_topk``); the report is (qid, n_probed, hits10,
+    cells loses. A fixed-count deterministic query panel (the 64
+    md5-ranked vec_ids, ``_audit_panel``) is scored exactly against
+    the whole collection (rounded-cosine rank, vec_id tiebreak — the
+    selection stays engine-deterministic) and against the IVF
+    candidate cells (same pivot centroids and probe rule as
+    ``ann_ivf_topk``); the report is (qid, n_probed, hits10,
     recall_bp), all integers. n_probed is the pruning evidence: the
     per-query exact work the index actually avoided.
 
-    Scale shape: the query panel and the 16-pivot frame broadcast (the
-    exact-scoring cross join is Q-bounded BY CONSTRUCTION — a recall
-    audit samples a fixed panel no matter the corpus size); assignment
-    is one window over N×16 rows keyed by vec_id — the same shuffle the
-    IVF build itself pays; per-query ranking shuffles Q×N scored rows
-    on qid. At extreme N the exact side becomes per-query TakeOrdered
-    (bounded state) — the panel stays the unit of account either way."""
+    Scale shape: the 64-query panel and the 16-pivot frame broadcast
+    (the exact-scoring cross join is Q·N with Q = 64 constant BY
+    CONSTRUCTION — the panel is a LIMIT, not a modulus, so it does not
+    grow with the corpus); assignment is one window over N×16 rows
+    keyed by vec_id — the same shuffle the IVF build itself pays;
+    per-query ranking shuffles Q×N scored rows on qid. At extreme N
+    the exact side becomes per-query TakeOrdered (bounded state) — the
+    panel stays the unit of account either way."""
     from pyspark.sql import Window
 
     from .operators.similarity import cosine, dot
 
     emb = load_table(spark, sf, "embeddings")
-    qs = emb.filter(F.col("vec_id") % 31 == 7).select(
+    qs = emb.join(F.broadcast(_audit_panel(emb)), "vec_id").select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
     )
     piv = emb.filter(F.col("vec_id").between(1, 16)).select(
@@ -7526,14 +7563,16 @@ def pq_adc_topk_q(spark: SparkSession, sf: str) -> DataFrame:
 
 @query(
     "pq_recall_calibration",
-    _PQ_BASE_CTES + """
-    , qs AS (SELECT vec_id AS qid, e AS qe FROM v WHERE vec_id % 31 = 7),
+    _PQ_BASE_CTES + ",\n" + _PANEL_CTE + """,
+    qs AS (
+      SELECT v.vec_id AS qid, v.e AS qe FROM v JOIN panel USING (vec_id)
+    ),
     qt AS (
       SELECT s.vec_id AS qid, s.m, c.cid,
              list_sum(list_transform(range(1, 17),
                i -> (s.sv[i] - c.cv[i]) * (s.sv[i] - c.cv[i]))) AS qd
       FROM sub s JOIN cb c USING (m)
-      WHERE s.vec_id % 31 = 7
+      WHERE s.vec_id IN (SELECT vec_id FROM panel)
     ),
     adc10 AS (
       SELECT qid, vec_id FROM (
@@ -7569,26 +7608,30 @@ def pq_adc_topk_q(spark: SparkSession, sf: str) -> DataFrame:
 def pq_recall_calibration_q(spark: SparkSession, sf: str) -> DataFrame:
     """The calibration trilogy's third leg (minhash estimator → IVF
     recall → PQ recall): recall@10 of ADC-ranked search against exact
-    squared-L2 top-10, per query on the same %31 panel as
-    ``ann_recall_calibration`` — the number that tells you what the
-    16x compression costs in ranking quality before you deploy the
-    codes. Exact side ranks by rounded squared L2 (same metric family
-    as the quantizer, so the comparison is apples-to-apples); ADC side
-    ranks by the 4-lookup table sum. All-integer report, oracle-exact.
+    squared-L2 top-10, per query on the same fixed 64-query md5-ranked
+    panel as ``ann_recall_calibration`` (``_audit_panel``) — the number
+    that tells you what the 16x compression costs in ranking quality
+    before you deploy the codes. Exact side ranks by rounded squared L2
+    (same metric family as the quantizer, so the comparison is
+    apples-to-apples); ADC side ranks by the 4-lookup table sum.
+    All-integer report, oracle-exact.
 
-    Scale shape: the per-query lookup tables are (panel × 32) rows
+    Scale shape: the per-query lookup tables are (64 × 32) rows
     broadcast; the ADC scan touches codes only; the exact side is the
-    audit's bounded Q×N cross join (panel fixed by construction)."""
+    audit's Q×N cross join with Q = 64 constant BY CONSTRUCTION (the
+    panel is a LIMIT, not a modulus — it does not grow with the
+    corpus)."""
     from pyspark.sql import Window
 
     emb = load_table(spark, sf, "embeddings")
+    panel = _audit_panel(emb)
     sub = _pq_sub(spark, sf)
     cb = sub.filter(F.col("vec_id").between(1, 8)).select(
         F.col("vec_id").alias("cid"), "m", F.col("sv").alias("cv")
     )
     asg = _pq_assign(spark, sf).select("vec_id", "m", "cid")
     qt = (
-        sub.filter(F.col("vec_id") % 31 == 7)
+        sub.join(F.broadcast(panel), "vec_id")
         .join(F.broadcast(cb), "m")
         .select(
             F.col("vec_id").alias("qid"), "m", "cid", _pq_dist().alias("qd")
@@ -7604,7 +7647,7 @@ def pq_recall_calibration_q(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.col("rn") <= 10)
         .select("qid", "vec_id")
     )
-    qs = emb.filter(F.col("vec_id") % 31 == 7).select(
+    qs = emb.join(F.broadcast(panel), "vec_id").select(
         F.col("vec_id").alias("qid"),
         F.col("embedding").cast("array<double>").alias("qe"),
     )

@@ -625,6 +625,29 @@ def test_skew_salted_join_salts_the_shuffle_not_broadcast(
     assert tplan.count("ShuffledHashJoin") == 1, tplan
 
 
+def test_audit_panel_is_fixed_count_takeordered(spark, sf_dir):
+    """The recall audits' query panel (round-11 fix of the %31 defect):
+    it must be a FIXED count — 64 rows at any corpus size, so the
+    exact-scoring side stays Q·N with constant Q — and compile to
+    TakeOrderedAndProject (bounded heap, no single-partition sort)."""
+    from pyspark.sql import functions as F
+
+    from opendata_gov_lt_mysql_import_spark.queries_ml import _audit_panel
+    from opendata_gov_lt_mysql_import_spark.sources.parquet import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    panel = _audit_panel(emb)
+    assert panel.count() == 64
+    plan = final_plan(panel)
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Exchange SinglePartition" not in plan, plan
+    # the fixed-count claim: doubling the corpus leaves the panel at 64
+    doubled = emb.unionByName(
+        emb.withColumn("vec_id", F.col("vec_id") + 1_000_000)
+    )
+    assert _audit_panel(doubled).count() == 64
+
+
 def test_source_overlap_matrix_has_no_join(spark, sf_dir, queries):
     """source_overlap_matrix's whole design claim is pair generation
     WITHOUT a fingerprint self-join (which would shuffle the doc stream

@@ -131,15 +131,14 @@ TOP = [
     "source_overlap_matrix",
     # round-10 third wave: the recipe's removed-sample audit (shares
     # the labeling DAG with the datasheet), the PQ compress/search pair
-    # and its recall audit (the %31 panel caveat below applies)
+    # and its recall audit
     "corpus_recipe_rejects",
     "pq_quantize_embeddings",
     "pq_adc_topk",
     "pq_recall_calibration",
-    # round-10 second wave: the recall audit (the %31 panel grows WITH
-    # the collection in the kx derivation, so exact-side work is
-    # Q x N = k² — a sublinear time ratio here is fixed-overhead
-    # amortization; production pins a fixed panel) and the perceptron
+    # round-10 second wave: the recall audit (round-11: panel is now a
+    # fixed 64-query LIMIT, so the exact side is Q x N with Q constant
+    # — the ratios should sit in the linear band) and the perceptron
     # trainer (epochs x token-linear gradient passes)
     "ann_recall_calibration",
     "classifier_train_perceptron",
@@ -181,10 +180,12 @@ TOP_4X = [
     "corpus_recipe_pipeline",
     # round-10 third wave: the two new bench heavies — the rejects
     # audit (shares the recipe's labeling DAG, should mirror its
-    # curvature) and the recall audit (panel×collection = k² exact-side
-    # work in the kx derivation, see the TOP comment)
+    # curvature) and the recall audits (round-11: fixed 64-query panel,
+    # exact side Q x N with Q constant — both should now show linear
+    # curvature; the pq point is the round-11 verdict-item-1 addition)
     "corpus_recipe_rejects",
     "ann_recall_calibration",
+    "pq_recall_calibration",
 ]
 
 # fourth scaling point (round-6 verdict item 7) for the two entries

@@ -136,14 +136,15 @@ WHITELIST: dict[str, dict[str, str]] = {
         "shape as tfidf's corpus count)"
     },
     "ann_recall_calibration": {
-        "bnl_join": "bounded query panel (vec_id % 31 == 7) and the "
-        "16-pivot frame broadcast against the collection — the exact "
-        "side of a recall audit is Q-bounded by construction (same "
-        "contract as hard_negatives/semantic_decontaminate)"
+        "bnl_join": "fixed 64-query md5-ranked panel (a LIMIT, so Q is "
+        "constant at any corpus size) and the 16-pivot frame broadcast "
+        "against the collection — the exact side is Q*N with Q=64 by "
+        "construction (same contract as hard_negatives/"
+        "semantic_decontaminate)"
     },
     "pq_recall_calibration": {
-        "bnl_join": "same bounded %31 query panel broadcast for the "
-        "exact-L2 side (see ann_recall_calibration)"
+        "bnl_join": "same fixed 64-query md5-ranked panel broadcast for "
+        "the exact-L2 side (see ann_recall_calibration)"
     },
     "corpus_recipe_pipeline": {
         "bnl_join": "1-row stage-count aggregate cross-joined with the "
