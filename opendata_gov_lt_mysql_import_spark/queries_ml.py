@@ -7711,19 +7711,23 @@ def pq_recall_calibration_q(spark: SparkSession, sf: str) -> DataFrame:
       FROM fps, unnest(srcs) u1(a), unnest(srcs) u2(b)
       WHERE u1.a < u2.b
     )
-    SELECT src_a, src_b, CAST(count(*) AS BIGINT) AS n_shared_docs
+    SELECT src_a, src_b, CAST(count(*) AS BIGINT) AS n_shared_fps
     FROM pairs GROUP BY 1, 2
     """,
 )
 def source_overlap_matrix_q(spark: SparkSession, sf: str) -> DataFrame:
     """Cross-source duplicate-overlap matrix — the provenance diagnostic
-    a multi-source corpus release ships (how much of source A is
-    byte-identical content also in source B; RedPajama/Dolma publish
-    exactly this before mixing weights are chosen): content fingerprint
-    → per-fingerprint DISTINCT source set → all source pairs within the
-    set → (src_a, src_b, n_shared_docs). Cross-source mirrors are
-    planted (first 200 docs re-appear under a rotated source) since the
-    fixture has none naturally.
+    a multi-source corpus release ships (how much distinct content of
+    source A is byte-identical content also in source B;
+    RedPajama/Dolma publish exactly this before mixing weights are
+    chosen): content fingerprint → per-fingerprint DISTINCT source set
+    → all source pairs within the set → (src_a, src_b, n_shared_fps).
+    The unit is distinct content FINGERPRINTS, not document instances:
+    if two docs in source A carry the same text that also appears in
+    source B, the pair counts once (round-11 advice — the column name
+    now says what is measured). Cross-source mirrors are planted (first
+    200 docs re-appear under a rotated source) since the fixture has
+    none naturally.
 
     Scale shape: Spark-first pair generation WITHOUT a self-join — one
     fingerprint groupBy (collect_set bounded by #sources, a dimension,
@@ -7763,5 +7767,5 @@ def source_overlap_matrix_q(spark: SparkSession, sf: str) -> DataFrame:
         "p.src_a", "p.src_b"
     )
     return pairs.groupBy("src_a", "src_b").agg(
-        F.count(F.lit(1)).cast("long").alias("n_shared_docs")
+        F.count(F.lit(1)).cast("long").alias("n_shared_fps")
     )
