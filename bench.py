@@ -198,6 +198,11 @@ HEADLINE = [
     # source overlap matrix: fingerprint groupBy + HOF pair explode —
     # the no-self-join provenance diagnostic
     "source_overlap_matrix",
+    # round-11: IVFADC — coarse-cell probe restricting the ADC code
+    # scan (the FAISS serving layout), and its recall audit on the
+    # fixed 64-query panel (cells + codes composed loss)
+    "ann_ivfadc_topk",
+    "ivfadc_recall_calibration",
 ]
 
 

@@ -7769,3 +7769,303 @@ def source_overlap_matrix_q(spark: SparkSession, sf: str) -> DataFrame:
     return pairs.groupBy("src_a", "src_b").agg(
         F.count(F.lit(1)).cast("long").alias("n_shared_fps")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 11: IVFADC — the FAISS-style composition of the two halves that
+# shipped separately in round 10 (IVF probe pruning, similarity.py;
+# ADC code scan, pq_adc_topk): probe nprobe coarse cells, ADC-rank ONLY
+# the member codes, top-k. This is the layout billion-vector systems
+# actually serve (Jégou et al. 2011 §IV).
+# ---------------------------------------------------------------------------
+
+# IVF coarse layer over the PQ base CTEs: 16 data-as-pivot cells
+# (vec_ids 1..16, max-dot assignment — the ann_ivf_topk /
+# ann_recall_calibration discipline), shared by the search and its
+# recall audit so both check the same index.
+_IVF_CTES = """
+    piv AS (SELECT vec_id AS pid, e AS pe FROM v WHERE vec_id BETWEEN 1 AND 16),
+    ivf AS (
+      SELECT vec_id, pid FROM (
+        SELECT v.vec_id, p.pid,
+               row_number() OVER (PARTITION BY v.vec_id
+                 ORDER BY list_dot_product(v.e, p.pe) DESC, p.pid) AS rn
+        FROM v, piv p)
+      WHERE rn = 1
+    )
+"""
+
+
+@query(
+    "ann_ivfadc_topk",
+    _PQ_BASE_CTES + ",\n" + _IVF_CTES + """,
+    probe AS (
+      SELECT p.pid FROM piv p, (SELECT e FROM v WHERE vec_id = 0) q
+      ORDER BY list_dot_product(q.e, p.pe) DESC, p.pid LIMIT 2
+    ),
+    qt AS (
+      SELECT s.m, c.cid,
+             list_sum(list_transform(range(1, 17),
+               i -> (s.sv[i] - c.cv[i]) * (s.sv[i] - c.cv[i]))) AS qd
+      FROM sub s JOIN cb c USING (m) WHERE s.vec_id = 0
+    ),
+    members AS (
+      SELECT i.vec_id, i.pid FROM ivf i JOIN probe USING (pid)
+      WHERE i.vec_id <> 0
+    ),
+    adc AS (
+      SELECT a.vec_id, CAST(max(mem.pid) AS BIGINT) AS cell,
+             round(sum(q.qd), 4) AS adc_dist
+      FROM asg a
+      JOIN members mem USING (vec_id)
+      JOIN qt q ON a.m = q.m AND a.cid = q.cid
+      GROUP BY a.vec_id
+    )
+    SELECT vec_id, cell, adc_dist FROM adc
+    ORDER BY adc_dist, vec_id LIMIT 10
+    """,
+)
+def ann_ivfadc_topk_q(spark: SparkSession, sf: str) -> DataFrame:
+    """IVFADC search (Jégou et al. 2011 §IV — the FAISS serving
+    layout): a coarse inverted index restricts the scan to the nprobe=2
+    cells nearest the query (max-dot over the 16 data-as-pivot
+    centroids, the ``ann_ivf_topk`` discipline), and ONLY those cells'
+    member codes are ranked by asymmetric distance — the query's
+    32-entry (4 subspaces × 8 codewords) lookup table summed over each
+    member's stored PQ codes. Composes round 10's two halves (IVF probe
+    pruning + ``pq_adc_topk``'s code scan) into the actual layout
+    billion-vector systems serve: coarse cells bound the scan, codes
+    bound the bytes. Output (vec_id, cell, adc_dist) top-10 by rounded
+    ADC distance, vec_id tiebreak — cell is the provenance evidence
+    that every hit came from a probed cell. Oracle-exact end to end via
+    the shared _PQ_BASE_CTES + _IVF_CTES chains.
+
+    Scale shape: pivots (16 rows) and the probe set (2 rows) broadcast;
+    cell assignment is one window keyed vec_id — the same shuffle the
+    IVF build itself pays, amortized across queries in a served system;
+    the member restriction is a broadcast semi of the probe set onto
+    the assignment, cutting the ADC scan to ~nprobe/ncells of the
+    corpus BEFORE any distance work; the ADC side then touches only the
+    4 code columns joined against the broadcast 32-row lookup table;
+    top-k is TakeOrdered (bounded heap, no global sort)."""
+    from pyspark.sql import Window
+
+    from .operators.similarity import dot
+
+    emb64 = load_table(spark, sf, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    piv = emb64.filter(F.col("vec_id").between(1, 16)).select(
+        F.col("vec_id").alias("pid"), F.col("e").alias("pe")
+    )
+    qv = emb64.filter(F.col("vec_id") == 0).select(F.col("e").alias("qe"))
+    probe = (
+        piv.crossJoin(F.broadcast(qv))
+        .select("pid", dot(F.col("pe"), F.col("qe")).alias("d"))
+        .orderBy(F.desc("d"), F.asc("pid"))
+        .limit(2)
+        .select("pid")
+    )
+    w_asg = Window.partitionBy("vec_id").orderBy(F.desc("d"), F.asc("pid"))
+    ivf = (
+        emb64.crossJoin(F.broadcast(piv))
+        .select("vec_id", "pid", dot(F.col("e"), F.col("pe")).alias("d"))
+        .withColumn("rn", F.row_number().over(w_asg))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "pid")
+    )
+    members = ivf.join(F.broadcast(probe), "pid").filter(
+        F.col("vec_id") != 0
+    )
+    sub = _pq_sub(spark, sf)
+    cb = sub.filter(F.col("vec_id").between(1, 8)).select(
+        F.col("vec_id").alias("cid"), "m", F.col("sv").alias("cv")
+    )
+    qt = (
+        sub.filter(F.col("vec_id") == 0)
+        .join(F.broadcast(cb), "m")
+        .select("m", "cid", _pq_dist().alias("qd"))
+    )
+    asg = _pq_assign(spark, sf).select("vec_id", "m", "cid")
+    adc = (
+        asg.join(members, "vec_id")
+        .join(F.broadcast(qt), ["m", "cid"])
+        .groupBy("vec_id")
+        .agg(
+            F.max("pid").cast("long").alias("cell"),
+            F.round(F.sum("qd"), 4).alias("adc_dist"),
+        )
+    )
+    return adc.orderBy(F.asc("adc_dist"), F.asc("vec_id")).limit(10)
+
+
+@query(
+    "ivfadc_recall_calibration",
+    _PQ_BASE_CTES + ",\n" + _IVF_CTES + ",\n" + _PANEL_CTE + """,
+    qs AS (
+      SELECT v.vec_id AS qid, v.e AS qe FROM v JOIN panel USING (vec_id)
+    ),
+    probe AS (
+      SELECT qid, pid FROM (
+        SELECT q.qid, p.pid,
+               row_number() OVER (PARTITION BY q.qid
+                 ORDER BY list_dot_product(q.qe, p.pe) DESC, p.pid) AS rn
+        FROM qs q, piv p)
+      WHERE rn <= 2
+    ),
+    members AS (
+      SELECT pr.qid, i.vec_id
+      FROM ivf i JOIN probe pr USING (pid)
+      WHERE i.vec_id <> pr.qid
+    ),
+    qt AS (
+      SELECT s.vec_id AS qid, s.m, c.cid,
+             list_sum(list_transform(range(1, 17),
+               i -> (s.sv[i] - c.cv[i]) * (s.sv[i] - c.cv[i]))) AS qd
+      FROM sub s JOIN cb c USING (m)
+      WHERE s.vec_id IN (SELECT vec_id FROM panel)
+    ),
+    adc10 AS (
+      SELECT qid, vec_id FROM (
+        SELECT mem.qid, mem.vec_id,
+               row_number() OVER (PARTITION BY mem.qid
+                 ORDER BY round(sum(q.qd), 4), mem.vec_id) AS rn
+        FROM members mem
+        JOIN asg a USING (vec_id)
+        JOIN qt q ON q.qid = mem.qid AND q.m = a.m AND q.cid = a.cid
+        GROUP BY mem.qid, mem.vec_id)
+      WHERE rn <= 10
+    ),
+    exact10 AS (
+      SELECT qid, vec_id FROM (
+        SELECT q.qid, v.vec_id,
+               row_number() OVER (PARTITION BY q.qid
+                 ORDER BY round(list_sum(list_transform(range(1, 65),
+                   i -> (v.e[i] - q.qe[i]) * (v.e[i] - q.qe[i]))), 4),
+                   v.vec_id) AS rn
+        FROM v, qs q WHERE v.vec_id <> q.qid)
+      WHERE rn <= 10
+    ),
+    scanned AS (
+      SELECT qid, count(*) AS ns FROM members GROUP BY 1
+    ),
+    hits AS (
+      SELECT e.qid, count(*) AS h
+      FROM exact10 e JOIN adc10 a ON a.qid = e.qid AND a.vec_id = e.vec_id
+      GROUP BY 1
+    )
+    SELECT q.qid,
+           CAST(COALESCE(s.ns, 0) AS BIGINT) AS n_scanned,
+           CAST(COALESCE(h.h, 0) AS BIGINT) AS hits10,
+           CAST(COALESCE(h.h, 0) * 1000 AS BIGINT) AS recall_bp
+    FROM qs q
+    LEFT JOIN hits h USING (qid)
+    LEFT JOIN scanned s USING (qid)
+    """,
+)
+def ivfadc_recall_calibration_q(spark: SparkSession, sf: str) -> DataFrame:
+    """The calibration trilogy's capstone: recall@10 of the COMPOSED
+    IVFADC path (cell pruning AND code quantization, both lossy)
+    against exact squared-L2 top-10 on the same fixed 64-query
+    md5-ranked panel as the other two audits — separating the losses:
+    ``ann_recall_calibration`` prices the cells alone,
+    ``pq_recall_calibration`` the codes alone, this one their
+    composition as actually served. n_scanned is the pruning evidence
+    per query (how many member codes the probe admitted — the work the
+    coarse index saved vs a full code scan). All-integer report,
+    oracle-exact via the shared CTE chains.
+
+    Scale shape: panel (64) × pivots (16) broadcast for probing; the
+    member restriction fans each query out to ~nprobe/ncells of the
+    assignment — Q·N/8 rows here, Q constant BY CONSTRUCTION (the
+    panel is a LIMIT); ADC ranking joins the broadcast 64×32 lookup
+    tables against code columns only; the exact side is the audit's
+    Q×N cross join with Q = 64."""
+    from pyspark.sql import Window
+
+    from .operators.similarity import dot
+
+    emb64 = load_table(spark, sf, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    panel = _audit_panel(emb64)
+    piv = emb64.filter(F.col("vec_id").between(1, 16)).select(
+        F.col("vec_id").alias("pid"), F.col("e").alias("pe")
+    )
+    qs = emb64.join(F.broadcast(panel), "vec_id").select(
+        F.col("vec_id").alias("qid"), F.col("e").alias("qe")
+    )
+    w_asg = Window.partitionBy("vec_id").orderBy(F.desc("d"), F.asc("pid"))
+    ivf = (
+        emb64.crossJoin(F.broadcast(piv))
+        .select("vec_id", "pid", dot(F.col("e"), F.col("pe")).alias("d"))
+        .withColumn("rn", F.row_number().over(w_asg))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "pid")
+    )
+    w_probe = Window.partitionBy("qid").orderBy(F.desc("d"), F.asc("pid"))
+    probe = (
+        qs.crossJoin(F.broadcast(piv))
+        .select("qid", "pid", dot(F.col("qe"), F.col("pe")).alias("d"))
+        .withColumn("rn", F.row_number().over(w_probe))
+        .filter(F.col("rn") <= 2)
+        .select("qid", "pid")
+    )
+    members = ivf.join(F.broadcast(probe), "pid").filter(
+        F.col("vec_id") != F.col("qid")
+    ).select("qid", "vec_id")
+    sub = _pq_sub(spark, sf)
+    cb = sub.filter(F.col("vec_id").between(1, 8)).select(
+        F.col("vec_id").alias("cid"), "m", F.col("sv").alias("cv")
+    )
+    qt = (
+        sub.join(F.broadcast(panel), "vec_id")
+        .join(F.broadcast(cb), "m")
+        .select(
+            F.col("vec_id").alias("qid"), "m", "cid", _pq_dist().alias("qd")
+        )
+    )
+    asg = _pq_assign(spark, sf).select("vec_id", "m", "cid")
+    w_adc = Window.partitionBy("qid").orderBy(F.asc("adc"), F.asc("vec_id"))
+    adc10 = (
+        members.join(asg, "vec_id")
+        .join(F.broadcast(qt), ["qid", "m", "cid"])
+        .groupBy("qid", "vec_id")
+        .agg(F.round(F.sum("qd"), 4).alias("adc"))
+        .withColumn("rn", F.row_number().over(w_adc))
+        .filter(F.col("rn") <= 10)
+        .select("qid", "vec_id")
+    )
+    l2 = F.aggregate(
+        F.zip_with(
+            F.col("e"), F.col("qe"), lambda x, y: (x - y) * (x - y)
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    w_ex = Window.partitionBy("qid").orderBy(F.asc("d"), F.asc("vec_id"))
+    exact10 = (
+        emb64.crossJoin(F.broadcast(qs))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id", F.round(l2, 4).alias("d"))
+        .withColumn("rn", F.row_number().over(w_ex))
+        .filter(F.col("rn") <= 10)
+        .select("qid", "vec_id")
+    )
+    scanned = members.groupBy("qid").agg(F.count(F.lit(1)).alias("ns"))
+    hits = exact10.join(adc10, ["qid", "vec_id"]).groupBy("qid").agg(
+        F.count(F.lit(1)).alias("h")
+    )
+    return (
+        qs.select("qid")
+        .join(hits, "qid", "left")
+        .join(scanned, "qid", "left")
+        .select(
+            "qid",
+            F.coalesce(F.col("ns"), F.lit(0)).cast("long").alias("n_scanned"),
+            F.coalesce(F.col("h"), F.lit(0)).cast("long").alias("hits10"),
+            (F.coalesce(F.col("h"), F.lit(0)) * 1000)
+            .cast("long")
+            .alias("recall_bp"),
+        )
+    )

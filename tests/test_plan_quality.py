@@ -648,6 +648,22 @@ def test_audit_panel_is_fixed_count_takeordered(spark, sf_dir):
     assert _audit_panel(doubled).count() == 64
 
 
+def test_ivfadc_probe_restricts_scan_before_adc(spark, sf_dir, queries):
+    """ann_ivfadc_topk's whole point is that the coarse probe bounds
+    the code scan: the probe set and lookup table must broadcast (never
+    shuffle the corpus against them), no cartesian/sort-merge join may
+    appear, the plan stays within 2 shuffles (cell-assignment window +
+    code-assignment window), and top-k is a bounded TakeOrdered."""
+    df = queries["ann_ivfadc_topk"](spark, sf_dir)
+    plan = final_plan(df)
+    final = plan.split("== Initial Plan ==")[0]
+    assert "CartesianProduct" not in final, plan
+    assert "SortMergeJoin" not in final, plan
+    assert "BroadcastHashJoin" in final, plan  # probe/lookup broadcast
+    assert final.count("Exchange hashpartitioning") <= 2, plan
+    assert "TakeOrderedAndProject" in final, plan
+
+
 def test_source_overlap_matrix_has_no_join(spark, sf_dir, queries):
     """source_overlap_matrix's whole design claim is pair generation
     WITHOUT a fingerprint self-join (which would shuffle the doc stream

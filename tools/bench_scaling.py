@@ -142,6 +142,11 @@ TOP = [
     # trainer (epochs x token-linear gradient passes)
     "ann_recall_calibration",
     "classifier_train_perceptron",
+    # round-11: the IVFADC composition and its recall audit — the
+    # search's cost is the probe-restricted code scan (~nprobe/ncells
+    # of the corpus), the audit's is Q x N with the fixed 64 panel
+    "ann_ivfadc_topk",
+    "ivfadc_recall_calibration",
 ]
 
 # third scaling point for the heaviest candidate-generating entries —

@@ -146,6 +146,16 @@ WHITELIST: dict[str, dict[str, str]] = {
         "bnl_join": "same fixed 64-query md5-ranked panel broadcast for "
         "the exact-L2 side (see ann_recall_calibration)"
     },
+    "ann_ivfadc_topk": {
+        "bnl_join": "16-pivot frame cross-joined for the broadcast "
+        "cell-assignment argmin and the 1-row query vector broadcast "
+        "for probing (same shape as nearest_centroid_assign)"
+    },
+    "ivfadc_recall_calibration": {
+        "bnl_join": "fixed 64-query md5-ranked panel and the 16-pivot "
+        "frame broadcast — the exact side is Q*N with Q=64 by "
+        "construction (see ann_recall_calibration)"
+    },
     "corpus_recipe_pipeline": {
         "bnl_join": "1-row stage-count aggregate cross-joined with the "
         "1-row upsample/shard aggregate to assemble the 10-row "
