@@ -203,6 +203,10 @@ HEADLINE = [
     # fixed 64-query panel (cells + codes composed loss)
     "ann_ivfadc_topk",
     "ivfadc_recall_calibration",
+    # round-11: learned PQ codebooks — two unrolled fixed-point Lloyd
+    # iterations per subspace (broadcast codebook argmin + 32x16-cell
+    # update shuffle per round)
+    "pq_train_codebook",
 ]
 
 

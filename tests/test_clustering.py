@@ -418,3 +418,83 @@ class TestPQModel:
                 assert rows[vid][f"c{m}"] == best_c, (vid, m)
                 err += best_d
             assert abs(rows[vid]["recon_err"] - round(err, 4)) < 1e-9, vid
+
+
+class TestPQTrainModel:
+    """Independent numpy replica of the fixed-point per-subspace Lloyd
+    trainer: both engines could share a misreading of the update rule
+    (e.g. mean over the wrong axis, assignment drift between trace and
+    update), which the oracle comparison cannot catch — a third,
+    imperative implementation can."""
+
+    def test_pq_train_trace_matches_numpy(self, spark):
+        import numpy as np
+
+        from opendata_gov_lt_mysql_import_spark.queries_ml import (
+            pq_train_codebook_q,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        got = {
+            (r["iter"], r["m"]): r
+            for r in pq_train_codebook_q(spark, sf).collect()
+        }
+        emb = {
+            r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+            for r in spark.read.parquet(f"{sf}/embeddings.parquet").collect()
+        }
+        scale = 10**4
+        # round half-away-from-zero on the double promotion (engine rule)
+        q = {
+            vid: np.array(
+                [
+                    int(np.floor(x * scale + 0.5))
+                    if x >= 0
+                    else -int(np.floor(-x * scale + 0.5))
+                    for x in v
+                ],
+                dtype=np.int64,
+            )
+            for vid, v in emb.items()
+        }
+        subs = {
+            m: {vid: v[m * 16 : m * 16 + 16] for vid, v in q.items()}
+            for m in range(4)
+        }
+        for m in range(4):
+            cb = {cid: subs[m][cid].copy() for cid in range(1, 9)}
+            for it in range(3):
+                # assignment vs codebook `it`
+                assign, total = {}, 0
+                for vid, sv in sorted(subs[m].items()):
+                    dists = sorted(
+                        (int(((sv - cv) ** 2).sum()), cid)
+                        for cid, cv in cb.items()
+                    )
+                    d2, cid = dists[0]
+                    assign[vid] = cid
+                    total += d2
+                row = got[(it, m)]
+                assert row["recon_err"] == total, (it, m)
+                assert row["n_cw"] == len(cb), (it, m)
+                assert row["cb_sum"] == sum(
+                    int(cv.sum()) for cv in cb.values()
+                ), (it, m)
+                if it < 2:
+                    # update: truncating integral division per dimension
+                    new = {}
+                    for cid in cb:
+                        members = [
+                            subs[m][vid]
+                            for vid, c in assign.items()
+                            if c == cid
+                        ]
+                        if not members:
+                            continue  # empty cells drop (engine semantics)
+                        s = np.sum(members, axis=0, dtype=np.int64)
+                        n = len(members)
+                        # toward-zero division, matching DIV / //
+                        new[cid] = np.array(
+                            [int(x / n) for x in s], dtype=np.int64
+                        )
+                    cb = new
