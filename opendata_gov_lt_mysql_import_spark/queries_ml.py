@@ -6187,11 +6187,17 @@ def _corpus_recipe_oracle() -> str:
                           ELSE str_split_regex(trim(ctext), '\s+') END AS toks
       FROM cleaned
     ),
+    -- len(toks) >= n guards (round-11 advice): Spark's word_ngrams
+    -- returns an EMPTY array for docs shorter than n tokens, excluding
+    -- them from shingling entirely, while generate_series' greatest(..., 1)
+    -- fallback would give such docs a partial/empty-string gram (two
+    -- boilerplate-only docs would share gram '' and be dropped as
+    -- near-dups by the oracle but kept by Spark)
     ngrams AS (
       SELECT doc_id, list_distinct(list_transform(
                generate_series(1, greatest(len(toks) - 2, 1)),
                i -> array_to_string(toks[i:i+2], ' '))) AS gs
-      FROM ntoks
+      FROM ntoks WHERE len(toks) >= 3
     ),
     nsigs AS (
       SELECT doc_id, list_transform(range(0, 16),
@@ -6224,7 +6230,7 @@ def _corpus_recipe_oracle() -> str:
                i -> CASE WHEN i + 1 <= len(toks)
                          THEN toks[i] || ' ' || toks[i+1]
                          ELSE toks[i] END)) AS gs2
-      FROM ntoks
+      FROM ntoks WHERE len(toks) >= 2
     ),
     ndrop AS (
       SELECT DISTINCT k.id_b AS doc_id
@@ -6272,7 +6278,7 @@ def _corpus_recipe_oracle() -> str:
       SELECT doc_id, unnest(list_distinct(list_transform(
                generate_series(1, greatest(len(toks) - 4, 1)),
                i -> array_to_string(toks[i:i+4], ' ')))) AS gram
-      FROM ntoks
+      FROM ntoks WHERE len(toks) >= 5
     ),
     ev AS (
       SELECT DISTINCT gram FROM dg
