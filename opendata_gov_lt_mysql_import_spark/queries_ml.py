@@ -6128,12 +6128,12 @@ _RECIPE_CORPUS_SQL = f"""
 """
 
 
-def _corpus_recipe_oracle() -> str:
-    ntok = (
-        "CASE WHEN trim({t}) = '' THEN 0 "
-        r"ELSE len(str_split_regex(trim({t}), '\s+')) END"
-    )
-    return rf"""
+# stage-2 spec for the standard one-shot corpus: a re-crawl variant
+# (+1e6) canonicalizes onto its base URL; mirrors (+2e6) and edits
+# (+3e6) live on distinct hosts.
+_RECIPE_URL_CASE = "CASE WHEN doc_id < 2000000 THEN base_id ELSE doc_id END"
+
+_RECIPE_ONESHOT_HEAD = rf"""
     WITH inj AS ({_RECIPE_CORPUS_SQL}),
     corpus AS (
       SELECT base_id AS doc_id, base_id, source, text FROM inj
@@ -6147,16 +6147,34 @@ def _corpus_recipe_oracle() -> str:
       SELECT base_id + 3000000, base_id, source,
              text || chr(10) || 'variant note ' || CAST(base_id AS VARCHAR)
       FROM inj WHERE base_id % 11 = 0
-    ),
-    -- stage 2 spec: a re-crawl variant (+1e6) canonicalizes onto its
-    -- base URL; mirrors (+2e6) and edits (+3e6) live on distinct hosts.
-    -- The Spark side runs the REAL canonical_url() — if it failed to
-    -- merge (or over-merged) any variant, the stage counts diverge.
+    ),"""
+
+
+def _corpus_recipe_oracle(
+    head: str = _RECIPE_ONESHOT_HEAD,
+    model: str = "corpus",
+    url_case: str = _RECIPE_URL_CASE,
+) -> str:
+    """Datasheet-oracle factory (round-11: parameterized so the
+    one-shot recipe and the batch-vs-history increment share one CTE
+    chain and can never drift): ``head`` must open the WITH-chain and
+    define ``corpus`` (doc_id, base_id, source, text) — the docs being
+    labeled; ``model`` names the CTE whose lines feed the boilerplate
+    line-DF (the bp MODEL epoch — ``corpus`` for the one-shot, the
+    history slice for the increment); ``url_case`` is the stage-2
+    URL-canonicalization spec for the corpus' planted families. The
+    Spark side runs the REAL canonical_url() — if it failed to merge
+    (or over-merged) any variant, the stage counts diverge."""
+    ntok = (
+        "CASE WHEN trim({t}) = '' THEN 0 "
+        r"ELSE len(str_split_regex(trim({t}), '\s+')) END"
+    )
+    return rf"""{head}
     s2 AS (
       SELECT * FROM corpus
       WHERE doc_id IN (
         SELECT min(doc_id) FROM corpus
-        GROUP BY CASE WHEN doc_id < 2000000 THEN base_id ELSE doc_id END)
+        GROUP BY {url_case})
     ),
     s3 AS (
       SELECT * FROM s2
@@ -6167,8 +6185,12 @@ def _corpus_recipe_oracle() -> str:
              generate_subscripts(str_split(text, chr(10)), 1) AS pos
       FROM corpus
     ),
+    mlines AS (
+      SELECT doc_id, unnest(str_split(text, chr(10))) AS line
+      FROM {model}
+    ),
     bp AS (
-      SELECT trim(line) AS k FROM lines WHERE trim(line) <> ''
+      SELECT trim(line) AS k FROM mlines WHERE trim(line) <> ''
       GROUP BY 1 HAVING count(DISTINCT doc_id) >= {_RECIPE_BP_MIN}
     ),
     cleaned AS (
@@ -6455,14 +6477,26 @@ def _recipe_labeled(spark: SparkSession, sf: str) -> DataFrame:
     (``corpus_recipe_pipeline``) and the removed-sample audit
     (``corpus_recipe_rejects``). See the pipeline docstring for the
     composition design."""
+    corpus = _spread(_recipe_corpus(spark, sf))
+    return _recipe_labeled_over(corpus, corpus)
+
+
+def _recipe_labeled_over(
+    corpus: DataFrame, model_corpus: DataFrame
+) -> DataFrame:
+    """The recipe labeling over an explicit (corpus, model) pair
+    (round-11 parameterization for the batch-vs-history increment):
+    ``corpus`` is the doc set being labeled; ``model_corpus`` is the
+    epoch the boilerplate line-DF model is trained on — identical to
+    ``corpus`` for the one-shot recipe, the history slice for the
+    increment (a frozen scrub model is what makes history labels
+    invariant under batch ingest, hence the increment exact)."""
     from pyspark.sql import Window
 
     from .functions.urls import canonical_url
     from .operators.decontam import contamination_hits
     from .operators.dedup import jaccard_verify_pairs, minhash_md5_pairs
     from .operators.textanalysis import gopher_flags, token_count, tokens
-
-    corpus = _spread(_recipe_corpus(spark, sf))
 
     # --- stages 2-3: keeper windows (url groups, then exact-text groups
     # conditioned on url-stage survival)
@@ -6478,10 +6512,11 @@ def _recipe_labeled(spark: SparkSession, sf: str) -> DataFrame:
         "alive3", F.col("alive2") & (F.col("doc_id") == F.col("keeper3"))
     )
 
-    # --- stage 4: boilerplate scrub — line-DF over the raw corpus, the
-    # qualifying lines collected into a single broadcast array (bounded
-    # by total_lines / min_docs), then a map-side HOF filter + rejoin
-    lines = corpus.select(
+    # --- stage 4: boilerplate scrub — line-DF over the raw MODEL
+    # corpus, the qualifying lines collected into a single broadcast
+    # array (bounded by total_lines / min_docs), then a map-side HOF
+    # filter + rejoin
+    lines = model_corpus.select(
         "doc_id", F.explode(F.split(F.col("text"), "\n")).alias("line")
     )
     # eager checkpoint: this 1-row frame is consumed by the labeling
