@@ -207,6 +207,10 @@ HEADLINE = [
     # iterations per subspace (broadcast codebook argmin + 32x16-cell
     # update shuffle per round)
     "pq_train_codebook",
+    # round-11: the incremental recipe — history labeled once (the
+    # amortized state build), batch labeled via index probes, merged
+    # slim mixture; output = the combined one-shot datasheet
+    "corpus_recipe_increment",
 ]
 
 

@@ -6115,7 +6115,11 @@ _RECIPE_SITES = 8
 _RECIPE_BP_MIN = 10
 _RECIPE_SHARD_TOKENS = 2000
 
-_RECIPE_CORPUS_SQL = f"""
+def _recipe_inj_sql(where: str = "TRUE") -> str:
+    """The boilerplate-injection CTE body over a documents predicate —
+    TRUE for the one-shot corpus, an id-slice for the increment's
+    history/batch epochs."""
+    return f"""
     SELECT doc_id AS base_id, source,
            CASE WHEN doc_id % 3 = 0
                 THEN 'site ' || CAST(doc_id % {_RECIPE_SITES} AS VARCHAR)
@@ -6124,8 +6128,11 @@ _RECIPE_CORPUS_SQL = f"""
                      || 'site ' || CAST(doc_id % {_RECIPE_SITES} AS VARCHAR)
                      || ' copyright footer all rights reserved'
                 ELSE text END AS text
-    FROM documents
+    FROM documents WHERE {where}
 """
+
+
+_RECIPE_CORPUS_SQL = _recipe_inj_sql()
 
 
 # stage-2 spec for the standard one-shot corpus: a re-crawl variant
@@ -6405,12 +6412,9 @@ def _corpus_recipe_oracle(
     """
 
 
-def _recipe_corpus(spark: SparkSession, sf: str) -> DataFrame:
-    """Synthetic crawl for the recipe: per-site boilerplate injected into
-    every third base doc, plus three clone families — re-crawl URL
-    variants (+1e6, messy URL of the SAME page), exact content mirrors
-    (+2e6, distinct host), near-dup edits (+3e6, one extra line)."""
-    d = load_table(spark, sf, "documents").select("doc_id", "text", "source")
+def _recipe_inject(d: DataFrame) -> DataFrame:
+    """Per-site boilerplate injection into every third doc of a
+    (doc_id, text, source) frame — returns (base_id, source, text)."""
     site = (F.col("doc_id") % _RECIPE_SITES).cast("string")
     hdr = F.concat(
         F.lit("site "), site, F.lit(" navigation menu subscribe newsletter")
@@ -6418,7 +6422,7 @@ def _recipe_corpus(spark: SparkSession, sf: str) -> DataFrame:
     ftr = F.concat(
         F.lit("site "), site, F.lit(" copyright footer all rights reserved")
     )
-    inj = d.select(
+    return d.select(
         F.col("doc_id").alias("base_id"),
         "source",
         F.when(
@@ -6428,6 +6432,15 @@ def _recipe_corpus(spark: SparkSession, sf: str) -> DataFrame:
         .otherwise(F.col("text"))
         .alias("text"),
     )
+
+
+def _recipe_corpus(spark: SparkSession, sf: str) -> DataFrame:
+    """Synthetic crawl for the recipe: per-site boilerplate injected into
+    every third base doc, plus three clone families — re-crawl URL
+    variants (+1e6, messy URL of the SAME page), exact content mirrors
+    (+2e6, distinct host), near-dup edits (+3e6, one extra line)."""
+    d = load_table(spark, sf, "documents").select("doc_id", "text", "source")
+    inj = _recipe_inject(d)
     b = F.col("base_id").cast("string")
     s = (F.col("base_id") % _RECIPE_SITES).cast("string")
     q = (F.col("base_id") % 7).cast("string")
@@ -6481,8 +6494,45 @@ def _recipe_labeled(spark: SparkSession, sf: str) -> DataFrame:
     return _recipe_labeled_over(corpus, corpus)
 
 
+def _recipe_bp(model_corpus: DataFrame) -> DataFrame:
+    """The boilerplate line-DF model as a single-row broadcastable
+    frame (``bp_lines`` array, bounded by total_lines / min_docs),
+    eagerly checkpointed: it is consumed by the labeling flow AND by
+    every sub-DAG built on the scrubbed corpus (LSH signatures, pair
+    verification, contamination grams) — without the checkpoint each
+    consumer would re-run the full line-DF aggregation."""
+    lines = model_corpus.select(
+        "doc_id", F.explode(F.split(F.col("text"), "\n")).alias("line")
+    )
+    return (
+        lines.where(F.trim(F.col("line")) != "")
+        .groupBy(F.trim(F.col("line")).alias("k"))
+        .agg(F.count_distinct("doc_id").alias("df"))
+        .filter(F.col("df") >= _RECIPE_BP_MIN)
+        .agg(F.collect_list("k").alias("bp_lines"))
+        .localCheckpoint(eager=True)
+    )
+
+
+def _recipe_clean_expr():
+    """Map-side HOF scrub of ``text`` against the broadcast
+    ``bp_lines`` array (requires a prior crossJoin with the bp frame)."""
+    return F.array_join(
+        F.filter(
+            F.split(F.col("text"), "\n"),
+            lambda line: ~F.coalesce(
+                F.array_contains(F.col("bp_lines"), F.trim(line)),
+                F.lit(False),
+            ),
+        ),
+        "\n",
+    )
+
+
 def _recipe_labeled_over(
-    corpus: DataFrame, model_corpus: DataFrame
+    corpus: DataFrame,
+    model_corpus: DataFrame,
+    bp: DataFrame | None = None,
 ) -> DataFrame:
     """The recipe labeling over an explicit (corpus, model) pair
     (round-11 parameterization for the batch-vs-history increment):
@@ -6490,7 +6540,9 @@ def _recipe_labeled_over(
     epoch the boilerplate line-DF model is trained on — identical to
     ``corpus`` for the one-shot recipe, the history slice for the
     increment (a frozen scrub model is what makes history labels
-    invariant under batch ingest, hence the increment exact)."""
+    invariant under batch ingest, hence the increment exact). ``bp``
+    overrides the model when the caller already built it (the
+    increment shares one bp frame between history and batch)."""
     from pyspark.sql import Window
 
     from .functions.urls import canonical_url
@@ -6516,31 +6568,9 @@ def _recipe_labeled_over(
     # corpus, the qualifying lines collected into a single broadcast
     # array (bounded by total_lines / min_docs), then a map-side HOF
     # filter + rejoin
-    lines = model_corpus.select(
-        "doc_id", F.explode(F.split(F.col("text"), "\n")).alias("line")
-    )
-    # eager checkpoint: this 1-row frame is consumed by the labeling
-    # flow AND by every sub-DAG built on the scrubbed corpus (LSH
-    # signatures, pair verification, contamination grams) — without it,
-    # each consumer re-runs the full line-DF aggregation over the corpus
-    bp = (
-        lines.where(F.trim(F.col("line")) != "")
-        .groupBy(F.trim(F.col("line")).alias("k"))
-        .agg(F.count_distinct("doc_id").alias("df"))
-        .filter(F.col("df") >= _RECIPE_BP_MIN)
-        .agg(F.collect_list("k").alias("bp_lines"))
-        .localCheckpoint(eager=True)
-    )
-    clean_expr = F.array_join(
-        F.filter(
-            F.split(F.col("text"), "\n"),
-            lambda line: ~F.coalesce(
-                F.array_contains(F.col("bp_lines"), F.trim(line)),
-                F.lit(False),
-            ),
-        ),
-        "\n",
-    )
+    if bp is None:
+        bp = _recipe_bp(model_corpus)
+    clean_expr = _recipe_clean_expr()
     x3 = (
         x2.crossJoin(F.broadcast(bp))
         .withColumn("clean_text", clean_expr)
@@ -8300,3 +8330,521 @@ def pq_train_codebook_q(spark: SparkSession, sf: str) -> DataFrame:
     for tr in traces[1:]:
         out = out.unionByName(tr)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Round 11: the INCREMENTAL corpus recipe — a new crawl slice labeled
+# against persisted history state (URL set, alive-fingerprint set,
+# frozen boilerplate model, LSH index, eval gram set, survivor slim
+# index) without re-labeling history; the combined datasheet must equal
+# the one-shot recipe's datasheet on history ∪ batch (the reconcile
+# discipline), which the DuckDB oracle proves by recomputing the
+# one-shot from scratch.
+# ---------------------------------------------------------------------------
+
+# History epoch: the standard recipe families over 3/4 of the fixture
+# (doc_id % 4 != 3). Batch epoch: the remaining quarter as genuinely
+# new pages (+4e6), plus three planted cross-epoch families probing the
+# history indexes — re-crawls of history URLs (+5e6, must die at stage
+# 2 via the URL index), exact mirrors of history texts (+6e6, stage 3
+# via the fingerprint index), near-dup edits of history docs (+7e6,
+# stage 5 via the LSH index). All batch ids exceed every history id,
+# which is what makes history stage-1..7 labels INVARIANT under the
+# ingest: min-id keepers can only be won by history, confirmed
+# near-dup pairs always drop their larger (batch) id, the boilerplate
+# model and eval split are frozen at the history epoch.
+_RECIPE_INC_HEAD = rf"""
+    WITH inj AS ({_recipe_inj_sql("doc_id % 4 <> 3")}),
+    binj AS ({_recipe_inj_sql("doc_id % 4 = 3")}),
+    hist AS (
+      SELECT base_id AS doc_id, base_id, source, text FROM inj
+      UNION ALL
+      SELECT base_id + 1000000, base_id, source, text
+      FROM inj WHERE base_id % 5 = 0
+      UNION ALL
+      SELECT base_id + 2000000, base_id, source, text
+      FROM inj WHERE base_id % 7 = 0
+      UNION ALL
+      SELECT base_id + 3000000, base_id, source,
+             text || chr(10) || 'variant note ' || CAST(base_id AS VARCHAR)
+      FROM inj WHERE base_id % 11 = 0
+    ),
+    corpus AS (
+      SELECT * FROM hist
+      UNION ALL
+      SELECT base_id + 4000000, base_id, source, text FROM binj
+      UNION ALL
+      SELECT base_id + 5000000, base_id, source, text
+      FROM inj WHERE base_id % 5 = 1
+      UNION ALL
+      SELECT base_id + 6000000, base_id, source, text
+      FROM inj WHERE base_id % 7 = 1
+      UNION ALL
+      SELECT base_id + 7000000, base_id, source,
+             text || chr(10) || 'fresh note ' || CAST(base_id AS VARCHAR)
+      FROM inj WHERE base_id % 11 = 1
+    ),"""
+
+# stage-2 spec for the increment corpus: history re-crawls (+1e6) AND
+# batch re-crawls of history pages (+5e6) canonicalize onto the base
+# URL; everything else is its own page.
+_RECIPE_INC_URL_CASE = (
+    "CASE WHEN doc_id < 2000000 "
+    "OR (doc_id >= 5000000 AND doc_id < 6000000) "
+    "THEN base_id ELSE doc_id END"
+)
+
+
+def _recipe_hist_batch(
+    spark: SparkSession, sf: str
+) -> tuple[DataFrame, DataFrame]:
+    """(history corpus, batch corpus) for the incremental recipe —
+    both (doc_id, base_id, source, text, url). URLs are real strings
+    fed to the real ``canonical_url``; the oracle's stage-2 spec
+    (_RECIPE_INC_URL_CASE) is what they must canonicalize to."""
+    d = load_table(spark, sf, "documents").select("doc_id", "text", "source")
+    inj = _recipe_inject(d.filter(F.col("doc_id") % 4 != 3))
+    binj = _recipe_inject(d.filter(F.col("doc_id") % 4 == 3))
+    b = F.col("base_id").cast("string")
+    s = (F.col("base_id") % _RECIPE_SITES).cast("string")
+    q = (F.col("base_id") % 7).cast("string")
+    base_url = F.concat(
+        F.lit("http://site"), s, F.lit(".example.com/docs/"), b,
+        F.lit("?ref=a&q="), q,
+    )
+    messy_url = F.concat(
+        F.lit("HTTP://WWW.Site"), s, F.lit(".EXAMPLE.COM:80/docs/"), b,
+        F.lit("/?utm_source=feed&q="), q, F.lit("&ref=a#top"),
+    )
+    hist = (
+        inj.select(
+            F.col("base_id").alias("doc_id"), "base_id", "source", "text",
+            base_url.alias("url"),
+        )
+        .unionByName(
+            inj.filter(F.col("base_id") % 5 == 0).select(
+                (F.col("base_id") + 1000000).alias("doc_id"),
+                "base_id", "source", "text", messy_url.alias("url"),
+            )
+        )
+        .unionByName(
+            inj.filter(F.col("base_id") % 7 == 0).select(
+                (F.col("base_id") + 2000000).alias("doc_id"),
+                "base_id", "source", "text",
+                F.concat(F.lit("http://mirror.example.net/m/"), b).alias(
+                    "url"
+                ),
+            )
+        )
+        .unionByName(
+            inj.filter(F.col("base_id") % 11 == 0).select(
+                (F.col("base_id") + 3000000).alias("doc_id"),
+                "base_id", "source",
+                F.concat(
+                    F.col("text"), F.lit("\nvariant note "), b
+                ).alias("text"),
+                F.concat(F.lit("http://copy.example.org/c/"), b).alias(
+                    "url"
+                ),
+            )
+        )
+    )
+    batch = (
+        binj.select(
+            (F.col("base_id") + 4000000).alias("doc_id"),
+            "base_id", "source", "text",
+            F.concat(
+                F.lit("http://site"), s, F.lit(".example.com/new/"), b,
+                F.lit("?ref=a&q="), q,
+            ).alias("url"),
+        )
+        .unionByName(
+            inj.filter(F.col("base_id") % 5 == 1).select(
+                (F.col("base_id") + 5000000).alias("doc_id"),
+                "base_id", "source", "text", messy_url.alias("url"),
+            )
+        )
+        .unionByName(
+            inj.filter(F.col("base_id") % 7 == 1).select(
+                (F.col("base_id") + 6000000).alias("doc_id"),
+                "base_id", "source", "text",
+                F.concat(F.lit("http://mirror.example.net/m2/"), b).alias(
+                    "url"
+                ),
+            )
+        )
+        .unionByName(
+            inj.filter(F.col("base_id") % 11 == 1).select(
+                (F.col("base_id") + 7000000).alias("doc_id"),
+                "base_id", "source",
+                F.concat(
+                    F.col("text"), F.lit("\nfresh note "), b
+                ).alias("text"),
+                F.concat(F.lit("http://copy.example.org/c2/"), b).alias(
+                    "url"
+                ),
+            )
+        )
+    )
+    return hist, batch
+
+
+def _recipe_increment_labeled(
+    spark: SparkSession, sf: str
+) -> tuple[DataFrame, DataFrame]:
+    """(history labeled frame, batch labeled frame) for the incremental
+    recipe. History is labeled ONCE by the standard recipe (its own
+    epoch = the persisted state a real pipeline carries); the batch is
+    labeled by probing history INDEXES only — the URL set, the
+    alive-fingerprint set, the frozen broadcast boilerplate model, the
+    banded LSH signature index (history text is fetched only for the
+    bounded LSH-candidate set), and the frozen eval gram set. History
+    stage-1..7 labels are provably invariant under the ingest (see the
+    section comment), so history-agg + batch-agg IS the combined
+    one-shot datasheet for stages 1-7; stages 8-10 are recomputed over
+    the merged slim survivor index (metadata only, never text)."""
+    from pyspark.sql import Window
+
+    from .functions.urls import canonical_url
+    from .operators.decontam import contamination_hits
+    from .operators.dedup import (
+        incremental_minhash_neardup,
+        jaccard_verify_pairs,
+        minhash_history_index,
+        minhash_md5_pairs,
+    )
+    from .operators.textanalysis import gopher_flags, token_count, tokens
+
+    hist_corpus, batch = _recipe_hist_batch(spark, sf)
+    hist_corpus = _spread(hist_corpus)
+    bp = _recipe_bp(hist_corpus)  # the frozen scrub model, built ONCE
+    # the history store: labeled frame incl. raw + scrubbed text — the
+    # one-time (amortized) cost; every index below derives from it
+    hist_lab = _recipe_labeled_over(
+        hist_corpus, hist_corpus, bp=bp
+    ).localCheckpoint(eager=True)
+
+    url_index = hist_corpus.select(
+        canonical_url(F.col("url")).alias("hurl")
+    ).distinct()
+    fp_index = (
+        hist_lab.filter(F.col("alive2"))
+        .select(F.md5(F.col("text")).alias("hfp"))
+        .distinct()
+    )
+    scrub_h = hist_lab.select("doc_id", F.col("clean_text").alias("text"))
+
+    # --- batch stages 1-3: raw tokens, URL keeper vs index, exact
+    # fingerprint keeper vs alive-fingerprint index
+    b0 = _spread(batch)
+    w_urlb = Window.partitionBy("curl")
+    x1 = (
+        b0.withColumn("n_tok_raw", token_count(F.col("text")))
+        .withColumn("curl", canonical_url(F.col("url")))
+        .withColumn("minb", F.min("doc_id").over(w_urlb))
+    )
+    x1 = x1.join(url_index, x1["curl"] == url_index["hurl"], "left").drop(
+        "curl"
+    )
+    x1 = x1.withColumn(
+        "alive2", (F.col("doc_id") == F.col("minb")) & F.col("hurl").isNull()
+    ).drop("hurl", "minb")
+    w_fpb = Window.partitionBy("fp")
+    x2 = x1.withColumn("fp", F.md5(F.col("text"))).withColumn(
+        "keeper3b",
+        F.min(F.when(F.col("alive2"), F.col("doc_id"))).over(w_fpb),
+    )
+    x2 = x2.join(fp_index, x2["fp"] == fp_index["hfp"], "left")
+    x2 = x2.withColumn(
+        "alive3",
+        F.col("alive2")
+        & (F.col("doc_id") == F.col("keeper3b"))
+        & F.col("hfp").isNull(),
+    ).drop("hfp", "fp", "keeper3b")
+
+    # --- stage 4: scrub with the FROZEN history model
+    x3 = (
+        x2.crossJoin(F.broadcast(bp))
+        .withColumn("clean_text", _recipe_clean_expr())
+        .withColumn("n_tok_clean", token_count(F.col("clean_text")))
+        .drop("bp_lines")
+    )
+
+    # --- stage 5: batch-internal pairs (one-shot finder on the batch)
+    # + batch-vs-history pairs (signature probe of the persisted LSH
+    # index; history text fetched ONLY for the candidate hist ids)
+    scrub_b = b0.crossJoin(F.broadcast(bp)).select(
+        "doc_id", _recipe_clean_expr().alias("text")
+    )
+    cands_int = minhash_md5_pairs(
+        scrub_b, "text", "doc_id", n_gram=3, k=16, bands=8
+    ).filter(F.col("n_match") >= 5)
+    conf_int = jaccard_verify_pairs(
+        scrub_b, cands_int, text_col="text", id_col="doc_id", n=2,
+        min_jaccard=0.5,
+    )
+    idx = minhash_history_index(
+        scrub_h, "text", "doc_id", n_gram=3, k=16, bands=8
+    )
+    cross = incremental_minhash_neardup(
+        scrub_b, idx, "text", "doc_id", n_gram=3, k=16, bands=8
+    ).filter(F.col("n_match") >= 5)
+    cand_h_texts = scrub_h.join(
+        cross.select(F.col("hist_id").alias("doc_id")).distinct(), "doc_id"
+    )
+    conf_x = jaccard_verify_pairs(
+        scrub_b.unionByName(cand_h_texts),
+        cross.select(
+            F.col("hist_id").alias("id_a"), F.col("new_id").alias("id_b")
+        ),
+        text_col="text", id_col="doc_id", n=2, min_jaccard=0.5,
+    )
+    nd = (
+        conf_int.select(F.col("id_b").alias("doc_id"))
+        .unionByName(conf_x.select(F.col("id_b").alias("doc_id")))
+        .distinct()
+        .withColumn("nd_hit", F.lit(True))
+    )
+    x4 = x3.join(nd, "doc_id", "left").withColumn(
+        "alive5", F.col("alive3") & F.col("nd_hit").isNull()
+    )
+
+    # --- stage 6: Gopher gate (map-only)
+    gopher_keep = gopher_flags(
+        tokens(F.col("clean_text")), _ALL_STOPWORDS
+    )["keep"]
+    x5 = x4.withColumn("alive6", F.col("alive5") & gopher_keep)
+
+    # --- stage 7: contamination vs the FROZEN history eval gram set
+    # (the id predicate selects exactly the history eval docs — batch
+    # ids are all >= 4e6, so the eval epoch is history's by
+    # construction, matching the combined one-shot)
+    ev = scrub_h.filter(
+        (F.col("doc_id") % 20 == 0) & (F.col("doc_id") < 1000000)
+    )
+    hit = (
+        contamination_hits(scrub_b, ev, text_col="text", id_col="doc_id", n=5)
+        .select("doc_id")
+        .withColumn("cont_hit", F.lit(True))
+    )
+    x6 = x5.join(hit, "doc_id", "left").withColumn(
+        "alive7", F.col("alive6") & F.col("cont_hit").isNull()
+    )
+    blab = x6.localCheckpoint(eager=True)
+    return hist_lab, blab
+
+
+@query(
+    "corpus_recipe_increment",
+    _corpus_recipe_oracle(
+        head=_RECIPE_INC_HEAD,
+        model="hist",
+        url_case=_RECIPE_INC_URL_CASE,
+    ),
+)
+def corpus_recipe_increment_q(spark: SparkSession, sf: str) -> DataFrame:
+    """The INCREMENTAL corpus recipe (round-11 verdict item 5): a new
+    crawl slice is labeled against persisted history state and the
+    COMBINED 10-row datasheet comes out — stages 1-7 as history-agg +
+    batch-agg (history labels are invariant under the ingest: batch ids
+    exceed all history ids, so min-id keepers stay won by history and
+    confirmed near-dup pairs always drop their batch side; the
+    boilerplate scrub model and eval split are frozen at the history
+    epoch), stages 8-10 recomputed over the merged slim survivor index
+    (doc_id, source, n_tokens — metadata only). History text is never
+    re-read except the bounded LSH-candidate fetch.
+
+    The reconcile proof IS the oracle: DuckDB recomputes the one-shot
+    recipe from scratch over history ∪ batch (with the history-epoch
+    scrub model), so a hash match means the incremental path — index
+    probes, frozen models, merged mixture — reproduces the one-shot
+    datasheet exactly. Planted cross-epoch families pin each index:
+    re-crawls of history URLs die at stage 2, mirrors of history texts
+    at stage 3, near-dup edits at stage 5 (tests/test_corpus.py).
+
+    Scale shape: per ingest the work is batch-sized — window keepers
+    over the batch, probes against the URL/fingerprint/LSH/gram
+    indexes (batch is the small side of every probe join; AQE
+    broadcasts it), one frozen 1-row bp broadcast — plus a slim
+    metadata shuffle for the merged mixture. The history labeling here
+    is the one-time state build a real deployment amortizes across
+    ingests (the incremental_neardup_lsh presentation)."""
+    from pyspark.sql import Window
+
+    hist_lab, blab = _recipe_increment_labeled(spark, sf)
+
+    def _cnt(cond):
+        return F.sum(F.when(cond, 1).otherwise(0)).cast("long")
+
+    def _tok(cond, col):
+        return F.sum(F.when(cond, F.col(col)).otherwise(0)).cast("long")
+
+    def _stage_agg(lab, pref):
+        return lab.agg(
+            F.count(F.lit(1)).cast("long").alias(f"{pref}r1"),
+            F.sum("n_tok_raw").cast("long").alias(f"{pref}t1"),
+            _cnt(F.col("alive2")).alias(f"{pref}r2"),
+            _tok(F.col("alive2"), "n_tok_raw").alias(f"{pref}t2"),
+            _cnt(F.col("alive3")).alias(f"{pref}r3"),
+            _tok(F.col("alive3"), "n_tok_raw").alias(f"{pref}t3"),
+            _tok(F.col("alive3"), "n_tok_clean").alias(f"{pref}t4"),
+            _cnt(F.col("alive5")).alias(f"{pref}r5"),
+            _tok(F.col("alive5"), "n_tok_clean").alias(f"{pref}t5"),
+            _cnt(F.col("alive6")).alias(f"{pref}r6"),
+            _tok(F.col("alive6"), "n_tok_clean").alias(f"{pref}t6"),
+            _cnt(F.col("alive7")).alias(f"{pref}r7"),
+            _tok(F.col("alive7"), "n_tok_clean").alias(f"{pref}t7"),
+        )
+
+    # --- merged slim survivor index -> stages 8-10 (the oracle's
+    # rk/e/ups/sh chain over history ∪ batch survivors)
+    surv = (
+        hist_lab.filter(F.col("alive7"))
+        .select("doc_id", "source", F.col("n_tok_clean").alias("n_tokens"))
+        .unionByName(
+            blab.filter(F.col("alive7")).select(
+                "doc_id", "source", F.col("n_tok_clean").alias("n_tokens")
+            )
+        )
+        .localCheckpoint(eager=True)  # budgets agg + mixture window
+    )
+    src = surv.groupBy("source").agg(
+        F.sum("n_tokens").cast("long").alias("src_tokens")
+    ).withColumn(
+        "tier", F.substring(F.col("source"), 4, 10).cast("long") % 4 + 1
+    )
+    wall = Window.partitionBy(_const_part("source"))
+    budgets = src.select(
+        "source",
+        "tier",
+        F.sum("src_tokens").over(wall).cast("long").alias("total"),
+        F.sum("tier").over(wall).cast("long").alias("sum_tiers"),
+    ).select(
+        "source",
+        F.expr("((total div 2) * tier) div sum_tiers")
+        .cast("long")
+        .alias("budget"),
+    )
+    w_mix = Window.partitionBy("source").orderBy(
+        F.md5(F.concat_ws("#", F.col("doc_id").cast("string"), F.lit("mix"))),
+        F.col("doc_id"),
+    )
+    sel8 = (
+        surv.join(F.broadcast(budgets), "source", "left")
+        .withColumn("cum", F.sum("n_tokens").over(w_mix).cast("long"))
+        .filter(F.col("cum") <= F.coalesce(F.col("budget"), F.lit(0)))
+        .select("doc_id", "source", "n_tokens")
+    )
+    src_idx = F.substring(F.col("source"), 4, 10).cast("long")
+    sel = (
+        sel8.withColumn(
+            "epochs_milli", (F.lit(1000) + (src_idx % 13) * 250).cast("long")
+        )
+        .withColumn(
+            "frac_draw",
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            "#", F.col("doc_id").cast("string"), F.lit("ep")
+                        )
+                    ),
+                    1,
+                    13,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 1000,
+        )
+        .withColumn(
+            "n_copies",
+            (
+                F.expr("epochs_milli div 1000")
+                + F.when(
+                    F.col("frac_draw") < F.col("epochs_milli") % 1000, 1
+                ).otherwise(0)
+            ).cast("long"),
+        )
+    )
+    ups = sel.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        F.explode(
+            F.sequence(F.lit(1).cast("long"), F.col("n_copies"))
+        ).alias("copy_idx"),
+    )
+    w_pk = Window.partitionBy("source").orderBy(
+        F.md5(
+            F.concat_ws(
+                "#",
+                F.col("doc_id").cast("string"),
+                F.col("copy_idx").cast("string"),
+                F.lit("pk"),
+            )
+        ),
+        F.col("doc_id"),
+        F.col("copy_idx"),
+    )
+    sharded = ups.withColumn(
+        "cum2", F.sum("n_tokens").over(w_pk).cast("long")
+    ).withColumn(
+        "shard_id", F.expr(f"(cum2 - 1) div {_RECIPE_SHARD_TOKENS}")
+    )
+
+    r8 = sel8.agg(
+        F.count(F.lit(1)).cast("long").alias("r8"),
+        F.sum("n_tokens").cast("long").alias("t8"),
+    )
+    r910 = sharded.agg(
+        F.count(F.lit(1)).cast("long").alias("r9"),
+        F.sum("n_tokens").cast("long").alias("t9"),
+        F.count_distinct(
+            F.concat_ws("#", F.col("source"), F.col("shard_id").cast("string"))
+        )
+        .cast("long")
+        .alias("r10"),
+    )
+
+    rep = (
+        _stage_agg(hist_lab, "h")
+        .crossJoin(_stage_agg(blab, "b"))
+        .crossJoin(r8)
+        .crossJoin(r910)
+    )
+    add = lambda i: (  # noqa: E731
+        (F.col(f"hr{i}") + F.col(f"br{i}")).alias(f"r{i}")
+    )
+    addt = lambda i: (  # noqa: E731
+        (F.col(f"ht{i}") + F.col(f"bt{i}")).alias(f"t{i}")
+    )
+    # r4 == r3 (the scrub changes tokens, not rows), exactly as in the
+    # one-shot datasheet
+    rep = rep.select(
+        add(1), addt(1), add(2), addt(2), add(3), addt(3),
+        (F.col("hr3") + F.col("br3")).alias("r4"), addt(4),
+        add(5), addt(5), add(6), addt(6), add(7), addt(7),
+        "r8", "t8", "r9", "t9", "r10",
+    )
+    names = [
+        "ingest", "url_dedup", "exact_dedup", "boilerplate_scrub",
+        "neardup_lsh", "quality_gate", "decontaminate", "token_mixture",
+        "epoch_upsample", "pack_shard",
+    ]
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(i + 1).cast("long").alias("stage_ord"),
+                F.lit(nm).alias("stage"),
+                F.col(f"r{i + 1}").alias("rows_out"),
+                F.coalesce(
+                    F.col(f"t{i + 1}" if i + 1 != 10 else "t9"), F.lit(0)
+                ).alias("tokens_out"),
+            )
+            for i, nm in enumerate(names)
+        ]
+    )
+    return rep.select(F.explode(entries).alias("e")).select(
+        "e.stage_ord", "e.stage", "e.rows_out", "e.tokens_out"
+    )

@@ -216,3 +216,77 @@ class TestCorpusRecipePipeline:
         assert rows[9]["tokens_out"] >= rows[8]["tokens_out"]
         # sharding preserves tokens and bounds shard size
         assert rows[10]["tokens_out"] == rows[9]["tokens_out"]
+
+
+class TestCorpusRecipeIncrement:
+    """The incremental recipe's two load-bearing claims, pinned
+    engine-internally (the DuckDB oracle already proves the datasheet):
+    (1) each planted cross-epoch batch family dies at EXACTLY the stage
+    whose history index it probes; (2) per-doc label reconcile — the
+    increment's labels (history labeled once + batch labeled via index
+    probes) equal the parameterized one-shot labeling of the combined
+    corpus doc-for-doc, which is the invariance argument the datasheet
+    additivity rests on."""
+
+    @pytest.fixture(scope="class")
+    def frames(self, spark):
+        from opendata_gov_lt_mysql_import_spark.queries_ml import (
+            _recipe_increment_labeled,
+        )
+
+        return _recipe_increment_labeled(spark, "/root/testdata/sf0.001")
+
+    def test_planted_families_die_at_their_index(self, frames):
+        _hist_lab, blab = frames
+        rows = blab.select(
+            "doc_id", "alive2", "alive3", "alive5"
+        ).collect()
+        fam = lambda lo: [r for r in rows if lo <= r["doc_id"] < lo + 10**6]
+        recrawl, mirror = fam(5_000_000), fam(6_000_000)
+        edit, fresh = fam(7_000_000), fam(4_000_000)
+        assert recrawl and mirror and edit and fresh  # all families planted
+        # re-crawls of history URLs: killed by the URL index at stage 2
+        assert all(not r["alive2"] for r in recrawl)
+        # mirrors of history texts: pass URL, killed by the fingerprint
+        # index at stage 3
+        assert all(r["alive2"] and not r["alive3"] for r in mirror)
+        # near-dup edits: pass URL + fingerprint, killed by the LSH
+        # index at stage 5
+        assert all(r["alive3"] and not r["alive5"] for r in edit)
+        # fresh pages: unique URLs and texts — all reach stage 5's gate
+        assert all(r["alive3"] for r in fresh)
+
+    def test_per_doc_labels_reconcile_with_oneshot(self, spark, frames):
+        from pyspark.sql import functions as F
+
+        from opendata_gov_lt_mysql_import_spark.operators.dedup import (
+            _spread,
+        )
+        from opendata_gov_lt_mysql_import_spark.queries_ml import (
+            _recipe_hist_batch,
+            _recipe_labeled_over,
+        )
+
+        hist_lab, blab = frames
+        cols = [
+            "doc_id", "alive2", "alive3", "alive5", "alive6", "alive7",
+            "n_tok_raw", "n_tok_clean",
+        ]
+        inc = hist_lab.select(cols).unionByName(blab.select(cols))
+
+        hist, batch = _recipe_hist_batch(spark, "/root/testdata/sf0.001")
+        comb = _recipe_labeled_over(
+            _spread(hist.unionByName(batch)), hist
+        ).select(cols)
+        ref = comb.select(
+            "doc_id", *[F.col(c).alias(f"ref_{c}") for c in cols[1:]]
+        )
+        joined = inc.join(ref, "doc_id", "full")
+        mismatch = joined.filter(
+            " OR ".join(
+                [f"(coalesce({c} = ref_{c}, false) = false)" for c in cols[1:]]
+            )
+        )
+        bad = mismatch.limit(5).collect()
+        assert not bad, bad
+        assert inc.count() == comb.count()

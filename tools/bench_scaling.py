@@ -147,6 +147,10 @@ TOP = [
     # of the corpus), the audit's is Q x N with the fixed 64 panel
     "ann_ivfadc_topk",
     "ivfadc_recall_calibration",
+    # round-11: the incremental recipe — dominated by the one-time
+    # history state build at this harness's shape; the per-ingest
+    # claim (batch-sized probes) is carried by the plan pins
+    "corpus_recipe_increment",
 ]
 
 # third scaling point for the heaviest candidate-generating entries —

@@ -163,6 +163,12 @@ WHITELIST: dict[str, dict[str, str]] = {
         "corpus-side boilerplate cross-join sits behind the "
         "localCheckpoint and is the whitelisted 1-row-array shape)"
     },
+    "corpus_recipe_increment": {
+        "bnl_join": "same shapes as corpus_recipe_pipeline: the frozen "
+        "1-row boilerplate model broadcast onto history and batch, and "
+        "the four 1-row stage aggregates cross-joined to assemble the "
+        "combined datasheet"
+    },
     "assign_row_ids": {
         # the operator exists to AVOID the global window; its per-partition
         # count aggregate groups by spark_partition_id (no global window)
