@@ -178,6 +178,10 @@ HEADLINE = [
     # the measurement (how much of the straggler AQE recovers alone)
     "skew_salted_join_zipf",
     "skew_plain_join_zipf",
+    # round-11: the 95%-hot-key skew pair (the AQE-vs-salting
+    # crossover probe)
+    "skew_salted_join_hot95",
+    "skew_plain_join_hot95",
     # audio perceptual dedup: WAV encode/decode/envelope-hash through
     # mapInPandas (the audio twin of image_dhash_dedup)
     "audio_envelope_dedup",

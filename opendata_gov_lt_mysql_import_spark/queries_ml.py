@@ -6848,9 +6848,19 @@ _ZIPF_KEY_SQL = """
          ELSE 4 + (l_orderkey % 996) END
 """
 
-_ZIPF_JOIN_ORACLE = f"""
+# the hotter variant (round-11 verdict item 6): ONE key owns 95% of the
+# fact rows, a 996-key tail shares the rest — past the point where
+# AQE's skew splitter can balance by splitting alone at small scale
+_HOT95_KEY_SQL = """
+    CASE WHEN l_orderkey % 100 < 95 THEN 0
+         ELSE 4 + (l_orderkey % 996) END
+"""
+
+
+def _skew_join_oracle(key_sql: str) -> str:
+    return f"""
     WITH fact AS (
-      SELECT CAST({_ZIPF_KEY_SQL} AS BIGINT) AS zkey,
+      SELECT CAST({key_sql} AS BIGINT) AS zkey,
              CAST(l_extendedprice AS DECIMAL(18,2)) AS price
       FROM lineitem
     ),
@@ -6867,9 +6877,14 @@ _ZIPF_JOIN_ORACLE = f"""
 """
 
 
-def _zipf_fact(spark: SparkSession, sf: str) -> DataFrame:
+_ZIPF_JOIN_ORACLE = _skew_join_oracle(_ZIPF_KEY_SQL)
+
+
+def _zipf_fact(
+    spark: SparkSession, sf: str, key_sql: str = _ZIPF_KEY_SQL
+) -> DataFrame:
     return load_table(spark, sf, "lineitem").select(
-        F.expr(_ZIPF_KEY_SQL).cast("long").alias("zkey"),
+        F.expr(key_sql).cast("long").alias("zkey"),
         F.col("l_extendedprice").cast("decimal(18,2)").alias("price"),
     )
 
@@ -6919,6 +6934,50 @@ def skew_plain_join_zipf_q(spark: SparkSession, sf: str) -> DataFrame:
     vs explicit salting, which is the number you consult before
     reaching for salts at 100 TB."""
     f_ = _zipf_fact(spark, sf)
+    d_ = _zipf_dim(spark, sf).hint("shuffle_hash")
+    return (
+        f_.join(d_, "zkey")
+        .groupBy("attr")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+            (F.sum("price") * 100).cast("long").alias("revenue_cents"),
+        )
+    )
+
+
+@query("skew_salted_join_hot95", _skew_join_oracle(_HOT95_KEY_SQL))
+def skew_salted_join_hot95_q(spark: SparkSession, sf: str) -> DataFrame:
+    """The 95%-hot-key variant of ``skew_salted_join_zipf`` (round-11
+    verdict item 6: the zipf pair showed AQE's skew splitter recovering
+    the whole straggler at sf0.1 — this pair probes a hotter key to
+    find where that stops). One key owns 95% of the fact rows; the
+    16-salt composite key spreads it across 16 partitions regardless of
+    how hot it is, which is salting's whole value proposition: its
+    balance is independent of the skew exponent, where AQE's splitter
+    must subdivide an ever-larger single partition at runtime. Oracle =
+    the plain join (parity pin); twin: ``skew_plain_join_hot95``."""
+    from .operators.joins import salted_join
+
+    j = salted_join(
+        _zipf_fact(spark, sf, _HOT95_KEY_SQL),
+        _zipf_dim(spark, sf).hint("shuffle_hash"),
+        on="zkey",
+        n_salts=16,
+    )
+    return j.groupBy("attr").agg(
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+        (F.sum("price") * 100).cast("long").alias("revenue_cents"),
+    )
+
+
+@query("skew_plain_join_hot95", _skew_join_oracle(_HOT95_KEY_SQL))
+def skew_plain_join_hot95_q(spark: SparkSession, sf: str) -> DataFrame:
+    """The unsalted twin of ``skew_salted_join_hot95``: 95% of the fact
+    stream lands in ONE shuffle partition and AQE's OptimizeSkewedJoin
+    is the only mitigation. The (this pair − zipf pair) delta across
+    the 2x/4x scaling points is the measured crossover record for
+    when explicit salting starts paying vs built-in skew handling."""
+    f_ = _zipf_fact(spark, sf, _HOT95_KEY_SQL)
     d_ = _zipf_dim(spark, sf).hint("shuffle_hash")
     return (
         f_.join(d_, "zkey")

@@ -624,6 +624,18 @@ def test_skew_salted_join_salts_the_shuffle_not_broadcast(
     assert tplan.count("BroadcastHashJoin") == 0, tplan
     assert tplan.count("ShuffledHashJoin") == 1, tplan
 
+    # the round-11 95%-hot-key pair keeps the same pinned shapes
+    hot = final_plan(
+        queries["skew_salted_join_hot95"](spark, sf_dir)
+    ).split("== Initial Plan ==")[0]
+    assert hot.count("ShuffledHashJoin") == 1 and "__salt" in hot, hot
+    assert hot.count("BroadcastHashJoin") == 0, hot
+    hplain = final_plan(
+        queries["skew_plain_join_hot95"](spark, sf_dir)
+    ).split("== Initial Plan ==")[0]
+    assert hplain.count("ShuffledHashJoin") == 1, hplain
+    assert hplain.count("BroadcastHashJoin") == 0, hplain
+
 
 def test_audit_panel_is_fixed_count_takeordered(spark, sf_dir):
     """The recall audits' query panel (round-11 fix of the %31 defect):

@@ -127,6 +127,10 @@ TOP = [
     "audio_envelope_dedup",
     "skew_salted_join_zipf",
     "skew_plain_join_zipf",
+    # round-11 (verdict item 6): the 95%-hot-key pair — where does
+    # AQE-alone stop recovering the straggler vs explicit salting
+    "skew_salted_join_hot95",
+    "skew_plain_join_hot95",
     # source overlap matrix: fingerprint groupBy + HOF pair explode
     "source_overlap_matrix",
     # round-10 third wave: the recipe's removed-sample audit (shares
@@ -195,6 +199,14 @@ TOP_4X = [
     "corpus_recipe_rejects",
     "ann_recall_calibration",
     "pq_recall_calibration",
+    # round-11 (verdict item 6): the skew pairs' 4x points — the
+    # salted twin should HOLD its ratio as the hot key quadruples;
+    # the plain twin's divergence (if any) is the AQE-vs-salting
+    # crossover the README records
+    "skew_salted_join_zipf",
+    "skew_plain_join_zipf",
+    "skew_salted_join_hot95",
+    "skew_plain_join_hot95",
 ]
 
 # fourth scaling point (round-6 verdict item 7) for the two entries
