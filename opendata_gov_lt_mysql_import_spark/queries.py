@@ -76,11 +76,12 @@ DRIVER_TOP50: tuple[str, ...] = (
     # builder — the WindowGroupLimit-capped sequence constructor
     "next_event_training_pairs",
     "j3_mn_collect",
-    # j4_semi_existence covers the J4-J6 existence-probe semantics in the
-    # window; the anti twin stays registered + full-gate-verified, its
-    # slot rotated (round 5) to the round-4 token-budget sharder so new
-    # beyond-reference surface earns driver-green rows too
-    "j4_semi_existence",
+    # j4_semi_existence rotated out round 11 (verdict item 7: the
+    # J4-J6 existence-probe family stays in-window via j7's anti join +
+    # ownership filter; j4 stays registered + full-gate-verified) for
+    # the source overlap matrix — the no-self-join cross-source
+    # duplicate-provenance diagnostic, full-gate-only since round 10
+    "source_overlap_matrix",
     # shard_by_token_budget rotated out round 9 (its prefix-sum-vs-budget
     # core is recomputed per source inside the in-window mixture row
     # below; the sharder stays registered + full-gate-verified) for the
@@ -88,7 +89,13 @@ DRIVER_TOP50: tuple[str, ...] = (
     # md5-ranked greedy fill under tiered target weights
     "token_budget_mixture",
     "j7_stale_anti",
-    "a1_groupby_collect",
+    # a1_groupby_collect rotated out round 11 (verdict item 7: its
+    # groupBy-collect_list core is recomputed inside the in-window
+    # j3_mn_collect bridge aggregation; a1 stays registered +
+    # full-gate-verified) for the PQ compressor — the codes+recon_err
+    # half of the round-10 product-quantization trio, full-gate-only
+    # until now (ADC search and the recall audit stay full-gate)
+    "pq_quantize_embeddings",
     # a2_distinct rotated out round 6 (trivial DISTINCT; implicit in
     # many rows) for blocked entity resolution — a2 stays registered +
     # full-gate-verified
@@ -142,11 +149,13 @@ DRIVER_TOP50: tuple[str, ...] = (
     # the streaming batch twin)
     "events_gap_fill_hourly",
     "events_sessionize",
-    # events_asof_last_order rotated out round 10 (gap-fill + sessionize
-    # keep the event-stream family in-window; as-of stays registered +
-    # full-gate-verified) for the corpus datasheet rollup — the
-    # provenance/attrition summary every released dataset ships with
-    "corpus_datasheet",
+    # events_asof_last_order rotated out round 10 for corpus_datasheet;
+    # corpus_datasheet itself rotated out round 11 (its attrition-rollup
+    # shape is carried in-window by corpus_recipe_pipeline's 10-row
+    # datasheet; it stays registered + full-gate-verified) for the
+    # round-11 flagship: the INCREMENTAL recipe, whose oracle row IS
+    # the batch-vs-history reconcile proof
+    "corpus_recipe_increment",
     # events_range_join_recent + events_behavior_suite rotated out
     # round 7 (as-of keeps the temporal-join family in-window, gap-fill
     # + sessionize keep 3 events rows total; both stay registered +
