@@ -211,6 +211,9 @@ HEADLINE = [
     # iterations per subspace (broadcast codebook argmin + 32x16-cell
     # update shuffle per round)
     "pq_train_codebook",
+    # round-11: ADC search on the trained codebook (the closed Jégou
+    # loop: train -> compress -> serve, all fixed-point BIGINT)
+    "pq_adc_topk_trained",
     # round-11: the incremental recipe — history labeled once (the
     # amortized state build), batch labeled via index probes, merged
     # slim mixture; output = the combined one-shot datasheet

@@ -8279,34 +8279,41 @@ def _pq_train_oracle(iters: int = 2, scale: int = 10**4) -> str:
     return ",".join(blocks) + "\n    UNION ALL\n".join(tails)
 
 
-@query("pq_train_codebook", _pq_train_oracle())
-def pq_train_codebook_q(spark: SparkSession, sf: str) -> DataFrame:
-    """PQ codebook TRAINING (the half of Jégou et al. 2011 the
-    data-as-codebook trio doesn't exercise): two unrolled Lloyd
-    iterations per 16-dim subspace, in fixed-point integer arithmetic
-    so the whole codebook trace is bit-identical across engines —
-    coordinates quantized to 1/10⁴ units (round half-away on the exact
-    double promotion), distances as exact BIGINT sums, centroid
-    updates as truncating integral division (Spark ``DIV`` ≡ DuckDB
-    ``//``, verified on negatives). Initialization is the
-    data-as-codebook rows 1..8 — so the iter-0 trace row IS the
-    baseline the shipped PQ trio uses, and the recon_err drop across
-    iters 0→2 measures exactly what training buys (sf0.001: −32% by
-    iter 2). Output: (iter, m, recon_err, n_cw, cb_sum) — per-subspace
-    reconstruction error, live codeword count (empty cells drop,
-    mirrored semantics), and the codebook element-sum signature
-    pinning the trained codewords themselves.
+def _pq_adc_trained_oracle(iters: int = 2, scale: int = 10**4) -> str:
+    """ADC search over the TRAINED codebook: reuses _pq_train_oracle's
+    unrolled Lloyd chain (so search and trainer can never check
+    drifting codebooks), then the query's lookup table vs cb{iters}
+    and the final assignment a{iters+1} — all-BIGINT, no rounding."""
+    train = _pq_train_oracle(iters, scale)
+    chain = train[: train.index("\n    SELECT CAST(0 AS BIGINT)")]
+    return chain + f""",
+    qt AS (
+      SELECT s.m, c.cid,
+             list_sum(list_transform(range(1, 17),
+               i -> (s.sv[i] - c.cv[i]) * (s.sv[i] - c.cv[i]))) AS qd
+      FROM sub s JOIN cb{iters} c USING (m) WHERE s.vec_id = 0
+    ),
+    adc AS (
+      SELECT a.vec_id, CAST(sum(q.qd) AS BIGINT) AS adc_dist
+      FROM a{iters + 1} a JOIN qt q ON a.m = q.m AND a.cid = q.cid
+      WHERE a.vec_id <> 0
+      GROUP BY 1
+    )
+    SELECT vec_id, adc_dist FROM adc
+    ORDER BY adc_dist, vec_id LIMIT 10
+    """
 
-    Scale shape per iteration — the lloyd_fixed_point contract: ONE
-    broadcast of the ≤32-row codebook for map-side argmin (the
-    assignment window keyed (vec_id, m) — at extreme N a min_by
-    aggregate), ONE 32×16-cell shuffle for the update; the assignment
-    frame is localCheckpointed only when consumed twice (trace +
-    update). Training reads the corpus ``iters+1`` times and nothing
-    is ever quadratic."""
+
+def _pq_train_frames(
+    spark: SparkSession, sf: str, iters: int = 2, scale: int = 10**4
+) -> tuple[DataFrame, list[DataFrame], list[DataFrame]]:
+    """The fixed-point Lloyd trainer's frames, shared by the trace
+    report and the trained-codebook ADC search: (sub, cbs, asgs) where
+    ``sub`` is the quantized subvector explode, ``cbs[t]`` is codebook
+    t (t=0 the data-as-codebook init), and ``asgs[t]`` the assignment
+    against codebook t (so asgs[-1] is the final coded corpus)."""
     from pyspark.sql import Window
 
-    iters, scale = 2, 10**4
     emb = load_table(spark, sf, "embeddings")
     ms = F.array(*[F.lit(i) for i in range(4)])
     sub = (
@@ -8336,9 +8343,10 @@ def pq_train_codebook_q(spark: SparkSession, sf: str) -> DataFrame:
         )
 
     w = Window.partitionBy("vec_id", "m").orderBy(F.asc("d2"), F.asc("cid"))
-    traces = []
+    cbs, asgs = [], []
     for t in range(iters + 1):
         cb = cb.localCheckpoint(eager=True)  # consumed by assign + stats
+        cbs.append(cb)
         asg = (
             sub.join(F.broadcast(cb), "m")
             .select(
@@ -8351,6 +8359,53 @@ def pq_train_codebook_q(spark: SparkSession, sf: str) -> DataFrame:
         )
         if t < iters:
             asg = asg.localCheckpoint(eager=True)  # trace + update
+        asgs.append(asg)
+        if t < iters:
+            ex = asg.select(
+                "m", "cid", F.posexplode("sv").alias("pos", "val")
+            )
+            cb = (
+                ex.groupBy("m", "cid", "pos")
+                .agg(F.expr("sum(val) DIV count(val)").alias("cvi"))
+                .groupBy("m", "cid")
+                .agg(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("pos", "cvi"))),
+                        lambda s: s["cvi"],
+                    ).alias("cv")
+                )
+            )
+    return sub, cbs, asgs
+
+
+@query("pq_train_codebook", _pq_train_oracle())
+def pq_train_codebook_q(spark: SparkSession, sf: str) -> DataFrame:
+    """PQ codebook TRAINING (the half of Jégou et al. 2011 the
+    data-as-codebook trio doesn't exercise): two unrolled Lloyd
+    iterations per 16-dim subspace, in fixed-point integer arithmetic
+    so the whole codebook trace is bit-identical across engines —
+    coordinates quantized to 1/10⁴ units (round half-away on the exact
+    double promotion), distances as exact BIGINT sums, centroid
+    updates as truncating integral division (Spark ``DIV`` ≡ DuckDB
+    ``//``, verified on negatives). Initialization is the
+    data-as-codebook rows 1..8 — so the iter-0 trace row IS the
+    baseline the shipped PQ trio uses, and the recon_err drop across
+    iters 0→2 measures exactly what training buys (sf0.001: −32% by
+    iter 2). Output: (iter, m, recon_err, n_cw, cb_sum) — per-subspace
+    reconstruction error, live codeword count (empty cells drop,
+    mirrored semantics), and the codebook element-sum signature
+    pinning the trained codewords themselves.
+
+    Scale shape per iteration — the lloyd_fixed_point contract: ONE
+    broadcast of the ≤32-row codebook for map-side argmin (the
+    assignment window keyed (vec_id, m) — at extreme N a min_by
+    aggregate), ONE 32×16-cell shuffle for the update; the assignment
+    frame is localCheckpointed only when consumed twice (trace +
+    update). Training reads the corpus ``iters+1`` times and nothing
+    is ever quadratic."""
+    _sub, cbs, asgs = _pq_train_frames(spark, sf)
+    traces = []
+    for t, (cb, asg) in enumerate(zip(cbs, asgs)):
         recon = asg.groupBy("m").agg(
             F.sum("d2").cast("long").alias("recon_err")
         )
@@ -8370,25 +8425,53 @@ def pq_train_codebook_q(spark: SparkSession, sf: str) -> DataFrame:
                 "m", "recon_err", "n_cw", "cb_sum",
             )
         )
-        if t < iters:
-            ex = asg.select(
-                "m", "cid", F.posexplode("sv").alias("pos", "val")
-            )
-            cb = (
-                ex.groupBy("m", "cid", "pos")
-                .agg(F.expr("sum(val) DIV count(val)").alias("cvi"))
-                .groupBy("m", "cid")
-                .agg(
-                    F.transform(
-                        F.array_sort(F.collect_list(F.struct("pos", "cvi"))),
-                        lambda s: s["cvi"],
-                    ).alias("cv")
-                )
-            )
     out = traces[0]
     for tr in traces[1:]:
         out = out.unionByName(tr)
     return out
+
+
+@query("pq_adc_topk_trained", _pq_adc_trained_oracle())
+def pq_adc_topk_trained_q(spark: SparkSession, sf: str) -> DataFrame:
+    """ADC search over the TRAINED codebook — the Jégou loop closed:
+    train (``pq_train_codebook``) → compress (the final assignment) →
+    serve (this query). The query's 32-entry lookup table is built
+    against the iter-2 Lloyd codebook and summed over each database
+    vector's trained codes; every quantity is fixed-point BIGINT, so
+    top-10 distances are bit-exact across engines with no rounding at
+    all — tighter than the float data-as-codebook ``pq_adc_topk``.
+    Shares ``_pq_train_frames`` with the trace report on the Spark
+    side and the unrolled-Lloyd CTE chain on the oracle side, so
+    search and trainer can never check drifting codebooks.
+
+    Scale shape: identical to ``pq_adc_topk`` — broadcast lookup
+    table, code-columns-only scan, TakeOrdered — plus the trainer's
+    per-round broadcast-argmin + 32×16-cell update shuffles (training
+    is the amortized offline half; a served system pays only the scan)."""
+    sub, cbs, asgs = _pq_train_frames(spark, sf)
+    qt = (
+        sub.filter(F.col("vec_id") == 0)
+        .join(F.broadcast(cbs[-1]), "m")
+        .select(
+            "m",
+            "cid",
+            F.aggregate(
+                F.zip_with(
+                    F.col("sv"), F.col("cv"), lambda a, b: (a - b) * (a - b)
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("qd"),
+        )
+    )
+    adc = (
+        asgs[-1].select("vec_id", "m", "cid")
+        .filter(F.col("vec_id") != 0)
+        .join(F.broadcast(qt), ["m", "cid"])
+        .groupBy("vec_id")
+        .agg(F.sum("qd").cast("long").alias("adc_dist"))
+    )
+    return adc.orderBy(F.asc("adc_dist"), F.asc("vec_id")).limit(10)
 
 
 # ---------------------------------------------------------------------------
