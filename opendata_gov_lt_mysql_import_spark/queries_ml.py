@@ -8631,20 +8631,71 @@ def _recipe_hist_batch(
     return hist, batch
 
 
-def _recipe_increment_labeled(
-    spark: SparkSession, sf: str
-) -> tuple[DataFrame, DataFrame]:
-    """(history labeled frame, batch labeled frame) for the incremental
-    recipe. History is labeled ONCE by the standard recipe (its own
-    epoch = the persisted state a real pipeline carries); the batch is
-    labeled by probing history INDEXES only — the URL set, the
-    alive-fingerprint set, the frozen broadcast boilerplate model, the
-    banded LSH signature index (history text is fetched only for the
-    bounded LSH-candidate set), and the frozen eval gram set. History
-    stage-1..7 labels are provably invariant under the ingest (see the
-    section comment), so history-agg + batch-agg IS the combined
-    one-shot datasheet for stages 1-7; stages 8-10 are recomputed over
-    the merged slim survivor index (metadata only, never text)."""
+def _recipe_state(corpus: DataFrame, lab: DataFrame, bp: DataFrame) -> dict:
+    """The persisted recipe state an ingest pipeline carries between
+    batches, derived from a labeled epoch: the canonical-URL set, the
+    alive-fingerprint set, the scrubbed-text store (LSH index source +
+    bounded candidate fetch), the frozen eval slice, and the frozen
+    boilerplate model. Everything an increment probes; nothing an
+    increment rescans."""
+    from .functions.urls import canonical_url
+
+    scrub = lab.select("doc_id", F.col("clean_text").alias("text"))
+    return {
+        "bp": bp,
+        "url_index": corpus.select(
+            canonical_url(F.col("url")).alias("hurl")
+        ).distinct(),
+        "fp_index": lab.filter(F.col("alive2"))
+        .select(F.md5(F.col("text")).alias("hfp"))
+        .distinct(),
+        "scrub": scrub,
+        "ev": scrub.filter(
+            (F.col("doc_id") % 20 == 0) & (F.col("doc_id") < 1000000)
+        ),
+    }
+
+
+def _recipe_state_update(
+    state: dict, batch: DataFrame, blab: DataFrame
+) -> dict:
+    """Fold a labeled ingest into the state — the 'history indexes
+    updated' half of the increment contract: URL and alive-fingerprint
+    sets grow by the batch's contributions, the scrubbed store appends
+    the batch (so the next batch's LSH probe sees it), while the
+    boilerplate model and eval slice stay frozen at the original
+    epoch. Associativity (increment∘increment == one-shot on the
+    union) is pinned by tests/test_corpus.py's two-epoch test."""
+    from .functions.urls import canonical_url
+
+    return {
+        "bp": state["bp"],
+        "url_index": state["url_index"]
+        .unionByName(
+            batch.select(canonical_url(F.col("url")).alias("hurl"))
+        )
+        .distinct(),
+        "fp_index": state["fp_index"]
+        .unionByName(
+            blab.filter(F.col("alive2")).select(
+                F.md5(F.col("text")).alias("hfp")
+            )
+        )
+        .distinct(),
+        "scrub": state["scrub"].unionByName(
+            blab.select("doc_id", F.col("clean_text").alias("text"))
+        ),
+        "ev": state["ev"],
+    }
+
+
+def _recipe_label_batch(batch: DataFrame, state: dict) -> DataFrame:
+    """Label one ingest batch against the persisted state — the
+    per-batch half of the increment: every stage is a window over the
+    batch or a probe join against an index, never a history rescan
+    (history text is fetched only for the bounded LSH-candidate set).
+    Requires every batch id to exceed every id already in the state
+    (the invariance precondition)."""
     from pyspark.sql import Window
 
     from .functions.urls import canonical_url
@@ -8657,24 +8708,10 @@ def _recipe_increment_labeled(
     )
     from .operators.textanalysis import gopher_flags, token_count, tokens
 
-    hist_corpus, batch = _recipe_hist_batch(spark, sf)
-    hist_corpus = _spread(hist_corpus)
-    bp = _recipe_bp(hist_corpus)  # the frozen scrub model, built ONCE
-    # the history store: labeled frame incl. raw + scrubbed text — the
-    # one-time (amortized) cost; every index below derives from it
-    hist_lab = _recipe_labeled_over(
-        hist_corpus, hist_corpus, bp=bp
-    ).localCheckpoint(eager=True)
-
-    url_index = hist_corpus.select(
-        canonical_url(F.col("url")).alias("hurl")
-    ).distinct()
-    fp_index = (
-        hist_lab.filter(F.col("alive2"))
-        .select(F.md5(F.col("text")).alias("hfp"))
-        .distinct()
-    )
-    scrub_h = hist_lab.select("doc_id", F.col("clean_text").alias("text"))
+    bp = state["bp"]
+    url_index = state["url_index"]
+    fp_index = state["fp_index"]
+    scrub_h = state["scrub"]
 
     # --- batch stages 1-3: raw tokens, URL keeper vs index, exact
     # fingerprint keeper vs alive-fingerprint index
@@ -8757,22 +8794,45 @@ def _recipe_increment_labeled(
     )["keep"]
     x5 = x4.withColumn("alive6", F.col("alive5") & gopher_keep)
 
-    # --- stage 7: contamination vs the FROZEN history eval gram set
-    # (the id predicate selects exactly the history eval docs — batch
-    # ids are all >= 4e6, so the eval epoch is history's by
-    # construction, matching the combined one-shot)
-    ev = scrub_h.filter(
-        (F.col("doc_id") % 20 == 0) & (F.col("doc_id") < 1000000)
-    )
+    # --- stage 7: contamination vs the FROZEN eval gram set (the id
+    # predicate inside _recipe_state selects exactly the original
+    # epoch's eval docs — batch ids are all >= 4e6, so the eval epoch
+    # is frozen by construction, matching the combined one-shot)
     hit = (
-        contamination_hits(scrub_b, ev, text_col="text", id_col="doc_id", n=5)
+        contamination_hits(
+            scrub_b, state["ev"], text_col="text", id_col="doc_id", n=5
+        )
         .select("doc_id")
         .withColumn("cont_hit", F.lit(True))
     )
     x6 = x5.join(hit, "doc_id", "left").withColumn(
         "alive7", F.col("alive6") & F.col("cont_hit").isNull()
     )
-    blab = x6.localCheckpoint(eager=True)
+    return x6.localCheckpoint(eager=True)
+
+
+def _recipe_increment_labeled(
+    spark: SparkSession, sf: str
+) -> tuple[DataFrame, DataFrame]:
+    """(history labeled frame, batch labeled frame) for the incremental
+    recipe. History is labeled ONCE by the standard recipe (its own
+    epoch = the persisted state a real pipeline carries); the batch is
+    labeled by probing the state built from it (_recipe_state /
+    _recipe_label_batch). History stage-1..7 labels are provably
+    invariant under the ingest (see the section comment), so
+    history-agg + batch-agg IS the combined one-shot datasheet for
+    stages 1-7; stages 8-10 are recomputed over the merged slim
+    survivor index (metadata only, never text)."""
+    hist_corpus, batch = _recipe_hist_batch(spark, sf)
+    hist_corpus = _spread(hist_corpus)
+    bp = _recipe_bp(hist_corpus)  # the frozen scrub model, built ONCE
+    # the history store: labeled frame incl. raw + scrubbed text — the
+    # one-time (amortized) cost; every index derives from it
+    hist_lab = _recipe_labeled_over(
+        hist_corpus, hist_corpus, bp=bp
+    ).localCheckpoint(eager=True)
+    state = _recipe_state(hist_corpus, hist_lab, bp)
+    blab = _recipe_label_batch(batch, state)
     return hist_lab, blab
 
 

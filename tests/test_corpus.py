@@ -290,3 +290,128 @@ class TestCorpusRecipeIncrement:
         bad = mismatch.limit(5).collect()
         assert not bad, bad
         assert inc.count() == comb.count()
+
+
+class TestCorpusRecipeTwoEpochs:
+    """Multi-epoch composition: after folding batch 1 into the state
+    (_recipe_state_update), a second batch probes indexes that now
+    contain BATCH-1 content — planted b2 families built from b1's
+    fresh docs must die at the stage whose updated index catches them,
+    and the three-epoch union must reconcile per-doc with the one-shot
+    labeling of hist ∪ b1 ∪ b2. This is the 'history indexes updated'
+    half of the increment contract, with teeth: a stale index would
+    let every b2 family survive."""
+
+    SF = "/root/testdata/sf0.001"
+
+    @pytest.fixture(scope="class")
+    def epochs(self, spark):
+        from opendata_gov_lt_mysql_import_spark.operators.dedup import (
+            _spread,
+        )
+        from opendata_gov_lt_mysql_import_spark.queries_ml import (
+            _recipe_bp,
+            _recipe_hist_batch,
+            _recipe_inject,
+            _recipe_label_batch,
+            _recipe_labeled_over,
+            _recipe_state,
+            _recipe_state_update,
+        )
+        from opendata_gov_lt_mysql_import_spark.sources.parquet import (
+            load_table,
+        )
+
+        hist, b1 = _recipe_hist_batch(spark, self.SF)
+        hist = _spread(hist)
+        # b2: built ENTIRELY from b1's fresh pages, so every family
+        # probes state the b1 ingest must have added
+        d = load_table(spark, self.SF, "documents").select(
+            "doc_id", "text", "source"
+        )
+        binj = _recipe_inject(d.filter(F.col("doc_id") % 4 == 3))
+        b = F.col("base_id").cast("string")
+        s = (F.col("base_id") % 8).cast("string")
+        q = (F.col("base_id") % 7).cast("string")
+        recrawl = binj.filter(F.col("base_id") % 3 == 0).select(
+            (F.col("base_id") + 10_000_000).alias("doc_id"),
+            "base_id", "source", "text",
+            F.concat(
+                F.lit("HTTP://WWW.Site"), s, F.lit(".EXAMPLE.COM:80/new/"),
+                b, F.lit("/?utm_source=feed&q="), q, F.lit("&ref=a#top"),
+            ).alias("url"),
+        )
+        mirror = binj.filter(F.col("base_id") % 3 == 1).select(
+            (F.col("base_id") + 9_000_000).alias("doc_id"),
+            "base_id", "source", "text",
+            F.concat(F.lit("http://mirror.example.net/m3/"), b).alias("url"),
+        )
+        edit = binj.filter(F.col("base_id") % 5 == 2).select(
+            (F.col("base_id") + 11_000_000).alias("doc_id"),
+            "base_id", "source",
+            F.concat(
+                F.col("text"), F.lit("\nsecond epoch note "), b
+            ).alias("text"),
+            F.concat(F.lit("http://copy.example.org/c3/"), b).alias("url"),
+        )
+        b2 = recrawl.unionByName(mirror).unionByName(edit)
+
+        bp = _recipe_bp(hist)
+        hist_lab = _recipe_labeled_over(hist, hist, bp=bp).localCheckpoint(
+            eager=True
+        )
+        state = _recipe_state(hist, hist_lab, bp)
+        b1_lab = _recipe_label_batch(b1, state)
+        state2 = _recipe_state_update(state, b1, b1_lab)
+        b2_lab = _recipe_label_batch(b2, state2)
+        return hist, b1, b2, hist_lab, b1_lab, b2_lab
+
+    def test_b2_families_die_on_updated_indexes(self, epochs):
+        *_heads, b2_lab = epochs
+        rows = b2_lab.select("doc_id", "alive2", "alive3", "alive5").collect()
+        fam = lambda lo: [
+            r for r in rows if lo <= r["doc_id"] < lo + 10**6
+        ]
+        mirror, recrawl = fam(9_000_000), fam(10_000_000)
+        edit = fam(11_000_000)
+        assert mirror and recrawl and edit
+        # b1 URLs are only in the UPDATED url index
+        assert all(not r["alive2"] for r in recrawl)
+        # b1 fingerprints are only in the UPDATED alive-fp index
+        assert all(r["alive2"] and not r["alive3"] for r in mirror)
+        # b1 signatures are only in the UPDATED LSH/scrub store
+        assert all(r["alive3"] and not r["alive5"] for r in edit)
+
+    def test_three_epochs_reconcile_with_oneshot(self, spark, epochs):
+        from opendata_gov_lt_mysql_import_spark.operators.dedup import (
+            _spread,
+        )
+        from opendata_gov_lt_mysql_import_spark.queries_ml import (
+            _recipe_labeled_over,
+        )
+
+        hist, b1, b2, hist_lab, b1_lab, b2_lab = epochs
+        cols = [
+            "doc_id", "alive2", "alive3", "alive5", "alive6", "alive7",
+            "n_tok_raw", "n_tok_clean",
+        ]
+        inc = (
+            hist_lab.select(cols)
+            .unionByName(b1_lab.select(cols))
+            .unionByName(b2_lab.select(cols))
+        )
+        comb = _recipe_labeled_over(
+            _spread(hist.unionByName(b1).unionByName(b2)), hist
+        ).select(cols)
+        ref = comb.select(
+            "doc_id", *[F.col(c).alias(f"ref_{c}") for c in cols[1:]]
+        )
+        joined = inc.join(ref, "doc_id", "full")
+        mismatch = joined.filter(
+            " OR ".join(
+                [f"(coalesce({c} = ref_{c}, false) = false)" for c in cols[1:]]
+            )
+        )
+        bad = mismatch.limit(5).collect()
+        assert not bad, bad
+        assert inc.count() == comb.count()
