@@ -214,6 +214,9 @@ HEADLINE = [
     # round-11: ADC search on the trained codebook (the closed Jégou
     # loop: train -> compress -> serve, all fixed-point BIGINT)
     "pq_adc_topk_trained",
+    # round-11: recall on the trained codes vs the data-as-codebook
+    # baseline (mean recall@10 703 -> 1172 bp at sf0.001)
+    "pq_recall_calibration_trained",
     # round-11: the incremental recipe — history labeled once (the
     # amortized state build), batch labeled via index probes, merged
     # slim mixture; output = the combined one-shot datasheet

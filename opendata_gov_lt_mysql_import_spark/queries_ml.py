@@ -9050,3 +9050,153 @@ def corpus_recipe_increment_q(spark: SparkSession, sf: str) -> DataFrame:
     return rep.select(F.explode(entries).alias("e")).select(
         "e.stage_ord", "e.stage", "e.rows_out", "e.tokens_out"
     )
+
+
+def _pq_recall_trained_oracle(iters: int = 2, scale: int = 10**4) -> str:
+    """Recall audit of the TRAINED codebook's ADC ranking: the unrolled
+    Lloyd chain, the fixed 64-query panel, per-query lookup tables vs
+    cb{iters}, ADC top-10 from the final assignment, exact top-10 by
+    integer squared L2 on the quantized vectors — every quantity
+    BIGINT, no rounding anywhere in the chain."""
+    train = _pq_train_oracle(iters, scale)
+    chain = train[: train.index("\n    SELECT CAST(0 AS BIGINT)")]
+    return chain + f""",
+    {_PANEL_CTE.strip()},
+    qv AS (
+      SELECT vec_id,
+             list_transform(e, x -> CAST(round(x * {scale}) AS BIGINT))
+               AS ev
+      FROM v
+    ),
+    qs AS (
+      SELECT q.vec_id AS qid, q.ev AS qe
+      FROM qv q JOIN panel USING (vec_id)
+    ),
+    qt AS (
+      SELECT s.vec_id AS qid, s.m, c.cid,
+             list_sum(list_transform(range(1, 17),
+               i -> (s.sv[i] - c.cv[i]) * (s.sv[i] - c.cv[i]))) AS qd
+      FROM sub s JOIN cb{iters} c USING (m)
+      WHERE s.vec_id IN (SELECT vec_id FROM panel)
+    ),
+    adc10 AS (
+      SELECT qid, vec_id FROM (
+        SELECT q.qid, a.vec_id,
+               row_number() OVER (PARTITION BY q.qid
+                 ORDER BY sum(q.qd), a.vec_id) AS rn
+        FROM a{iters + 1} a JOIN qt q ON a.m = q.m AND a.cid = q.cid
+        WHERE a.vec_id <> q.qid
+        GROUP BY q.qid, a.vec_id)
+      WHERE rn <= 10
+    ),
+    exact10 AS (
+      SELECT qid, vec_id FROM (
+        SELECT q.qid, v2.vec_id,
+               row_number() OVER (PARTITION BY q.qid
+                 ORDER BY list_sum(list_transform(range(1, 65),
+                   i -> (v2.ev[i] - q.qe[i]) * (v2.ev[i] - q.qe[i]))),
+                   v2.vec_id) AS rn
+        FROM qv v2, qs q WHERE v2.vec_id <> q.qid)
+      WHERE rn <= 10
+    ),
+    hits AS (
+      SELECT e.qid, count(*) AS h
+      FROM exact10 e JOIN adc10 a ON a.qid = e.qid AND a.vec_id = e.vec_id
+      GROUP BY 1
+    )
+    SELECT q.qid,
+           CAST(COALESCE(h.h, 0) AS BIGINT) AS hits10,
+           CAST(COALESCE(h.h, 0) * 1000 AS BIGINT) AS recall_bp
+    FROM qs q LEFT JOIN hits h USING (qid)
+    """
+
+
+@query("pq_recall_calibration_trained", _pq_recall_trained_oracle())
+def pq_recall_calibration_trained_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Recall@10 of ADC ranking on the TRAINED codebook against exact
+    integer squared-L2 top-10 on the same fixed 64-query panel — the
+    serving-quality counterpart of ``pq_train_codebook``'s
+    reconstruction-error drop, directly comparable row-for-row with
+    ``pq_recall_calibration`` (the data-as-codebook baseline): the
+    delta between the two reports is what two Lloyd iterations buy in
+    ranking quality, not just in squared error. Every quantity in the
+    chain is fixed-point BIGINT (quantized exact side included), so
+    there is no rounding anywhere and the report is bit-exact.
+
+    Scale shape: the trainer's bounded offline rounds, then exactly
+    the audit contract — panel × 32 lookup tables broadcast, the ADC
+    scan touching codes only, the exact side Q×N with Q = 64 constant
+    BY CONSTRUCTION."""
+    from pyspark.sql import Window
+
+    scale = 10**4
+    sub, cbs, asgs = _pq_train_frames(spark, sf)
+    emb = load_table(spark, sf, "embeddings")
+    panel = _audit_panel(emb)
+    qemb = emb.select(
+        "vec_id",
+        F.transform(
+            F.col("embedding").cast("array<double>"),
+            lambda x: F.round(x * scale).cast("long"),
+        ).alias("ev"),
+    )
+    qs = qemb.join(F.broadcast(panel), "vec_id").select(
+        F.col("vec_id").alias("qid"), F.col("ev").alias("qe")
+    )
+    qt = (
+        sub.join(F.broadcast(panel), "vec_id")
+        .join(F.broadcast(cbs[-1]), "m")
+        .select(
+            F.col("vec_id").alias("qid"),
+            "m",
+            "cid",
+            F.aggregate(
+                F.zip_with(
+                    F.col("sv"), F.col("cv"), lambda a, b: (a - b) * (a - b)
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("qd"),
+        )
+    )
+    w_adc = Window.partitionBy("qid").orderBy(F.asc("adc"), F.asc("vec_id"))
+    adc10 = (
+        asgs[-1].select("vec_id", "m", "cid")
+        .join(F.broadcast(qt), ["m", "cid"])
+        .filter(F.col("vec_id") != F.col("qid"))
+        .groupBy("qid", "vec_id")
+        .agg(F.sum("qd").cast("long").alias("adc"))
+        .withColumn("rn", F.row_number().over(w_adc))
+        .filter(F.col("rn") <= 10)
+        .select("qid", "vec_id")
+    )
+    il2 = F.aggregate(
+        F.zip_with(
+            F.col("ev"), F.col("qe"), lambda x, y: (x - y) * (x - y)
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    w_ex = Window.partitionBy("qid").orderBy(F.asc("d"), F.asc("vec_id"))
+    exact10 = (
+        qemb.crossJoin(F.broadcast(qs))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id", il2.alias("d"))
+        .withColumn("rn", F.row_number().over(w_ex))
+        .filter(F.col("rn") <= 10)
+        .select("qid", "vec_id")
+    )
+    hits = exact10.join(adc10, ["qid", "vec_id"]).groupBy("qid").agg(
+        F.count(F.lit(1)).alias("h")
+    )
+    return (
+        qs.select("qid")
+        .join(hits, "qid", "left")
+        .select(
+            "qid",
+            F.coalesce(F.col("h"), F.lit(0)).cast("long").alias("hits10"),
+            (F.coalesce(F.col("h"), F.lit(0)) * 1000)
+            .cast("long")
+            .alias("recall_bp"),
+        )
+    )

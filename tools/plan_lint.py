@@ -156,6 +156,10 @@ WHITELIST: dict[str, dict[str, str]] = {
         "frame broadcast — the exact side is Q*N with Q=64 by "
         "construction (see ann_recall_calibration)"
     },
+    "pq_recall_calibration_trained": {
+        "bnl_join": "same fixed 64-query md5-ranked panel broadcast for "
+        "the integer exact-L2 side (see ann_recall_calibration)"
+    },
     "corpus_recipe_pipeline": {
         "bnl_join": "1-row stage-count aggregate cross-joined with the "
         "1-row upsample/shard aggregate to assemble the 10-row "
