@@ -217,6 +217,10 @@ HEADLINE = [
     # round-11: recall on the trained codes vs the data-as-codebook
     # baseline (mean recall@10 703 -> 1172 bp at sf0.001)
     "pq_recall_calibration_trained",
+    # round-11: IVF index maintenance — incremental batch assignment
+    # to frozen cells + the per-cell occupancy-drift report (the
+    # rebalance trigger an index operator watches)
+    "ann_ivf_occupancy_drift",
     # round-11: the incremental recipe — history labeled once (the
     # amortized state build), batch labeled via index probes, merged
     # slim mixture; output = the combined one-shot datasheet

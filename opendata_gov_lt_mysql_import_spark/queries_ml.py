@@ -9200,3 +9200,152 @@ def pq_recall_calibration_trained_q(spark: SparkSession, sf: str) -> DataFrame:
             .alias("recall_bp"),
         )
     )
+
+
+@query(
+    "ann_ivf_occupancy_drift",
+    """
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ),
+    batch AS (
+      -- the jitter key is the ORIGINAL id, renamed to oid first so no
+      -- engine can bind it to the offset alias (found the hard way:
+      -- with both named vec_id, Spark's HOF lambda captured the
+      -- aliased projection); the step is CAST to DOUBLE because a
+      -- bare 0.001 literal is DECIMAL in DuckDB (decimal-exact
+      -- product differs from double*double by ULPs)
+      SELECT oid + 1000000 AS vec_id,
+             list_transform(e0,
+               x -> x + (oid % 97) * CAST(0.001 AS DOUBLE)) AS e
+      FROM (SELECT vec_id AS oid, e AS e0 FROM v)
+    ),
+    piv AS (SELECT vec_id AS pid, e AS pe FROM v WHERE vec_id BETWEEN 1 AND 16),
+    ah AS (
+      SELECT vec_id, pid FROM (
+        SELECT v.vec_id, p.pid,
+               row_number() OVER (PARTITION BY v.vec_id
+                 ORDER BY list_dot_product(v.e, p.pe) DESC, p.pid) AS rn
+        FROM v, piv p)
+      WHERE rn = 1
+    ),
+    ab AS (
+      SELECT vec_id, pid FROM (
+        SELECT b.vec_id, p.pid,
+               row_number() OVER (PARTITION BY b.vec_id
+                 ORDER BY list_dot_product(b.e, p.pe) DESC, p.pid) AS rn
+        FROM batch b, piv p)
+      WHERE rn = 1
+    ),
+    th AS (SELECT CAST(count(*) AS BIGINT) AS n FROM ah),
+    tb AS (SELECT CAST(count(*) AS BIGINT) AS n FROM ab),
+    rep AS (
+      SELECT p.pid AS cid,
+             CAST(COALESCE(h.c, 0) AS BIGINT) AS n_hist,
+             CAST(COALESCE(b.c, 0) AS BIGINT) AS n_new
+      FROM piv p
+      LEFT JOIN (SELECT pid, count(*) AS c FROM ah GROUP BY 1) h
+        ON h.pid = p.pid
+      LEFT JOIN (SELECT pid, count(*) AS c FROM ab GROUP BY 1) b
+        ON b.pid = p.pid
+    )
+    SELECT cid, n_hist, n_new,
+           n_hist + n_new AS n_total,
+           CAST(n_hist * 10000 AS BIGINT) // (SELECT n FROM th)
+             AS share_bp_before,
+           CAST((n_hist + n_new) * 10000 AS BIGINT)
+             // ((SELECT n FROM th) + (SELECT n FROM tb))
+             AS share_bp_after
+    FROM rep
+    """,
+)
+def ann_ivf_occupancy_drift_q(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF index maintenance under continuous ingest — the incremental
+    theme (recipe, near-dup, substring) extended to the ANN family:
+    a new embedding batch (deterministically jittered id-offset copies,
+    the bench_scaling derivation) is assigned to the FROZEN coarse
+    cells by the same max-dot rule the index was built with — cell
+    assignment is per-row, so the ingest is embarrassingly incremental
+    (one broadcast of the 16 pivots, one map-side argmin over the
+    batch; history is never rescanned). The operational output is the
+    per-cell occupancy report an index operator actually watches:
+    (cid, n_hist, n_new, n_total, share_bp_before, share_bp_after) —
+    drift between the share columns is the retrain/rebalance trigger
+    (a cell absorbing disproportionate ingest degrades probe pruning,
+    the nprobe/ncells fraction ann_ivfadc_topk relies on). Integer
+    basis-point shares via truncating division on both engines.
+
+    Scale shape: two broadcast-argmin windows keyed vec_id (at extreme
+    N a min_by aggregate — the IVF build's own shuffle, and only the
+    batch side recurs per ingest), two 16-row aggregates, one
+    16-row report join. Nothing rescans history except its one-time
+    assignment (amortized, persisted in a real deployment)."""
+    from pyspark.sql import Window
+
+    from .operators.similarity import dot
+
+    emb = load_table(spark, sf, "embeddings")
+    emb64 = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    # rename the jitter key FIRST: with the offset projection also
+    # named vec_id, the HOF lambda's captured column bound to the
+    # alias, not the input (measured — a +27-step jitter shift)
+    jit = (F.col("oid") % 97).cast("double") * F.lit(0.001)
+    batch = emb.select(
+        F.col("vec_id").alias("oid"),
+        F.col("embedding").cast("array<double>").alias("e0"),
+    ).select(
+        (F.col("oid") + 1000000).alias("vec_id"),
+        F.transform(F.col("e0"), lambda x: x + jit).alias("e"),
+    )
+    piv = emb64.filter(F.col("vec_id").between(1, 16)).select(
+        F.col("vec_id").alias("pid"), F.col("e").alias("pe")
+    )
+
+    def assign(df):
+        w = Window.partitionBy("vec_id").orderBy(F.desc("d"), F.asc("pid"))
+        return (
+            df.crossJoin(F.broadcast(piv))
+            .select("vec_id", "pid", dot(F.col("e"), F.col("pe")).alias("d"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "pid")
+        )
+
+    ah = assign(emb64)
+    ab = assign(batch)
+    h = ah.groupBy("pid").agg(F.count(F.lit(1)).alias("ch"))
+    b = ab.groupBy("pid").agg(F.count(F.lit(1)).alias("cb"))
+    rep = (
+        piv.select("pid")
+        .join(h, "pid", "left")
+        .join(b, "pid", "left")
+        .select(
+            F.col("pid").alias("cid"),
+            F.coalesce(F.col("ch"), F.lit(0)).cast("long").alias("n_hist"),
+            F.coalesce(F.col("cb"), F.lit(0)).cast("long").alias("n_new"),
+        )
+    )
+    wall = Window.partitionBy(_const_part("cid"))
+    th = F.sum("n_hist").over(wall).cast("long")
+    tb = F.sum("n_new").over(wall).cast("long")
+    return rep.select(
+        "cid",
+        "n_hist",
+        "n_new",
+        (F.col("n_hist") + F.col("n_new")).cast("long").alias("n_total"),
+        th.alias("_th"),
+        tb.alias("_tb"),
+    ).select(
+        "cid",
+        "n_hist",
+        "n_new",
+        "n_total",
+        F.expr("(n_hist * 10000) div _th").cast("long").alias(
+            "share_bp_before"
+        ),
+        F.expr("((n_hist + n_new) * 10000) div (_th + _tb)")
+        .cast("long")
+        .alias("share_bp_after"),
+    )

@@ -160,6 +160,10 @@ WHITELIST: dict[str, dict[str, str]] = {
         "bnl_join": "same fixed 64-query md5-ranked panel broadcast for "
         "the integer exact-L2 side (see ann_recall_calibration)"
     },
+    "ann_ivf_occupancy_drift": {
+        "bnl_join": "16-pivot frame cross-joined for the two broadcast "
+        "cell-assignment argmins (same shape as nearest_centroid_assign)"
+    },
     "corpus_recipe_pipeline": {
         "bnl_join": "1-row stage-count aggregate cross-joined with the "
         "1-row upsample/shard aggregate to assemble the 10-row "
