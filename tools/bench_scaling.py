@@ -155,6 +155,14 @@ TOP = [
     # history state build at this harness's shape; the per-ingest
     # claim (batch-sized probes) is carried by the plan pins
     "corpus_recipe_increment",
+    # round-11 second wave: the trained-codebook trio (training is
+    # iters+1 corpus reads + bounded update shuffles; the recall audit
+    # is the fixed-64-panel Q x N shape) and the IVF occupancy report
+    # (two broadcast argmins, dimension-sized tail)
+    "pq_train_codebook",
+    "pq_adc_topk_trained",
+    "pq_recall_calibration_trained",
+    "ann_ivf_occupancy_drift",
 ]
 
 # third scaling point for the heaviest candidate-generating entries —
@@ -207,6 +215,10 @@ TOP_4X = [
     "skew_plain_join_zipf",
     "skew_salted_join_hot95",
     "skew_plain_join_hot95",
+    # round-11 second wave: curvature points for the two new fixed-
+    # panel audits — same linear-band expectation as ann/pq recall
+    "ivfadc_recall_calibration",
+    "pq_recall_calibration_trained",
 ]
 
 # fourth scaling point (round-6 verdict item 7) for the two entries
