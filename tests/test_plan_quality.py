@@ -637,6 +637,38 @@ def test_skew_salted_join_salts_the_shuffle_not_broadcast(
     assert hplain.count("BroadcastHashJoin") == 0, hplain
 
 
+def test_corpus_recipe_increment_plan_is_bounded(spark, sf_dir, queries):
+    """corpus_recipe_increment (the round-11 flagship, bench #1): the
+    history store and the batch labeled frame are localCheckpointed,
+    so the datasheet-side plan must stay bounded — no cartesian, no
+    sort-merge joins (budgets and the four 1-row stage aggregates
+    broadcast), a fixed exchange budget, and a bounded number of
+    checkpoint scans (history aggregate + survivor slim, batch
+    aggregate + survivor slim, merged mixture). The probe-side claims
+    (batch as the small side of every index join) are carried by the
+    labeling operators' own pins."""
+    df = queries["corpus_recipe_increment"](spark, sf_dir)
+    plan = final_plan(df)
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("CartesianProduct") == 0, plan
+    assert final.count("SortMergeJoin") == 0, plan
+    assert final.count("Exchange hashpartitioning") <= 6, plan
+    assert final.count("Scan ExistingRDD") <= 5, plan
+
+
+def test_pq_train_rounds_broadcast_codebook_argmin(spark, sf_dir, queries):
+    """pq_train_codebook: every Lloyd round must assign via a
+    BROADCAST of the ≤32-row codebook (a shuffled join against the
+    subvector stream would pay iters × corpus shuffles), with no
+    cartesian/sort-merge join anywhere in the unrolled plan."""
+    df = queries["pq_train_codebook"](spark, sf_dir)
+    plan = final_plan(df)
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("CartesianProduct") == 0, plan
+    assert final.count("SortMergeJoin") == 0, plan
+    assert "BroadcastHashJoin" in final, plan
+
+
 def test_audit_panel_is_fixed_count_takeordered(spark, sf_dir):
     """The recall audits' query panel (round-11 fix of the %31 defect):
     it must be a FIXED count — 64 rows at any corpus size, so the
