@@ -7037,10 +7037,10 @@ _AUDIT_PANEL_K = 64
 # DuckDB twin of _audit_panel below — identical ranking expression
 # (md5 of the decimal string, vec_id tiebreak) so engine and oracle
 # select the same panel at any scale.
-_PANEL_CTE = """
+_PANEL_CTE = f"""
     panel AS (
       SELECT vec_id FROM v
-      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 64
+      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {_AUDIT_PANEL_K}
     )
 """
 
@@ -8635,13 +8635,17 @@ def _recipe_state(corpus: DataFrame, lab: DataFrame, bp: DataFrame) -> dict:
     """The persisted recipe state an ingest pipeline carries between
     batches, derived from a labeled epoch: the canonical-URL set, the
     alive-fingerprint set, the scrubbed-text store (LSH index source +
-    bounded candidate fetch), the frozen eval slice, and the frozen
-    boilerplate model. Everything an increment probes; nothing an
-    increment rescans."""
+    bounded candidate fetch), the frozen eval slice, the frozen
+    boilerplate model, and the id WATERMARK (max doc_id in the epoch) —
+    the scalar that lets ``_recipe_label_batch`` enforce its
+    every-batch-id-exceeds-history precondition instead of merely
+    documenting it (round-12 advisory). Everything an increment probes;
+    nothing an increment rescans."""
     from .functions.urls import canonical_url
 
     scrub = lab.select("doc_id", F.col("clean_text").alias("text"))
     return {
+        "max_id": corpus.agg(F.max("doc_id")).collect()[0][0],
         "bp": bp,
         "url_index": corpus.select(
             canonical_url(F.col("url")).alias("hurl")
@@ -8665,10 +8669,17 @@ def _recipe_state_update(
     the batch (so the next batch's LSH probe sees it), while the
     boilerplate model and eval slice stay frozen at the original
     epoch. Associativity (increment∘increment == one-shot on the
-    union) is pinned by tests/test_corpus.py's two-epoch test."""
+    union) is pinned by tests/test_corpus.py's two-epoch test. The
+    watermark advances to the batch's max id (blab is already
+    localCheckpointed by ``_recipe_label_batch``, so the scalar agg is
+    a cheap checkpoint scan)."""
     from .functions.urls import canonical_url
 
+    max_id = state.get("max_id")
+    if max_id is not None:
+        max_id = max(max_id, blab.agg(F.max("doc_id")).collect()[0][0])
     return {
+        "max_id": max_id,
         "bp": state["bp"],
         "url_index": state["url_index"]
         .unionByName(
@@ -8695,7 +8706,19 @@ def _recipe_label_batch(batch: DataFrame, state: dict) -> DataFrame:
     batch or a probe join against an index, never a history rescan
     (history text is fetched only for the bounded LSH-candidate set).
     Requires every batch id to exceed every id already in the state
-    (the invariance precondition)."""
+    (the invariance precondition) — ENFORCED, not just documented
+    (round-12 advisory): when the state carries its ``max_id``
+    watermark, the batch's min id is compared against it up front and
+    a violating caller gets a loud ValueError instead of a silently
+    wrong datasheet. One scalar map-side min over the batch (the small
+    side by contract) — NOT a fused per-row ``assert_true``: measured
+    hazard, Catalyst's InferFiltersFromConstraints copies a filter's
+    constraint across equi-join keys, so an assert fused into the
+    batch re-raises on FOREIGN frames joined on doc_id (here the LSH
+    candidate-id set carrying history ids — a legitimate hist_id 174
+    raised the batch's own precondition). Never fuse raise_error into
+    a frame whose asserted column later equi-joins. States built by
+    older callers without the watermark skip the check."""
     from pyspark.sql import Window
 
     from .functions.urls import canonical_url
@@ -8712,6 +8735,17 @@ def _recipe_label_batch(batch: DataFrame, state: dict) -> DataFrame:
     url_index = state["url_index"]
     fp_index = state["fp_index"]
     scrub_h = state["scrub"]
+
+    # the invariance precondition as one scalar comparison (see the
+    # docstring for why NOT a fused per-row assert_true)
+    max_id = state.get("max_id")
+    if max_id is not None:
+        batch_min = batch.agg(F.min("doc_id")).collect()[0][0]
+        if batch_min is not None and batch_min <= max_id:
+            raise ValueError(
+                "recipe increment precondition violated: batch min "
+                f"doc_id {batch_min} <= state watermark {max_id}"
+            )
 
     # --- batch stages 1-3: raw tokens, URL keeper vs index, exact
     # fingerprint keeper vs alive-fingerprint index
@@ -9348,4 +9382,550 @@ def ann_ivf_occupancy_drift_q(spark: SparkSession, sf: str) -> DataFrame:
         F.expr("((n_hist + n_new) * 10000) div (_th + _tb)")
         .cast("long")
         .alias("share_bp_after"),
+    )
+
+
+
+
+# ---------------------------------------------------------------------------
+# Round 12: RESIDUAL IVFADC — the actual Jégou §IV-A layout (round-11
+# verdict item 1). The raw-code composition (ann_ivfadc_topk) PQ-encodes
+# the vectors themselves, so each 8-codeword subspace codebook spends
+# its bits re-describing the cell offset the coarse index already
+# knows. Residual encoding quantizes x − q1(x) and builds the query's
+# lookup table per probed cell from q − c, so ADC approximates
+# ||q − x||² = ||(q−c) − (x−c)||² with codes that spend all their bits
+# on within-cell variation. One shared residual codebook across cells
+# (Jégou's own choice — per-cell codebooks multiply memory by ncells).
+#
+# Two measured facts shape this family (numbers from the probe runs
+# recorded in README §residual-ivfadc):
+# 1. The coarse quantizer must be L2-nearest (Jégou §II), NOT the
+#    max-dot MIPS rule the ann_ivf family uses: a residual against a
+#    max-dot cell isn't small (measured avg ||x − c||² = 1.55 vs
+#    ||x||² = 1.0 with data-as-pivots on the fixture).
+# 2. The fixture embeddings are ISOTROPIC (within-label/total variance
+#    0.995, measured) — no coarse structure exists, so residual codes
+#    CANNOT beat raw codes there (measured 640-sample hits: 33 raw vs
+#    18 residual with data pivots; 38 vs 39 with everything
+#    Lloyd-trained — a tie at best). Residual encoding pays off exactly
+#    when the corpus HAS coarse structure, so this family runs on a
+#    deterministically CLUSTERED construction (the planted-family
+#    discipline): y_i = pivot(i mod 16) + 0.1·x_i — 16 well-separated
+#    clusters with 0.1-scale jitter, both engines building it from the
+#    same doubles. On it the gain is decisive and on the record:
+#    raw codes 38/640 panel hits, residual codes 122/640 (3.2×).
+# ---------------------------------------------------------------------------
+
+# Shared oracle chain: the clustered corpus, L2 coarse assignment,
+# residual PQ (codes + codebook from rows 17..24's residuals), and the
+# control raw PQ (same seed rows) over the same corpus.
+_RESCL_CTES = """
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ),
+    piv0 AS (
+      SELECT vec_id AS pid, e AS pe FROM v WHERE vec_id BETWEEN 1 AND 16
+    ),
+    cl AS (
+      SELECT v.vec_id,
+             list_transform(range(1, 65),
+               k -> p.pe[k] + CAST(0.1 AS DOUBLE) * v.e[k]) AS e
+      FROM v JOIN piv0 p ON p.pid = (v.vec_id % 16) + 1
+    ),
+    asgc AS (
+      SELECT vec_id, pid FROM (
+        SELECT c.vec_id, p.pid,
+               row_number() OVER (PARTITION BY c.vec_id
+                 ORDER BY list_sum(list_transform(range(1, 65),
+                   k -> (c.e[k] - p.pe[k]) * (c.e[k] - p.pe[k]))),
+                   p.pid) AS rn
+        FROM cl c, piv0 p)
+      WHERE rn = 1
+    ),
+    res AS (
+      SELECT a.vec_id, a.pid,
+             list_transform(range(1, 65), k -> c.e[k] - p.pe[k]) AS r
+      FROM asgc a JOIN cl c USING (vec_id) JOIN piv0 p USING (pid)
+    ),
+    rsub AS (
+      SELECT res.vec_id, res.pid, CAST(u.m AS BIGINT) AS m,
+             res.r[u.m * 16 + 1 : u.m * 16 + 16] AS sv
+      FROM res, UNNEST(range(0, 4)) u(m)
+    ),
+    rcb AS (
+      SELECT vec_id - 16 AS cid, m, sv AS cv FROM rsub
+      WHERE vec_id BETWEEN 17 AND 24
+    ),
+    rasg AS (
+      SELECT vec_id, pid, m, cid FROM (
+        SELECT s.vec_id, s.pid, s.m, c.cid,
+               row_number() OVER (PARTITION BY s.vec_id, s.m
+                 ORDER BY list_sum(list_transform(range(1, 17),
+                   i -> (s.sv[i] - c.cv[i]) * (s.sv[i] - c.cv[i]))),
+                   c.cid) AS rn
+        FROM rsub s JOIN rcb c USING (m))
+      WHERE rn = 1
+    ),
+    csub AS (
+      SELECT c.vec_id, CAST(u.m AS BIGINT) AS m,
+             c.e[u.m * 16 + 1 : u.m * 16 + 16] AS sv
+      FROM cl c, UNNEST(range(0, 4)) u(m)
+    ),
+    ccb AS (
+      SELECT vec_id - 16 AS cid, m, sv AS cv FROM csub
+      WHERE vec_id BETWEEN 17 AND 24
+    ),
+    casg AS (
+      SELECT vec_id, m, cid FROM (
+        SELECT s.vec_id, s.m, c.cid,
+               row_number() OVER (PARTITION BY s.vec_id, s.m
+                 ORDER BY list_sum(list_transform(range(1, 17),
+                   i -> (s.sv[i] - c.cv[i]) * (s.sv[i] - c.cv[i]))),
+                   c.cid) AS rn
+        FROM csub s JOIN ccb c USING (m))
+      WHERE rn = 1
+    )
+"""
+
+
+def _l2_col(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _subspace_explode(df: DataFrame, vec_col: str, out_col: str) -> DataFrame:
+    """Explode a 64-dim array column into (…, m, out_col) 16-dim
+    subvectors — the ``_pq_sub`` slicing, reusable on any frame."""
+    ms = F.array(*[F.lit(i) for i in range(4)])
+    keep = [c for c in df.columns if c != vec_col]
+    return (
+        df.select(*keep, F.explode(ms).alias("m0"), vec_col)
+        .select(
+            *keep,
+            F.col("m0").cast("long").alias("m"),
+            F.expr(
+                f"slice({vec_col}, cast(m0 * 16 + 1 as int), 16)"
+            ).alias(out_col),
+        )
+    )
+
+
+def _pq_code_frames(
+    sub: DataFrame,
+) -> tuple[DataFrame, DataFrame]:
+    """(codebook, codes) from an exploded subvector frame: codebook =
+    rows 17..24's subvectors (cid 1..8 — seed rows shifted past the 16
+    coarse pivots so no residual codeword is a near-zero
+    self-residual), codes = per-(vec_id, m) argmin (squared L2, cid
+    tiebreak). Extra columns on ``sub`` (e.g. the cell id) ride along
+    through the assignment."""
+    from pyspark.sql import Window
+
+    cb = sub.filter(F.col("vec_id").between(17, 24)).select(
+        (F.col("vec_id") - 16).alias("cid"), "m", F.col("sv").alias("cv")
+    )
+    w = Window.partitionBy("vec_id", "m").orderBy(F.asc("d"), F.asc("cid"))
+    keep = [c for c in sub.columns if c != "sv"]
+    codes = (
+        sub.join(F.broadcast(cb), "m")
+        .select(*keep, "cid", _pq_dist().alias("d"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(*keep, "cid")
+    )
+    return cb, codes
+
+
+def _rescl_frames(
+    spark: SparkSession, sf: str
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame, DataFrame, DataFrame, DataFrame]:
+    """(cl, piv0, asgc, rcb, rasg, ccb, casg) — the clustered corpus,
+    its L2 coarse assignment, the residual PQ frames and the control
+    raw PQ frames (Spark twins of _RESCL_CTES).
+
+    The residual derivation joins the assignment back to the corpus on
+    vec_id — at 100 TB this is the index BUILD path, run once: a
+    served index stores codes next to their cell id, and the window
+    that produced ``asgc`` already shuffled on the same key, so the
+    join reuses that exchange."""
+    emb64 = load_table(spark, sf, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    piv0 = emb64.filter(F.col("vec_id").between(1, 16)).select(
+        F.col("vec_id").alias("pid"), F.col("e").alias("pe")
+    )
+    cl = (
+        emb64.withColumn("gpid", F.col("vec_id") % 16 + 1)
+        .join(
+            F.broadcast(piv0.select(F.col("pid").alias("gpid"), "pe")),
+            "gpid",
+        )
+        .select(
+            "vec_id",
+            F.zip_with(
+                F.col("pe"), F.col("e"), lambda x, y: x + F.lit(0.1) * y
+            ).alias("e"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w_asg = Window.partitionBy("vec_id").orderBy(F.asc("d"), F.asc("pid"))
+    asgc = (
+        cl.crossJoin(F.broadcast(piv0))
+        .select(
+            "vec_id", "pid", _l2_col(F.col("e"), F.col("pe")).alias("d")
+        )
+        .withColumn("rn", F.row_number().over(w_asg))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "pid")
+    )
+    res = (
+        asgc.join(cl, "vec_id")
+        .join(F.broadcast(piv0), "pid")
+        .select(
+            "vec_id",
+            "pid",
+            F.zip_with(F.col("e"), F.col("pe"), lambda x, y: x - y).alias(
+                "r"
+            ),
+        )
+    )
+    rcb, rasg = _pq_code_frames(_subspace_explode(res, "r", "sv"))
+    ccb, casg = _pq_code_frames(_subspace_explode(cl, "e", "sv"))
+    return cl, piv0, asgc, rcb, rasg, ccb, casg
+
+
+@query(
+    "ann_ivfadc_residual_topk",
+    _RESCL_CTES + """,
+    probe AS (
+      SELECT p.pid, p.pe FROM piv0 p, (SELECT e FROM cl WHERE vec_id = 0) q
+      ORDER BY list_sum(list_transform(range(1, 65),
+        k -> (q.e[k] - p.pe[k]) * (q.e[k] - p.pe[k]))), p.pid
+      LIMIT 2
+    ),
+    qres AS (
+      SELECT pr.pid,
+             list_transform(range(1, 65), k -> q.e[k] - pr.pe[k]) AS qr
+      FROM probe pr, (SELECT e FROM cl WHERE vec_id = 0) q
+    ),
+    qsub AS (
+      SELECT qres.pid, CAST(u.m AS BIGINT) AS m,
+             qres.qr[u.m * 16 + 1 : u.m * 16 + 16] AS qv
+      FROM qres, UNNEST(range(0, 4)) u(m)
+    ),
+    qt AS (
+      SELECT qs.pid, qs.m, c.cid,
+             list_sum(list_transform(range(1, 17),
+               i -> (qs.qv[i] - c.cv[i]) * (qs.qv[i] - c.cv[i]))) AS qd
+      FROM qsub qs JOIN rcb c USING (m)
+    ),
+    members AS (
+      SELECT a.vec_id, a.pid FROM asgc a
+      WHERE a.pid IN (SELECT pid FROM probe) AND a.vec_id <> 0
+    ),
+    adc AS (
+      SELECT a.vec_id, CAST(max(mem.pid) AS BIGINT) AS cell,
+             round(sum(q.qd), 4) AS adc_dist
+      FROM rasg a
+      JOIN members mem USING (vec_id)
+      JOIN qt q ON q.pid = mem.pid AND q.m = a.m AND q.cid = a.cid
+      GROUP BY a.vec_id
+    )
+    SELECT vec_id, cell, adc_dist FROM adc
+    ORDER BY adc_dist, vec_id LIMIT 10
+    """,
+)
+def ann_ivfadc_residual_topk_q(spark: SparkSession, sf: str) -> DataFrame:
+    """RESIDUAL IVFADC search — the exact Jégou et al. 2011 §IV-A
+    layout (round-11 verdict item 1, closing ``ann_ivfadc_topk``'s
+    raw-vector fidelity gap): database codes quantize the residual
+    x − q1(x), and the query-time lookup table is built PER PROBED
+    CELL from the query's residual q − c, so ADC approximates
+    ||q − x||² = ||(q−c) − (x−c)||² with codes that spend all 8
+    codewords per subspace on within-cell variation. Two deliberate
+    departures from the raw-code sibling, both measured (section
+    comment above): the coarse quantizer is L2-nearest (Jégou §II —
+    residuals against max-dot cells aren't small), and the corpus is
+    the deterministic 16-cluster construction (pivot(i mod 16) +
+    0.1·x_i) because the isotropic fixture has no coarse structure for
+    residuals to exploit. Output (vec_id, cell, adc_dist) top-10 by
+    rounded ADC distance, vec_id tiebreak. Oracle-exact end to end via
+    the shared _RESCL_CTES chain; ``ivfadc_residual_gain_audit`` prices
+    the encoding choice on the fixed 64-panel.
+
+    Scale shape: pivots (16), the probe set (2 rows WITH centroids —
+    the query residual needs them), and the per-cell lookup tables
+    (2 × 32 rows) broadcast; the member restriction bounds the code
+    scan to ~nprobe/ncells of the corpus BEFORE any ADC work; codes
+    join the broadcast tables on (pid, m, cid); top-k is TakeOrdered.
+    The residual build adds one same-key join to the index BUILD path
+    only (codes are stored; see ``_rescl_frames``) — the SERVE path
+    pays exactly what the raw-code variant pays."""
+    cl, piv0, asgc, rcb, rasg, _ccb, _casg = _rescl_frames(spark, sf)
+    qv = cl.filter(F.col("vec_id") == 0).select(F.col("e").alias("qe"))
+    probe = (
+        piv0.crossJoin(F.broadcast(qv))
+        .select(
+            "pid", "pe", "qe", _l2_col(F.col("qe"), F.col("pe")).alias("d")
+        )
+        .orderBy(F.asc("d"), F.asc("pid"))
+        .limit(2)
+        .select("pid", "pe", "qe")
+    )
+    qres = probe.select(
+        "pid",
+        F.zip_with(F.col("qe"), F.col("pe"), lambda x, y: x - y).alias("qr"),
+    )
+    qt = (
+        _subspace_explode(qres, "qr", "sv")
+        .join(F.broadcast(rcb), "m")
+        .select("pid", "m", "cid", _pq_dist().alias("qd"))
+    )
+    members = asgc.join(
+        F.broadcast(probe.select("pid")), "pid"
+    ).filter(F.col("vec_id") != 0)
+    adc = (
+        rasg.drop("pid")
+        .join(members, "vec_id")
+        .join(F.broadcast(qt), ["pid", "m", "cid"])
+        .groupBy("vec_id")
+        .agg(
+            F.max("pid").cast("long").alias("cell"),
+            F.round(F.sum("qd"), 4).alias("adc_dist"),
+        )
+    )
+    return adc.orderBy(F.asc("adc_dist"), F.asc("vec_id")).limit(10)
+
+
+@query(
+    "ivfadc_residual_gain_audit",
+    _RESCL_CTES + ",\n" + _PANEL_CTE + """,
+    qs AS (
+      SELECT c.vec_id AS qid, c.e AS qe FROM cl c JOIN panel USING (vec_id)
+    ),
+    probe AS (
+      SELECT qid, pid, pe FROM (
+        SELECT q.qid, p.pid, p.pe,
+               row_number() OVER (PARTITION BY q.qid
+                 ORDER BY list_sum(list_transform(range(1, 65),
+                   k -> (q.qe[k] - p.pe[k]) * (q.qe[k] - p.pe[k]))),
+                   p.pid) AS rn
+        FROM qs q, piv0 p)
+      WHERE rn <= 2
+    ),
+    members AS (
+      SELECT pr.qid, a.vec_id, a.pid
+      FROM asgc a JOIN probe pr USING (pid)
+      WHERE a.vec_id <> pr.qid
+    ),
+    qres AS (
+      SELECT pr.qid, pr.pid,
+             list_transform(range(1, 65), k -> q.qe[k] - pr.pe[k]) AS qr
+      FROM probe pr JOIN qs q USING (qid)
+    ),
+    qsubr AS (
+      SELECT qres.qid, qres.pid, CAST(u.m AS BIGINT) AS m,
+             qres.qr[u.m * 16 + 1 : u.m * 16 + 16] AS qv
+      FROM qres, UNNEST(range(0, 4)) u(m)
+    ),
+    qtres AS (
+      SELECT s.qid, s.pid, s.m, c.cid,
+             list_sum(list_transform(range(1, 17),
+               i -> (s.qv[i] - c.cv[i]) * (s.qv[i] - c.cv[i]))) AS qd
+      FROM qsubr s JOIN rcb c USING (m)
+    ),
+    adc10r AS (
+      SELECT qid, vec_id FROM (
+        SELECT mem.qid, mem.vec_id,
+               row_number() OVER (PARTITION BY mem.qid
+                 ORDER BY round(sum(q.qd), 4), mem.vec_id) AS rn
+        FROM members mem
+        JOIN rasg a ON a.vec_id = mem.vec_id
+        JOIN qtres q ON q.qid = mem.qid AND q.pid = mem.pid
+                    AND q.m = a.m AND q.cid = a.cid
+        GROUP BY mem.qid, mem.vec_id)
+      WHERE rn <= 10
+    ),
+    qsubc AS (
+      SELECT q.qid, CAST(u.m AS BIGINT) AS m,
+             q.qe[u.m * 16 + 1 : u.m * 16 + 16] AS qv
+      FROM qs q, UNNEST(range(0, 4)) u(m)
+    ),
+    qtraw AS (
+      SELECT s.qid, s.m, c.cid,
+             list_sum(list_transform(range(1, 17),
+               i -> (s.qv[i] - c.cv[i]) * (s.qv[i] - c.cv[i]))) AS qd
+      FROM qsubc s JOIN ccb c USING (m)
+    ),
+    adc10c AS (
+      SELECT qid, vec_id FROM (
+        SELECT mem.qid, mem.vec_id,
+               row_number() OVER (PARTITION BY mem.qid
+                 ORDER BY round(sum(q.qd), 4), mem.vec_id) AS rn
+        FROM members mem
+        JOIN casg a ON a.vec_id = mem.vec_id
+        JOIN qtraw q ON q.qid = mem.qid AND q.m = a.m AND q.cid = a.cid
+        GROUP BY mem.qid, mem.vec_id)
+      WHERE rn <= 10
+    ),
+    exact10 AS (
+      SELECT qid, vec_id FROM (
+        SELECT q.qid, c.vec_id,
+               row_number() OVER (PARTITION BY q.qid
+                 ORDER BY round(list_sum(list_transform(range(1, 65),
+                   i -> (c.e[i] - q.qe[i]) * (c.e[i] - q.qe[i]))), 4),
+                   c.vec_id) AS rn
+        FROM cl c, qs q WHERE c.vec_id <> q.qid)
+      WHERE rn <= 10
+    ),
+    scanned AS (SELECT qid, count(*) AS ns FROM members GROUP BY 1),
+    hits_r AS (
+      SELECT e.qid, count(*) AS h
+      FROM exact10 e JOIN adc10r a ON a.qid = e.qid AND a.vec_id = e.vec_id
+      GROUP BY 1
+    ),
+    hits_c AS (
+      SELECT e.qid, count(*) AS h
+      FROM exact10 e JOIN adc10c a ON a.qid = e.qid AND a.vec_id = e.vec_id
+      GROUP BY 1
+    )
+    SELECT q.qid,
+           CAST(COALESCE(s.ns, 0) AS BIGINT) AS n_scanned,
+           CAST(COALESCE(hc.h, 0) AS BIGINT) AS hits10_raw,
+           CAST(COALESCE(hc.h, 0) * 1000 AS BIGINT) AS recall_bp_raw,
+           CAST(COALESCE(hr.h, 0) AS BIGINT) AS hits10_res,
+           CAST(COALESCE(hr.h, 0) * 1000 AS BIGINT) AS recall_bp_res
+    FROM qs q
+    LEFT JOIN hits_r hr USING (qid)
+    LEFT JOIN hits_c hc USING (qid)
+    LEFT JOIN scanned s USING (qid)
+    """,
+)
+def ivfadc_residual_gain_audit_q(spark: SparkSession, sf: str) -> DataFrame:
+    """The residual gain, priced as a CONTROLLED experiment on the
+    record (round-11 verdict item 1's recall point): on the clustered
+    corpus, the same fixed 64-query md5-ranked panel, the same L2
+    coarse cells, the same nprobe=2 member sets, and the same codebook
+    seed rows, rank the probed members two ways — raw-vector PQ codes
+    (``ann_ivfadc_topk``'s encoding) vs residual codes (Jégou §IV-A) —
+    and score both against exact squared-L2 top-10. Every column but
+    the encoding is held fixed, so recall_bp_res − recall_bp_raw IS
+    the measured value of residual encoding at these parameters
+    (mean recall_bp raw → residual: 625 → 1875 at sf0.1, a 3.0× gain;
+    3172 → 4344 at sf0.01; raw codes collapse because all members of a
+    probed cell share the cell offset, which is most of what 8 raw
+    codewords can describe, leaving within-cell order largely to the
+    vec_id tiebreak). All-integer report, oracle-exact.
+
+    Scale shape: identical to ``ivfadc_recall_calibration`` — panel ×
+    pivots broadcast probing, member fan-out ~Q·N·nprobe/ncells with
+    Q=64 constant BY CONSTRUCTION, broadcast per-query lookup tables
+    (64×2×32 residual + 64×32 raw rows) against code columns only,
+    Q×N exact side; the two ADC rankings share the one members
+    frame."""
+    from pyspark.sql import Window
+
+    cl, piv0, asgc, rcb, rasg, ccb, casg = _rescl_frames(spark, sf)
+    panel = _audit_panel(cl)
+    qs = cl.join(F.broadcast(panel), "vec_id").select(
+        F.col("vec_id").alias("qid"), F.col("e").alias("qe")
+    )
+    w_probe = Window.partitionBy("qid").orderBy(F.asc("d"), F.asc("pid"))
+    probe = (
+        qs.crossJoin(F.broadcast(piv0))
+        .select(
+            "qid", "pid", "pe", "qe",
+            _l2_col(F.col("qe"), F.col("pe")).alias("d"),
+        )
+        .withColumn("rn", F.row_number().over(w_probe))
+        .filter(F.col("rn") <= 2)
+        .select("qid", "pid", "pe", "qe")
+    )
+    members = (
+        asgc.join(F.broadcast(probe.select("qid", "pid")), "pid")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id", "pid")
+    )
+    qres = probe.select(
+        "qid",
+        "pid",
+        F.zip_with(F.col("qe"), F.col("pe"), lambda x, y: x - y).alias("qr"),
+    )
+    qtres = (
+        _subspace_explode(qres, "qr", "sv")
+        .join(F.broadcast(rcb), "m")
+        .select("qid", "pid", "m", "cid", _pq_dist().alias("qd"))
+    )
+    w_adc = Window.partitionBy("qid").orderBy(F.asc("adc"), F.asc("vec_id"))
+
+    def top10(scored):
+        return (
+            scored.withColumn("rn", F.row_number().over(w_adc))
+            .filter(F.col("rn") <= 10)
+            .select("qid", "vec_id")
+        )
+
+    adc10r = top10(
+        members.join(rasg.drop("pid"), "vec_id")
+        .join(F.broadcast(qtres), ["qid", "pid", "m", "cid"])
+        .groupBy("qid", "vec_id")
+        .agg(F.round(F.sum("qd"), 4).alias("adc"))
+    )
+    qtraw = (
+        _subspace_explode(qs.select("qid", "qe"), "qe", "sv")
+        .join(F.broadcast(ccb), "m")
+        .select("qid", "m", "cid", _pq_dist().alias("qd"))
+    )
+    adc10c = top10(
+        members.join(casg, "vec_id")
+        .join(F.broadcast(qtraw), ["qid", "m", "cid"])
+        .groupBy("qid", "vec_id")
+        .agg(F.round(F.sum("qd"), 4).alias("adc"))
+    )
+    w_ex = Window.partitionBy("qid").orderBy(F.asc("d"), F.asc("vec_id"))
+    exact10 = (
+        cl.crossJoin(F.broadcast(qs))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid", "vec_id",
+            F.round(_l2_col(F.col("e"), F.col("qe")), 4).alias("d"),
+        )
+        .withColumn("rn", F.row_number().over(w_ex))
+        .filter(F.col("rn") <= 10)
+        .select("qid", "vec_id")
+    )
+    scanned = members.groupBy("qid").agg(F.count(F.lit(1)).alias("ns"))
+
+    def hits(adc10):
+        return exact10.join(adc10, ["qid", "vec_id"]).groupBy("qid").agg(
+            F.count(F.lit(1)).alias("h")
+        )
+
+    hr = hits(adc10r).select("qid", F.col("h").alias("h_res"))
+    hc = hits(adc10c).select("qid", F.col("h").alias("h_raw"))
+    bp = lambda c: (  # noqa: E731
+        (F.coalesce(F.col(c), F.lit(0)) * 1000).cast("long")
+    )
+    return (
+        qs.select("qid")
+        .join(hr, "qid", "left")
+        .join(hc, "qid", "left")
+        .join(scanned, "qid", "left")
+        .select(
+            "qid",
+            F.coalesce(F.col("ns"), F.lit(0)).cast("long").alias("n_scanned"),
+            F.coalesce(F.col("h_raw"), F.lit(0))
+            .cast("long")
+            .alias("hits10_raw"),
+            bp("h_raw").alias("recall_bp_raw"),
+            F.coalesce(F.col("h_res"), F.lit(0))
+            .cast("long")
+            .alias("hits10_res"),
+            bp("h_res").alias("recall_bp_res"),
+        )
     )

@@ -415,3 +415,76 @@ class TestCorpusRecipeTwoEpochs:
         bad = mismatch.limit(5).collect()
         assert not bad, bad
         assert inc.count() == comb.count()
+
+
+class TestRecipeWatermarkGate:
+    """The increment's invariance precondition (every batch id exceeds
+    every id in the persisted state) is enforced by a per-row
+    ``assert_true`` fused into the batch scan (round-12 advisory) — a
+    violating caller fails loudly instead of receiving a silently
+    wrong datasheet."""
+
+    BATCH_SCHEMA = (
+        "doc_id long, base_id long, source string, text string, url string"
+    )
+
+    def _state(self, spark):
+        from opendata_gov_lt_mysql_import_spark.queries_ml import _recipe_bp
+
+        corpus = spark.createDataFrame(
+            [
+                (1, 1, "src0", "alpha line\nbody one", "http://a/1"),
+                (2, 2, "src1", "beta line\nbody two", "http://a/2"),
+            ],
+            self.BATCH_SCHEMA,
+        )
+        scrub = corpus.select("doc_id", "text")
+        return {
+            "max_id": 100,
+            "bp": _recipe_bp(corpus),
+            "url_index": spark.createDataFrame([("x",)], "hurl string"),
+            "fp_index": spark.createDataFrame([("y",)], "hfp string"),
+            "scrub": scrub,
+            "ev": scrub.filter("doc_id < 0"),
+        }
+
+    def test_stale_batch_id_raises(self, spark):
+        from opendata_gov_lt_mysql_import_spark.queries_ml import (
+            _recipe_label_batch,
+        )
+
+        state = self._state(spark)
+        stale = spark.createDataFrame(
+            [(50, 50, "src0", "gamma text", "http://a/50")],
+            self.BATCH_SCHEMA,
+        )
+        with pytest.raises(Exception, match="precondition"):
+            # _recipe_label_batch eagerly checkpoints, so the fused
+            # per-row gate fires inside the call
+            _recipe_label_batch(stale, state)
+
+    def test_fresh_batch_ids_pass_the_gate(self, spark):
+        from opendata_gov_lt_mysql_import_spark.queries_ml import (
+            _recipe_label_batch,
+        )
+
+        state = self._state(spark)
+        fresh = spark.createDataFrame(
+            [(101, 101, "src0", "gamma text", "http://a/101")],
+            self.BATCH_SCHEMA,
+        )
+        assert _recipe_label_batch(fresh, state).count() == 1
+
+    def test_state_without_watermark_skips_the_gate(self, spark):
+        from opendata_gov_lt_mysql_import_spark.queries_ml import (
+            _recipe_label_batch,
+        )
+
+        state = self._state(spark)
+        del state["max_id"]
+        stale = spark.createDataFrame(
+            [(50, 50, "src0", "gamma text", "http://a/50")],
+            self.BATCH_SCHEMA,
+        )
+        # legacy states (no watermark) keep the documented-only contract
+        assert _recipe_label_batch(stale, state).count() == 1

@@ -124,17 +124,27 @@ class TestStreamingRecipeIngest:
             blab = _recipe_label_batch(batch_df, state)
             commit_snapshot(blab.select(LABEL_COLS), dirs["labels"])
             # extend the state with THIS batch's contributions so the
-            # next micro-batch probes it (bp + eval stay frozen)
+            # next micro-batch probes it (bp + eval stay frozen).
+            # Anti-join against the CURRENT snapshot first: append-mode
+            # snapshots accumulate versions, and a duplicate hurl/hfp
+            # key would fan out _recipe_label_batch's left join and
+            # corrupt later batches' labels (round-12 advisory — the
+            # batch-side .distinct() alone doesn't dedup ACROSS
+            # versions the way _recipe_state_update's union.distinct
+            # does).
             commit_snapshot(
                 batch_df.select(
                     canonical_url(F.col("url")).alias("hurl")
-                ).distinct(),
+                )
+                .distinct()
+                .join(state["url_index"], "hurl", "left_anti"),
                 dirs["url_index"],
             )
             commit_snapshot(
-                blab.filter(F.col("alive2")).select(
-                    F.md5(F.col("text")).alias("hfp")
-                ),
+                blab.filter(F.col("alive2"))
+                .select(F.md5(F.col("text")).alias("hfp"))
+                .distinct()
+                .join(state["fp_index"], "hfp", "left_anti"),
                 dirs["fp_index"],
             )
             commit_snapshot(
@@ -151,6 +161,11 @@ class TestStreamingRecipeIngest:
         q.awaitTermination(300)
 
         streamed = read_snapshot(spark, dirs["labels"])
+        # the probe indexes stay duplicate-free across snapshot
+        # versions (the anti-join-before-commit contract above)
+        for d, key in [(dirs["url_index"], "hurl"), (dirs["fp_index"], "hfp")]:
+            idx = read_snapshot(spark, d)
+            assert idx.count() == idx.select(key).distinct().count()
         # planted b2 families died on state extended BY THE STREAM
         rows = streamed.filter(F.col("doc_id") >= 9_000_000).select(
             "doc_id", "alive2", "alive3", "alive5"

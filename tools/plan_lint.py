@@ -164,6 +164,18 @@ WHITELIST: dict[str, dict[str, str]] = {
         "bnl_join": "16-pivot frame cross-joined for the two broadcast "
         "cell-assignment argmins (same shape as nearest_centroid_assign)"
     },
+    "ann_ivfadc_residual_topk": {
+        "bnl_join": "16-pivot frame cross-joined for the broadcast "
+        "L2 cell-assignment argmin, the clustered-corpus construction, "
+        "and the 1-row query vector broadcast for probing (same shape "
+        "as ann_ivfadc_topk)"
+    },
+    "ivfadc_residual_gain_audit": {
+        "bnl_join": "fixed 64-query md5-ranked panel and the 16-pivot "
+        "frame broadcast — the exact side is Q*N with Q=64 by "
+        "construction (see ann_recall_calibration); plus the clustered "
+        "construction's 16-row pivot broadcast"
+    },
     "corpus_recipe_pipeline": {
         "bnl_join": "1-row stage-count aggregate cross-joined with the "
         "1-row upsample/shard aggregate to assemble the 10-row "
