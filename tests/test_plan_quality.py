@@ -772,3 +772,40 @@ def test_residual_gain_is_on_the_record(spark, sf_dir, queries):
         .collect()[0]
     )
     assert row["res"] > row["raw"], (row["res"], row["raw"])
+
+
+def test_nprobe_sweep_shares_one_probe_window_and_exact_side(
+    spark, sf_dir, queries
+):
+    """The sweep's efficiency contract: three nprobe points must NOT
+    triple the audit — one probe window to depth 4 with a 3-row bound
+    explode, one cell-assignment window, one broadcast lookup table,
+    one Q×N exact side. Pinned as: no cartesian, no global funnel,
+    broadcasts present, and the window count stays at the single-point
+    audit's level (probe + assignment + ADC rank + exact rank)."""
+    df = queries["ivfadc_nprobe_sweep"](spark, sf_dir)
+    plan = final_plan(df)
+    final = plan.split("== Initial Plan ==")[0]
+    assert "CartesianProduct" not in final, plan
+    assert "Exchange SinglePartition" not in final, plan
+    assert "BroadcastHashJoin" in final, plan
+    assert len(re.findall(r"\bWindow\b", final)) <= 6, plan
+
+
+def test_nprobe_sweep_monotone_scan_cost(spark, sf_dir, queries):
+    """Per query, n_scanned must grow monotonically with nprobe (the
+    beam is a superset chain) — recall may do anything (the measured
+    sf0.1 curve actually falls; see the docstring), but a scan count
+    that shrinks as nprobe grows means the bound join is broken."""
+    from pyspark.sql import functions as F
+
+    df = queries["ivfadc_nprobe_sweep"](spark, sf_dir)
+    wide = (
+        df.groupBy("qid")
+        .pivot("nprobe", [1, 2, 4])
+        .agg(F.first("n_scanned"))
+    )
+    bad = wide.filter(
+        (F.col("1") > F.col("2")) | (F.col("2") > F.col("4"))
+    )
+    assert bad.limit(1).collect() == []

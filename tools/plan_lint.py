@@ -170,6 +170,12 @@ WHITELIST: dict[str, dict[str, str]] = {
         "and the 1-row query vector broadcast for probing (same shape "
         "as ann_ivfadc_topk)"
     },
+    "ivfadc_nprobe_sweep": {
+        "bnl_join": "fixed 64-query md5-ranked panel and the 16-pivot "
+        "frame broadcast for probing, plus the 3-row nprobe-bound "
+        "explode — the exact side is Q*N with Q=64 by construction "
+        "(see ann_recall_calibration)"
+    },
     "ivfadc_residual_gain_audit": {
         "bnl_join": "fixed 64-query md5-ranked panel and the 16-pivot "
         "frame broadcast — the exact side is Q*N with Q=64 by "
