@@ -809,3 +809,34 @@ def test_nprobe_sweep_monotone_scan_cost(spark, sf_dir, queries):
         (F.col("1") > F.col("2")) | (F.col("2") > F.col("4"))
     )
     assert bad.limit(1).collect() == []
+
+
+def test_recall_after_drift_bounded_shape(spark, sf_dir, queries):
+    """Drift audit contract: assignments and probes are broadcast
+    argmins (no cartesian, no global funnel), the exact side is the
+    broadcast Q×N pass, and the retrain update aggregates map-side —
+    the whole report must stay within a bounded exchange budget."""
+    df = queries["ann_ivf_recall_after_drift"](spark, sf_dir)
+    plan = final_plan(df)
+    final = plan.split("== Initial Plan ==")[0]
+    assert "CartesianProduct" not in final, plan
+    assert "Exchange SinglePartition" not in final, plan
+    assert "BroadcastHashJoin" in final, plan
+
+
+def test_recall_after_drift_variants_share_exact_side(
+    spark, sf_dir, queries
+):
+    """Both variants score against ONE exact top-10 (localCheckpointed
+    — a second Q×N pass would double the audit's dominant cost), and
+    the report carries exactly the two variants with 64 rows each."""
+    from pyspark.sql import functions as F
+
+    df = queries["ann_ivf_recall_after_drift"](spark, sf_dir)
+    counts = {
+        r["variant"]: r["n"]
+        for r in df.groupBy("variant")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert counts == {"frozen": 64, "retrained": 64}

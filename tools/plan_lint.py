@@ -170,6 +170,12 @@ WHITELIST: dict[str, dict[str, str]] = {
         "and the 1-row query vector broadcast for probing (same shape "
         "as ann_ivfadc_topk)"
     },
+    "ann_ivf_recall_after_drift": {
+        "bnl_join": "16-pivot frames (frozen + retrained) cross-joined "
+        "for the broadcast assignment/probe argmins, and the fixed "
+        "64-query panel broadcast for the exact side (see "
+        "ann_recall_calibration)"
+    },
     "ivfadc_nprobe_sweep": {
         "bnl_join": "fixed 64-query md5-ranked panel and the 16-pivot "
         "frame broadcast for probing, plus the 3-row nprobe-bound "
