@@ -225,6 +225,21 @@ HEADLINE = [
     # amortized state build), batch labeled via index probes, merged
     # slim mixture; output = the combined one-shot datasheet
     "corpus_recipe_increment",
+    # round-12: the WARM increment — state persisted once as snapshot
+    # tables (run 1 of the min-of-3 pays the build), so the recorded
+    # number is the honest per-ingest cost: read state, label one
+    # batch via probes, emit the combined datasheet
+    "corpus_recipe_increment_warm",
+    # round-12: residual IVFADC (Jégou §IV-A — PQ over x − q1(x) with
+    # per-probed-cell query lookup tables) and the controlled
+    # raw-vs-residual gain audit on the clustered corpus
+    "ann_ivfadc_residual_topk",
+    "ivfadc_residual_gain_audit",
+    # round-12: the nprobe tuning curve (recall-vs-scanned at {1,2,4})
+    # and the drift→retrain maintenance audit (frozen vs one-round
+    # retrained pivots on the drifted corpus)
+    "ivfadc_nprobe_sweep",
+    "ann_ivf_recall_after_drift",
 ]
 
 
@@ -247,6 +262,39 @@ def force_eval(df) -> int:
         F.count(F.lit(1)).alias("n"), F.expr("bit_xor(h)").alias("chk")
     ).collect()[0]
     return row["n"]
+
+
+def _prev_round_committed(here: str) -> tuple[str | None, dict]:
+    """(commit sha, committed per-query timings) of BENCH_COMMITTED.json
+    as of the PREVIOUS round boundary — the most recent driver
+    round-artifact commit (message "round N: ..."). Round 11's
+    cross-round adjudication drifted because BENCH_COMPARE.json was run
+    against an intra-round ref; anchoring the delta list to the round
+    boundary commit makes the adjudication target non-negotiable
+    (round-11 verdict item 3)."""
+    import subprocess
+
+    try:
+        log = subprocess.run(
+            ["git", "log", "--format=%H %s", "-n", "500"],
+            capture_output=True, text=True, cwd=here, check=True,
+        ).stdout
+        sha = None
+        for line in log.splitlines():
+            parts = line.split(" ", 1)
+            if len(parts) == 2 and parts[1].startswith("round "):
+                sha = parts[0]
+                break
+        if sha is None:
+            return None, {}
+        rec = subprocess.run(
+            ["git", "show", f"{sha}:BENCH_COMMITTED.json"],
+            capture_output=True, text=True, cwd=here, check=True,
+        ).stdout
+        return sha, json.loads(rec).get("queries", {})
+    except (subprocess.CalledProcessError, OSError, json.JSONDecodeError,
+            ValueError):
+        return None, {}
 
 
 def main() -> None:
@@ -341,6 +389,35 @@ def main() -> None:
         full_record = None
     committed_path = os.path.join(here, "BENCH_COMMITTED.json")
     if "--commit" in sys.argv:
+        # Cross-round delta list, auto-emitted INTO the committed record
+        # so the >1.3x entries vs the PREVIOUS ROUND's committed numbers
+        # are on the record at commit time with a pinned ref — each one
+        # is a tools/bench_compare.py adjudication TODO (interleaved
+        # A/B on the same box; raw cross-day numbers are not verdicts).
+        prev_sha, prev_q = _prev_round_committed(here)
+        if prev_q:
+            deltas = {}
+            for name, now in timings.items():
+                was = prev_q.get(name)
+                if was and was > 0 and now / was > 1.3:
+                    deltas[name] = {
+                        "prev": was, "now": now,
+                        "ratio": round(now / was, 2),
+                    }
+            full["deltas_vs_prev_round"] = {
+                "ref_commit": prev_sha,
+                "band": 1.3,
+                "entries": deltas,
+            }
+            if deltas:
+                print(
+                    f"# NOTE: {len(deltas)} entries >1.3x vs previous "
+                    f"round ({prev_sha[:8]}): {sorted(deltas)} — "
+                    "adjudicate with tools/bench_compare.py "
+                    f"{prev_sha[:8]} --entries "
+                    + ",".join(sorted(deltas)),
+                    file=sys.stderr,
+                )
         with open(committed_path, "w") as fh:
             json.dump(full, fh, indent=1)
             fh.write("\n")

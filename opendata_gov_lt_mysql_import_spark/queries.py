@@ -66,9 +66,14 @@ DRIVER_TOP50: tuple[str, ...] = (
     # by the full-registry gate; s2 keeps the scan family in-window) for
     # two round-9 oracle-exact newcomers that never earned a driver row:
     # the Gonzalez greedy k-center coreset and the Achlioptas JL
-    # random-sign projection sketch
+    # random-sign projection sketch. jl_projection_sketch rotated out
+    # round 12 (a zero-shuffle fused map pass, green since round 9; the
+    # sketch family keeps kmv_distinct_sketch in-window; JL stays
+    # registered + full-gate-verified) for the round-12 residual IVFADC
+    # — the actual Jégou §IV-A layout (PQ over x − q1(x)), full-gate-only
+    # since it landed (round-11 verdict item 6's rotation discipline)
     "kcenter_coreset",
-    "jl_projection_sketch",
+    "ann_ivfadc_residual_topk",
     "j1_left_join_default",
     # j2_dim_chain rotated out round 10 (its two-hop dim chain is
     # recomputed inside q3/q1-style star joins and stays registered +
@@ -142,7 +147,13 @@ DRIVER_TOP50: tuple[str, ...] = (
     "scd2_user_event_type",
     "olap_grouping_suite",
     "sql_surface_suite",
-    "stats_suite",
+    # stats_suite rotated out round 12 (descriptive-stats aggregates are
+    # recomputed across q1/window_funcs_suite/olap_grouping_suite; it
+    # stays registered + full-gate-verified) for the trained-PQ-codebook
+    # Lloyd trainer — the fixed-point iterative-clustering row that
+    # closed round 11's train→compress→serve loop, full-gate-only until
+    # now (round-11 verdict item 6)
+    "pq_train_codebook",
     # event-stream operators (events_hourly_rollup rotated out round 5:
     # events_gap_fill_hourly subsumes the hourly aggregate and adds the
     # densify step; the rollup stays registered + full-gate-verified as

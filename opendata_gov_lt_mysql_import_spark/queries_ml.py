@@ -8870,44 +8870,12 @@ def _recipe_increment_labeled(
     return hist_lab, blab
 
 
-@query(
-    "corpus_recipe_increment",
-    _corpus_recipe_oracle(
-        head=_RECIPE_INC_HEAD,
-        model="hist",
-        url_case=_RECIPE_INC_URL_CASE,
-    ),
-)
-def corpus_recipe_increment_q(spark: SparkSession, sf: str) -> DataFrame:
-    """The INCREMENTAL corpus recipe (round-11 verdict item 5): a new
-    crawl slice is labeled against persisted history state and the
-    COMBINED 10-row datasheet comes out — stages 1-7 as history-agg +
-    batch-agg (history labels are invariant under the ingest: batch ids
-    exceed all history ids, so min-id keepers stay won by history and
-    confirmed near-dup pairs always drop their batch side; the
-    boilerplate scrub model and eval split are frozen at the history
-    epoch), stages 8-10 recomputed over the merged slim survivor index
-    (doc_id, source, n_tokens — metadata only). History text is never
-    re-read except the bounded LSH-candidate fetch.
-
-    The reconcile proof IS the oracle: DuckDB recomputes the one-shot
-    recipe from scratch over history ∪ batch (with the history-epoch
-    scrub model), so a hash match means the incremental path — index
-    probes, frozen models, merged mixture — reproduces the one-shot
-    datasheet exactly. Planted cross-epoch families pin each index:
-    re-crawls of history URLs die at stage 2, mirrors of history texts
-    at stage 3, near-dup edits at stage 5 (tests/test_corpus.py).
-
-    Scale shape: per ingest the work is batch-sized — window keepers
-    over the batch, probes against the URL/fingerprint/LSH/gram
-    indexes (batch is the small side of every probe join; AQE
-    broadcasts it), one frozen 1-row bp broadcast — plus a slim
-    metadata shuffle for the merged mixture. The history labeling here
-    is the one-time state build a real deployment amortizes across
-    ingests (the incremental_neardup_lsh presentation)."""
-    from pyspark.sql import Window
-
-    hist_lab, blab = _recipe_increment_labeled(spark, sf)
+def _recipe_stage_agg(lab: DataFrame, pref: str) -> DataFrame:
+    """One-row stage-1..7 rows/tokens aggregate over a labeled frame
+    (columns ``{pref}r1..{pref}t7``; no r4 — the scrub changes tokens,
+    not rows). The history side of this (13 BIGINTs) is exactly what
+    the warm increment persists so a per-ingest run never touches the
+    history corpus again."""
 
     def _cnt(cond):
         return F.sum(F.when(cond, 1).otherwise(0)).cast("long")
@@ -8915,35 +8883,46 @@ def corpus_recipe_increment_q(spark: SparkSession, sf: str) -> DataFrame:
     def _tok(cond, col):
         return F.sum(F.when(cond, F.col(col)).otherwise(0)).cast("long")
 
-    def _stage_agg(lab, pref):
-        return lab.agg(
-            F.count(F.lit(1)).cast("long").alias(f"{pref}r1"),
-            F.sum("n_tok_raw").cast("long").alias(f"{pref}t1"),
-            _cnt(F.col("alive2")).alias(f"{pref}r2"),
-            _tok(F.col("alive2"), "n_tok_raw").alias(f"{pref}t2"),
-            _cnt(F.col("alive3")).alias(f"{pref}r3"),
-            _tok(F.col("alive3"), "n_tok_raw").alias(f"{pref}t3"),
-            _tok(F.col("alive3"), "n_tok_clean").alias(f"{pref}t4"),
-            _cnt(F.col("alive5")).alias(f"{pref}r5"),
-            _tok(F.col("alive5"), "n_tok_clean").alias(f"{pref}t5"),
-            _cnt(F.col("alive6")).alias(f"{pref}r6"),
-            _tok(F.col("alive6"), "n_tok_clean").alias(f"{pref}t6"),
-            _cnt(F.col("alive7")).alias(f"{pref}r7"),
-            _tok(F.col("alive7"), "n_tok_clean").alias(f"{pref}t7"),
-        )
-
-    # --- merged slim survivor index -> stages 8-10 (the oracle's
-    # rk/e/ups/sh chain over history ∪ batch survivors)
-    surv = (
-        hist_lab.filter(F.col("alive7"))
-        .select("doc_id", "source", F.col("n_tok_clean").alias("n_tokens"))
-        .unionByName(
-            blab.filter(F.col("alive7")).select(
-                "doc_id", "source", F.col("n_tok_clean").alias("n_tokens")
-            )
-        )
-        .localCheckpoint(eager=True)  # budgets agg + mixture window
+    return lab.agg(
+        F.count(F.lit(1)).cast("long").alias(f"{pref}r1"),
+        F.sum("n_tok_raw").cast("long").alias(f"{pref}t1"),
+        _cnt(F.col("alive2")).alias(f"{pref}r2"),
+        _tok(F.col("alive2"), "n_tok_raw").alias(f"{pref}t2"),
+        _cnt(F.col("alive3")).alias(f"{pref}r3"),
+        _tok(F.col("alive3"), "n_tok_raw").alias(f"{pref}t3"),
+        _tok(F.col("alive3"), "n_tok_clean").alias(f"{pref}t4"),
+        _cnt(F.col("alive5")).alias(f"{pref}r5"),
+        _tok(F.col("alive5"), "n_tok_clean").alias(f"{pref}t5"),
+        _cnt(F.col("alive6")).alias(f"{pref}r6"),
+        _tok(F.col("alive6"), "n_tok_clean").alias(f"{pref}t6"),
+        _cnt(F.col("alive7")).alias(f"{pref}r7"),
+        _tok(F.col("alive7"), "n_tok_clean").alias(f"{pref}t7"),
     )
+
+
+def _recipe_surv_slim(lab: DataFrame) -> DataFrame:
+    """The slim survivor index (doc_id, source, n_tokens) of a labeled
+    frame — metadata only, never text. Stages 8-10 recompute over the
+    merged union of these; the warm increment persists the history
+    half."""
+    return lab.filter(F.col("alive7")).select(
+        "doc_id", "source", F.col("n_tok_clean").alias("n_tokens")
+    )
+
+
+def _recipe_combined_datasheet(
+    hist_agg: DataFrame, blab: DataFrame, surv: DataFrame
+) -> DataFrame:
+    """Assemble the combined 10-row datasheet from (history stage
+    aggregate, labeled batch, merged slim survivor index) — shared by
+    the cold increment (hist_agg computed in-DAG from the freshly
+    labeled history) and the warm increment (hist_agg and the history
+    survivors read back from persisted snapshot tables). Stages 8-10
+    (mixture, upsample, shard) are the oracle's rk/e/ups/sh chain over
+    the merged survivors; stages 1-7 are history-agg + batch-agg."""
+    from pyspark.sql import Window
+
+    surv = surv.localCheckpoint(eager=True)  # budgets agg + mixture window
     src = surv.groupBy("source").agg(
         F.sum("n_tokens").cast("long").alias("src_tokens")
     ).withColumn(
@@ -9044,8 +9023,8 @@ def corpus_recipe_increment_q(spark: SparkSession, sf: str) -> DataFrame:
     )
 
     rep = (
-        _stage_agg(hist_lab, "h")
-        .crossJoin(_stage_agg(blab, "b"))
+        hist_agg
+        .crossJoin(_recipe_stage_agg(blab, "b"))
         .crossJoin(r8)
         .crossJoin(r910)
     )
@@ -9083,6 +9062,173 @@ def corpus_recipe_increment_q(spark: SparkSession, sf: str) -> DataFrame:
     )
     return rep.select(F.explode(entries).alias("e")).select(
         "e.stage_ord", "e.stage", "e.rows_out", "e.tokens_out"
+    )
+
+
+@query(
+    "corpus_recipe_increment",
+    _corpus_recipe_oracle(
+        head=_RECIPE_INC_HEAD,
+        model="hist",
+        url_case=_RECIPE_INC_URL_CASE,
+    ),
+)
+def corpus_recipe_increment_q(spark: SparkSession, sf: str) -> DataFrame:
+    """The INCREMENTAL corpus recipe (round-11 verdict item 5): a new
+    crawl slice is labeled against persisted history state and the
+    COMBINED 10-row datasheet comes out — stages 1-7 as history-agg +
+    batch-agg (history labels are invariant under the ingest: batch ids
+    exceed all history ids, so min-id keepers stay won by history and
+    confirmed near-dup pairs always drop their batch side; the
+    boilerplate scrub model and eval split are frozen at the history
+    epoch), stages 8-10 recomputed over the merged slim survivor index
+    (doc_id, source, n_tokens — metadata only). History text is never
+    re-read except the bounded LSH-candidate fetch.
+
+    The reconcile proof IS the oracle: DuckDB recomputes the one-shot
+    recipe from scratch over history ∪ batch (with the history-epoch
+    scrub model), so a hash match means the incremental path — index
+    probes, frozen models, merged mixture — reproduces the one-shot
+    datasheet exactly. Planted cross-epoch families pin each index:
+    re-crawls of history URLs die at stage 2, mirrors of history texts
+    at stage 3, near-dup edits at stage 5 (tests/test_corpus.py).
+
+    Scale shape: per ingest the work is batch-sized — window keepers
+    over the batch, probes against the URL/fingerprint/LSH/gram
+    indexes (batch is the small side of every probe join; AQE
+    broadcasts it), one frozen 1-row bp broadcast — plus a slim
+    metadata shuffle for the merged mixture. The history labeling here
+    is the one-time state build a real deployment amortizes across
+    ingests (the incremental_neardup_lsh presentation)."""
+    hist_lab, blab = _recipe_increment_labeled(spark, sf)
+    # merged slim survivor index -> stages 8-10 (the oracle's
+    # rk/e/ups/sh chain over history ∪ batch survivors)
+    surv = _recipe_surv_slim(hist_lab).unionByName(_recipe_surv_slim(blab))
+    return _recipe_combined_datasheet(
+        _recipe_stage_agg(hist_lab, "h"), blab, surv
+    )
+
+
+_RECIPE_WARM_DIRS: dict[str, dict[str, str]] = {}
+_RECIPE_WARM_TABLES = (
+    "bp", "url_index", "fp_index", "scrub", "hist_agg", "surv", "meta"
+)
+
+
+def _recipe_warm_dirs(spark: SparkSession, sf: str) -> dict[str, str]:
+    """Build-once persisted recipe state for the WARM increment: the
+    one-time history labeling runs a single time per process+sf and is
+    committed as snapshot tables (the same primitives the streaming
+    twin persists between micro-batches, sources/snapshots.py) — the
+    canonical-URL index, the alive-fingerprint index, the scrubbed
+    store, the frozen bp model, the 13-number history stage aggregate,
+    the slim history survivor index, and the max-id watermark.
+    Everything a per-ingest run probes; nothing it rebuilds.
+
+    In a real deployment these tables ARE the pipeline's state carried
+    between crawls; here a module-level cache stands in for cross-run
+    persistence so bench.py's min-of-3 prices the warm path honestly:
+    run 1 pays the one-time build, runs 2-3 measure read-state +
+    label-one-batch + emit-datasheet — the number a per-ingest run
+    actually costs (round-11 verdict item 2)."""
+    import os
+    import tempfile
+
+    from .sources.snapshots import commit_snapshot
+
+    cached = _RECIPE_WARM_DIRS.get(sf)
+    if cached is not None:
+        return cached
+    root = tempfile.mkdtemp(prefix="recipe_warm_")
+    dirs = {k: os.path.join(root, k) for k in _RECIPE_WARM_TABLES}
+    hist_corpus, _ = _recipe_hist_batch(spark, sf)
+    hist_corpus = _spread(hist_corpus)
+    bp = _recipe_bp(hist_corpus)
+    hist_lab = _recipe_labeled_over(
+        hist_corpus, hist_corpus, bp=bp
+    ).localCheckpoint(eager=True)
+    state = _recipe_state(hist_corpus, hist_lab, bp)
+    commit_snapshot(state["bp"], dirs["bp"])
+    commit_snapshot(state["url_index"], dirs["url_index"])
+    commit_snapshot(state["fp_index"], dirs["fp_index"])
+    commit_snapshot(state["scrub"], dirs["scrub"])
+    commit_snapshot(_recipe_stage_agg(hist_lab, "h"), dirs["hist_agg"])
+    commit_snapshot(_recipe_surv_slim(hist_lab), dirs["surv"])
+    commit_snapshot(
+        spark.createDataFrame([(state["max_id"],)], "max_id long"),
+        dirs["meta"],
+    )
+    _RECIPE_WARM_DIRS[sf] = dirs
+    return dirs
+
+
+def _recipe_warm_state(spark: SparkSession, dirs: dict[str, str]) -> dict:
+    """Reconstruct the `_recipe_label_batch` state dict from persisted
+    snapshot tables — the read half of the warm increment contract.
+    The eval slice derives from the scrubbed store by the same frozen
+    id predicate `_recipe_state` uses (original-epoch docs only, so it
+    is identical no matter how many batches extended the store)."""
+    from .sources.snapshots import read_snapshot
+
+    scrub = read_snapshot(spark, dirs["scrub"])
+    return {
+        "max_id": read_snapshot(spark, dirs["meta"]).collect()[0][0],
+        "bp": read_snapshot(spark, dirs["bp"]),
+        "url_index": read_snapshot(spark, dirs["url_index"]),
+        "fp_index": read_snapshot(spark, dirs["fp_index"]),
+        "scrub": scrub,
+        "ev": scrub.filter(
+            (F.col("doc_id") % 20 == 0) & (F.col("doc_id") < 1000000)
+        ),
+    }
+
+
+@query(
+    "corpus_recipe_increment_warm",
+    _corpus_recipe_oracle(
+        head=_RECIPE_INC_HEAD,
+        model="hist",
+        url_case=_RECIPE_INC_URL_CASE,
+    ),
+)
+def corpus_recipe_increment_warm_q(spark: SparkSession, sf: str) -> DataFrame:
+    """The WARM-state increment (round-11 verdict item 2): the honest
+    per-ingest cost of the incremental recipe. `corpus_recipe_increment`
+    re-runs the one-time history state build on every invocation, so
+    its bench figure conflates amortized build with per-batch work;
+    this entry persists the state ONCE as snapshot tables
+    (`_recipe_warm_dirs`) and then does only what a real per-crawl run
+    does — read the state, label one batch against the indexes
+    (`_recipe_label_batch`: window keepers over the batch, probe joins
+    with the batch broadcast, frozen 1-row scrub model, bounded LSH
+    candidate fetch), and emit the combined 10-row datasheet from the
+    persisted history aggregate + the batch aggregate + the merged
+    slim survivor mixture.
+
+    Output — and therefore ORACLE — is byte-identical to the cold
+    increment: DuckDB still recomputes the one-shot recipe from
+    scratch over history ∪ batch, so a hash match proves the
+    snapshot-persisted state (URL index, fingerprint index, scrubbed
+    store, bp model, stage aggregate, survivor index, watermark)
+    carries everything the reconcile needs. Per-doc warm-equals-cold
+    label equality is pytest-pinned (tests/test_corpus.py).
+
+    Scale shape: state reads are snapshot parquet scans (no history
+    text ever loaded except the bounded LSH-candidate fetch); every
+    probe join has the batch as the broadcast side; the only
+    non-batch-sized work is the slim-metadata mixture shuffle —
+    exactly the footprint a 100 TB deployment pays per crawl slice."""
+    dirs = _recipe_warm_dirs(spark, sf)
+    state = _recipe_warm_state(spark, dirs)
+    _, batch = _recipe_hist_batch(spark, sf)
+    blab = _recipe_label_batch(batch, state)
+    from .sources.snapshots import read_snapshot
+
+    surv = read_snapshot(spark, dirs["surv"]).unionByName(
+        _recipe_surv_slim(blab)
+    )
+    return _recipe_combined_datasheet(
+        read_snapshot(spark, dirs["hist_agg"]), blab, surv
     )
 
 

@@ -291,6 +291,42 @@ class TestCorpusRecipeIncrement:
         assert not bad, bad
         assert inc.count() == comb.count()
 
+    def test_warm_path_labels_equal_cold_path(self, spark, frames):
+        """The warm increment (state read back from persisted snapshot
+        tables) must label the batch EXACTLY as the cold increment
+        (state built in-DAG) — the contract that lets the warm bench
+        entry share the cold entry's oracle."""
+        from pyspark.sql import functions as F
+
+        from opendata_gov_lt_mysql_import_spark.queries_ml import (
+            _recipe_hist_batch,
+            _recipe_label_batch,
+            _recipe_warm_dirs,
+            _recipe_warm_state,
+        )
+
+        _hist_lab, blab_cold = frames
+        dirs = _recipe_warm_dirs(spark, "/root/testdata/sf0.001")
+        state = _recipe_warm_state(spark, dirs)
+        _, batch = _recipe_hist_batch(spark, "/root/testdata/sf0.001")
+        blab_warm = _recipe_label_batch(batch, state)
+        cols = [
+            "doc_id", "alive2", "alive3", "alive5", "alive6", "alive7",
+            "n_tok_raw", "n_tok_clean",
+        ]
+        ref = blab_cold.select(
+            "doc_id", *[F.col(c).alias(f"ref_{c}") for c in cols[1:]]
+        )
+        joined = blab_warm.select(cols).join(ref, "doc_id", "full")
+        mismatch = joined.filter(
+            " OR ".join(
+                [f"(coalesce({c} = ref_{c}, false) = false)" for c in cols[1:]]
+            )
+        )
+        bad = mismatch.limit(5).collect()
+        assert not bad, bad
+        assert blab_warm.count() == blab_cold.count()
+
 
 class TestCorpusRecipeTwoEpochs:
     """Multi-epoch composition: after folding batch 1 into the state

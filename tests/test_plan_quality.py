@@ -656,6 +656,27 @@ def test_corpus_recipe_increment_plan_is_bounded(spark, sf_dir, queries):
     assert final.count("Scan ExistingRDD") <= 5, plan
 
 
+def test_corpus_recipe_increment_warm_reads_state_not_history(
+    spark, sf_dir, queries
+):
+    """corpus_recipe_increment_warm (round-12): the warm path's whole
+    claim is that a per-ingest run never rebuilds history state. The
+    datasheet plan must stay as bounded as the cold one (no cartesian,
+    no sort-merge join, same exchange budget) with FEWER checkpoint
+    scans (cold re-derives the history aggregate + survivors from the
+    checkpointed history labeling — two extra RDD scans; warm reads
+    them from snapshot tables), and the persisted state must actually
+    appear in the plan as a snapshot parquet scan."""
+    df = queries["corpus_recipe_increment_warm"](spark, sf_dir)
+    plan = final_plan(df)
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("CartesianProduct") == 0, plan
+    assert final.count("SortMergeJoin") == 0, plan
+    assert final.count("Exchange hashpartitioning") <= 6, plan
+    assert final.count("Scan ExistingRDD") <= 3, plan
+    assert "recipe_warm_" in final, plan
+
+
 def test_pq_train_rounds_broadcast_codebook_argmin(spark, sf_dir, queries):
     """pq_train_codebook: every Lloyd round must assign via a
     BROADCAST of the ≤32-row codebook (a shuffled join against the

@@ -163,6 +163,17 @@ TOP = [
     "pq_adc_topk_trained",
     "pq_recall_calibration_trained",
     "ann_ivf_occupancy_drift",
+    # round-12: the WARM increment (state persisted once per sf dir —
+    # the interleaved min-of-2 prices the per-ingest path, run 1 pays
+    # the build), the residual IVFADC pair (search + controlled
+    # raw-vs-residual gain audit on the clustered corpus), the nprobe
+    # tuning sweep, and the drift→retrain maintenance audit (all
+    # fixed-64-panel Q x N shapes except the search itself)
+    "corpus_recipe_increment_warm",
+    "ann_ivfadc_residual_topk",
+    "ivfadc_residual_gain_audit",
+    "ivfadc_nprobe_sweep",
+    "ann_ivf_recall_after_drift",
 ]
 
 # third scaling point for the heaviest candidate-generating entries —
@@ -219,6 +230,13 @@ TOP_4X = [
     # panel audits — same linear-band expectation as ann/pq recall
     "ivfadc_recall_calibration",
     "pq_recall_calibration_trained",
+    # round-12 (round-11 verdict item 7): the increment flagship gets
+    # the full curvature treatment, with evidence counts separating
+    # batch-internal from batch-vs-history candidate growth (below);
+    # the warm twin rides along so build-amortized per-ingest cost has
+    # its own curvature record
+    "corpus_recipe_increment",
+    "corpus_recipe_increment_warm",
 ]
 
 # fourth scaling point (round-6 verdict item 7) for the two entries
@@ -506,6 +524,74 @@ def main() -> None:
                 "candidate_ratio_4x": round(c4 / max(c1, 1), 2),
             }
         )
+    # increment evidence counts (round-11 verdict item 7): the per-batch
+    # LSH stage has TWO candidate streams with different scaling laws —
+    # batch-internal pairs (batch x batch banding) and batch-vs-history
+    # probes (batch signatures against the persisted index) — so record
+    # both at 1x and 4x, counted with the query's own generators, next
+    # to the time ratios
+    inc_names = [
+        nm
+        for nm in ("corpus_recipe_increment", "corpus_recipe_increment_warm")
+        if nm in results_4x
+    ]
+    if inc_names:
+        from opendata_gov_lt_mysql_import_spark.operators.dedup import (
+            _spread,
+            incremental_minhash_neardup,
+            minhash_history_index,
+            minhash_md5_pairs,
+        )
+        from opendata_gov_lt_mysql_import_spark.queries_ml import (
+            _recipe_bp,
+            _recipe_clean_expr,
+            _recipe_hist_batch,
+        )
+
+        def _increment_cands(sf_dir: str) -> tuple[int, int]:
+            hist, batch = _recipe_hist_batch(spark, sf_dir)
+            hist = _spread(hist)
+            bp = _recipe_bp(hist)
+            scrub_b = (
+                _spread(batch)
+                .crossJoin(F.broadcast(bp))
+                .select("doc_id", _recipe_clean_expr().alias("text"))
+            )
+            scrub_h = hist.crossJoin(F.broadcast(bp)).select(
+                "doc_id", _recipe_clean_expr().alias("text")
+            )
+            n_int = (
+                minhash_md5_pairs(
+                    scrub_b, "text", "doc_id", n_gram=3, k=16, bands=8
+                )
+                .filter(F.col("n_match") >= 5)
+                .count()
+            )
+            idx = minhash_history_index(
+                scrub_h, "text", "doc_id", n_gram=3, k=16, bands=8
+            )
+            n_x = (
+                incremental_minhash_neardup(
+                    scrub_b, idx, "text", "doc_id", n_gram=3, k=16, bands=8
+                )
+                .filter(F.col("n_match") >= 5)
+                .count()
+            )
+            return n_int, n_x
+
+        i1, x1 = _increment_cands(BASE)
+        i4, x4 = _increment_cands(DERIVED_4X)
+        for nm in inc_names:
+            results_4x[nm].update(
+                {
+                    "batch_internal_cands_sf0.1": i1,
+                    "batch_internal_cands_4x": i4,
+                    "batch_internal_ratio_4x": round(i4 / max(i1, 1), 2),
+                    "batch_vs_history_cands_sf0.1": x1,
+                    "batch_vs_history_cands_4x": x4,
+                    "batch_vs_history_ratio_4x": round(x4 / max(x1, 1), 2),
+                }
+            )
 
     print("# --- 8x sweep ---", file=sys.stderr)
     build_kx(spark, 8, DERIVED_8X)

@@ -201,6 +201,12 @@ WHITELIST: dict[str, dict[str, str]] = {
         "the four 1-row stage aggregates cross-joined to assemble the "
         "combined datasheet"
     },
+    "corpus_recipe_increment_warm": {
+        "bnl_join": "same shapes as corpus_recipe_increment — the only "
+        "difference is that the 1-row bp model, the history stage "
+        "aggregate, and the survivor index are READ from persisted "
+        "snapshot tables instead of computed in-DAG"
+    },
     "assign_row_ids": {
         # the operator exists to AVOID the global window; its per-partition
         # count aggregate groups by spark_partition_id (no global window)
