@@ -240,6 +240,11 @@ HEADLINE = [
     # retrained pivots on the drifted corpus)
     "ivfadc_nprobe_sweep",
     "ann_ivf_recall_after_drift",
+    # round-12: warm-index serving — codes persisted once as a
+    # cell-clustered snapshot, each query reads only the probed cells'
+    # files (2/16, pytest-asserted) + one broadcast join; min-of-3
+    # prices the serve (run 1 pays the index build)
+    "ann_ivfadc_warm_serve",
 ]
 
 

@@ -677,6 +677,38 @@ def test_corpus_recipe_increment_warm_reads_state_not_history(
     assert "recipe_warm_" in final, plan
 
 
+def test_ivfadc_warm_serve_prunes_cell_files(spark, sf_dir, queries):
+    """ann_ivfadc_warm_serve (round 12): the warm index's whole point
+    is that a query touches only the probed cells' FILES. Assert the
+    file-skipping quantitatively (cell-clustered snapshot: 2 of 16
+    files for nprobe=2) and pin the serve plan: no sort-merge join, no
+    cartesian, no broadcast-nested-loop (all joins keyed + broadcast),
+    at most one exchange (the per-vec ADC aggregate), top-k as a
+    bounded TakeOrdered."""
+    from opendata_gov_lt_mysql_import_spark.queries_ml import (
+        _ivfadc_warm_dirs,
+        _ivfadc_warm_probe,
+    )
+    from opendata_gov_lt_mysql_import_spark.sources.snapshots import (
+        pruned_file_counts,
+    )
+
+    dirs = _ivfadc_warm_dirs(spark, sf_dir)
+    probed, _ = _ivfadc_warm_probe(spark, sf_dir, dirs)
+    kept, total = pruned_file_counts(dirs["codes"], [("pid", "in", probed)])
+    assert total >= 8, (kept, total)
+    assert kept <= 4, (kept, total)
+    assert kept < total, (kept, total)
+    df = queries["ann_ivfadc_warm_serve"](spark, sf_dir)
+    plan = final_plan(df)
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("SortMergeJoin") == 0, plan
+    assert final.count("CartesianProduct") == 0, plan
+    assert final.count("BroadcastNestedLoopJoin") == 0, plan
+    assert final.count("Exchange hashpartitioning") <= 1, plan
+    assert "TakeOrderedAndProject" in final, plan
+
+
 def test_pq_train_rounds_broadcast_codebook_argmin(spark, sf_dir, queries):
     """pq_train_codebook: every Lloyd round must assign via a
     BROADCAST of the ≤32-row codebook (a shuffled join against the

@@ -174,6 +174,10 @@ TOP = [
     "ivfadc_residual_gain_audit",
     "ivfadc_nprobe_sweep",
     "ann_ivf_recall_after_drift",
+    # round-12: warm-index serve — the pruned scan reads ~nprobe/ncells
+    # of the code files at any corpus size, so its ratio should sit
+    # BELOW the linear band (per-query work grows only with cell size)
+    "ann_ivfadc_warm_serve",
 ]
 
 # third scaling point for the heaviest candidate-generating entries —
@@ -466,14 +470,28 @@ def _sweep(spark, queries, names, other_dir):
 
 
 def main() -> None:
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else len(TOP)
+    # --only a,b,c : sweep just the named entries (in whichever of
+    # TOP/TOP_4X/TOP_8X they appear) and MERGE the results into the
+    # existing SCALING.json instead of overwriting it — so a new
+    # round's entries get their points without re-timing the whole
+    # record on a possibly-loaded box.
+    args = list(sys.argv[1:])
+    only: set[str] | None = None
+    if "--only" in args:
+        i = args.index("--only")
+        only = set(args[i + 1].split(","))
+        del args[i:i + 2]
+    n = int(args[0]) if args else len(TOP)
+    top = [x for x in TOP[:n] if only is None or x in only]
+    top_4x = [x for x in TOP_4X if only is None or x in only]
+    top_8x = [x for x in TOP_8X if only is None or x in only]
     spark = get_spark(app_name="bench-scaling")
     build_kx(spark, 2, DERIVED_2X)
     build_kx(spark, 4, DERIVED_4X)
     queries = all_queries()
     queries["q1_pricing_summary"](spark, BASE).count()  # warm
 
-    r2 = _sweep(spark, queries, TOP[:n], DERIVED_2X)
+    r2 = _sweep(spark, queries, top, DERIVED_2X)
     results = {
         name: {
             "t_sf0.1": round(tb, 4),
@@ -483,7 +501,7 @@ def main() -> None:
         for name, (tb, t2, _nb, _nk) in r2.items()
     }
     print("# --- 4x sweep ---", file=sys.stderr)
-    r4 = _sweep(spark, queries, TOP_4X, DERIVED_4X)
+    r4 = _sweep(spark, queries, top_4x, DERIVED_4X)
     results_4x = {}
     for name, (tb, t4, nb4, nk4) in r4.items():
         entry = {
@@ -594,11 +612,14 @@ def main() -> None:
             )
 
     print("# --- 8x sweep ---", file=sys.stderr)
-    build_kx(spark, 8, DERIVED_8X)
-    r8 = _sweep(spark, queries, TOP_8X, DERIVED_8X)
-    cand_base = _candidate_counts(spark, BASE)
-    cand_8x = _candidate_counts(spark, DERIVED_8X)
     results_8x = {}
+    cand_base: dict[str, int] = {}
+    cand_8x: dict[str, int] = {}
+    if top_8x:
+        build_kx(spark, 8, DERIVED_8X)
+        cand_base = _candidate_counts(spark, BASE)
+        cand_8x = _candidate_counts(spark, DERIVED_8X)
+    r8 = _sweep(spark, queries, top_8x, DERIVED_8X) if top_8x else {}
     for name, (tb, t8, nb, n8) in r8.items():
         entry = {
             "t_sf0.1": round(tb, 4),
@@ -652,6 +673,13 @@ def main() -> None:
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "SCALING.json",
     )
+    if only is not None and os.path.exists(path):
+        # subset run: merge the new points into the committed record
+        with open(path) as fh:
+            merged = json.load(fh)
+        for key in ("queries", "queries_4x", "queries_8x"):
+            merged.setdefault(key, {}).update(out[key])
+        out = merged
     with open(path, "w") as fh:
         json.dump(out, fh, indent=1)
     print(json.dumps(out))
