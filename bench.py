@@ -245,6 +245,11 @@ HEADLINE = [
     # files (2/16, pytest-asserted) + one broadcast join; min-of-3
     # prices the serve (run 1 pays the index build)
     "ann_ivfadc_warm_serve",
+    # round-12: the maintenance loop — ingest one jittered batch into
+    # the warm index (frozen cells + frozen codebook, exactly-once
+    # append) and serve over the grown index; min-of-3 prices the
+    # post-ingest serve (run 1 pays build + ingest)
+    "ann_ivfadc_warm_ingest_serve",
 ]
 
 

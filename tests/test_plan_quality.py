@@ -709,6 +709,51 @@ def test_ivfadc_warm_serve_prunes_cell_files(spark, sf_dir, queries):
     assert "TakeOrderedAndProject" in final, plan
 
 
+def test_ivfadc_warm_ingest_is_idempotent_and_isolated(
+    spark, sf_dir, queries
+):
+    """The warm-ingest contract (round 12): (1) re-invoking the ingest
+    lands the batch exactly once (snapshot txn id — bench's min-of-3
+    must not stack copies); (2) the grown index still prunes by cell
+    (appended files cluster_by pid too); (3) the base serve pins the
+    pre-ingest version, so its results are identical no matter whether
+    the ingest ran first (time-travel isolation); (4) batch vectors
+    (ids ≥ 1e6) actually reach the served candidate set."""
+    from opendata_gov_lt_mysql_import_spark.queries_ml import (
+        _ivfadc_warm_ingest,
+        _ivfadc_warm_probe,
+    )
+    from opendata_gov_lt_mysql_import_spark.sources.snapshots import (
+        current_version,
+        pruned_file_counts,
+        read_snapshot,
+    )
+    from pyspark.sql import functions as F
+
+    base = {
+        tuple(r)
+        for r in queries["ann_ivfadc_warm_serve"](spark, sf_dir).collect()
+    }
+    dirs = _ivfadc_warm_ingest(spark, sf_dir)
+    v1 = current_version(dirs["codes"])
+    _ivfadc_warm_ingest(spark, sf_dir)  # replay: must be a no-op
+    assert current_version(dirs["codes"]) == v1
+    probed, _ = _ivfadc_warm_probe(spark, sf_dir, dirs)
+    kept, total = pruned_file_counts(dirs["codes"], [("pid", "in", probed)])
+    assert kept < total and kept <= 6, (kept, total)
+    # the grown index holds both epochs' codes in the probed cells
+    grown = read_snapshot(spark, dirs["codes"]).filter(
+        F.col("pid").isin(probed)
+    )
+    assert grown.filter(F.col("vec_id") >= 1_000_000).limit(1).count() == 1
+    # base serve unchanged after the ingest (version pinning)
+    after = {
+        tuple(r)
+        for r in queries["ann_ivfadc_warm_serve"](spark, sf_dir).collect()
+    }
+    assert after == base
+
+
 def test_pq_train_rounds_broadcast_codebook_argmin(spark, sf_dir, queries):
     """pq_train_codebook: every Lloyd round must assign via a
     BROADCAST of the ≤32-row codebook (a shuffled join against the

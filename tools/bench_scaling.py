@@ -178,6 +178,7 @@ TOP = [
     # of the code files at any corpus size, so its ratio should sit
     # BELOW the linear band (per-query work grows only with cell size)
     "ann_ivfadc_warm_serve",
+    "ann_ivfadc_warm_ingest_serve",
 ]
 
 # third scaling point for the heaviest candidate-generating entries —
