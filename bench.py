@@ -250,6 +250,10 @@ HEADLINE = [
     # append) and serve over the grown index; min-of-3 prices the
     # post-ingest serve (run 1 pays build + ingest)
     "ann_ivfadc_warm_ingest_serve",
+    # round-12: compaction — rewrite the two-generation code table as
+    # one clustered file set and serve over it (rows provably
+    # unchanged: same oracle as the ingest serve)
+    "ann_ivfadc_warm_compact_serve",
 ]
 
 

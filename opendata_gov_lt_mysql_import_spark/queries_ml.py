@@ -9970,6 +9970,42 @@ def _ivfadc_warm_probe(
     return probed, spark.createDataFrame(qres, "pid long, qr array<double>")
 
 
+def _ivfadc_serve(
+    spark: SparkSession,
+    sf: str,
+    dirs: dict,
+    version: int | None = None,
+) -> DataFrame:
+    """The shared ONLINE half of warm-index serving: driver-side probe,
+    pruned scan of the probed cells' files (optionally at a pinned
+    snapshot version — time travel), broadcast lookup-table join,
+    bounded TakeOrdered. Every warm entry (base / post-ingest /
+    post-compact) is this one function over a different version of the
+    same table, which is exactly the claim: index maintenance changes
+    the TABLE, never the serving plan."""
+    from .sources.snapshots import read_snapshot, read_snapshot_pruned
+
+    probed, qres = _ivfadc_warm_probe(spark, sf, dirs)
+    rcb = read_snapshot(spark, dirs["codebook"])
+    qt = (
+        _subspace_explode(qres, "qr", "sv")
+        .join(F.broadcast(rcb), "m")
+        .select("pid", "m", "cid", _pq_dist().alias("qd"))
+    )
+    codes = read_snapshot_pruned(
+        spark, dirs["codes"], [("pid", "in", probed)], version=version
+    ).filter(F.col("vec_id") != 0)
+    adc = (
+        codes.join(F.broadcast(qt), ["pid", "m", "cid"])
+        .groupBy("vec_id")
+        .agg(
+            F.max("pid").cast("long").alias("cell"),
+            F.round(F.sum("qd"), 4).alias("adc_dist"),
+        )
+    )
+    return adc.orderBy(F.asc("adc_dist"), F.asc("vec_id")).limit(10)
+
+
 @query("ann_ivfadc_warm_serve", _RESCL_TOPK_SQL)
 def ann_ivfadc_warm_serve_q(spark: SparkSession, sf: str) -> DataFrame:
     """WARM-INDEX residual-IVFADC serving (round 12): the online half
@@ -9998,31 +10034,10 @@ def ann_ivfadc_warm_serve_q(spark: SparkSession, sf: str) -> DataFrame:
     pytest-asserted), the pivots/codebook/lookup tables are
     kilobytes, and the only cluster work is the pruned scan + one
     broadcast-join + bounded TakeOrdered — no shuffle at all."""
-    from .sources.snapshots import read_snapshot, read_snapshot_pruned
-
     dirs = _ivfadc_warm_dirs(spark, sf)
-    probed, qres = _ivfadc_warm_probe(spark, sf, dirs)
-    rcb = read_snapshot(spark, dirs["codebook"])
-    qt = (
-        _subspace_explode(qres, "qr", "sv")
-        .join(F.broadcast(rcb), "m")
-        .select("pid", "m", "cid", _pq_dist().alias("qd"))
+    return _ivfadc_serve(
+        spark, sf, dirs, version=dirs["codes_base_version"]
     )
-    codes = read_snapshot_pruned(
-        spark,
-        dirs["codes"],
-        [("pid", "in", probed)],
-        version=dirs["codes_base_version"],
-    ).filter(F.col("vec_id") != 0)
-    adc = (
-        codes.join(F.broadcast(qt), ["pid", "m", "cid"])
-        .groupBy("vec_id")
-        .agg(
-            F.max("pid").cast("long").alias("cell"),
-            F.round(F.sum("qd"), 4).alias("adc_dist"),
-        )
-    )
-    return adc.orderBy(F.asc("adc_dist"), F.asc("vec_id")).limit(10)
 
 
 # Batch CTEs for the warm-ingest serve: the jittered clustered batch
@@ -10129,6 +10144,8 @@ def _ivfadc_warm_ingest(spark: SparkSession, sf: str) -> dict:
     from .sources.snapshots import commit_snapshot_idempotent, read_snapshot
 
     dirs = _ivfadc_warm_dirs(spark, sf)
+    if dirs.get("ingested"):
+        return dirs
     piv0 = read_snapshot(spark, dirs["pivots"])
     rcb = read_snapshot(spark, dirs["codebook"])
     emb64 = load_table(spark, sf, "embeddings").select(
@@ -10175,6 +10192,37 @@ def _ivfadc_warm_ingest(spark: SparkSession, sf: str) -> dict:
         cluster_by=["pid"],
         target_files=16,
     )
+    # process-local latch ON TOP of the txn check: the txn id guards
+    # the current version only (the foreachBatch contract), so a later
+    # COMPACTION version would let a replayed ingest re-append — the
+    # latch makes build → ingest → compact re-entrant in any order
+    dirs["ingested"] = True
+    return dirs
+
+
+def _ivfadc_warm_compact(spark: SparkSession, sf: str) -> dict:
+    """Compact the grown warm index: after the ingest append each cell's
+    codes span two file generations (base + batch), doubling the files
+    a probe must open. Compaction rewrites the CURRENT rows as one
+    fresh cluster_by(pid) file set in a new snapshot version — rows
+    unchanged (serve output provably invariant: same oracle), file
+    count restored, manifest pruning back to ~1 file per cell. Old
+    versions stay readable (the base serve keeps its pin); vacuum
+    reclaims them on its own schedule. Idempotent via the compaction
+    txn id + the process latch."""
+    from .sources.snapshots import commit_snapshot_idempotent, read_snapshot
+
+    dirs = _ivfadc_warm_ingest(spark, sf)
+    if not dirs.get("compacted"):
+        commit_snapshot_idempotent(
+            read_snapshot(spark, dirs["codes"]),
+            dirs["codes"],
+            txn_id="ivfadc-warm-compact-1",
+            mode="overwrite",
+            cluster_by=["pid"],
+            target_files=16,
+        )
+        dirs["compacted"] = True
     return dirs
 
 
@@ -10200,28 +10248,31 @@ def ann_ivfadc_warm_ingest_serve_q(spark: SparkSession, sf: str) -> DataFrame:
     clustered write); per query it is the pruned scan of
     ~nprobe/ncells of the files — history codes are never touched by
     either."""
-    from .sources.snapshots import read_snapshot, read_snapshot_pruned
-
     dirs = _ivfadc_warm_ingest(spark, sf)
-    probed, qres = _ivfadc_warm_probe(spark, sf, dirs)
-    rcb = read_snapshot(spark, dirs["codebook"])
-    qt = (
-        _subspace_explode(qres, "qr", "sv")
-        .join(F.broadcast(rcb), "m")
-        .select("pid", "m", "cid", _pq_dist().alias("qd"))
-    )
-    codes = read_snapshot_pruned(
-        spark, dirs["codes"], [("pid", "in", probed)]
-    ).filter(F.col("vec_id") != 0)
-    adc = (
-        codes.join(F.broadcast(qt), ["pid", "m", "cid"])
-        .groupBy("vec_id")
-        .agg(
-            F.max("pid").cast("long").alias("cell"),
-            F.round(F.sum("qd"), 4).alias("adc_dist"),
-        )
-    )
-    return adc.orderBy(F.asc("adc_dist"), F.asc("vec_id")).limit(10)
+    return _ivfadc_serve(spark, sf, dirs)
+
+
+@query("ann_ivfadc_warm_compact_serve", _RESCL_INGEST_TOPK_SQL)
+def ann_ivfadc_warm_compact_serve_q(
+    spark: SparkSession, sf: str
+) -> DataFrame:
+    """Warm-index COMPACTION + serve (round 12) — the last step of the
+    index lifecycle (build → serve → ingest → compact → serve): the
+    ingest append left each probed cell's codes in two file
+    generations, so a probe opens ~2× the files; `_ivfadc_warm_compact`
+    rewrites the current rows as one fresh cell-clustered file set in a
+    new snapshot version and the SAME serve runs over it. Rows are
+    unchanged by construction, so this entry shares the ingest-serve
+    oracle — the hash match IS the compaction-preserves-results proof —
+    and the file-count restoration (probe back to ~1 file per cell) is
+    pytest-asserted next to it. Old versions stay readable: the base
+    serve's pinned pre-ingest version is untouched.
+
+    Scale shape: compaction is one clustered rewrite of the code table
+    (corpus-sized but OFFLINE, amortized across every query it speeds
+    up); the serve is the same pruned-scan plan as every warm entry."""
+    dirs = _ivfadc_warm_compact(spark, sf)
+    return _ivfadc_serve(spark, sf, dirs)
 
 
 @query(

@@ -754,6 +754,51 @@ def test_ivfadc_warm_ingest_is_idempotent_and_isolated(
     assert after == base
 
 
+def test_ivfadc_warm_compact_restores_pruning(spark, sf_dir, queries):
+    """Compaction contract (round 12): the rewrite shrinks the file set
+    a probe must open (the ingest left two generations per cell),
+    replays are no-ops (txn id + latch), and the served results are
+    IDENTICAL before and after — compaction changes layout, never
+    rows."""
+    from opendata_gov_lt_mysql_import_spark.queries_ml import (
+        _ivfadc_warm_compact,
+        _ivfadc_warm_ingest,
+        _ivfadc_warm_probe,
+    )
+    from opendata_gov_lt_mysql_import_spark.sources.snapshots import (
+        current_version,
+        pruned_file_counts,
+    )
+
+    dirs = _ivfadc_warm_ingest(spark, sf_dir)
+    probed, _ = _ivfadc_warm_probe(spark, sf_dir, dirs)
+    before = {
+        tuple(r)
+        for r in queries["ann_ivfadc_warm_ingest_serve"](
+            spark, sf_dir
+        ).collect()
+    }
+    kept_g, total_g = pruned_file_counts(
+        dirs["codes"], [("pid", "in", probed)]
+    )
+    _ivfadc_warm_compact(spark, sf_dir)
+    v = current_version(dirs["codes"])
+    _ivfadc_warm_compact(spark, sf_dir)  # replay: must be a no-op
+    assert current_version(dirs["codes"]) == v
+    kept_c, total_c = pruned_file_counts(
+        dirs["codes"], [("pid", "in", probed)]
+    )
+    assert total_c < total_g, (total_c, total_g)
+    assert kept_c <= kept_g, (kept_c, kept_g)
+    after = {
+        tuple(r)
+        for r in queries["ann_ivfadc_warm_compact_serve"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert after == before
+
+
 def test_pq_train_rounds_broadcast_codebook_argmin(spark, sf_dir, queries):
     """pq_train_codebook: every Lloyd round must assign via a
     BROADCAST of the ≤32-row codebook (a shuffled join against the

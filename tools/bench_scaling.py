@@ -179,6 +179,7 @@ TOP = [
     # BELOW the linear band (per-query work grows only with cell size)
     "ann_ivfadc_warm_serve",
     "ann_ivfadc_warm_ingest_serve",
+    "ann_ivfadc_warm_compact_serve",
 ]
 
 # third scaling point for the heaviest candidate-generating entries —
