@@ -254,6 +254,10 @@ HEADLINE = [
     # one clustered file set and serve over it (rows provably
     # unchanged: same oracle as the ingest serve)
     "ann_ivfadc_warm_compact_serve",
+    # round-12: the nprobe curve re-measured with STRONG (residual)
+    # codes — flat recall where raw codes fell (over-probing wasteful
+    # vs harmful), completing the tuning-rule pair
+    "ivfadc_residual_nprobe_sweep",
 ]
 
 

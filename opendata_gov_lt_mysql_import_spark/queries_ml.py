@@ -10703,6 +10703,205 @@ def ivfadc_nprobe_sweep_q(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "ivfadc_residual_nprobe_sweep",
+    _RESCL_CTES + ",\n" + _PANEL_CTE + """,
+    qs AS (
+      SELECT c.vec_id AS qid, c.e AS qe FROM cl c JOIN panel USING (vec_id)
+    ),
+    nps AS (
+      SELECT CAST(u.np AS BIGINT) AS nprobe FROM UNNEST([1, 2, 4]) u(np)
+    ),
+    probe AS (
+      SELECT qid, pid, pe, rn FROM (
+        SELECT q.qid, p.pid, p.pe,
+               row_number() OVER (PARTITION BY q.qid
+                 ORDER BY list_sum(list_transform(range(1, 65),
+                   k -> (q.qe[k] - p.pe[k]) * (q.qe[k] - p.pe[k]))),
+                   p.pid) AS rn
+        FROM qs q, piv0 p)
+      WHERE rn <= 4
+    ),
+    members AS (
+      SELECT n.nprobe, pr.qid, a.vec_id, a.pid
+      FROM probe pr
+      JOIN nps n ON pr.rn <= n.nprobe
+      JOIN asgc a USING (pid)
+      WHERE a.vec_id <> pr.qid
+    ),
+    qres AS (
+      SELECT pr.qid, pr.pid,
+             list_transform(range(1, 65), k -> q.qe[k] - pr.pe[k]) AS qr
+      FROM probe pr JOIN qs q USING (qid)
+    ),
+    qsubr AS (
+      SELECT qres.qid, qres.pid, CAST(u.m AS BIGINT) AS m,
+             qres.qr[u.m * 16 + 1 : u.m * 16 + 16] AS qv
+      FROM qres, UNNEST(range(0, 4)) u(m)
+    ),
+    qtres AS (
+      SELECT s.qid, s.pid, s.m, c.cid,
+             list_sum(list_transform(range(1, 17),
+               i -> (s.qv[i] - c.cv[i]) * (s.qv[i] - c.cv[i]))) AS qd
+      FROM qsubr s JOIN rcb c USING (m)
+    ),
+    adc10 AS (
+      SELECT nprobe, qid, vec_id FROM (
+        SELECT mem.nprobe, mem.qid, mem.vec_id,
+               row_number() OVER (PARTITION BY mem.nprobe, mem.qid
+                 ORDER BY round(sum(q.qd), 4), mem.vec_id) AS rn
+        FROM members mem
+        JOIN rasg a ON a.vec_id = mem.vec_id
+        JOIN qtres q ON q.qid = mem.qid AND q.pid = mem.pid
+                    AND q.m = a.m AND q.cid = a.cid
+        GROUP BY mem.nprobe, mem.qid, mem.vec_id)
+      WHERE rn <= 10
+    ),
+    exact10 AS (
+      SELECT qid, vec_id FROM (
+        SELECT q.qid, c.vec_id,
+               row_number() OVER (PARTITION BY q.qid
+                 ORDER BY round(list_sum(list_transform(range(1, 65),
+                   i -> (c.e[i] - q.qe[i]) * (c.e[i] - q.qe[i]))), 4),
+                   c.vec_id) AS rn
+        FROM cl c, qs q WHERE c.vec_id <> q.qid)
+      WHERE rn <= 10
+    ),
+    scanned AS (
+      SELECT nprobe, qid, count(*) AS ns FROM members GROUP BY 1, 2
+    ),
+    hits AS (
+      SELECT a.nprobe, e.qid, count(*) AS h
+      FROM exact10 e JOIN adc10 a ON a.qid = e.qid AND a.vec_id = e.vec_id
+      GROUP BY 1, 2
+    )
+    SELECT b.nprobe, b.qid,
+           CAST(COALESCE(s.ns, 0) AS BIGINT) AS n_scanned,
+           CAST(COALESCE(h.h, 0) AS BIGINT) AS hits10,
+           CAST(COALESCE(h.h, 0) * 1000 AS BIGINT) AS recall_bp
+    FROM (SELECT q.qid, n.nprobe FROM qs q, nps n) b
+    LEFT JOIN hits h ON h.qid = b.qid AND h.nprobe = b.nprobe
+    LEFT JOIN scanned s ON s.qid = b.qid AND s.nprobe = b.nprobe
+    """,
+)
+def ivfadc_residual_nprobe_sweep_q(
+    spark: SparkSession, sf: str
+) -> DataFrame:
+    """The nprobe curve RE-MEASURED where the re-ranker is strong
+    (round 12) — the control for `ivfadc_nprobe_sweep`'s inversion
+    finding. The raw-code sweep on the isotropic fixture showed recall
+    FALLING as the beam widens (453 → 406 → 375 bp): the 8-codeword
+    raw codes rank extra candidates worse than the probe restriction
+    already did, so extra probes are pure cost. This sweep runs the
+    IDENTICAL protocol — same fixed 64-query panel, probe ranking
+    computed once to depth 4, three bounds sharing one assignment and
+    one exact side — on the clustered corpus with RESIDUAL codes
+    (Jégou §IV-A, per-probed-cell lookup tables). Measured at sf0.1:
+    residual recall is FLAT at 1875 bp across nprobe 1 → 2 → 4 (mean
+    n_scanned 124 → 249 → 499) where raw codes FELL 453 → 406 → 375.
+    Two causes, both structural: on the clustered corpus each query's
+    true neighbors live in its own (rank-1) cell, so nprobe=1 already
+    admits them; and the strong residual re-ranker correctly REJECTS
+    every extra far-cell candidate instead of letting it displace a
+    true positive. The operational rule the pair puts on the record:
+    extra probes buy recall only when true neighbors straddle cells —
+    strong codes make over-probing merely wasteful (flat recall, 4×
+    scan cost), weak codes make it actively harmful.
+
+    Scale shape: identical to the raw sweep — the bound join is a
+    3-value broadcast explode on the 4-deep probe set, members are
+    restricted BEFORE any ADC work, Q=64 constant by construction,
+    per-cell lookup tables stay 64×4×32 rows broadcast."""
+    from pyspark.sql import Window
+
+    cl, piv0, asgc, rcb, rasg, _ccb, _casg = _rescl_frames(spark, sf)
+    panel = _audit_panel(cl)
+    qs = cl.join(F.broadcast(panel), "vec_id").select(
+        F.col("vec_id").alias("qid"), F.col("e").alias("qe")
+    )
+    nps = F.array(
+        F.lit(1).cast("long"), F.lit(2).cast("long"), F.lit(4).cast("long")
+    )
+    w_probe = Window.partitionBy("qid").orderBy(F.asc("d"), F.asc("pid"))
+    probe = (
+        qs.crossJoin(F.broadcast(piv0))
+        .select(
+            "qid", "pid", "pe", "qe",
+            _l2_col(F.col("qe"), F.col("pe")).alias("d"),
+        )
+        .withColumn("rn", F.row_number().over(w_probe))
+        .filter(F.col("rn") <= 4)
+        .select("qid", "pid", "pe", "qe", "rn")
+    )
+    probe_np = (
+        probe.select("qid", "pid", "rn")
+        .withColumn("nprobe", F.explode(nps))
+        .filter(F.col("rn") <= F.col("nprobe"))
+        .select("nprobe", "qid", "pid")
+    )
+    members = (
+        asgc.join(F.broadcast(probe_np), "pid")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("nprobe", "qid", "vec_id", "pid")
+    )
+    qres = probe.select(
+        "qid",
+        "pid",
+        F.zip_with(F.col("qe"), F.col("pe"), lambda x, y: x - y).alias("qr"),
+    )
+    qtres = (
+        _subspace_explode(qres, "qr", "sv")
+        .join(F.broadcast(rcb), "m")
+        .select("qid", "pid", "m", "cid", _pq_dist().alias("qd"))
+    )
+    w_adc = Window.partitionBy("nprobe", "qid").orderBy(
+        F.asc("adc"), F.asc("vec_id")
+    )
+    adc10 = (
+        members.join(rasg.drop("pid"), "vec_id")
+        .join(F.broadcast(qtres), ["qid", "pid", "m", "cid"])
+        .groupBy("nprobe", "qid", "vec_id")
+        .agg(F.round(F.sum("qd"), 4).alias("adc"))
+        .withColumn("rn", F.row_number().over(w_adc))
+        .filter(F.col("rn") <= 10)
+        .select("nprobe", "qid", "vec_id")
+    )
+    w_ex = Window.partitionBy("qid").orderBy(F.asc("d"), F.asc("vec_id"))
+    exact10 = (
+        cl.crossJoin(F.broadcast(qs))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid", "vec_id",
+            F.round(_l2_col(F.col("e"), F.col("qe")), 4).alias("d"),
+        )
+        .withColumn("rn", F.row_number().over(w_ex))
+        .filter(F.col("rn") <= 10)
+        .select("qid", "vec_id")
+    )
+    scanned = members.groupBy("nprobe", "qid").agg(
+        F.count(F.lit(1)).alias("ns")
+    )
+    hits = (
+        exact10.join(adc10, ["qid", "vec_id"])
+        .groupBy("nprobe", "qid")
+        .agg(F.count(F.lit(1)).alias("h"))
+    )
+    base = qs.select("qid").withColumn("nprobe", F.explode(nps))
+    return (
+        base.join(hits, ["nprobe", "qid"], "left")
+        .join(scanned, ["nprobe", "qid"], "left")
+        .select(
+            "nprobe",
+            "qid",
+            F.coalesce(F.col("ns"), F.lit(0)).cast("long").alias("n_scanned"),
+            F.coalesce(F.col("h"), F.lit(0)).cast("long").alias("hits10"),
+            (F.coalesce(F.col("h"), F.lit(0)) * 1000)
+            .cast("long")
+            .alias("recall_bp"),
+        )
+    )
+
+
+@query(
     "ann_ivf_recall_after_drift",
     """
     WITH v AS (

@@ -180,6 +180,7 @@ TOP = [
     "ann_ivfadc_warm_serve",
     "ann_ivfadc_warm_ingest_serve",
     "ann_ivfadc_warm_compact_serve",
+    "ivfadc_residual_nprobe_sweep",
 ]
 
 # third scaling point for the heaviest candidate-generating entries —

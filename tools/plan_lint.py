@@ -182,6 +182,13 @@ WHITELIST: dict[str, dict[str, str]] = {
         "explode — the exact side is Q*N with Q=64 by construction "
         "(see ann_recall_calibration)"
     },
+    "ivfadc_residual_nprobe_sweep": {
+        "bnl_join": "fixed 64-query md5-ranked panel and the 16-pivot "
+        "frame broadcast for probing, the clustered-corpus "
+        "construction, plus the 3-row nprobe-bound explode — the exact "
+        "side is Q*N with Q=64 by construction (see "
+        "ivfadc_nprobe_sweep)"
+    },
     "ivfadc_residual_gain_audit": {
         "bnl_join": "fixed 64-query md5-ranked panel and the 16-pivot "
         "frame broadcast — the exact side is Q*N with Q=64 by "
