@@ -44,13 +44,27 @@ def _row_key(vals) -> str:
 
 def duckdb_connect(sf_dir: str):
     """DuckDB connection with the fixture tables registered as views —
-    the driver does the same before running oracle SQL."""
+    the driver does the same before running oracle SQL.
+
+    Fixtures are loaded as TABLES, not parquet views, and threads are
+    capped at 8 (default = one per core, 32 here). Measured round-12
+    failure mode behind both choices: DuckDB INLINES each CTE
+    reference instead of materializing it, so a recipe-sized oracle
+    (nested CTEs referencing ``documents`` down a 10-stage chain)
+    expands to ~10,800 simultaneous parquet scan instances — each
+    holding its own open file handle on documents.parquet — and with
+    the gate running 8 such oracles concurrently the process blew the
+    20k fd rlimit ("Too many open files"). In-memory tables are read
+    from parquet exactly once per connection and hold ZERO file
+    handles at query time; results are identical (same rows, same
+    types) and the recipe oracles run faster to boot."""
     import duckdb
 
     con = duckdb.connect()
+    con.execute("SET threads TO 8")
     for t in TABLES:
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"CREATE TABLE {t} AS SELECT * FROM "
             f"read_parquet('{sf_dir}/{t}.parquet')"
         )
     return con

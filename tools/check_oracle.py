@@ -48,8 +48,12 @@ def main() -> int:
 
     con = duckdb.connect()
     for t in TABLES:
+        # TABLE, not VIEW: DuckDB inlines CTE references, and the
+        # recipe-sized oracles expand to ~10k concurrent parquet scan
+        # instances, each holding a file handle (see
+        # oracle_gate.duckdb_connect)
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+            f"CREATE TABLE {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
         )
     odf = con.execute(oracle).df()
 
