@@ -10209,7 +10209,7 @@ def _ivfadc_warm_ingest_locked(
         )
     )
     bcodes = _pq_encode_with(_subspace_explode(bres, "r", "sv"), rcb)
-    commit_snapshot_idempotent(
+    dirs["codes_ingest_version"] = commit_snapshot_idempotent(
         bcodes,
         dirs["codes"],
         txn_id="ivfadc-warm-ingest-1",
@@ -10240,7 +10240,7 @@ def _ivfadc_warm_compact(spark: SparkSession, sf: str) -> dict:
     dirs = _ivfadc_warm_ingest(spark, sf)
     with _IVF_WARM_LOCK:
         if not dirs.get("compacted"):
-            commit_snapshot_idempotent(
+            dirs["codes_compact_version"] = commit_snapshot_idempotent(
                 read_snapshot(spark, dirs["codes"]),
                 dirs["codes"],
                 txn_id="ivfadc-warm-compact-1",

@@ -327,6 +327,33 @@ class TestCorpusRecipeIncrement:
         assert not bad, bad
         assert blab_warm.count() == blab_cold.count()
 
+    def test_warm_state_probes_persisted_lsh_index(self, spark, monkeypatch):
+        """The warm path's load-bearing cost claim: with a state that
+        carries the persisted signature index, the labeler must NEVER
+        derive the index from the scrubbed store — re-shingling all of
+        history per batch was the measured dominant per-invocation
+        cost (round 12). Pinned by making the derivation explode."""
+        import opendata_gov_lt_mysql_import_spark.operators.dedup as dedup
+        from opendata_gov_lt_mysql_import_spark.queries_ml import (
+            _recipe_hist_batch,
+            _recipe_label_batch,
+            _recipe_warm_dirs,
+            _recipe_warm_state,
+        )
+
+        dirs = _recipe_warm_dirs(spark, "/root/testdata/sf0.001")
+        state = _recipe_warm_state(spark, dirs)
+
+        def boom(*a, **k):
+            raise AssertionError(
+                "warm labeler re-derived the history LSH index"
+            )
+
+        monkeypatch.setattr(dedup, "minhash_history_index", boom)
+        _, batch = _recipe_hist_batch(spark, "/root/testdata/sf0.001")
+        blab = _recipe_label_batch(batch, state)
+        assert blab.count() > 0
+
 
 class TestCorpusRecipeTwoEpochs:
     """Multi-epoch composition: after folding batch 1 into the state

@@ -778,15 +778,23 @@ def test_ivfadc_warm_compact_restores_pruning(spark, sf_dir, queries):
             spark, sf_dir
         ).collect()
     }
+    # measure at the RECORDED versions, not "latest": in the full
+    # suite the registry gate may already have run the compact query
+    # in this process (round-12 flake — latest was the compacted 16
+    # files, making grown == compacted trivially)
     kept_g, total_g = pruned_file_counts(
-        dirs["codes"], [("pid", "in", probed)]
+        dirs["codes"],
+        [("pid", "in", probed)],
+        version=dirs["codes_ingest_version"],
     )
     _ivfadc_warm_compact(spark, sf_dir)
     v = current_version(dirs["codes"])
     _ivfadc_warm_compact(spark, sf_dir)  # replay: must be a no-op
     assert current_version(dirs["codes"]) == v
     kept_c, total_c = pruned_file_counts(
-        dirs["codes"], [("pid", "in", probed)]
+        dirs["codes"],
+        [("pid", "in", probed)],
+        version=dirs["codes_compact_version"],
     )
     assert total_c < total_g, (total_c, total_g)
     assert kept_c <= kept_g, (kept_c, kept_g)
