@@ -10166,27 +10166,28 @@ def _ivfadc_warm_ingest(spark: SparkSession, sf: str) -> dict:
         return _ivfadc_warm_ingest_locked(spark, sf, dirs)
 
 
-def _ivfadc_warm_ingest_locked(
-    spark: SparkSession, sf: str, dirs: dict
-) -> dict:
-    from .sources.snapshots import commit_snapshot_idempotent, read_snapshot
-
-    piv0 = read_snapshot(spark, dirs["pivots"])
-    rcb = read_snapshot(spark, dirs["codebook"])
-    emb64 = load_table(spark, sf, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("e")
-    )
-    cl = _rescl_corpus(emb64, piv0)
-    # the occupancy-drift ingest construction on the clustered corpus;
-    # rename the jitter key FIRST (HOF alias-capture hazard, see
-    # ann_ivf_occupancy_drift)
+def _ivfadc_jittered_batch(cl: DataFrame) -> DataFrame:
+    """The ingest batch construction: deterministically jittered
+    id-offset copies of the clustered corpus (the occupancy-drift
+    derivation). The jitter key is renamed FIRST (HOF alias-capture
+    hazard, see ann_ivf_occupancy_drift)."""
     jit = (F.col("oid") % 97).cast("double") * F.lit(0.001)
-    bcl = cl.select(
+    return cl.select(
         F.col("vec_id").alias("oid"), F.col("e").alias("e0")
     ).select(
         (F.col("oid") + 1000000).alias("vec_id"),
         F.transform(F.col("e0"), lambda x: x + jit).alias("e"),
     )
+
+
+def _ivfadc_batch_codes(
+    bcl: DataFrame, piv0: DataFrame, rcb: DataFrame
+) -> DataFrame:
+    """Encode one ingest batch against the FROZEN index parameters:
+    broadcast L2 argmin to the coarse cells, residual against the
+    assigned pivot, `_pq_encode_with` against the frozen codebook.
+    Batch-sized cluster work only — shared by the warm ingest and its
+    streaming twin (each micro-batch runs exactly this)."""
     from pyspark.sql import Window
 
     w_asg = Window.partitionBy("vec_id").orderBy(F.asc("d"), F.asc("pid"))
@@ -10208,7 +10209,22 @@ def _ivfadc_warm_ingest_locked(
             ),
         )
     )
-    bcodes = _pq_encode_with(_subspace_explode(bres, "r", "sv"), rcb)
+    return _pq_encode_with(_subspace_explode(bres, "r", "sv"), rcb)
+
+
+def _ivfadc_warm_ingest_locked(
+    spark: SparkSession, sf: str, dirs: dict
+) -> dict:
+    from .sources.snapshots import commit_snapshot_idempotent, read_snapshot
+
+    piv0 = read_snapshot(spark, dirs["pivots"])
+    rcb = read_snapshot(spark, dirs["codebook"])
+    emb64 = load_table(spark, sf, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    bcodes = _ivfadc_batch_codes(
+        _ivfadc_jittered_batch(_rescl_corpus(emb64, piv0)), piv0, rcb
+    )
     dirs["codes_ingest_version"] = commit_snapshot_idempotent(
         bcodes,
         dirs["codes"],
