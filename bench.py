@@ -258,6 +258,10 @@ HEADLINE = [
     # codes — flat recall where raw codes fell (over-probing wasteful
     # vs harmful), completing the tuning-rule pair
     "ivfadc_residual_nprobe_sweep",
+    # round-12: batched panel serving — 64 queries answered in ONE
+    # scan of the persisted code table (diverse batches defeat file
+    # pruning, so batching amortizes the scan instead)
+    "ann_ivfadc_warm_panel_serve",
 ]
 
 

@@ -10241,6 +10241,130 @@ def _ivfadc_warm_ingest_locked(
     return dirs
 
 
+@query(
+    "ann_ivfadc_warm_panel_serve",
+    _RESCL_CTES + ",\n" + _PANEL_CTE + """,
+    qs AS (
+      SELECT c.vec_id AS qid, c.e AS qe FROM cl c JOIN panel USING (vec_id)
+    ),
+    probe AS (
+      SELECT qid, pid, pe FROM (
+        SELECT q.qid, p.pid, p.pe,
+               row_number() OVER (PARTITION BY q.qid
+                 ORDER BY list_sum(list_transform(range(1, 65),
+                   k -> (q.qe[k] - p.pe[k]) * (q.qe[k] - p.pe[k]))),
+                   p.pid) AS rn
+        FROM qs q, piv0 p)
+      WHERE rn <= 2
+    ),
+    qres AS (
+      SELECT pr.qid, pr.pid,
+             list_transform(range(1, 65), k -> q.qe[k] - pr.pe[k]) AS qr
+      FROM probe pr JOIN qs q USING (qid)
+    ),
+    qsubr AS (
+      SELECT qres.qid, qres.pid, CAST(u.m AS BIGINT) AS m,
+             qres.qr[u.m * 16 + 1 : u.m * 16 + 16] AS qv
+      FROM qres, UNNEST(range(0, 4)) u(m)
+    ),
+    qtres AS (
+      SELECT s.qid, s.pid, s.m, c.cid,
+             list_sum(list_transform(range(1, 17),
+               i -> (s.qv[i] - c.cv[i]) * (s.qv[i] - c.cv[i]))) AS qd
+      FROM qsubr s JOIN rcb c USING (m)
+    ),
+    adc10 AS (
+      SELECT qid, vec_id, adc_dist FROM (
+        SELECT mem.qid, a.vec_id,
+               round(sum(q.qd), 4) AS adc_dist,
+               row_number() OVER (PARTITION BY mem.qid
+                 ORDER BY round(sum(q.qd), 4), a.vec_id) AS rn
+        FROM rasg a
+        JOIN (SELECT pr.qid, s.vec_id, s.pid FROM asgc s
+              JOIN probe pr USING (pid)
+              WHERE s.vec_id <> pr.qid) mem
+          ON mem.vec_id = a.vec_id
+        JOIN qtres q ON q.qid = mem.qid AND q.pid = mem.pid
+                    AND q.m = a.m AND q.cid = a.cid
+        GROUP BY mem.qid, a.vec_id)
+      WHERE rn <= 10
+    )
+    SELECT qid, vec_id, adc_dist FROM adc10
+    """,
+)
+def ann_ivfadc_warm_panel_serve_q(spark: SparkSession, sf: str) -> DataFrame:
+    """BATCHED serving over the warm index (round 12): the offline-eval
+    mode — the whole fixed 64-query panel answered in ONE pass over
+    the persisted code table. The single-query serve prunes to
+    ~nprobe/ncells of the files; a DIVERSE query batch can't (measured
+    here: 64 panel queries × 2 probed cells cover all 16 cells), so
+    batching flips the optimization — scan the code table ONCE and
+    broadcast the per-(query, cell) lookup tables (64×2×32 rows)
+    against it, instead of issuing 64 pruned scans. Per-query member
+    restriction still binds through the (qid, pid) probe-pair join, so
+    ADC work stays Σ_q nprobe/ncells·N even though the scan is full.
+    Output: per-query ADC top-10 (qid, vec_id, adc_dist), 640 rows.
+
+    Oracle recomputes build + panel + batched serve from scratch
+    (shared _RESCL_CTES + the fixed-panel CTE), so a hash match proves
+    the one-scan batched plan serves exactly what per-query serving
+    computes. Scale shape: ONE scan of the only corpus-sized artifact,
+    every query-side frame broadcast, one (qid, vec_id) aggregate
+    shuffle, one per-qid bounded window."""
+    from pyspark.sql import Window
+
+    from .sources.snapshots import read_snapshot
+
+    dirs = _ivfadc_warm_dirs(spark, sf)
+    piv0 = read_snapshot(spark, dirs["pivots"])
+    rcb = read_snapshot(spark, dirs["codebook"])
+    emb64 = load_table(spark, sf, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    cl = _rescl_corpus(emb64, piv0)
+    panel = _audit_panel(cl)
+    qs = cl.join(F.broadcast(panel), "vec_id").select(
+        F.col("vec_id").alias("qid"), F.col("e").alias("qe")
+    )
+    w_probe = Window.partitionBy("qid").orderBy(F.asc("d"), F.asc("pid"))
+    probe = (
+        qs.crossJoin(F.broadcast(piv0))
+        .select(
+            "qid", "pid", "pe", "qe",
+            _l2_col(F.col("qe"), F.col("pe")).alias("d"),
+        )
+        .withColumn("rn", F.row_number().over(w_probe))
+        .filter(F.col("rn") <= 2)
+        .select("qid", "pid", "pe", "qe")
+    )
+    qres = probe.select(
+        "qid",
+        "pid",
+        F.zip_with(F.col("qe"), F.col("pe"), lambda x, y: x - y).alias("qr"),
+    )
+    qtres = (
+        _subspace_explode(qres, "qr", "sv")
+        .join(F.broadcast(rcb), "m")
+        .select("qid", "pid", "m", "cid", _pq_dist().alias("qd"))
+    )
+    codes = read_snapshot(
+        spark, dirs["codes"], version=dirs["codes_base_version"]
+    )
+    w_adc = Window.partitionBy("qid").orderBy(
+        F.asc("adc_dist"), F.asc("vec_id")
+    )
+    return (
+        codes.join(F.broadcast(probe.select("qid", "pid")), "pid")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .join(F.broadcast(qtres), ["qid", "pid", "m", "cid"])
+        .groupBy("qid", "vec_id")
+        .agg(F.round(F.sum("qd"), 4).alias("adc_dist"))
+        .withColumn("rn", F.row_number().over(w_adc))
+        .filter(F.col("rn") <= 10)
+        .select("qid", "vec_id", "adc_dist")
+    )
+
+
 def _ivfadc_warm_compact(spark: SparkSession, sf: str) -> dict:
     """Compact the grown warm index: after the ingest append each cell's
     codes span two file generations (base + batch), doubling the files

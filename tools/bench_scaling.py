@@ -181,6 +181,7 @@ TOP = [
     "ann_ivfadc_warm_ingest_serve",
     "ann_ivfadc_warm_compact_serve",
     "ivfadc_residual_nprobe_sweep",
+    "ann_ivfadc_warm_panel_serve",
 ]
 
 # third scaling point for the heaviest candidate-generating entries —

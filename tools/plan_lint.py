@@ -182,6 +182,12 @@ WHITELIST: dict[str, dict[str, str]] = {
         "explode — the exact side is Q*N with Q=64 by construction "
         "(see ann_recall_calibration)"
     },
+    "ann_ivfadc_warm_panel_serve": {
+        "bnl_join": "fixed 64-query md5-ranked panel and the 16-pivot "
+        "frame broadcast for batched probing — the code-table side is "
+        "scanned once and joined keyed+broadcast (see "
+        "ann_recall_calibration for the panel shape)"
+    },
     "ivfadc_residual_nprobe_sweep": {
         "bnl_join": "fixed 64-query md5-ranked panel and the 16-pivot "
         "frame broadcast for probing, the clustered-corpus "
