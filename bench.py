@@ -294,6 +294,7 @@ def _prev_round_committed(here: str) -> tuple[str | None, dict]:
     against an intra-round ref; anchoring the delta list to the round
     boundary commit makes the adjudication target non-negotiable
     (round-11 verdict item 3)."""
+    import re
     import subprocess
 
     try:
@@ -302,12 +303,22 @@ def _prev_round_committed(here: str) -> tuple[str | None, dict]:
             capture_output=True, text=True, cwd=here, check=True,
         ).stdout
         sha = None
+        # case-insensitive, separator-tolerant: the history already
+        # mixes "round 11:", "Round 11:" and "Round-12" subjects, and a
+        # case-sensitive startswith silently disabled the audit
+        # (round-12 advisory)
+        round_re = re.compile(r"^round[ -]?\d+", re.IGNORECASE)
         for line in log.splitlines():
             parts = line.split(" ", 1)
-            if len(parts) == 2 and parts[1].startswith("round "):
+            if len(parts) == 2 and round_re.match(parts[1]):
                 sha = parts[0]
                 break
         if sha is None:
+            print(
+                "bench: no round-boundary commit found in the last 500 "
+                "— cross-round delta audit disabled",
+                file=sys.stderr,
+            )
             return None, {}
         rec = subprocess.run(
             ["git", "show", f"{sha}:BENCH_COMMITTED.json"],

@@ -203,8 +203,15 @@ DRIVER_TOP50: tuple[str, ...] = (
     # dedup family (dedup_exact rotated out round 6 — the family keeps
     # ngram/clusters/md5-LSH/incremental rows in-window — for the
     # ZORDER pruned snapshot read, putting the table-format read path
-    # plus its asserted file-skipping in the driver record)
-    "zorder_pruned_scan",
+    # plus its asserted file-skipping in the driver record).
+    # zorder_pruned_scan rotated out round 13 (round-12 verdict item 6:
+    # the table-format read path + manifest file-skipping is now
+    # in-window via the warm-index ingest serve below, whose pruning is
+    # pytest-asserted quantitatively; zorder stays registered +
+    # full-gate-verified + plan-pinned) for the warm-index lifecycle's
+    # most load-bearing entry: exactly-once snapshot ingest + pruned
+    # serve over the grown index, full-gate-only since round 12
+    "ann_ivfadc_warm_ingest_serve",
     # ngram_jaccard_pairs rotated out round 7 (its blocked exact-verify
     # math is recomputed inside ngram_jaccard_verify_md5's oracle, now
     # in-window; pairs stays registered + full-gate-verified). That slot
@@ -233,8 +240,15 @@ DRIVER_TOP50: tuple[str, ...] = (
     # keeps five rows in-window: ngram verify, substring, url, scrub,
     # and the full recipe; incremental stays registered +
     # full-gate-verified) for the ANN recall calibration — the
-    # estimator-audit discipline applied to the IVF index
-    "ann_recall_calibration",
+    # estimator-audit discipline applied to the IVF index.
+    # ann_recall_calibration rotated out round 13 (round-12 verdict
+    # item 6: the nprobe sweep recomputes the calibration's
+    # membership-recall math at three operating points, so the
+    # estimator-audit discipline keeps a driver row; the calibration
+    # stays registered + full-gate-verified) for the sweep that found
+    # the recall INVERSION — on raw codes recall FALLS as the beam
+    # widens, the round-12 measured insight
+    "ivfadc_nprobe_sweep",
     # matview_incremental_refresh rotated out round 10 (zorder keeps the
     # table-format family in-window; matview stays registered +
     # full-gate-verified + benched) for the in-engine perceptron

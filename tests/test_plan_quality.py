@@ -807,6 +807,61 @@ def test_ivfadc_warm_compact_restores_pruning(spark, sf_dir, queries):
     assert after == before
 
 
+def test_ivfadc_warm_vacuum_respects_pinned_reader(
+    spark, sf_dir, queries, tmp_path
+):
+    """Vacuum over the warm index (round-12 verdict item 4): the
+    compaction docstring defers old-version reclamation to vacuum —
+    pin BOTH halves of that contract. (a) A vacuum that preserves the
+    pinned pre-ingest version (`codes_base_version`, the base serve's
+    declared reader) deletes nothing the pin references and the base
+    serve stays green with identical rows. (b) A vacuum that reclaims
+    the pinned version (keep_last=1 after compaction rewrote every
+    file) makes the pinned read raise the loud no-such-version error —
+    never silent wrong results. Half (b) runs on a COPY of the table
+    tree so the shared per-process warm index is untouched."""
+    import shutil
+
+    import pytest as _pytest
+
+    from opendata_gov_lt_mysql_import_spark.queries_ml import (
+        _ivfadc_warm_compact,
+    )
+    from opendata_gov_lt_mysql_import_spark.sources.snapshots import (
+        current_version,
+        read_snapshot,
+        vacuum,
+    )
+
+    dirs = _ivfadc_warm_compact(spark, sf_dir)
+    base_version = dirs["codes_base_version"]
+    before = {
+        tuple(r)
+        for r in queries["ann_ivfadc_warm_serve"](spark, sf_dir).collect()
+    }
+    # (a) keep_last spans every version ever committed -> no-op vacuum
+    # (the fresh files are also inside the orphan grace window)
+    n_versions = current_version(dirs["codes"]) + 1
+    deleted = vacuum(dirs["codes"], keep_last=n_versions)
+    assert deleted == [], deleted
+    after = {
+        tuple(r)
+        for r in queries["ann_ivfadc_warm_serve"](spark, sf_dir).collect()
+    }
+    assert after == before
+    # (b) on a copy: vacuum to the latest version only — compaction
+    # rewrote the full file set, so the pinned base version's files and
+    # manifest are reclaimed and the pinned read must fail LOUDLY
+    copy = str(tmp_path / "codes_copy")
+    shutil.copytree(dirs["codes"], copy)
+    latest_rows = read_snapshot(spark, copy).count()
+    deleted = vacuum(copy, keep_last=1)
+    assert deleted, "expected the rewritten generations to be reclaimed"
+    assert read_snapshot(spark, copy).count() == latest_rows
+    with _pytest.raises(FileNotFoundError, match="no snapshot version"):
+        read_snapshot(spark, copy, version=base_version)
+
+
 def test_pq_train_rounds_broadcast_codebook_argmin(spark, sf_dir, queries):
     """pq_train_codebook: every Lloyd round must assign via a
     BROADCAST of the ≤32-row codebook (a shuffled join against the

@@ -176,6 +176,12 @@ WHITELIST: dict[str, dict[str, str]] = {
         "64-query panel broadcast for the exact side (see "
         "ann_recall_calibration)"
     },
+    "ann_ivf_retrain_decision": {
+        "bnl_join": "composes the two drift audits (their whitelisted "
+        "shapes inherited), then assembles the decision row by "
+        "cross-joining three 1-row aggregates (skew, frozen mean, "
+        "retrained mean) — all single rows by construction"
+    },
     "ivfadc_nprobe_sweep": {
         "bnl_join": "fixed 64-query md5-ranked panel and the 16-pivot "
         "frame broadcast for probing, plus the 3-row nprobe-bound "
