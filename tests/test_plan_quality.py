@@ -1046,3 +1046,20 @@ def test_recall_after_drift_variants_share_exact_side(
         .collect()
     }
     assert counts == {"frozen": 64, "retrained": 64}
+
+
+def test_retrain_decision_adds_no_corpus_scan(spark, sf_dir, queries):
+    """ann_ivf_retrain_decision (round-12 verdict item 5): the decision
+    row must COMPOSE the two maintenance audits, not re-derive them —
+    its executed plan may contain at most the parquet scans the two
+    audits already pay (the assembly is three 1-row broadcast joins
+    over their aggregates, nothing corpus-sized)."""
+
+    def scans(df):
+        final = final_plan(df).split("== Initial Plan ==")[0]
+        return final.count("Scan parquet")
+
+    d = scans(queries["ann_ivf_occupancy_drift"](spark, sf_dir))
+    r = scans(queries["ann_ivf_recall_after_drift"](spark, sf_dir))
+    dec = scans(queries["ann_ivf_retrain_decision"](spark, sf_dir))
+    assert dec <= d + r, (dec, d, r)

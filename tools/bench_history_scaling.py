@@ -1,0 +1,225 @@
+"""Fixed-batch, growing-history scaling for the two flagship warm
+paths (round-12 verdict item 1).
+
+Every SCALING.json point derives its kx dataset by scaling the WHOLE
+fixture, so batch and history grow TOGETHER — a per-ingest time that
+doubles at 2x is compatible with both "per-ingest work is batch-sized"
+(batch doubled too) and "per-ingest work is O(history)" (the claim's
+negation). This harness is the clean falsifier: hold the ingest batch
+constant at its sf0.1 size while history alone grows 2x/4x (history
+derived from the kx fixture, batch sliced from the BASE fixture — the
+same key-disjoint derivation bench_scaling.py uses, and batch ids stay
+above every kx history id by construction: history ids < 3e6 + 40k,
+batch ids >= 4e6; embedding batch ids are offset by 1e6 >> the 8x-kx
+vec_id range).
+
+Under the batch-sized claim the per-ingest ratios should sit ~flat
+(≈1, inside box noise), with two honest caveats the operator
+docstrings already state: the recipe's index probes and the
+contamination gram join STREAM the (columnar, slim) history indexes
+map-side — an O(history)-scan term with a small constant — and the IVF
+serve reads the probed cells, whose size grows with history. The
+falsified alternative (per-ingest work re-labels/re-encodes history)
+predicts ratios tracking the history scale (~2 at 2x, ~4 at 4x).
+
+- recipe warm increment: state built ONCE per history scale (untimed,
+  the deployment's amortized state build); timed = read state, label
+  the FIXED base batch against the grown indexes, emit the combined
+  datasheet (exactly `corpus_recipe_increment_warm`'s per-ingest path).
+- IVF warm ingest+serve: index built ONCE per history scale (untimed);
+  timed = encode the FIXED base batch against the frozen pivots/
+  codebook + exactly-once append commit (t_ingest), then the pruned
+  serve over the grown index (t_serve). Each timing run appends into a
+  FRESH COPY of the committed index tree so replays never stack.
+
+Usage: python tools/bench_history_scaling.py
+Merges a "history_scaling" section into SCALING.json.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from opendata_gov_lt_mysql_import_spark.session import get_spark  # noqa: E402
+from opendata_gov_lt_mysql_import_spark.sources.parquet import (  # noqa: E402
+    load_table,
+)
+from opendata_gov_lt_mysql_import_spark.sources.snapshots import (  # noqa: E402
+    commit_snapshot_idempotent,
+    read_snapshot,
+)
+from bench import force_eval  # noqa: E402
+from tools.bench_scaling import BASE, DERIVED_2X, DERIVED_4X, build_kx  # noqa: E402
+
+RUNS = 2  # min-of-2, interleaved across history scales
+
+
+def _min_of(runs: list[float]) -> float:
+    return round(min(runs), 4)
+
+
+def recipe_point(spark, hist_dir: str, base_batch) -> float:
+    """One timed per-ingest run of the warm recipe increment: state is
+    the build-once cache (`_recipe_warm_dirs(hist_dir)` — history from
+    the kx fixture), the batch is the FIXED base-slice frame."""
+    from opendata_gov_lt_mysql_import_spark.queries_ml import (
+        _recipe_combined_datasheet,
+        _recipe_label_batch,
+        _recipe_surv_slim,
+        _recipe_warm_dirs,
+        _recipe_warm_state,
+    )
+
+    dirs = _recipe_warm_dirs(spark, hist_dir)  # cached after run 1
+    t0 = time.perf_counter()
+    state = _recipe_warm_state(spark, dirs)
+    blab = _recipe_label_batch(base_batch, state)
+    surv = read_snapshot(spark, dirs["surv"]).unionByName(
+        _recipe_surv_slim(blab)
+    )
+    force_eval(
+        _recipe_combined_datasheet(
+            read_snapshot(spark, dirs["hist_agg"]), blab, surv
+        )
+    )
+    return time.perf_counter() - t0
+
+
+def ivf_point(spark, hist_dir: str) -> tuple[float, float]:
+    """(t_ingest, t_serve) for one warm-index maintenance round: the
+    FIXED base batch (jittered clustered construction over the BASE
+    embeddings, encoded against the kx index's FROZEN pivots/codebook)
+    appended into a fresh copy of the kx index, then the pruned serve
+    over the grown copy."""
+    from opendata_gov_lt_mysql_import_spark.queries_ml import (
+        _ivfadc_batch_codes,
+        _ivfadc_jittered_batch,
+        _ivfadc_serve,
+        _ivfadc_warm_dirs,
+        _rescl_corpus,
+    )
+
+    dirs = _ivfadc_warm_dirs(spark, hist_dir)  # cached after run 1
+    piv0 = read_snapshot(spark, dirs["pivots"])
+    rcb = read_snapshot(spark, dirs["codebook"])
+    emb64_base = load_table(spark, BASE, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    scratch = tempfile.mkdtemp(prefix="hist_scale_ivf_")
+    try:
+        codes_copy = os.path.join(scratch, "codes")
+        shutil.copytree(dirs["codes"], codes_copy)
+        dirs_run = dict(dirs)
+        dirs_run["codes"] = codes_copy
+
+        t0 = time.perf_counter()
+        bcodes = _ivfadc_batch_codes(
+            _ivfadc_jittered_batch(_rescl_corpus(emb64_base, piv0)),
+            piv0,
+            rcb,
+        )
+        commit_snapshot_idempotent(
+            bcodes,
+            codes_copy,
+            txn_id="hist-scale-ingest",
+            mode="append",
+            cluster_by=["pid"],
+            target_files=16,
+        )
+        t_ingest = time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        force_eval(_ivfadc_serve(spark, hist_dir, dirs_run))
+        t_serve = time.perf_counter() - t0
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+    return t_ingest, t_serve
+
+
+def main() -> None:
+    from opendata_gov_lt_mysql_import_spark.queries_ml import (
+        _recipe_hist_batch,
+    )
+
+    spark = get_spark(app_name="bench-history-scaling")
+    build_kx(spark, 2, DERIVED_2X)
+    build_kx(spark, 4, DERIVED_4X)
+    scales = [("1x", BASE), ("2x", DERIVED_2X), ("4x", DERIVED_4X)]
+
+    # the FIXED batch: always the base fixture's slice
+    _, base_batch = _recipe_hist_batch(spark, BASE)
+
+    # warm the builds (untimed run 1 per scale — the amortized state/
+    # index build a deployment pays once, priced separately in
+    # SCALING.json's corpus_recipe_increment entry)
+    rec: dict[str, list[float]] = {k: [] for k, _ in scales}
+    ivf_i: dict[str, list[float]] = {k: [] for k, _ in scales}
+    ivf_s: dict[str, list[float]] = {k: [] for k, _ in scales}
+    for key, d in scales:
+        recipe_point(spark, d, base_batch)  # build + discard timing
+        ivf_point(spark, d)
+    for _ in range(RUNS):
+        for key, d in scales:  # interleaved min-of-N
+            spark.catalog.clearCache()
+            rec[key].append(recipe_point(spark, d, base_batch))
+            ti, ts = ivf_point(spark, d)
+            ivf_i[key].append(ti)
+            ivf_s[key].append(ts)
+            print(
+                f"# {key}: recipe {rec[key][-1]:.2f}s "
+                f"ivf_ingest {ti:.2f}s ivf_serve {ts:.2f}s",
+                file=sys.stderr,
+            )
+
+    def series(d):
+        t1, t2, t4 = _min_of(d["1x"]), _min_of(d["2x"]), _min_of(d["4x"])
+        return {
+            "t_hist_1x": t1,
+            "t_hist_2x": t2,
+            "t_hist_4x": t4,
+            "ratio_hist_2x": round(t2 / t1, 2),
+            "ratio_hist_4x": round(t4 / t1, 2),
+        }
+
+    out = {
+        "note": (
+            "fixed-batch, growing-history falsifier (round-12 verdict "
+            "item 1): the ingest batch is held constant at its sf0.1 "
+            "size while history alone grows 2x/4x (kx-derived history, "
+            "base-fixture batch). Batch-sized per-ingest work predicts "
+            "~flat ratios; O(history) per-ingest work predicts ratios "
+            "tracking the history scale (~2/~4). The recipe's "
+            "index-probe joins and the IVF serve's probed-cell scan "
+            "stream slim history-sized artifacts map-side, so mild "
+            "sub-linear growth is the honest expectation, not exactly "
+            "1.0. State/index builds per scale are untimed (the "
+            "amortized one-time cost). Interleaved min-of-2."
+        ),
+        "batch": "sf0.1 slice (fixed)",
+        "corpus_recipe_increment_warm": series(rec),
+        "ann_ivfadc_warm_ingest": series(ivf_i),
+        "ann_ivfadc_warm_serve_after_ingest": series(ivf_s),
+    }
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "SCALING.json",
+    )
+    with open(path) as fh:
+        merged = json.load(fh)
+    merged["history_scaling"] = out
+    with open(path, "w") as fh:
+        json.dump(merged, fh, indent=1)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
