@@ -8672,13 +8672,22 @@ def _recipe_state_update(
     union) is pinned by tests/test_corpus.py's two-epoch test. The
     watermark advances to the batch's max id (blab is already
     localCheckpointed by ``_recipe_label_batch``, so the scalar agg is
-    a cheap checkpoint scan)."""
+    a cheap checkpoint scan).
+
+    When the incoming state carries the WARM indexes (the persisted
+    banded LSH signature index and the per-doc gram-hash index,
+    round-12/13), they fold forward too — each extended by the batch's
+    own contribution (batch-sized shingling, the only shingling the
+    batch ever gets) — so a multi-epoch warm deployment never falls
+    back to re-deriving an index from the grown scrub store."""
     from .functions.urls import canonical_url
+    from .operators.dedup import gram_hash_index, minhash_history_index
 
     max_id = state.get("max_id")
     if max_id is not None:
         max_id = max(max_id, blab.agg(F.max("doc_id")).collect()[0][0])
-    return {
+    batch_scrub = blab.select("doc_id", F.col("clean_text").alias("text"))
+    out = {
         "max_id": max_id,
         "bp": state["bp"],
         "url_index": state["url_index"]
@@ -8693,11 +8702,20 @@ def _recipe_state_update(
             )
         )
         .distinct(),
-        "scrub": state["scrub"].unionByName(
-            blab.select("doc_id", F.col("clean_text").alias("text"))
-        ),
+        "scrub": state["scrub"].unionByName(batch_scrub),
         "ev": state["ev"],
     }
+    if state.get("lsh_index") is not None:
+        out["lsh_index"] = state["lsh_index"].unionByName(
+            minhash_history_index(
+                batch_scrub, "text", "doc_id", n_gram=3, k=16, bands=8
+            )
+        )
+    if state.get("gram_index") is not None:
+        out["gram_index"] = state["gram_index"].unionByName(
+            gram_hash_index(batch_scrub, "text", "doc_id", n=2)
+        )
+    return out
 
 
 def _recipe_label_batch(batch: DataFrame, state: dict) -> DataFrame:

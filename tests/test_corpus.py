@@ -475,6 +475,44 @@ class TestCorpusRecipeTwoEpochs:
         # b1 signatures are only in the UPDATED LSH/scrub store
         assert all(r["alive3"] and not r["alive5"] for r in edit)
 
+    def test_warm_indexes_fold_through_state_update(self, spark, epochs):
+        """Round 13: a multi-epoch WARM deployment — state read from
+        persisted snapshots (carrying the LSH signature index and the
+        per-doc gram-hash index), folded through _recipe_state_update
+        after batch 1 — must label batch 2 EXACTLY as the cold fold
+        does, and the folded state must still carry both warm indexes
+        (a dropped index would silently fall back to re-deriving from
+        the grown scrub store)."""
+        from opendata_gov_lt_mysql_import_spark.queries_ml import (
+            _recipe_label_batch,
+            _recipe_state_update,
+            _recipe_warm_dirs,
+            _recipe_warm_state,
+        )
+
+        _hist, b1, b2, _hist_lab, _b1_lab, b2_lab_cold = epochs
+        dirs = _recipe_warm_dirs(spark, self.SF)
+        state = _recipe_warm_state(spark, dirs)
+        b1_lab_w = _recipe_label_batch(b1, state)
+        state2 = _recipe_state_update(state, b1, b1_lab_w)
+        assert state2.get("lsh_index") is not None
+        assert state2.get("gram_index") is not None
+        b2_lab_w = _recipe_label_batch(b2, state2)
+        cols = [
+            "doc_id", "alive2", "alive3", "alive5", "alive6", "alive7",
+        ]
+        ref = b2_lab_cold.select(
+            "doc_id", *[F.col(c).alias(f"ref_{c}") for c in cols[1:]]
+        )
+        joined = b2_lab_w.select(cols).join(ref, "doc_id", "full")
+        mismatch = joined.filter(
+            " OR ".join(
+                [f"(coalesce({c} = ref_{c}, false) = false)" for c in cols[1:]]
+            )
+        )
+        bad = mismatch.limit(5).collect()
+        assert not bad, bad
+
     def test_three_epochs_reconcile_with_oneshot(self, spark, epochs):
         from opendata_gov_lt_mysql_import_spark.operators.dedup import (
             _spread,
