@@ -262,6 +262,18 @@ HEADLINE = [
     # scan of the persisted code table (diverse batches defeat file
     # pruning, so batching amortizes the scan instead)
     "ann_ivfadc_warm_panel_serve",
+    # round-13: the retrain decision row — composes the occupancy-drift
+    # and recall-after-drift audits (their cost IS this entry's cost)
+    # into the skew-triggered decision an operator acts on
+    "ann_ivf_retrain_decision",
+    # round-13: near-dup verification served from the persisted gram
+    # index — two keyed joins + per-row array_intersect, same oracle
+    # as the text-path md5 entry (index verify ≡ text verify, proven)
+    "ngram_jaccard_verify_grams_index",
+    # round-13: occupancy refreshed from table CDC — history counts
+    # from the pinned base version, batch counts from the appended
+    # files only (read_snapshot_changes); min-of-3 prices the refresh
+    "ann_ivf_occupancy_incremental",
 ]
 
 

@@ -11568,3 +11568,160 @@ def ann_ivf_retrain_decision_q(spark: SparkSession, sf: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "ngram_jaccard_verify_grams_index",
+    _ORACLE_REG["ngram_jaccard_verify_md5"],
+)
+def ngram_jaccard_verify_grams_index_q(
+    spark: SparkSession, sf: str
+) -> DataFrame:
+    """The near-dup pipeline with verification served FROM THE INDEX
+    (round 13): identical LSH candidate generation to
+    ``ngram_jaccard_verify_md5``, but the exact word-bigram Jaccard
+    stage runs ``jaccard_verify_pairs_grams`` over a
+    ``gram_hash_index`` — the per-doc distinct gram-hash arrays a warm
+    pipeline persists as state — instead of re-tokenizing candidate
+    texts. Output is DEFINED to be identical to the text-path entry, so
+    both share one oracle: a hash match proves index-based verify ≡
+    text-based verify ≡ the SQL recompute (the same proof pattern as
+    `ann_ivfadc_warm_serve` sharing `_RESCL_TOPK_SQL`).
+
+    Scale shape: candidates bound the work; the verify is two keyed
+    joins against the slim index + a per-row array_intersect — at
+    100 TB the index is built once per corpus epoch (each doc shingled
+    exactly once in its life) and every later verify pass — daily
+    ingests, recall audits, threshold sweeps — is a join against it,
+    never a re-parse of history text (the round-12 warm-increment
+    finding, generalized into a standalone operator entry)."""
+    from .operators.dedup import (
+        gram_hash_index,
+        jaccard_verify_pairs_grams,
+        minhash_md5_pairs,
+    )
+
+    d = _spread(_documents_with_dups(spark, sf))
+    cands = minhash_md5_pairs(
+        d, "text", "doc_id", n_gram=3, k=16, bands=8
+    ).filter(F.col("n_match") >= 5)
+    return jaccard_verify_pairs_grams(
+        gram_hash_index(d, "text", "doc_id", n=2),
+        cands.select("id_a", "id_b"),
+        min_jaccard=0.5,
+    )
+
+
+@query(
+    "ann_ivf_occupancy_incremental",
+    _RESCL_CTES + """,
+    bcl AS (
+      SELECT oid + 1000000 AS vec_id,
+             list_transform(e0,
+               x -> x + (oid % 97) * CAST(0.001 AS DOUBLE)) AS e
+      FROM (SELECT vec_id AS oid, e AS e0 FROM cl)
+    ),
+    basg AS (
+      SELECT vec_id, pid FROM (
+        SELECT b.vec_id, p.pid,
+               row_number() OVER (PARTITION BY b.vec_id
+                 ORDER BY list_sum(list_transform(range(1, 65),
+                   k -> (b.e[k] - p.pe[k]) * (b.e[k] - p.pe[k]))),
+                   p.pid) AS rn
+        FROM bcl b, piv0 p)
+      WHERE rn = 1
+    ),
+    h AS (SELECT pid, CAST(count(*) AS BIGINT) AS c FROM asgc GROUP BY pid),
+    bb AS (SELECT pid, CAST(count(*) AS BIGINT) AS c FROM basg GROUP BY pid),
+    th AS (SELECT CAST(count(*) AS BIGINT) AS n FROM asgc),
+    tb AS (SELECT CAST(count(*) AS BIGINT) AS n FROM basg)
+    SELECT p.pid AS cid,
+           CAST(COALESCE(h.c, 0) AS BIGINT) AS n_hist,
+           CAST(COALESCE(bb.c, 0) AS BIGINT) AS n_new,
+           CAST(COALESCE(h.c, 0) + COALESCE(bb.c, 0) AS BIGINT) AS n_total,
+           CAST((COALESCE(h.c, 0) + COALESCE(bb.c, 0)) * 10000 AS BIGINT)
+             // ((SELECT n FROM th) + (SELECT n FROM tb)) AS share_bp
+    FROM piv0 p
+    LEFT JOIN h ON h.pid = p.pid
+    LEFT JOIN bb ON bb.pid = p.pid
+    """,
+)
+def ann_ivf_occupancy_incremental_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Occupancy report maintained INCREMENTALLY from table CDC (round
+    13): after the warm ingest commits its batch, the per-cell
+    occupancy an operator watches (and the retrain decision keys on —
+    `ann_ivf_retrain_decision`) is refreshed WITHOUT re-scanning
+    history codes: history counts come from the pinned pre-ingest
+    version of the code table, batch counts from
+    ``read_snapshot_changes`` over (base_version, ingest_version] —
+    the appended files ONLY, with the append-lineage check refusing to
+    misread a compaction as a delta. This is the matview-refresh
+    pattern applied to the index's own maintenance telemetry.
+
+    Oracle: DuckDB recomputes history and batch assignments from
+    scratch (the shared residual-cluster CTEs + the jittered-batch
+    construction) and aggregates — a hash match proves CDC counts ≡
+    recomputed counts, i.e. the delta read carries exactly the
+    ingested rows. Integer basis-point shares via truncating division
+    on both engines.
+
+    Scale shape: ONE pruned-to-two-columns scan of each side (the base
+    read streams (vec_id, pid) only; the delta read opens just the
+    appended files), two 16-row aggregates, one 16-row report join —
+    at 100 TB the refresh cost is the batch's files plus a slim
+    column scan of history, never a re-assignment."""
+    from pyspark.sql import Window
+
+    from .sources.snapshots import read_snapshot, read_snapshot_changes
+
+    dirs = _ivfadc_warm_ingest(spark, sf)
+    piv = read_snapshot(spark, dirs["pivots"]).select("pid")
+    base = read_snapshot(
+        spark, dirs["codes"], version=dirs["codes_base_version"]
+    )
+    delta = read_snapshot_changes(
+        spark,
+        dirs["codes"],
+        dirs["codes_base_version"],
+        dirs["codes_ingest_version"],
+    )
+    h = (
+        base.select("vec_id", "pid")
+        .distinct()
+        .groupBy("pid")
+        .agg(F.count(F.lit(1)).alias("ch"))
+    )
+    b = (
+        delta.select("vec_id", "pid")
+        .distinct()
+        .groupBy("pid")
+        .agg(F.count(F.lit(1)).alias("cb"))
+    )
+    rep = (
+        piv.join(h, "pid", "left")
+        .join(b, "pid", "left")
+        .select(
+            F.col("pid").alias("cid"),
+            F.coalesce(F.col("ch"), F.lit(0)).cast("long").alias("n_hist"),
+            F.coalesce(F.col("cb"), F.lit(0)).cast("long").alias("n_new"),
+        )
+    )
+    wall = Window.partitionBy(_const_part("cid"))
+    th = F.sum("n_hist").over(wall).cast("long")
+    tb = F.sum("n_new").over(wall).cast("long")
+    return rep.select(
+        "cid",
+        "n_hist",
+        "n_new",
+        (F.col("n_hist") + F.col("n_new")).cast("long").alias("n_total"),
+        th.alias("_th"),
+        tb.alias("_tb"),
+    ).select(
+        "cid",
+        "n_hist",
+        "n_new",
+        "n_total",
+        F.expr("((n_hist + n_new) * 10000) div (_th + _tb)")
+        .cast("long")
+        .alias("share_bp"),
+    )
