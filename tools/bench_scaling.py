@@ -182,6 +182,14 @@ TOP = [
     "ann_ivfadc_warm_compact_serve",
     "ivfadc_residual_nprobe_sweep",
     "ann_ivfadc_warm_panel_serve",
+    # round-13: the retrain decision (composes the two audits — its
+    # ratio should mirror theirs), index-served near-dup verification
+    # (candidate-stream-linear like the md5 twin), and the CDC
+    # occupancy refresh (slim column scan + appended files only — the
+    # ratio should sit well below the linear band)
+    "ann_ivf_retrain_decision",
+    "ngram_jaccard_verify_grams_index",
+    "ann_ivf_occupancy_incremental",
 ]
 
 # third scaling point for the heaviest candidate-generating entries —
