@@ -253,6 +253,10 @@ TOP_4X = [
     # its own curvature record
     "corpus_recipe_increment",
     "corpus_recipe_increment_warm",
+    # round-13: the index-served verifier — its candidate stream grows
+    # ~37x at 4x (the md5 generator's property), so the curvature point
+    # separates candidate growth from per-pair array-intersect cost
+    "ngram_jaccard_verify_grams_index",
 ]
 
 # fourth scaling point (round-6 verdict item 7) for the two entries
