@@ -8809,12 +8809,26 @@ def _recipe_label_batch(batch: DataFrame, state: dict) -> DataFrame:
     # recomputes the regex-clean lineage AND carries its expression
     # tree through analysis, so one eager checkpoint both halves the
     # executor work and shrinks every downstream plan (the standard
-    # multi-consumer discipline, see jaccard_verify_pairs)
-    scrub_b = (
-        b0.crossJoin(F.broadcast(bp))
-        .select("doc_id", _recipe_clean_expr().alias("text"))
-        .localCheckpoint(eager=True)
+    # multi-consumer discipline, see jaccard_verify_pairs). On the warm
+    # path the verify-stage gram arrays are FUSED into the same
+    # checkpoint as an extra column (one materialization job instead of
+    # two; text-only consumers never read the column — columnar)
+    gidx = state.get("gram_index")
+    scrub_all = b0.crossJoin(F.broadcast(bp)).select(
+        "doc_id", _recipe_clean_expr().alias("text")
     )
+    if gidx is not None:
+        from .operators.dedup import word_ngrams
+
+        # the same expression gram_hash_index builds — per-row, no join
+        scrub_all = scrub_all.withColumn(
+            "grams",
+            F.transform(
+                word_ngrams(F.col("text"), 2), lambda g: F.xxhash64(g)
+            ),
+        )
+    scrub_all = scrub_all.localCheckpoint(eager=True)
+    scrub_b = scrub_all.select("doc_id", "text")
     cands_int = minhash_md5_pairs(
         scrub_b, "text", "doc_id", n_gram=3, k=16, bands=8
     ).filter(F.col("n_match") >= 5)
@@ -8834,7 +8848,6 @@ def _recipe_label_batch(batch: DataFrame, state: dict) -> DataFrame:
     cross_pairs = cross.select(
         F.col("hist_id").alias("id_a"), F.col("new_id").alias("id_b")
     )
-    gidx = state.get("gram_index")
     if gidx is not None:
         # warm VERIFY (round-12 verdict item 2): the batch is shingled
         # ONCE into its own gram index; history gram sets come from
@@ -8848,11 +8861,13 @@ def _recipe_label_batch(batch: DataFrame, state: dict) -> DataFrame:
         # semantically identical to two calls) — measured: two calls
         # paid the pair-checkpoint + gram-checkpoint + aggregate
         # machinery twice (1.98s + 2.65s at sf0.1) for the same work.
-        from .operators.dedup import gram_hash_index, jaccard_verify_pairs_grams
+        # The batch gram arrays ride the scrub_all checkpoint (fused
+        # column above) — no second materialization job.
+        from .operators.dedup import jaccard_verify_pairs_grams
 
-        bgrams = gram_hash_index(
-            scrub_b, "text", "doc_id", n=2
-        ).localCheckpoint(eager=True)
+        bgrams = scrub_all.select(
+            F.col("doc_id").alias("id"), "grams"
+        )
         conf = jaccard_verify_pairs_grams(
             bgrams.unionByName(gidx),
             cands_int.select("id_a", "id_b").unionByName(cross_pairs),
