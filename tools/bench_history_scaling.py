@@ -58,7 +58,13 @@ from opendata_gov_lt_mysql_import_spark.sources.snapshots import (  # noqa: E402
     read_snapshot,
 )
 from bench import force_eval  # noqa: E402
-from tools.bench_scaling import BASE, DERIVED_2X, DERIVED_4X, build_kx  # noqa: E402
+from tools.bench_scaling import (  # noqa: E402
+    BASE,
+    DERIVED_2X,
+    DERIVED_4X,
+    DERIVED_8X,
+    build_kx,
+)
 
 RUNS = 2  # min-of-2, interleaved across history scales
 
@@ -154,6 +160,9 @@ def main() -> None:
     build_kx(spark, 2, DERIVED_2X)
     build_kx(spark, 4, DERIVED_4X)
     scales = [("1x", BASE), ("2x", DERIVED_2X), ("4x", DERIVED_4X)]
+    if "--with-8x" in sys.argv:
+        build_kx(spark, 8, DERIVED_8X)
+        scales.append(("8x", DERIVED_8X))
 
     # the FIXED batch: always the base fixture's slice
     _, base_batch = _recipe_hist_batch(spark, BASE)
@@ -182,19 +191,25 @@ def main() -> None:
 
     def series(d):
         t1, t2, t4 = _min_of(d["1x"]), _min_of(d["2x"]), _min_of(d["4x"])
-        return {
+        out = {
             "t_hist_1x": t1,
             "t_hist_2x": t2,
             "t_hist_4x": t4,
             "ratio_hist_2x": round(t2 / t1, 2),
             "ratio_hist_4x": round(t4 / t1, 2),
         }
+        if d.get("8x"):
+            t8 = _min_of(d["8x"])
+            out["t_hist_8x"] = t8
+            out["ratio_hist_8x"] = round(t8 / t1, 2)
+        return out
 
     out = {
         "note": (
             "fixed-batch, growing-history falsifier (round-12 verdict "
             "item 1): the ingest batch is held constant at its sf0.1 "
-            "size while history alone grows 2x/4x (kx-derived history, "
+            "size while history alone grows 2x/4x (8x with --with-8x; "
+            "kx-derived history, "
             "base-fixture batch). Batch-sized per-ingest work predicts "
             "~flat ratios; O(history) per-ingest work predicts ratios "
             "tracking the history scale (~2/~4). The recipe's "
