@@ -274,6 +274,10 @@ HEADLINE = [
     # from the pinned base version, batch counts from the appended
     # files only (read_snapshot_changes); min-of-3 prices the refresh
     "ann_ivf_occupancy_incremental",
+    # round-13: SemDeDup's incremental half — a new embedding batch
+    # screened against history inside its centroid block (batch×block
+    # pairs only; history-history pairs never form)
+    "incremental_semantic_dedup",
 ]
 
 

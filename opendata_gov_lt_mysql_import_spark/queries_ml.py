@@ -11740,3 +11740,150 @@ def ann_ivf_occupancy_incremental_q(spark: SparkSession, sf: str) -> DataFrame:
         .cast("long")
         .alias("share_bp"),
     )
+
+
+@query(
+    "incremental_semantic_dedup",
+    """
+    WITH v AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
+      FROM embeddings
+    ),
+    batch AS (
+      -- jittered copies are near-dups of their origin; every third is
+      -- NEGATED (cosine -1 to everything near its origin) so the batch
+      -- carries both rejects and admits. oid renamed before the offset
+      -- alias (HOF alias-capture hazard), jitter CAST to DOUBLE.
+      SELECT oid + 1000000 AS vec_id, label,
+             CASE WHEN oid % 3 = 0
+                  THEN list_transform(e0,
+                         x -> -x + (oid % 97) * CAST(0.001 AS DOUBLE))
+                  ELSE list_transform(e0,
+                         x -> x + (oid % 97) * CAST(0.001 AS DOUBLE))
+             END AS e
+      FROM (SELECT vec_id AS oid, label, e AS e0 FROM v)
+    ),
+    hits AS (
+      SELECT b.vec_id AS new_id, b.label, h.vec_id AS hist_id,
+             round(list_cosine_similarity(b.e, h.e), 4) AS cos
+      FROM batch b JOIN v h ON b.label = h.label
+      WHERE round(list_cosine_similarity(b.e, h.e), 4) >= 0.3
+    ),
+    top AS (
+      SELECT new_id, hist_id, cos FROM (
+        SELECT new_id, hist_id, cos,
+               row_number() OVER (PARTITION BY new_id
+                 ORDER BY cos DESC, hist_id) AS rn
+        FROM hits)
+      WHERE rn = 1
+    ),
+    cnt AS (
+      SELECT new_id, CAST(count(*) AS BIGINT) AS n_hits
+      FROM hits GROUP BY new_id
+    )
+    SELECT b.vec_id AS new_id, b.label,
+           CAST(COALESCE(c.n_hits, 0) AS BIGINT) AS n_hits,
+           t.hist_id AS nearest_hist_id,
+           t.cos AS best_cos,
+           c.new_id IS NULL AS admit
+    FROM batch b
+    LEFT JOIN cnt c ON c.new_id = b.vec_id
+    LEFT JOIN top t ON t.new_id = b.vec_id
+    """,
+)
+def incremental_semantic_dedup_q(spark: SparkSession, sf: str) -> DataFrame:
+    """SemDeDup's missing INCREMENTAL half (round 13): a new embedding
+    batch screened against HISTORY only — the embedding-domain twin of
+    ``incremental_minhash_neardup``. The batch (deterministically
+    jittered id-offset copies, every third negated so the fixture
+    carries both outcomes) probes history vectors inside its own
+    centroid block (the ``label`` column here; an IVF cell at scale),
+    scoring exact cosine on candidate pairs only. Output per batch
+    vector: (new_id, label, n_hits, nearest_hist_id, best_cos, admit)
+    — admit=true means no history vector in the block reaches the 0.3
+    threshold and the document enters the corpus; rejects carry their
+    provenance (the nearest history near-dup, rounded-cosine ranked
+    with vec_id tie-break so the rank-1 boundary is cross-engine
+    exact). The threshold compares ROUNDED cosine on both engines so
+    no pair can straddle it by one ulp.
+
+    Scale shape: NO history-history pairs ever form (the one-shot
+    ``semantic_dedup`` pays block² once; every later crawl pays only
+    batch × block), the batch is the small side of the block join
+    (AQE broadcasts it), history streams map-side, and the per-pair
+    work is one fused zip_with dot. The windows are per-new_id,
+    batch-sized. This is exactly the SemDeDup maintenance path a
+    100 TB deployment runs per crawl slice."""
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf, "embeddings")
+    v = emb.select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("e")
+    )
+    jit = (F.col("oid") % 97).cast("double") * F.lit(0.001)
+    batch = v.select(
+        F.col("vec_id").alias("oid"), "label", F.col("e").alias("e0")
+    ).select(
+        (F.col("oid") + 1000000).alias("vec_id"),
+        "label",
+        F.when(
+            F.col("oid") % 3 == 0,
+            F.transform(F.col("e0"), lambda x: -x + jit),
+        )
+        .otherwise(F.transform(F.col("e0"), lambda x: x + jit))
+        .alias("e"),
+    )
+
+    def _dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    h = v.select(
+        F.col("vec_id").alias("hist_id"),
+        "label",
+        F.col("e").alias("he"),
+    )
+    b = batch.select(
+        F.col("vec_id").alias("new_id"), "label", F.col("e").alias("be")
+    )
+    cos = F.round(
+        _dot(F.col("be"), F.col("he"))
+        / (
+            F.sqrt(_dot(F.col("be"), F.col("be")))
+            * F.sqrt(_dot(F.col("he"), F.col("he")))
+        ),
+        4,
+    )
+    hits = (
+        b.join(h, "label")
+        .select("new_id", "label", "hist_id", cos.alias("cos"))
+        .filter(F.col("cos") >= 0.3)
+        .localCheckpoint(eager=True)  # feeds the window AND the count
+    )
+    w = Window.partitionBy("new_id").orderBy(F.desc("cos"), F.asc("hist_id"))
+    top = (
+        hits.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "new_id",
+            F.col("hist_id").alias("nearest_hist_id"),
+            F.col("cos").alias("best_cos"),
+        )
+    )
+    cnt = hits.groupBy("new_id").agg(F.count(F.lit(1)).alias("_n"))
+    return (
+        batch.select(F.col("vec_id").alias("new_id"), "label")
+        .join(cnt, "new_id", "left")
+        .join(top, "new_id", "left")
+        .select(
+            "new_id",
+            "label",
+            F.coalesce(F.col("_n"), F.lit(0)).cast("long").alias("n_hits"),
+            "nearest_hist_id",
+            "best_cos",
+            F.col("_n").isNull().alias("admit"),
+        )
+    )
