@@ -11841,21 +11841,23 @@ def incremental_semantic_dedup_q(spark: SparkSession, sf: str) -> DataFrame:
             lambda acc, x: acc + x,
         )
 
+    # norms hoisted to one pass per SIDE (O(N) sqrt-dots), not per pair
+    # (O(batch x block)) — the values are bit-identical (same fused
+    # zip_with dot, same sqrt), only the evaluation count changes
     h = v.select(
         F.col("vec_id").alias("hist_id"),
         "label",
         F.col("e").alias("he"),
+        F.sqrt(_dot(F.col("e"), F.col("e"))).alias("hn"),
     )
     b = batch.select(
-        F.col("vec_id").alias("new_id"), "label", F.col("e").alias("be")
+        F.col("vec_id").alias("new_id"),
+        "label",
+        F.col("e").alias("be"),
+        F.sqrt(_dot(F.col("e"), F.col("e"))).alias("bn"),
     )
     cos = F.round(
-        _dot(F.col("be"), F.col("he"))
-        / (
-            F.sqrt(_dot(F.col("be"), F.col("be")))
-            * F.sqrt(_dot(F.col("he"), F.col("he")))
-        ),
-        4,
+        _dot(F.col("be"), F.col("he")) / (F.col("bn") * F.col("hn")), 4
     )
     hits = (
         b.join(h, "label")

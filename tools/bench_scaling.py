@@ -190,6 +190,11 @@ TOP = [
     "ann_ivf_retrain_decision",
     "ngram_jaccard_verify_grams_index",
     "ann_ivf_occupancy_incremental",
+    # round-13: batch×block pair scoring — kx grows BOTH sides of the
+    # block join (batch and block), so the honest expectation is ~2 at
+    # 2x (the incremental claim is no history×history term, not
+    # constant cost; the fixed-batch falsifier is the harness above)
+    "incremental_semantic_dedup",
 ]
 
 # third scaling point for the heaviest candidate-generating entries —
