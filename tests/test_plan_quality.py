@@ -1063,3 +1063,18 @@ def test_retrain_decision_adds_no_corpus_scan(spark, sf_dir, queries):
     r = scans(queries["ann_ivf_recall_after_drift"](spark, sf_dir))
     dec = scans(queries["ann_ivf_retrain_decision"](spark, sf_dir))
     assert dec <= d + r, (dec, d, r)
+
+
+def test_incremental_semantic_dedup_is_blocked_hash_join(
+    spark, sf_dir, queries
+):
+    """incremental_semantic_dedup (round 13): the batch×history screen
+    must stay a label-blocked HASH join — no cartesian/nested-loop
+    anywhere (the quadratic all-pairs shape), and the per-new_id
+    ranking window must not be global."""
+    df = queries["incremental_semantic_dedup"](spark, sf_dir)
+    plan = final_plan(df)
+    final = plan.split("== Initial Plan ==")[0]
+    assert "CartesianProduct" not in final, plan
+    assert "BroadcastNestedLoopJoin" not in final, plan
+    assert re.search(r"(Broadcast|Shuffled)HashJoin", final), plan
