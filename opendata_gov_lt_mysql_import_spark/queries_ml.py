@@ -11781,10 +11781,14 @@ def ann_ivf_occupancy_incremental_q(spark: SparkSession, sf: str) -> DataFrame:
       SELECT new_id, CAST(count(*) AS BIGINT) AS n_hits
       FROM hits GROUP BY new_id
     )
+    -- admits carry sentinels, not NULLs: a nullable BIGINT through
+    -- the pandas bridge coerces to float64 ('7.0' vs '7' in the
+    -- value-hash) — the documented dtype hazard, caught by the gate's
+    -- own canonicalizer at both scales
     SELECT b.vec_id AS new_id, b.label,
            CAST(COALESCE(c.n_hits, 0) AS BIGINT) AS n_hits,
-           t.hist_id AS nearest_hist_id,
-           t.cos AS best_cos,
+           CAST(COALESCE(t.hist_id, -1) AS BIGINT) AS nearest_hist_id,
+           COALESCE(t.cos, CAST(-2.0 AS DOUBLE)) AS best_cos,
            c.new_id IS NULL AS admit
     FROM batch b
     LEFT JOIN cnt c ON c.new_id = b.vec_id
@@ -11884,8 +11888,10 @@ def incremental_semantic_dedup_q(spark: SparkSession, sf: str) -> DataFrame:
             "new_id",
             "label",
             F.coalesce(F.col("_n"), F.lit(0)).cast("long").alias("n_hits"),
-            "nearest_hist_id",
-            "best_cos",
+            F.coalesce(F.col("nearest_hist_id"), F.lit(-1))
+            .cast("long")
+            .alias("nearest_hist_id"),
+            F.coalesce(F.col("best_cos"), F.lit(-2.0)).alias("best_cos"),
             F.col("_n").isNull().alias("admit"),
         )
     )
