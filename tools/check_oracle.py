@@ -72,6 +72,26 @@ def main() -> int:
     except AssertionError as exc:
         print(f"{key}: VALUE MISMATCH\n{exc}")
         return 1
+    # the gate's canonicalizer as a second opinion:
+    # assert_frame_equal(check_dtype=False) treats 7 and 7.0 as equal,
+    # but a nullable BIGINT through the pandas bridge becomes float64
+    # and the driver's value hash distinguishes '7' from '7.0' (the
+    # round-13 incremental_semantic_dedup lesson) — run the same
+    # _row_key compare the gate (and the driver) effectively uses
+    from collections import Counter
+
+    from opendata_gov_lt_mysql_import_spark.oracle_gate import _row_key
+
+    smap = Counter(_row_key(list(r)) for r in sdf.itertuples(index=False))
+    omap = Counter(_row_key(list(r)) for r in odf.itertuples(index=False))
+    if smap != omap:
+        sonly = list((smap - omap).keys())[:2]
+        oonly = list((omap - smap).keys())[:2]
+        print(
+            f"{key}: CANONICAL-HASH MISMATCH (values equal loosely, "
+            f"dtype bridge differs)\nspark-only={sonly}\noracle-only={oonly}"
+        )
+        return 1
     print(f"{key}: MATCH OK ({len(sdf)} rows, {len(cols)} cols, {sf_dir})")
     return 0
 
