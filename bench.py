@@ -319,11 +319,14 @@ def _prev_round_committed(here: str) -> tuple[str | None, dict]:
             capture_output=True, text=True, cwd=here, check=True,
         ).stdout
         sha = None
-        # case-insensitive, separator-tolerant: the history already
-        # mixes "round 11:", "Round 11:" and "Round-12" subjects, and a
-        # case-sensitive startswith silently disabled the audit
-        # (round-12 advisory)
-        round_re = re.compile(r"^round[ -]?\d+", re.IGNORECASE)
+        # Anchor ONLY on driver round-boundary commits. The driver's
+        # convention is exact and lowercase: "round N: verdict/..." or
+        # "round N: end-of-round snapshot (...)". Builder commits in the
+        # history start with "Round 11:"/"Round-12 bench record:" and a
+        # loose `^round[ -]?\d+` (or even a colon-only tightening) would
+        # re-anchor the cross-round audit to an intra-round commit
+        # (round-13 advisory, bench.py:327).
+        round_re = re.compile(r"^round \d+: (verdict|end-of-round)")
         for line in log.splitlines():
             parts = line.split(" ", 1)
             if len(parts) == 2 and round_re.match(parts[1]):

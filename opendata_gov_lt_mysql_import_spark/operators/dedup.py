@@ -546,6 +546,7 @@ def jaccard_verify_pairs_grams(
     index: DataFrame,
     pairs: DataFrame,
     min_jaccard: float = 0.2,
+    on_missing: str = "drop",
 ) -> DataFrame:
     """:func:`jaccard_verify_pairs` over a PRECOMPUTED gram-hash index
     (:func:`gram_hash_index` shape: ``id``, ``grams array<bigint>``)
@@ -570,13 +571,40 @@ def jaccard_verify_pairs_grams(
     consumes the pair set THREE times (both cand_ids arms + the
     intersection join), so it must materialize the LSH generator once;
     this shape consumes it exactly once in one linear plan, so a
-    checkpoint would only add a serialization point."""
+    checkpoint would only add a serialization point.
+
+    ``on_missing`` governs pairs referencing an id ABSENT from the
+    index (an index/scrub desync — a missed fold or partial snapshot
+    commit). ``"drop"`` (default) keeps the inner-join semantics:
+    such pairs vanish, matching the text path's behavior when a
+    candidate text is gone. ``"error"`` fail-louds: the joins go
+    left-outer and a declarative ``raise_error`` fires at execution
+    on the first null gram set, so a desync surfaces as an error
+    instead of silently missing near-dup kills (round-13 advisory,
+    operators/dedup.py:578). No extra job either way — the guard is
+    a projection expression inside the same plan."""
+    if on_missing not in ("drop", "error"):
+        raise ValueError(f"on_missing must be 'drop' or 'error', got {on_missing!r}")
     pairs = pairs.select("id_a", "id_b").dropDuplicates(["id_a", "id_b"])
     ia = index.select(F.col("id").alias("id_a"), F.col("grams").alias("_ga"))
     ib = index.select(F.col("id").alias("id_b"), F.col("grams").alias("_gb"))
+    how = "inner" if on_missing == "drop" else "left"
+    joined = pairs.join(ia, "id_a", how).join(ib, "id_b", how)
+    if on_missing == "error":
+        guard = lambda c, idc: F.when(  # noqa: E731
+            F.col(c).isNull(),
+            F.raise_error(
+                F.concat(
+                    F.lit("gram index missing id (index/scrub desync): "),
+                    F.col(idc).cast("string"),
+                )
+            ),
+        ).otherwise(F.col(c))
+        joined = joined.withColumn("_ga", guard("_ga", "id_a")).withColumn(
+            "_gb", guard("_gb", "id_b")
+        )
     out = (
-        pairs.join(ia, "id_a")
-        .join(ib, "id_b")
+        joined
         .withColumn(
             "_inter", F.size(F.array_intersect(F.col("_ga"), F.col("_gb")))
         )

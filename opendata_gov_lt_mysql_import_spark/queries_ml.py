@@ -11808,8 +11808,16 @@ def incremental_semantic_dedup_q(spark: SparkSession, sf: str) -> DataFrame:
     threshold and the document enters the corpus; rejects carry their
     provenance (the nearest history near-dup, rounded-cosine ranked
     with vec_id tie-break so the rank-1 boundary is cross-engine
-    exact). The threshold compares ROUNDED cosine on both engines so
-    no pair can straddle it by one ulp.
+    exact). The threshold compares ROUNDED cosine on both engines,
+    which NARROWS but does not fully close the cross-engine straddle:
+    DuckDB's list_cosine_similarity and Spark's fused zip_with sum in
+    different orders, so a pair whose true cosine sits within ~1 ulp
+    of a x.xxxx5 rounding boundary could still round differently and
+    flip a threshold/rank-1 outcome (round-13 advisory). The fixture's
+    jitter grid (0.001 steps on unit-ish vectors) keeps every pair
+    well clear of such boundaries — if a future fixture change makes
+    this entry flap, suspect a boundary-straddling pair before an
+    engine bug.
 
     Scale shape: NO history-history pairs ever form (the one-shot
     ``semantic_dedup`` pays block² once; every later crawl pays only

@@ -277,6 +277,44 @@ class TestDedup:
         assert 0.5 < vals[(1, 3)] < 1.0
         assert (1, 4) not in vals  # below threshold → dropped
 
+    def test_grams_verify_on_missing_modes(self, spark):
+        """Index/scrub desync contract (round-13 advisory): a pair id
+        absent from the gram index is silently dropped under the
+        default ``on_missing='drop'`` (inner-join semantics, pinned
+        here so a behavior change is loud) and raises under
+        ``on_missing='error'``."""
+        from opendata_gov_lt_mysql_import_spark.operators.dedup import (
+            gram_hash_index,
+            jaccard_verify_pairs_grams,
+        )
+
+        docs = self._docs(spark)
+        # desynced index: id=3 shingled but never folded in
+        index = gram_hash_index(docs.filter("id != 3"), "text", "id", n=2)
+        pairs = spark.createDataFrame(
+            [(1, 2), (1, 3)], "id_a long, id_b long"
+        )
+        dropped = jaccard_verify_pairs_grams(index, pairs, min_jaccard=0.1)
+        vals = {(r["id_a"], r["id_b"]): r["jaccard"] for r in dropped.collect()}
+        assert vals == {(1, 2): 1.0}  # (1,3) silently gone — the pinned hazard
+        import pytest as _pytest
+
+        loud = jaccard_verify_pairs_grams(
+            index, pairs, min_jaccard=0.1, on_missing="error"
+        )
+        with _pytest.raises(Exception) as exc:
+            loud.collect()
+        assert "gram index missing id" in str(exc.value), exc.value
+        with _pytest.raises(ValueError):
+            jaccard_verify_pairs_grams(index, pairs, on_missing="bogus")
+        # full coverage → error mode is value-identical to drop mode
+        full = gram_hash_index(docs, "text", "id", n=2)
+        a = jaccard_verify_pairs_grams(full, pairs, min_jaccard=0.1)
+        b = jaccard_verify_pairs_grams(
+            full, pairs, min_jaccard=0.1, on_missing="error"
+        )
+        assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
     def test_candidates_only_verify_equals_exact_blocked(self, spark, sf_dir):
         """The 100 TB pipeline shape (LSH generate → exact verify) returns
         the same high-similarity pairs as the quadratic blocked form on the

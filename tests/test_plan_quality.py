@@ -818,8 +818,12 @@ def test_ivfadc_warm_vacuum_respects_pinned_reader(
     serve stays green with identical rows. (b) A vacuum that reclaims
     the pinned version (keep_last=1 after compaction rewrote every
     file) makes the pinned read raise the loud no-such-version error —
-    never silent wrong results. Half (b) runs on a COPY of the table
-    tree so the shared per-process warm index is untouched."""
+    never silent wrong results. BOTH halves run on a COPY of the table
+    tree so the shared per-process warm index is untouched — half (a)
+    too, because if the no-op assumption ever broke (grace-window or
+    keep_last semantics change), an in-place vacuum would damage the
+    shared index BEFORE the assert fired and poison unrelated tests
+    far from the cause (round-13 advisory)."""
     import shutil
 
     import pytest as _pytest
@@ -839,11 +843,25 @@ def test_ivfadc_warm_vacuum_respects_pinned_reader(
         tuple(r)
         for r in queries["ann_ivfadc_warm_serve"](spark, sf_dir).collect()
     }
-    # (a) keep_last spans every version ever committed -> no-op vacuum
-    # (the fresh files are also inside the orphan grace window)
-    n_versions = current_version(dirs["codes"]) + 1
-    deleted = vacuum(dirs["codes"], keep_last=n_versions)
+    # (a) on a copy: keep_last spans every version ever committed ->
+    # no-op vacuum (the fresh files are also inside the orphan grace
+    # window), and the pinned pre-ingest version stays readable with
+    # identical content
+    copy_a = str(tmp_path / "codes_copy_a")
+    shutil.copytree(dirs["codes"], copy_a)
+    pinned_before = {
+        tuple(r)
+        for r in read_snapshot(spark, copy_a, version=base_version).collect()
+    }
+    n_versions = current_version(copy_a) + 1
+    deleted = vacuum(copy_a, keep_last=n_versions)
     assert deleted == [], deleted
+    pinned_after = {
+        tuple(r)
+        for r in read_snapshot(spark, copy_a, version=base_version).collect()
+    }
+    assert pinned_after == pinned_before
+    # the shared tree was never touched — the serve entry stays green
     after = {
         tuple(r)
         for r in queries["ann_ivfadc_warm_serve"](spark, sf_dir).collect()
