@@ -270,6 +270,7 @@ HEADLINE = [
     # index — two keyed joins + per-row array_intersect, same oracle
     # as the text-path md5 entry (index verify ≡ text verify, proven)
     "ngram_jaccard_verify_grams_index",
+    "ngram_jaccard_verify_warm",
     # round-13: occupancy refreshed from table CDC — history counts
     # from the pinned base version, batch counts from the appended
     # files only (read_snapshot_changes); min-of-3 prices the refresh

@@ -1063,6 +1063,23 @@ def minhash_md5_pairs(
     sigs = _md5_signatures(
         df, text_col, id_col, n_gram, k
     ).localCheckpoint(eager=True)
+    return minhash_md5_pairs_from_sigs(sigs, id_col, k=k, bands=bands)
+
+
+def minhash_md5_pairs_from_sigs(
+    sigs: DataFrame, id_col: str, k: int = 16, bands: int = 8
+) -> DataFrame:
+    """:func:`minhash_md5_pairs` from a PRECOMPUTED signature frame
+    (``_md5_signatures`` shape: ``id_col``, ``sig array<string>``).
+    The signature frame feeds THREE subplans (band self-join both
+    sides + two signature re-attach joins), so the caller MUST have
+    materialized it (localCheckpoint / persisted table) — exactly what
+    :func:`minhash_md5_pairs` does internally. Split out so a pipeline
+    that also probes a history index (the warm increment) signs its
+    batch ONCE and feeds both the internal pair finder and
+    :func:`incremental_minhash_neardup_from_sigs` — the duplicate
+    signing was one full shingle + k-min aggregation pass plus a
+    second checkpoint job per ingest (round-13 verdict item 2)."""
     banded = _md5_banded(sigs, id_col, k, bands)
 
     a, c = banded.alias("a"), banded.alias("c")
@@ -1142,6 +1159,23 @@ def incremental_minhash_neardup(
     batch_sigs = _md5_signatures(
         new_df, text_col, id_col, n_gram, k
     ).localCheckpoint(eager=True)
+    return incremental_minhash_neardup_from_sigs(
+        batch_sigs, history_index, id_col, k=k, bands=bands
+    )
+
+
+def incremental_minhash_neardup_from_sigs(
+    batch_sigs: DataFrame,
+    history_index: DataFrame,
+    id_col: str,
+    k: int = 16,
+    bands: int = 8,
+) -> DataFrame:
+    """:func:`incremental_minhash_neardup` from a PRECOMPUTED batch
+    signature frame — the caller materializes the signatures once
+    (they feed the banded probe AND the re-attach join here, plus
+    usually :func:`minhash_md5_pairs_from_sigs` for the batch-internal
+    half) so one ingest shingles its batch exactly once."""
     batch_banded = _md5_banded(batch_sigs, id_col, k, bands).select(
         F.col(id_col).alias("new_id"), "b", "bkey"
     )

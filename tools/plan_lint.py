@@ -164,6 +164,12 @@ WHITELIST: dict[str, dict[str, str]] = {
         "bnl_join": "16-pivot frame cross-joined for the two broadcast "
         "cell-assignment argmins (same shape as nearest_centroid_assign)"
     },
+    "incremental_semantic_dedup_ivf": {
+        "bnl_join": "16-pivot frame cross-joined for the batch's "
+        "broadcast L2 cell-assignment argmin (the ingest encoder's "
+        "shape); history membership reads the pinned codes snapshot, "
+        "and the screen itself is a cell-keyed hash join"
+    },
     "ann_ivfadc_residual_topk": {
         "bnl_join": "16-pivot frame cross-joined for the broadcast "
         "L2 cell-assignment argmin, the clustered-corpus construction, "
