@@ -262,6 +262,7 @@ HEADLINE = [
     # scan of the persisted code table (diverse batches defeat file
     # pruning, so batching amortizes the scan instead)
     "ann_ivfadc_warm_panel_serve",
+    "ann_ivfadc_warm_serve_dispatch",
     # round-13: the retrain decision row — composes the occupancy-drift
     # and recall-after-drift audits (their cost IS this entry's cost)
     # into the skew-triggered decision an operator acts on

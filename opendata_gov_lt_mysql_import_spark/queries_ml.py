@@ -10119,7 +10119,11 @@ def _ivfadc_warm_dirs_locked(spark: SparkSession, sf: str) -> dict[str, object]:
 
 
 def _ivfadc_warm_probe(
-    spark: SparkSession, sf: str, dirs: dict[str, str], nprobe: int = 2
+    spark: SparkSession,
+    sf: str,
+    dirs: dict[str, str],
+    nprobe: int = 2,
+    qid: int = 0,
 ) -> tuple[list[int], DataFrame]:
     """(probed cell ids, per-cell query-residual frame) — the
     query-prep half of the warm serve, all DRIVER-side over the
@@ -10139,12 +10143,12 @@ def _ivfadc_warm_probe(
     }
     e0 = list(
         load_table(spark, sf, "embeddings")
-        .filter(F.col("vec_id") == 0)
+        .filter(F.col("vec_id") == qid)
         .select(F.col("embedding").cast("array<double>").alias("e"))
         .collect()[0]["e"]
     )
-    # the clustered-corpus query vector: pivot(0 % 16 + 1) + 0.1 · x_0
-    gp = pivots[1]
+    # the clustered-corpus query vector: pivot(qid % 16 + 1) + 0.1 · x_qid
+    gp = pivots[qid % 16 + 1]
     qe = [gp[k] + 0.1 * e0[k] for k in range(64)]
     dists = sorted(
         (sum((qe[k] - pe[k]) * (qe[k] - pe[k]) for k in range(64)), pid)
@@ -10162,6 +10166,7 @@ def _ivfadc_serve(
     sf: str,
     dirs: dict,
     version: int | None = None,
+    qid: int = 0,
 ) -> DataFrame:
     """The shared ONLINE half of warm-index serving: driver-side probe,
     pruned scan of the probed cells' files (optionally at a pinned
@@ -10172,7 +10177,7 @@ def _ivfadc_serve(
     the TABLE, never the serving plan."""
     from .sources.snapshots import read_snapshot, read_snapshot_pruned
 
-    probed, qres = _ivfadc_warm_probe(spark, sf, dirs)
+    probed, qres = _ivfadc_warm_probe(spark, sf, dirs, qid=qid)
     rcb = read_snapshot(spark, dirs["codebook"])
     qt = (
         _subspace_explode(qres, "qr", "sv")
@@ -10181,7 +10186,7 @@ def _ivfadc_serve(
     )
     codes = read_snapshot_pruned(
         spark, dirs["codes"], [("pid", "in", probed)], version=version
-    ).filter(F.col("vec_id") != 0)
+    ).filter(F.col("vec_id") != qid)
     adc = (
         codes.join(F.broadcast(qt), ["pid", "m", "cid"])
         .groupBy("vec_id")
@@ -10410,12 +10415,10 @@ def _ivfadc_warm_ingest_locked(
     return dirs
 
 
-@query(
-    "ann_ivfadc_warm_panel_serve",
-    _RESCL_CTES + ",\n" + _PANEL_CTE + """,
-    qs AS (
-      SELECT c.vec_id AS qid, c.e AS qe FROM cl c JOIN panel USING (vec_id)
-    ),
+# The batched-serve oracle tail over a `qs` (qid, qe) CTE — shared by
+# the full-panel entry and the crossover-dispatch entry (which
+# restricts qs to a 2-query panel slice).
+_PANEL_SERVE_TAIL = """,
     probe AS (
       SELECT qid, pid, pe FROM (
         SELECT q.qid, p.pid, p.pe,
@@ -10459,7 +10462,15 @@ def _ivfadc_warm_ingest_locked(
       WHERE rn <= 10
     )
     SELECT qid, vec_id, adc_dist FROM adc10
-    """,
+    """
+
+
+@query(
+    "ann_ivfadc_warm_panel_serve",
+    _RESCL_CTES + ",\n" + _PANEL_CTE + """,
+    qs AS (
+      SELECT c.vec_id AS qid, c.e AS qe FROM cl c JOIN panel USING (vec_id)
+    )""" + _PANEL_SERVE_TAIL,
 )
 def ann_ivfadc_warm_panel_serve_q(spark: SparkSession, sf: str) -> DataFrame:
     """BATCHED serving over the warm index (round 12): the offline-eval
@@ -10486,7 +10497,6 @@ def ann_ivfadc_warm_panel_serve_q(spark: SparkSession, sf: str) -> DataFrame:
 
     dirs = _ivfadc_warm_dirs(spark, sf)
     piv0 = read_snapshot(spark, dirs["pivots"])
-    rcb = read_snapshot(spark, dirs["codebook"])
     emb64 = load_table(spark, sf, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
     )
@@ -10495,6 +10505,26 @@ def ann_ivfadc_warm_panel_serve_q(spark: SparkSession, sf: str) -> DataFrame:
     qs = cl.join(F.broadcast(panel), "vec_id").select(
         F.col("vec_id").alias("qid"), F.col("e").alias("qe")
     )
+    return _ivfadc_serve_batched(spark, dirs, piv0, qs)
+
+
+def _ivfadc_serve_batched(
+    spark: SparkSession,
+    dirs: dict,
+    piv0: DataFrame,
+    qs: DataFrame,
+) -> DataFrame:
+    """The batched one-scan serve over a (qid, qe) query frame — the
+    body `ann_ivfadc_warm_panel_serve` established, extracted so the
+    crossover dispatcher (`_ivfadc_serve_dispatch`) can route ANY
+    query panel through it. Codes are read at the pinned pre-ingest
+    version (the same version every per-query serve pins), so both
+    dispatch arms serve the identical table state."""
+    from pyspark.sql import Window
+
+    from .sources.snapshots import read_snapshot
+
+    rcb = read_snapshot(spark, dirs["codebook"])
     w_probe = Window.partitionBy("qid").orderBy(F.asc("d"), F.asc("pid"))
     probe = (
         qs.crossJoin(F.broadcast(piv0))
@@ -10532,6 +10562,94 @@ def ann_ivfadc_warm_panel_serve_q(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.col("rn") <= 10)
         .select("qid", "vec_id", "adc_dist")
     )
+
+
+# The measured routing threshold (SCALING.json `serve_crossover`,
+# sf0.1 warm index, min-of-2 interleaved, round 13): per-query pruned
+# serving wins at Q=1 (0.67s vs 0.96s batched) and loses from Q=4 on
+# (2.46s vs 0.98s; 29x slower at Q=64) — the batched plan amortizes
+# its one full code-table scan across queries, while per-query serving
+# pays a driver probe + manifest-pruned scan + broadcast ADC per query.
+SERVE_BATCH_CROSSOVER_Q = 4
+
+
+def _ivfadc_serve_dispatch(
+    spark: SparkSession, sf: str, dirs: dict, qids: list[int]
+) -> DataFrame:
+    """Route a query panel through the measured crossover (round-13
+    verdict item 5): Q < `SERVE_BATCH_CROSSOVER_Q` issues per-query
+    pruned serves (`_ivfadc_serve` — manifest-pruned scan of the
+    probed cells' files per query) and unions them; Q >= crossover
+    runs the batched one-scan plan (`_ivfadc_serve_batched`). Both
+    arms pin the same pre-ingest codes version and are row-identical
+    by construction (the per-query driver probe mirrors the in-DAG
+    probe operation-for-operation on IEEE doubles) — pinned both ways
+    in tests/test_plan_quality.py. Output: (qid, vec_id, adc_dist)."""
+    if len(qids) < SERVE_BATCH_CROSSOVER_Q:
+        out = None
+        for q in sorted(qids):
+            one = _ivfadc_serve(
+                spark, sf, dirs, version=dirs["codes_base_version"], qid=q
+            ).select(
+                F.lit(q).cast("long").alias("qid"), "vec_id", "adc_dist"
+            )
+            out = one if out is None else out.unionByName(one)
+        return out
+    from .sources.snapshots import read_snapshot
+
+    piv0 = read_snapshot(spark, dirs["pivots"])
+    emb64 = load_table(spark, sf, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    qs = (
+        _rescl_corpus(emb64, piv0)
+        .filter(F.col("vec_id").isin([int(q) for q in qids]))
+        .select(F.col("vec_id").alias("qid"), F.col("e").alias("qe"))
+    )
+    return _ivfadc_serve_batched(spark, dirs, piv0, qs)
+
+
+@query(
+    "ann_ivfadc_warm_serve_dispatch",
+    _RESCL_CTES + ",\n" + _PANEL_CTE + """,
+    p2 AS (SELECT vec_id FROM panel ORDER BY vec_id LIMIT 2),
+    qs AS (
+      SELECT c.vec_id AS qid, c.e AS qe FROM cl c JOIN p2 USING (vec_id)
+    )""" + _PANEL_SERVE_TAIL,
+)
+def ann_ivfadc_warm_serve_dispatch_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Crossover-routed serving (round-13 verdict item 5): the
+    operator that CHOOSES between the two serving plans on the
+    measured crossover (`SERVE_BATCH_CROSSOVER_Q` = 4, SCALING.json
+    `serve_crossover`). This entry serves the 2 lowest-id queries of
+    the fixed audit panel — Q=2 < 4, so the dispatcher issues two
+    per-query manifest-pruned serves and unions them. The ORACLE is
+    the batched arm's SQL restricted to the same 2-query slice, so a
+    hash match proves the routed per-query arm ≡ the batched arm ≡
+    the SQL recompute (both arms were already oracle-proven
+    individually; this pins them against each other through the
+    router). The Q=1 / Q=4 / Q=64 route choices and arm equality at
+    the crossover are plan-pinned in tests/test_plan_quality.py.
+
+    Scale shape: below the crossover each query pays only its probed
+    cells' FILES (driver probe + pruned scan + broadcast ADC); at or
+    above it the one-scan batched plan amortizes the code-table scan —
+    the measured operating rule for a production serving tier."""
+    from .sources.snapshots import read_snapshot
+
+    dirs = _ivfadc_warm_dirs(spark, sf)
+    piv0 = read_snapshot(spark, dirs["pivots"])
+    emb64 = load_table(spark, sf, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    panel2 = (
+        _audit_panel(_rescl_corpus(emb64, piv0))
+        .orderBy(F.asc("vec_id"))
+        .limit(2)
+        .collect()
+    )
+    qids = [int(r["vec_id"]) for r in panel2]
+    return _ivfadc_serve_dispatch(spark, sf, dirs, qids)
 
 
 def _ivfadc_warm_compact(spark: SparkSession, sf: str) -> dict:

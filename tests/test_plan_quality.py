@@ -1080,6 +1080,72 @@ def test_nprobe_sweep_monotone_scan_cost(spark, sf_dir, queries):
     assert bad.limit(1).collect() == []
 
 
+def test_serve_dispatch_routes_on_measured_crossover(spark, sf_dir, queries):
+    """The crossover dispatcher (round-13 verdict item 5): (a) Q=1
+    routes per-query — the plan is the pruned-serve shape (no window
+    function; driver probe + TakeOrdered) over the pinned snapshot;
+    (b) Q=64 routes batched — the one-scan plan with its per-qid
+    windows; (c) at the crossover itself (Q=4, batched) the two arms
+    are ROW-IDENTICAL: the batched result equals the union of the four
+    per-query pruned serves, so the router can never change answers,
+    only cost."""
+    from opendata_gov_lt_mysql_import_spark.queries_ml import (
+        SERVE_BATCH_CROSSOVER_Q,
+        _audit_panel,
+        _ivfadc_serve,
+        _ivfadc_serve_dispatch,
+        _ivfadc_warm_dirs,
+        _rescl_corpus,
+    )
+    from opendata_gov_lt_mysql_import_spark.queries import load_table
+    from opendata_gov_lt_mysql_import_spark.sources.snapshots import (
+        read_snapshot,
+    )
+    from pyspark.sql import functions as F
+
+    assert SERVE_BATCH_CROSSOVER_Q == 4  # the SCALING.json measurement
+    dirs = _ivfadc_warm_dirs(spark, sf_dir)
+    piv0 = read_snapshot(spark, dirs["pivots"])
+    emb64 = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    panel_ids = sorted(
+        int(r["vec_id"])
+        for r in _audit_panel(_rescl_corpus(emb64, piv0)).collect()
+    )
+    # (a) Q=1: per-query pruned route
+    df1 = _ivfadc_serve_dispatch(spark, sf_dir, dirs, panel_ids[:1])
+    df1.collect()
+    p1 = (
+        df1._jdf.queryExecution().executedPlan().toString()
+        .split("== Initial Plan ==")[0]
+    )
+    assert "Window" not in p1, p1
+    assert "TakeOrdered" in p1, p1
+    # (b) Q=64: batched one-scan route
+    df64 = _ivfadc_serve_dispatch(spark, sf_dir, dirs, panel_ids)
+    df64.collect()
+    p64 = (
+        df64._jdf.queryExecution().executedPlan().toString()
+        .split("== Initial Plan ==")[0]
+    )
+    assert "Window" in p64, p64
+    # (c) arm equality at the crossover: batched(Q=4) == union of the
+    # four per-query pruned serves
+    q4 = panel_ids[:4]
+    batched = sorted(
+        map(tuple, _ivfadc_serve_dispatch(spark, sf_dir, dirs, q4).collect())
+    )
+    seq = sorted(
+        (q, r["vec_id"], r["adc_dist"])
+        for q in q4
+        for r in _ivfadc_serve(
+            spark, sf_dir, dirs, version=dirs["codes_base_version"], qid=q
+        ).collect()
+    )
+    assert batched == seq
+
+
 def test_recall_after_drift_bounded_shape(spark, sf_dir, queries):
     """Drift audit contract: assignments and probes are broadcast
     argmins (no cartesian, no global funnel), the exact side is the
