@@ -283,13 +283,17 @@ HEADLINE = [
 ]
 
 
-def force_eval(df) -> int:
-    """Evaluate every column of every row; return the row count.
+def force_eval_chk(df) -> tuple[int, int]:
+    """Evaluate every column of every row; return (row count, checksum).
 
     bit_xor over xxhash64(all columns) makes each projection expression
     load-bearing (nothing prunable), is order-insensitive, and cannot
     overflow under ANSI arithmetic. Map-typed columns are serialized via
-    to_json first (xxhash64 rejects MapType).
+    to_json first (xxhash64 rejects MapType). The checksum is what makes
+    scaling/curvature points self-verifying across rounds (round-13
+    verdict item 6): a timing claim about a result set that silently
+    changed is worthless, so SCALING.json records the checksum next to
+    every timing.
     """
     cols = []
     for fld in df.schema.fields:
@@ -301,7 +305,12 @@ def force_eval(df) -> int:
     row = hashed.agg(
         F.count(F.lit(1)).alias("n"), F.expr("bit_xor(h)").alias("chk")
     ).collect()[0]
-    return row["n"]
+    return row["n"], row["chk"] if row["chk"] is not None else 0
+
+
+def force_eval(df) -> int:
+    """Row count via :func:`force_eval_chk` (checksum discarded)."""
+    return force_eval_chk(df)[0]
 
 
 def _prev_round_committed(here: str) -> tuple[str | None, dict]:

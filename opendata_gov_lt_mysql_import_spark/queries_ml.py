@@ -1006,14 +1006,182 @@ def tfidf_top_keywords_q(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@query("pack_sequences", None)
+# --- Spark-compatible xxhash64(BIGINT, seed=42) in pure ANSI-ish SQL
+# (round-13 verdict item 7: it was the only thing keeping pack_sequences
+# rows-only). For an 8-byte input XXH64 is one mix round + the
+# avalanche — six 64-bit wrapping operations, emulated on DuckDB
+# HUGEINTs mod 2^64. The 64x64 multiply splits the left operand at
+# 2^32 so no intermediate exceeds 2^96 (HUGEINT is 128-bit signed;
+# a full 64x64 product would overflow it). XOR round-trips through
+# signed BIGINT (DuckDB's xor()), rotation is shift-add on disjoint
+# bit ranges. Verified bit-exact against Spark's xxhash64 over the
+# integer range and the fixture ids (tests/test_corpus.py).
+_XXH_M = 1 << 64
+_XXH_P1 = 0x9E3779B185EBCA87
+_XXH_P2 = 0xC2B2AE3D27D4EB4F
+_XXH_P3 = 0x165667B19E3779F9
+_XXH_P4 = 0x85EBCA77C2B2AE63
+_XXH_P5 = 0x27D4EB2F165667C5
+
+
+def _xxh_mul(a: str, b: int) -> str:
+    """(a * b) mod 2^64 without HUGEINT overflow (a < 2^64 column
+    expr, b a 64-bit constant)."""
+    return (
+        f"((({a}) % 4294967296) * {b} % {_XXH_M} + "
+        f"((({a}) // 4294967296) * {b} % 4294967296) * 4294967296)"
+        f" % {_XXH_M}"
+    )
+
+
+def _xxh_rotl(x: str, r: int) -> str:
+    return f"((({x}) * {1 << r}) % {_XXH_M} + ({x}) // {1 << (64 - r)}) % {_XXH_M}"
+
+
+def _xxh_xor(a: str, b: str) -> str:
+    sa = f"CAST(CASE WHEN ({a}) >= {1 << 63} THEN ({a}) - {_XXH_M} ELSE ({a}) END AS BIGINT)"
+    sb = f"CAST(CASE WHEN ({b}) >= {1 << 63} THEN ({b}) - {_XXH_M} ELSE ({b}) END AS BIGINT)"
+    return f"(CAST(xor({sa}, {sb}) AS HUGEINT) + {_XXH_M}) % {_XXH_M}"
+
+
+def _xxh64_long_ctes(src: str, id_expr: str, out: str, seed: int = 42) -> str:
+    """CTE chain computing UNSIGNED xxhash64(``id_expr``) of every row
+    of CTE ``src`` into column ``out`` (all other columns pass
+    through). Lateral column aliases keep each step's expression flat
+    instead of exponentially nested."""
+    h0 = (seed + _XXH_P5 + 8) % _XXH_M
+    return f"""
+    xx0 AS (SELECT *, (CAST({id_expr} AS HUGEINT) + {_XXH_M}) % {_XXH_M}
+                      AS _lu FROM {src}),
+    xx1 AS (SELECT *, {_xxh_mul('_lu', _XXH_P2)} AS _k1a FROM xx0),
+    xx2 AS (SELECT *, {_xxh_rotl('_k1a', 31)} AS _k1b FROM xx1),
+    xx3 AS (SELECT *, {_xxh_mul('_k1b', _XXH_P1)} AS _k1 FROM xx2),
+    xx4 AS (SELECT *, {_xxh_xor(str(h0), '_k1')} AS _h0 FROM xx3),
+    xx5 AS (SELECT *, ({_xxh_mul(_xxh_rotl('_h0', 27), _XXH_P1)} + {_XXH_P4})
+                      % {_XXH_M} AS _h1 FROM xx4),
+    xx6 AS (SELECT *, {_xxh_xor('_h1', '_h1 // 8589934592')} AS _a0 FROM xx5),
+    xx7 AS (SELECT *, {_xxh_mul('_a0', _XXH_P2)} AS _a1 FROM xx6),
+    xx8 AS (SELECT *, {_xxh_xor('_a1', '_a1 // 536870912')} AS _a2 FROM xx7),
+    xx9 AS (SELECT *, {_xxh_mul('_a2', _XXH_P3)} AS _a3 FROM xx8),
+    xxf AS (SELECT * EXCLUDE (_lu, _k1a, _k1b, _k1, _h0, _h1, _a0, _a1,
+                              _a2, _a3),
+                   {_xxh_xor('_a3', '_a3 // 4294967296')} AS {out}
+            FROM xx9)"""
+
+
+def _xxh64_ascii16_ctes(src: str, out: str, seed: int = 42) -> str:
+    """CTE chain computing UNSIGNED xxhash64 of the 16-char ASCII
+    column ``g`` of CTE ``src`` into ``out`` (CTE ``xxg``; other
+    columns pass through). A 16-byte input is exactly two XXH64 word
+    rounds + the avalanche — no stripe loop, no tail bytes. ASCII and
+    len==16 are load-bearing (byte i == ascii(char i)); any violation
+    changes the hash and fails the gate loudly, it cannot pass
+    silently wrong."""
+    h0 = (seed + _XXH_P5 + 16) % _XXH_M
+    word = lambda start: (  # noqa: E731 — LE 64-bit word of 8 chars
+        "("
+        + " + ".join(
+            f"CAST(ascii(substr(g, {start + i}, 1)) AS HUGEINT)"
+            f" * {256 ** i}"
+            for i in range(8)
+        )
+        + ")"
+    )
+    return f"""
+    xg0 AS (SELECT *, {word(1)} AS _w1, {word(9)} AS _w2 FROM {src}),
+    xg1 AS (SELECT *, {_xxh_mul(_xxh_rotl(_xxh_mul('_w1', _XXH_P2), 31), _XXH_P1)} AS _k1 FROM xg0),
+    xg2 AS (SELECT *, ({_xxh_mul(_xxh_rotl(_xxh_xor(str(h0), '_k1'), 27), _XXH_P1)} + {_XXH_P4}) % {_XXH_M} AS _hA FROM xg1),
+    xg3 AS (SELECT *, {_xxh_mul(_xxh_rotl(_xxh_mul('_w2', _XXH_P2), 31), _XXH_P1)} AS _k2 FROM xg2),
+    xg4 AS (SELECT *, ({_xxh_mul(_xxh_rotl(_xxh_xor('_hA', '_k2'), 27), _XXH_P1)} + {_XXH_P4}) % {_XXH_M} AS _hB FROM xg3),
+    xg5 AS (SELECT *, {_xxh_xor('_hB', '_hB // 8589934592')} AS _b0 FROM xg4),
+    xg6 AS (SELECT *, {_xxh_mul('_b0', _XXH_P2)} AS _b1 FROM xg5),
+    xg7 AS (SELECT *, {_xxh_xor('_b1', '_b1 // 536870912')} AS _b2 FROM xg6),
+    xg8 AS (SELECT *, {_xxh_mul('_b2', _XXH_P3)} AS _b3 FROM xg7),
+    xxg AS (SELECT * EXCLUDE (_w1, _w2, _k1, _hA, _k2, _hB, _b0, _b1,
+                              _b2, _b3),
+                   {_xxh_xor('_b3', '_b3 // 4294967296')} AS {out}
+            FROM xg8)"""
+
+
+_PACK_SEQ_ORACLE = f"""
+    WITH RECURSIVE d0 AS (
+      SELECT doc_id,
+             CAST(CASE WHEN trim(text) IS NULL OR trim(text) = '' THEN 0
+                  ELSE len(str_split_regex(trim(text), '\\s+')) END
+                  AS BIGINT) AS n_tokens
+      FROM documents
+    ),{_xxh64_long_ctes('d0', 'doc_id', '_xh')}
+    , sh AS (
+      SELECT doc_id, n_tokens, CAST(_xh % 64 AS BIGINT) AS shard FROM xxf
+    ),
+    rk AS (
+      SELECT *, row_number() OVER (PARTITION BY shard
+                ORDER BY n_tokens DESC, doc_id) AS rn
+      FROM sh
+    ),
+    cnt AS (SELECT shard, count(*) AS n FROM rk GROUP BY shard),
+    -- greedy FFD replayed one doc per iteration per shard: bins =
+    -- remaining capacity per local bin in creation order, acc = the
+    -- assignment log. First fit = lowest index with capacity >= t.
+    ffd AS (
+      SELECT shard, 0 AS r,
+             CAST([] AS BIGINT[]) AS bins,
+             CAST([] AS STRUCT(doc_id BIGINT, n_tokens BIGINT,
+                               b BIGINT)[]) AS acc
+      FROM cnt
+      UNION ALL
+      SELECT f.shard, f.r + 1,
+             CASE WHEN list_filter(generate_series(1, len(f.bins)),
+                         i -> f.bins[i] >= k.n_tokens)[1] IS NULL
+                  THEN list_append(f.bins,
+                         greatest(128 - k.n_tokens, CAST(0 AS BIGINT)))
+                  ELSE list_transform(generate_series(1, len(f.bins)),
+                         i -> CASE WHEN i =
+                                list_filter(
+                                  generate_series(1, len(f.bins)),
+                                  j -> f.bins[j] >= k.n_tokens)[1]
+                              THEN f.bins[i] - k.n_tokens
+                              ELSE f.bins[i] END)
+             END,
+             list_append(f.acc, {{'doc_id': k.doc_id,
+               'n_tokens': k.n_tokens,
+               'b': CAST(CASE WHEN list_filter(
+                           generate_series(1, len(f.bins)),
+                           i -> f.bins[i] >= k.n_tokens)[1] IS NULL
+                         THEN len(f.bins)
+                         ELSE list_filter(
+                           generate_series(1, len(f.bins)),
+                           i -> f.bins[i] >= k.n_tokens)[1] - 1
+                         END AS BIGINT)}})
+      FROM ffd f JOIN rk k ON k.shard = f.shard AND k.rn = f.r + 1
+    ),
+    last_state AS (
+      SELECT f.shard, f.acc FROM ffd f JOIN cnt c
+        ON c.shard = f.shard AND f.r = c.n
+    ),
+    ex AS (SELECT shard, unnest(acc) AS s FROM last_state)
+    SELECT s.doc_id AS doc_id, s.n_tokens AS n_tokens,
+           CAST(shard * 1099511627776 + s.b AS BIGINT) AS bin_id,
+           CAST(sum(s.n_tokens) OVER (
+             PARTITION BY shard, s.b) AS BIGINT) AS bin_fill
+    FROM ex
+    """
+
+
+@query("pack_sequences", _PACK_SEQ_ORACLE)
 def pack_sequences_q(spark: SparkSession, sf: str) -> DataFrame:
     """Greedy first-fit-decreasing sequence packing: documents (by
     whitespace token count) packed into 128-token training bins inside
-    64 deterministic hash shards. Rows-only (bin ids are engine-
-    specific); pytest pins the invariants — every doc assigned once,
-    no bin over cap except oversize singletons, byte-identical across
-    runs."""
+    64 deterministic hash shards. ORACLE-BACKED since round 14
+    (round-13 verdict item 7): the 'engine-specific' part was only the
+    xxhash64 shard hash, and for 8-byte input XXH64 is six wrapping
+    64-bit ops — recomputed bit-exactly in DuckDB SQL
+    (``_xxh64_long_ctes``); the greedy FFD itself is deterministic
+    given the (-n_tokens, doc_id) order and is replayed by a recursive
+    CTE carrying each shard's bin-capacity list (one doc per iteration
+    per shard — max docs-per-shard iterations of 64 slim rows). pytest
+    keeps the structural invariants pinned (every doc assigned once,
+    no bin over cap except oversize singletons)."""
     from .operators.corpus import pack_sequences
     from .operators.textanalysis import token_count
 
@@ -6003,7 +6171,52 @@ def minhash_estimate_calibration_q(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@query("winnow_dup_pairs_fast")
+@query(
+    "winnow_dup_pairs_fast",
+    f"""
+    WITH docs AS ({_DUP_UNION_SQL}),
+    g AS (
+      SELECT doc_id, u.i AS i,
+             substr(text, CAST(u.i AS INTEGER), 16) AS g
+      FROM docs,
+           UNNEST(generate_series(1, greatest(length(text) - 15, 1)))
+             u(i)
+    ),{_xxh64_ascii16_ctes('g', '_xh')}
+    , h AS (
+      SELECT doc_id,
+             list(CAST(CASE WHEN _xh >= {1 << 63} THEN _xh - {_XXH_M}
+                       ELSE _xh END AS BIGINT) ORDER BY i) AS hs
+      FROM xxg GROUP BY doc_id
+    ),
+    fp AS (
+      SELECT doc_id, list_distinct(list_transform(
+               generate_series(1, greatest(len(hs) - 7, 1)),
+               j -> list_min(hs[j:j+7]))) AS fps
+      FROM h
+    ),
+    inv AS (
+      SELECT doc_id, CAST(len(fps) AS BIGINT) AS na, unnest(fps) AS f
+      FROM fp
+    ),
+    occ AS (SELECT f, count(*) AS n FROM inv GROUP BY f),
+    small AS (
+      SELECT i.* FROM inv i JOIN occ USING (f)
+      WHERE occ.n BETWEEN 2 AND 64
+    ),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.na AS na, b.na AS nb, CAST(count(*) AS BIGINT) AS n_shared
+      FROM small a JOIN small b ON a.f = b.f AND a.doc_id < b.doc_id
+      GROUP BY 1, 2, 3, 4
+    )
+    SELECT doc_a, doc_b, n_shared,
+           CAST((10000 * n_shared) // (na + nb - n_shared) AS BIGINT)
+             AS jacc_bp
+    FROM pairs
+    ORDER BY jacc_bp DESC, n_shared DESC, doc_a, doc_b
+    LIMIT 150
+    """,
+)
 def winnow_dup_pairs_fast_q(spark: SparkSession, sf: str) -> DataFrame:
     """xxhash64 PRODUCTION twin of ``winnow_dup_pairs`` — identical
     plan (map-only winnowed fingerprints → one posting shuffle with
@@ -6012,10 +6225,20 @@ def winnow_dup_pairs_fast_q(spark: SparkSession, sf: str) -> DataFrame:
     idiom. The exact pattern the minhash family ships (xxhash
     ``minhash_lsh_pairs`` rows-only next to oracle-exact
     ``minhash_lsh_pairs_md5``): verify semantics on the md5 twin, run
-    production on this one. Rows-only: xxhash64 is JVM-specific; the
-    hash-agnostic winnowing guarantee (shared ≥23-char substring ⇒
-    shared fingerprint ⇒ pair surfaced) is pytest-pinned for THIS
-    hash in tests/test_urls_and_classifier.py."""
+    production on this one.
+
+    ORACLE-BACKED since round 14 (round-13 verdict item 7): xxhash64
+    of a 16-byte ASCII k-gram is exactly two XXH64 word rounds + the
+    avalanche, recomputed bit-exactly in DuckDB SQL
+    (``_xxh64_ascii16_ctes`` — the string sibling of the
+    pack_sequences long-hash chain), so the full production pipeline
+    — JVM hash, winnowed window minima over SIGNED values, occupancy
+    cap, pair Jaccard, top-150 — is now hash-exact against the SQL
+    recompute. Assumptions made loud, not silent: every fixture gram
+    is 16 one-byte chars (min doc length 48, pure ASCII, asserted by
+    the gate hash itself — any violation mismatches); the
+    hash-agnostic winnowing guarantee stays pytest-pinned in
+    tests/test_urls_and_classifier.py."""
     out = _winnow_pair_scores(
         _documents_with_dups(spark, sf), hash_fn="xxhash64"
     )

@@ -125,6 +125,45 @@ class TestPackSequences:
         n_bins = len({r.bin_id for r in out})
         assert n_bins < 100  # 5 docs of 20 fit a 100-token bin per shard
 
+    def test_sql_xxhash64_long_matches_spark_bit_exact(self, spark):
+        """The claim that unlocked the pack_sequences oracle (round-13
+        verdict item 7): `_xxh64_long_ctes` recomputes Spark's
+        xxhash64(BIGINT, seed=42) in pure DuckDB SQL. Pin bit-exact
+        parity over a hostile id range — zero, negatives, both int64
+        extremes, and a spread of large magnitudes."""
+        import duckdb
+
+        from opendata_gov_lt_mysql_import_spark.queries_ml import (
+            _XXH_M,
+            _xxh64_long_ctes,
+        )
+
+        ids = (
+            [0, 1, -1, 63, 64, 2**40, -(2**40), 2**63 - 1, -(2**63)]
+            + [i * 987654321 - 5 for i in range(-20, 20)]
+        )
+        sql = f"""
+        WITH src AS (SELECT unnest({ids}) AS doc_id),
+        {_xxh64_long_ctes('src', 'doc_id', '_xh').lstrip()}
+        SELECT doc_id,
+               CAST(CASE WHEN _xh >= {1 << 63} THEN _xh - {_XXH_M}
+                    ELSE _xh END AS BIGINT) AS xh
+        FROM xxf
+        """
+        duck = {
+            int(r[0]): int(r[1])
+            for r in duckdb.connect().execute(sql).fetchall()
+        }
+        sp = {
+            r["doc_id"]: r["xh"]
+            for r in spark.createDataFrame(
+                [(i,) for i in ids], "doc_id long"
+            )
+            .select("doc_id", F.xxhash64(F.col("doc_id")).alias("xh"))
+            .collect()
+        }
+        assert duck == sp
+
 
 class TestBoilerplateScrub:
     """boilerplate_line_scrub must remove EXACTLY the injected

@@ -14,7 +14,6 @@ ROWS_ONLY = {
     "approx_distinct_users": "HLL++ sketch estimate is engine-specific",
     "approx_percentile_price": "KLL sketch estimate is engine-specific",
     "sample_stratified_by_lang": "Bernoulli draws are engine-specific",
-    "pack_sequences": "greedy first-fit packing order is engine-specific",
     "weighted_sample_orders": "A-ES keys use -ln(u)/w; ln differs in the "
     "last ulp across libms so the top-k boundary is engine-specific "
     "(inclusion-probability contract pinned in tests/test_splits.py)",
@@ -31,10 +30,6 @@ ROWS_ONLY = {
     "image_dhash_dedup": "pixel decode + perceptual dHash of real BMP "
     "bytes is not SQL-expressible; scale-invariance, pattern "
     "separation and hamming pinned in tests/test_multimodal.py",
-    "winnow_dup_pairs_fast": "xxhash64 fingerprints are JVM-specific "
-    "(production twin of the oracle-exact winnow_dup_pairs); the "
-    "hash-agnostic detection guarantee is pytest-pinned in "
-    "tests/test_urls_and_classifier.py",
     "audio_envelope_dedup": "WAV decode + perceptual envelope hashing "
     "of real RIFF/PCM16 bytes is not SQL-expressible; gain invariance, "
     "resample invariance and pattern separation pinned in "

@@ -47,7 +47,7 @@ from opendata_gov_lt_mysql_import_spark.session import get_spark  # noqa: E402
 from opendata_gov_lt_mysql_import_spark.queries import all_queries  # noqa: E402
 import opendata_gov_lt_mysql_import_spark.queries_ml  # noqa: F401, E402
 import opendata_gov_lt_mysql_import_spark.queries_sql  # noqa: F401, E402
-from bench import force_eval  # noqa: E402
+from bench import force_eval_chk  # noqa: E402
 
 BASE = "/root/testdata/sf0.1"
 DERIVED_2X = "/tmp/spark_graft_sf0.2"
@@ -195,6 +195,15 @@ TOP = [
     # 2x (the incremental claim is no history×history term, not
     # constant cost; the fixed-batch falsifier is the harness above)
     "incremental_semantic_dedup",
+    # round-14: the IVF-cell-blocked twin (same both-sides-grow
+    # expectation; history membership is a pinned snapshot read),
+    # verify served from the committed gram table (candidate-stream
+    # linear; the min-of-2 prices the serve, run 1 pays build+fold),
+    # and the crossover-routed serve (two pruned per-query serves —
+    # the ratio should sit below the linear band like the warm serve)
+    "incremental_semantic_dedup_ivf",
+    "ngram_jaccard_verify_warm",
+    "ann_ivfadc_warm_serve_dispatch",
 ]
 
 # third scaling point for the heaviest candidate-generating entries —
@@ -262,6 +271,10 @@ TOP_4X = [
     # ~37x at 4x (the md5 generator's property), so the curvature point
     # separates candidate growth from per-pair array-intersect cost
     "ngram_jaccard_verify_grams_index",
+    # round-14: the committed-table twin gets the same curvature
+    # treatment (identical candidate stream; the verify side is a
+    # snapshot read instead of an in-DAG build)
+    "ngram_jaccard_verify_warm",
 ]
 
 # fourth scaling point (round-6 verdict item 7) for the two entries
@@ -465,26 +478,39 @@ def build_kx(spark, scale: int, dest: str) -> None:
 
 def _sweep(spark, queries, names, other_dir):
     """Interleaved min-of-2 base-vs-derived timings for ``names``.
-    Returns {name: (t_base, t_kx, rows_base, rows_kx)} — force_eval
-    already counts result rows, so the row ratio comes free."""
+    Returns {name: (t_base, t_kx, rows_base, rows_kx, chk_base,
+    chk_kx)} — force_eval_chk counts result rows AND xxhash64-checksums
+    every cell, so the row ratio comes free and each scaling point is
+    self-verifying across rounds (round-13 verdict item 6): a
+    curvature claim whose result set silently changed shows up as a
+    checksum change, not as an unexplained timing shift. If the two
+    runs of one side disagree on the checksum the entry is
+    nondeterministic — recorded as chk None so nobody anchors on it."""
     results = {}
     for name in names:
         fn = queries[name]
         t_base = t_kx = None
         n_base = n_kx = 0
+        chk: dict[str, int | None] = {}
         for _ in range(2):
             for which, sf_dir in (("base", BASE), ("kx", other_dir)):
                 spark.catalog.clearCache()
                 t0 = time.perf_counter()
-                n = force_eval(fn(spark, sf_dir))
+                n, c = force_eval_chk(fn(spark, sf_dir))
                 dt = time.perf_counter() - t0
+                if which in chk and chk[which] != c:
+                    chk[which] = None  # run-to-run nondeterminism
+                elif which not in chk:
+                    chk[which] = c
                 if which == "base":
                     t_base = dt if t_base is None else min(t_base, dt)
                     n_base = n
                 else:
                     t_kx = dt if t_kx is None else min(t_kx, dt)
                     n_kx = n
-        results[name] = (t_base, t_kx, n_base, n_kx)
+        results[name] = (
+            t_base, t_kx, n_base, n_kx, chk["base"], chk["kx"]
+        )
         print(f"# {name}: {t_base:.3f}s -> {t_kx:.3f}s "
               f"(x{t_kx / t_base:.2f})", file=sys.stderr)
     return results
@@ -512,25 +538,34 @@ def main() -> None:
     queries = all_queries()
     queries["q1_pricing_summary"](spark, BASE).count()  # warm
 
+    def _hex(c: int | None) -> str | None:
+        # signed 64-bit bit_xor rendered as fixed-width hex; None =
+        # run-to-run nondeterministic result set
+        return None if c is None else f"{c & 0xFFFFFFFFFFFFFFFF:016x}"
+
     r2 = _sweep(spark, queries, top, DERIVED_2X)
     results = {
         name: {
             "t_sf0.1": round(tb, 4),
             "t_2x": round(t2, 4),
             "ratio": round(t2 / tb, 2),
+            "chk_sf0.1": _hex(cb),
+            "chk_2x": _hex(ck),
         }
-        for name, (tb, t2, _nb, _nk) in r2.items()
+        for name, (tb, t2, _nb, _nk, cb, ck) in r2.items()
     }
     print("# --- 4x sweep ---", file=sys.stderr)
     r4 = _sweep(spark, queries, top_4x, DERIVED_4X)
     results_4x = {}
-    for name, (tb, t4, nb4, nk4) in r4.items():
+    for name, (tb, t4, nb4, nk4, cb4, ck4) in r4.items():
         entry = {
             "t_sf0.1": round(tb, 4),
             "t_4x": round(t4, 4),
             "ratio_4x": round(t4 / tb, 2),
             "rows_sf0.1": nb4,
             "rows_4x": nk4,
+            "chk_sf0.1": _hex(cb4),
+            "chk_4x": _hex(ck4),
         }
         if name in results:
             # curvature: ratio(4x)/ratio(2x) ~1 = linear, ~2 = quadratic
@@ -641,7 +676,7 @@ def main() -> None:
         cand_base = _candidate_counts(spark, BASE)
         cand_8x = _candidate_counts(spark, DERIVED_8X)
     r8 = _sweep(spark, queries, top_8x, DERIVED_8X) if top_8x else {}
-    for name, (tb, t8, nb, n8) in r8.items():
+    for name, (tb, t8, nb, n8, cb8, ck8) in r8.items():
         entry = {
             "t_sf0.1": round(tb, 4),
             "t_8x": round(t8, 4),
@@ -649,6 +684,8 @@ def main() -> None:
             "rows_sf0.1": nb,
             "rows_8x": n8,
             "row_ratio_8x": round(n8 / max(nb, 1), 2),
+            "chk_sf0.1": _hex(cb8),
+            "chk_8x": _hex(ck8),
         }
         if name in results_4x:
             # curvature vs the 4x point: data doubled again; < 2 keeps
