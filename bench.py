@@ -280,6 +280,7 @@ HEADLINE = [
     # screened against history inside its centroid block (batch×block
     # pairs only; history-history pairs never form)
     "incremental_semantic_dedup",
+    "incremental_semantic_dedup_ivf",
 ]
 
 

@@ -151,6 +151,80 @@ def ivf_point(spark, hist_dir: str) -> tuple[float, float]:
     return t_ingest, t_serve
 
 
+def _gram_series(d: dict[str, list[float]]) -> dict:
+    t1, t2, t4 = _min_of(d["1x"]), _min_of(d["2x"]), _min_of(d["4x"])
+    out = {
+        "t_hist_1x": t1,
+        "t_hist_2x": t2,
+        "t_hist_4x": t4,
+        "ratio_hist_2x": round(t2 / t1, 2),
+        "ratio_hist_4x": round(t4 / t1, 2),
+        "note": (
+            "fixed base-fixture pair set (candidate generation "
+            "precomputed, untimed) verified against the committed "
+            "gram table built over kx history; on_missing='error' "
+            "proves id coverage at every scale"
+        ),
+    }
+    if d.get("8x"):
+        t8 = _min_of(d["8x"])
+        out["t_hist_8x"] = t8
+        out["ratio_hist_8x"] = round(t8 / t1, 2)
+    return out
+
+
+def gram_point(spark, hist_dir: str, base_pairs) -> float:
+    """One timed verify pass of the warm gram-index table (round-13
+    verdict item 3's history point): the candidate pair set is FIXED
+    (precomputed from the base fixture and localCheckpointed, so
+    candidate generation is outside the timing) while the committed
+    gram table grows with history. The batch-sized claim: verify is
+    two keyed joins + per-row array_intersect over pair-referenced
+    rows only — the grown index streams map-side, so the honest
+    expectation is mild sub-linear growth (the scan term), not ~2/~4.
+    on_missing='error' doubles as the coverage proof: every base pair
+    id must exist in every history scale's committed table (base ids
+    and the +1e6 clones are preserved by the kx derivation), so a
+    derivation change that broke id-stability would raise, not
+    silently shrink the verify."""
+    from opendata_gov_lt_mysql_import_spark.operators.dedup import (
+        jaccard_verify_pairs_grams,
+    )
+    from opendata_gov_lt_mysql_import_spark.queries_ml import (
+        _gram_warm_ingest,
+    )
+
+    dirs = _gram_warm_ingest(spark, hist_dir)  # cached after run 1
+    t0 = time.perf_counter()
+    force_eval(
+        jaccard_verify_pairs_grams(
+            read_snapshot(spark, dirs["grams"]),
+            base_pairs,
+            min_jaccard=0.5,
+            on_missing="error",
+        )
+    )
+    return time.perf_counter() - t0
+
+
+def _base_pairs(spark):
+    from opendata_gov_lt_mysql_import_spark.operators.dedup import (
+        _spread,
+        minhash_md5_pairs,
+    )
+    from opendata_gov_lt_mysql_import_spark.queries_ml import (
+        _documents_with_dups,
+    )
+
+    d = _spread(_documents_with_dups(spark, BASE))
+    return (
+        minhash_md5_pairs(d, "text", "doc_id", n_gram=3, k=16, bands=8)
+        .filter(F.col("n_match") >= 5)
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=True)
+    )
+
+
 def main() -> None:
     from opendata_gov_lt_mysql_import_spark.queries_ml import (
         _recipe_hist_batch,
@@ -164,6 +238,37 @@ def main() -> None:
         build_kx(spark, 8, DERIVED_8X)
         scales.append(("8x", DERIVED_8X))
 
+    if "--gram-only" in sys.argv:
+        # merge ONLY the gram-verify series into the existing
+        # history_scaling record (the recipe/IVF points, including
+        # their 8x runs, stay as committed — re-timing them on a
+        # possibly different box would silently re-baseline the
+        # falsifier)
+        pairs = _base_pairs(spark)
+        grm: dict[str, list[float]] = {k: [] for k, _ in scales}
+        for key, d in scales:
+            gram_point(spark, d, pairs)  # build+fold, discard timing
+        for _ in range(RUNS):
+            for key, d in scales:
+                spark.catalog.clearCache()
+                grm[key].append(gram_point(spark, d, pairs))
+                print(
+                    f"# {key}: gram_verify {grm[key][-1]:.2f}s",
+                    file=sys.stderr,
+                )
+        path = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "SCALING.json",
+        )
+        with open(path) as fh:
+            merged = json.load(fh)
+        hs = merged.setdefault("history_scaling", {})
+        hs["ngram_jaccard_verify_warm_fixed_pairs"] = _gram_series(grm)
+        with open(path, "w") as fh:
+            json.dump(merged, fh, indent=1)
+        print(json.dumps(hs["ngram_jaccard_verify_warm_fixed_pairs"]))
+        return
+
     # the FIXED batch: always the base fixture's slice
     _, base_batch = _recipe_hist_batch(spark, BASE)
 
@@ -173,9 +278,12 @@ def main() -> None:
     rec: dict[str, list[float]] = {k: [] for k, _ in scales}
     ivf_i: dict[str, list[float]] = {k: [] for k, _ in scales}
     ivf_s: dict[str, list[float]] = {k: [] for k, _ in scales}
+    grm: dict[str, list[float]] = {k: [] for k, _ in scales}
+    pairs = _base_pairs(spark)
     for key, d in scales:
         recipe_point(spark, d, base_batch)  # build + discard timing
         ivf_point(spark, d)
+        gram_point(spark, d, pairs)
     for _ in range(RUNS):
         for key, d in scales:  # interleaved min-of-N
             spark.catalog.clearCache()
@@ -183,9 +291,11 @@ def main() -> None:
             ti, ts = ivf_point(spark, d)
             ivf_i[key].append(ti)
             ivf_s[key].append(ts)
+            grm[key].append(gram_point(spark, d, pairs))
             print(
                 f"# {key}: recipe {rec[key][-1]:.2f}s "
-                f"ivf_ingest {ti:.2f}s ivf_serve {ts:.2f}s",
+                f"ivf_ingest {ti:.2f}s ivf_serve {ts:.2f}s "
+                f"gram_verify {grm[key][-1]:.2f}s",
                 file=sys.stderr,
             )
 
@@ -223,6 +333,7 @@ def main() -> None:
         "corpus_recipe_increment_warm": series(rec),
         "ann_ivfadc_warm_ingest": series(ivf_i),
         "ann_ivfadc_warm_serve_after_ingest": series(ivf_s),
+        "ngram_jaccard_verify_warm_fixed_pairs": _gram_series(grm),
     }
     path = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
