@@ -887,6 +887,31 @@ def test_ivfadc_warm_vacuum_respects_pinned_reader(
         read_snapshot(spark, copy, version=base_version)
 
 
+def test_warm_increment_job_budget(spark, sf_dir, queries):
+    """The coordination-bound regression guard (round-13 verdict
+    item 2): one warm-increment run scheduled 50 Spark jobs before the
+    round-14 pass and 43 after (single batch signing, unified
+    candidate probe, persisted ev_grams, fused stage-8 aggregate,
+    dropped survivor checkpoint). Pin a generous ceiling so a future
+    change that quietly re-introduces a duplicated signature DAG or an
+    extra eager checkpoint fails HERE with a number, not as an
+    unexplained bench delta. (Job count is scale-independent — it
+    counts scheduled jobs, not tasks.)"""
+    q = queries["corpus_recipe_increment_warm"]
+    q(spark, sf_dir).collect()  # state build + warm-up run
+    tracker = spark.sparkContext.statusTracker()
+    before = set(tracker.getJobIdsForGroup(None) or [])
+    q(spark, sf_dir).collect()
+    after = set(
+        spark.sparkContext.statusTracker().getJobIdsForGroup(None) or []
+    )
+    n_jobs = len(after - before)
+    assert n_jobs <= 48, (
+        f"warm increment scheduled {n_jobs} jobs (round-14 record: 43; "
+        "ceiling 48) — a checkpoint or probe DAG was probably duplicated"
+    )
+
+
 def test_gram_warm_lifecycle_exactly_once_and_serves_from_table(
     spark, sf_dir, queries
 ):
