@@ -73,7 +73,15 @@ DRIVER_TOP50: tuple[str, ...] = (
     # — the actual Jégou §IV-A layout (PQ over x − q1(x)), full-gate-only
     # since it landed (round-11 verdict item 6's rotation discipline)
     "kcenter_coreset",
-    "ann_ivfadc_residual_topk",
+    # ann_ivfadc_residual_topk rotated out round 14 (its residual-ADC
+    # top-k serve is recomputed inside BOTH arms of the crossover
+    # router below and stays in-window via ann_ivfadc_warm_ingest_serve
+    # + ivfadc_nprobe_sweep; residual stays registered +
+    # full-gate-verified + plan-pinned) for the round-14 serving
+    # router: Q<4 issues per-query manifest-pruned serves, Q>=4 the
+    # one-scan batched plan — routed on the MEASURED crossover
+    # (SCALING.json serve_crossover), oracle-pinned arm ≡ arm ≡ SQL
+    "ann_ivfadc_warm_serve_dispatch",
     "j1_left_join_default",
     # j2_dim_chain rotated out round 10 (its two-hop dim chain is
     # recomputed inside q3/q1-style star joins and stays registered +
@@ -114,8 +122,17 @@ DRIVER_TOP50: tuple[str, ...] = (
     # semantics stay covered by the order-preserving f4 row; f3 stays
     # registered + full-gate-verified) for the end-to-end md5 LSH→verify
     # near-dup pipeline, the round-6 newcomer composing generation +
-    # exact verification under one oracle
-    "ngram_jaccard_verify_md5",
+    # exact verification under one oracle.
+    # ngram_jaccard_verify_md5 rotated out round 14 for the warm-table
+    # verify lifecycle entry: IDENTICAL defined output and the SAME
+    # oracle string verbatim (the driver's hash match proves warm-table
+    # verify ≡ in-DAG index verify ≡ text verify ≡ SQL recompute), so
+    # the md5 text-path semantics keep a driver row through its twin
+    # while the row additionally prices committed-state verification
+    # (build-once gram table + idempotent ingest fold +
+    # on_missing='error' desync contract); md5 stays registered +
+    # full-gate-verified
+    "ngram_jaccard_verify_warm",
     "f4_package_tags",
     # f9_json_extract rotated out round 7 (the F9/S11 JSON
     # decode path is exercised in-window by staging_zero_date_roundtrip's
@@ -171,8 +188,17 @@ DRIVER_TOP50: tuple[str, ...] = (
     # round 7 (as-of keeps the temporal-join family in-window, gap-fill
     # + sessionize keep 3 events rows total; both stay registered +
     # full-gate-verified) for centroid-blocked semantic decontamination
-    # and the F7 zero-date staging row above
-    "semantic_decontaminate",
+    # and the F7 zero-date staging row above.
+    # semantic_decontaminate rotated out round 14 (its centroid-blocked
+    # cosine screen is recomputed — blocking, threshold, rounded-cosine
+    # discipline — inside the IVF-blocked incremental SemDeDup below;
+    # decontaminate stays registered + full-gate-verified) for the
+    # round-14 entry that shares ONE partitioning between the dedup
+    # screen and the served ANN index: history cells read from the
+    # PINNED pre-ingest codes snapshot, batch assigned by the frozen
+    # pivots' broadcast argmin, screen in-cell only — the 100 TB shape
+    # where one clustering serves both maintenance paths
+    "incremental_semantic_dedup_ivf",
     # weighted_sample_orders rotated out round 7: its rows-only status
     # (A-ES keys on ln — libm-ULP-dependent, no oracle BY DESIGN) spent
     # a window slot on a permanently non-green row; the fully
