@@ -508,9 +508,13 @@ def ngram_jaccard_verify_lsh_q(spark: SparkSession, sf: str) -> DataFrame:
     """Candidates-only Jaccard verification: exact word-bigram Jaccard
     computed ONLY on MinHash-LSH candidate pairs — cost linear in the
     candidate stream, never quadratic in any block. The 100 TB dedup
-    pipeline shape: LSH generate → exact verify. Rows-only (candidate set
-    depends on engine-specific xxhash64); pytest pins equality with the
-    exact blocked form on the planted-duplicate corpus."""
+    pipeline shape: LSH generate → exact verify, on the PRODUCTION
+    (Arrow FNV-hash) generator. Oracle-exact since round 14: the
+    candidate stage replays through ``_minhash_fnv_ctes`` (est ≥ 0.3,
+    bucket cap 200) and the verify stage is the same word-bigram
+    Jaccard SQL the md5 twin has always carried, so the full
+    fast-path composition is hash-checked end to end. Pytest keeps the
+    planted-duplicate equality pin with the exact blocked form."""
     d = _documents_with_dups(spark, sf)
     cands = minhash_candidate_pairs(
         d, "text", "doc_id", min_jaccard_est=0.3, max_bucket_size=200,
@@ -696,11 +700,19 @@ def events_sessionize_q(spark: SparkSession, sf: str) -> DataFrame:
 
 # --- rows-only (engine-specific hashes; verified in pytest instead) -------
 
+# oracle registered at module bottom (the FNV CTE generator and the
+# shared _ORACLES dict import live later in the file)
 @query("minhash_lsh_pairs")
 def minhash_lsh_pairs_q(spark: SparkSession, sf: str) -> DataFrame:
-    """MinHash-LSH near-dup candidates on the synthesized duplicate corpus
-    (xxhash64 signatures — no portable oracle; pytest checks recall of the
-    planted duplicates and precision vs exact jaccard)."""
+    """MinHash-LSH near-dup candidates on the synthesized duplicate
+    corpus — the PRODUCTION (Arrow-vectorized, shuffle-free) signature
+    path, oracle-exact since round 14: the FNV gram hash + affine
+    permutation family replays bit-exactly in SQL
+    (``_minhash_fnv_ctes``), banding compares band-signature tuples
+    (≡ Spark's xxhash64 bucket modulo a fail-loud collision), and the
+    signature-overlap estimate is k/64.0 on both engines. Pytest
+    additionally pins recall of the planted duplicates and signature
+    parity (tests/test_dedup_fnv_oracle.py)."""
     return minhash_candidate_pairs(
         _documents_with_dups(spark, sf), "text", "doc_id",
         min_jaccard_est=0.5, dropped_out=[],
@@ -1101,6 +1113,106 @@ def _xxh64_ascii16_ctes(src: str, out: str, seed: int = 42) -> str:
                               _b2, _b3),
                    {_xxh_xor('_b3', '_b3 // 4294967296')} AS {out}
             FROM xg8)"""
+
+
+# --- minhash_signatures_arrow's gram hash + affine permutation family in
+# SQL (round-14: it was the only thing keeping the PRODUCTION MinHash-LSH
+# entries rows-only). The arrow signature builder
+# (operators/dedup.py:minhash_signatures_arrow) hashes each 9-byte char
+# shingle with an FNV-style rolling polynomial h = h*P + byte (mod 2^64,
+# offset-seeded) and takes 64 per-document minima of the affine
+# permutations h*A_i + B_i (mod 2^64) — every step replays bit-exactly
+# on DuckDB HUGEINTs with the split-multiply helper above (verified
+# 600/600 signatures identical on the dup corpus; parity pinned in
+# tests/test_dedup_fnv_oracle.py). ASCII text is load-bearing exactly as
+# for _xxh64_ascii16_ctes: byte i == ascii(char i); a non-ASCII fixture
+# would change the hash and fail the gate loudly, never silently pass.
+# Short documents (< 9 bytes) NUL-pad on both engines: numpy ljust(9,
+# b"\\0") there, ascii(substr(...)) == 0 past the end here.
+_FNV_OFF = 1469598103934665603
+_FNV_P = 1099511628211
+_MH_A = [((2 * i + 1) * 0x9E3779B97F4A7C15) % _XXH_M for i in range(64)]
+_MH_B = [(i * 0xD1B54A32D192ED03) % _XXH_M for i in range(64)]
+
+
+def _minhash_fnv_ctes(
+    src: str,
+    est_min: float,
+    cap: int,
+    shingle_k: int = 9,
+    n_bands: int = 16,
+) -> str:
+    """CTE chain replaying ``minhash_candidate_pairs(impl='arrow')`` over
+    CTE ``src`` (doc_id, text): FNV gram hashes → 64 affine-permutation
+    minima → 16×4 banding (bucket EQUALITY is band-signature tuple
+    equality — Spark buckets on xxhash64 of the rendered tuple, so the
+    sets agree modulo a 64-bit hash collision, which would fail the gate
+    loudly) → per-bucket occupancy cap → distinct in-bucket pairs →
+    signature-overlap estimate. Ends in CTE ``mest`` (id_a, id_b,
+    jaccard_est) already filtered at ``est_min``; the estimate is
+    k/64.0 with k integer, bit-identical across engines."""
+    rows_per_band = 64 // n_bands
+    byte = lambda j: (  # noqa: E731 — byte j (0-based) of the gram at _i
+        f"CAST(ascii(substr(_t, _i + {j}, 1)) AS HUGEINT)"
+    )
+    c1 = (_FNV_OFF * _FNV_P) % _XXH_M
+    steps = [
+        f"mg0 AS (SELECT doc_id, COALESCE(text, '') AS _t,"
+        f" unnest(generate_series(1, greatest(strlen(COALESCE(text, ''))"
+        f" - {shingle_k - 1}, 1))) AS _i FROM {src})",
+        f"mh1 AS (SELECT doc_id, _t, _i, ({c1} + {byte(0)}) % {_XXH_M}"
+        f" AS _h FROM mg0)",
+    ]
+    for j in range(1, shingle_k):
+        steps.append(
+            f"mh{j + 1} AS (SELECT doc_id, _t, _i,"
+            f" ({_xxh_mul('_h', _FNV_P)} + {byte(j)}) % {_XXH_M} AS _h"
+            f" FROM mh{j})"
+        )
+    mins = ",\n      ".join(
+        f"min(({_xxh_mul('_h', _MH_A[i])} + {_MH_B[i]}) % {_XXH_M}) AS s{i}"
+        for i in range(64)
+    )
+    steps.append(
+        f"msig AS MATERIALIZED (SELECT doc_id,\n      {mins}\n"
+        f"      FROM mh{shingle_k} GROUP BY doc_id)"
+    )
+    kcols = []
+    for r in range(rows_per_band):
+        branches = " ".join(
+            f"WHEN {b} THEN s{b * rows_per_band + r}" for b in range(n_bands)
+        )
+        kcols.append(f"CASE b {branches} END AS k{r + 1}")
+    keys = ", ".join(f"k{r + 1}" for r in range(rows_per_band))
+    keq = " AND ".join(f"a.k{r + 1} = c.k{r + 1}" for r in range(rows_per_band))
+    est = " + ".join(
+        f"CASE WHEN sa.s{i} = sb.s{i} THEN 1 ELSE 0 END" for i in range(64)
+    )
+    steps.append(
+        f"mband AS MATERIALIZED (SELECT doc_id, b, {', '.join(kcols)}\n"
+        f"      FROM msig CROSS JOIN (SELECT unnest(range(0, {n_bands}))"
+        f" AS b) tb)"
+    )
+    steps.append(
+        f"mocc AS (SELECT b, {keys} FROM mband GROUP BY ALL"
+        f" HAVING count(*) <= {cap})"
+    )
+    steps.append(
+        f"mcold AS (SELECT mb.* FROM mband mb JOIN mocc USING (b, {keys}))"
+    )
+    steps.append(
+        "mcand AS (SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b"
+        f" FROM mcold a JOIN mcold c ON a.b = c.b AND {keq}"
+        " AND a.doc_id < c.doc_id)"
+    )
+    steps.append(
+        f"mest AS (SELECT id_a, id_b, ({est}) / 64.0 AS jaccard_est"
+        " FROM mcand"
+        " JOIN msig sa ON sa.doc_id = mcand.id_a"
+        " JOIN msig sb ON sb.doc_id = mcand.id_b"
+        f" WHERE ({est}) / 64.0 >= {est_min})"
+    )
+    return ",\n    ".join(steps)
 
 
 _PACK_SEQ_ORACLE = f"""
@@ -12591,3 +12703,38 @@ def incremental_semantic_dedup_ivf_q(spark: SparkSession, sf: str) -> DataFrame:
             F.col("_n").isNull().alias("admit"),
         )
     )
+
+
+# --- round-14 oracles for the PRODUCTION (Arrow FNV-hash) MinHash-LSH
+# entries, registered here because the FNV CTE generator is defined
+# mid-module. The rendered SQL is large (64 split-multiply minima) but
+# entirely mechanical; both entries were rows-only since round 1.
+_ORACLE_REG["minhash_lsh_pairs"] = f"""
+    WITH docs AS ({_DUP_UNION_SQL}),
+    {_minhash_fnv_ctes('docs', est_min=0.5, cap=4096)}
+    SELECT id_a, id_b, jaccard_est FROM mest
+"""
+
+_ORACLE_REG["ngram_jaccard_verify_lsh"] = f"""
+    WITH docs AS ({_DUP_UNION_SQL}),
+    {_minhash_fnv_ctes('docs', est_min=0.3, cap=200)},
+    toks AS (
+      SELECT doc_id, str_split_regex(trim(text), '\\s+') AS toks FROM docs
+    ),
+    g2 AS (
+      SELECT doc_id, list_distinct(list_transform(
+               generate_series(1, greatest(len(toks) - 1, 1)),
+               i -> CASE WHEN i + 1 <= len(toks)
+                         THEN toks[i] || ' ' || toks[i+1]
+                         ELSE toks[i] END)) AS gs2
+      FROM toks
+    )
+    SELECT k.id_a, k.id_b,
+           len(list_intersect(a.gs2, b.gs2))
+             / CAST(len(list_distinct(a.gs2 || b.gs2)) AS DOUBLE) AS jaccard
+    FROM mest k
+    JOIN g2 a ON a.doc_id = k.id_a
+    JOIN g2 b ON b.doc_id = k.id_b
+    WHERE len(list_intersect(a.gs2, b.gs2))
+             / CAST(len(list_distinct(a.gs2 || b.gs2)) AS DOUBLE) >= 0.5
+"""

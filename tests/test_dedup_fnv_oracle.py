@@ -1,0 +1,84 @@
+"""Parity pins for the round-14 FNV MinHash SQL replay
+(`queries_ml._minhash_fnv_ctes`): the claim that moved the PRODUCTION
+(Arrow-hash) MinHash-LSH entries off the rows-only list is that
+`minhash_signatures_arrow`'s gram hash + affine permutation minima
+replay bit-exactly on DuckDB HUGEINTs. The oracle gate checks the
+end-to-end pair sets; these tests pin the layer beneath — the 64
+signature components themselves — so a future drift (hash constant,
+shingle width, padding rule) is caught at the signature, not as an
+opaque pair-set diff."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from opendata_gov_lt_mysql_import_spark.operators.dedup import (
+    minhash_signatures_arrow,
+)
+from opendata_gov_lt_mysql_import_spark.queries_ml import (
+    _XXH_M,
+    _documents_with_dups,
+    _minhash_fnv_ctes,
+)
+
+
+def _duck_sigs(rows: list[tuple[int, str | None]]) -> dict[int, list[int]]:
+    """Unsigned 64-component signatures via the oracle CTE chain."""
+    con = duckdb.connect()
+    con.execute("CREATE TABLE docs_in (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO docs_in VALUES (?, ?)", rows)
+    sql = f"""
+    WITH docs AS (SELECT * FROM docs_in),
+    {_minhash_fnv_ctes('docs', est_min=0.5, cap=4096)}
+    SELECT * FROM msig ORDER BY doc_id
+    """
+    return {
+        int(r[0]): [int(v) for v in r[1:]]
+        for r in con.execute(sql).fetchall()
+    }
+
+
+def _spark_sigs(spark, df) -> dict[int, list[int]]:
+    out = minhash_signatures_arrow(df, "text", "doc_id").collect()
+    return {r["id"]: [int(v) % _XXH_M for v in r["sig"]] for r in out}
+
+
+def test_fnv_signatures_match_arrow_on_dup_corpus(spark, sf_dir):
+    """Every signature component of every doc (incl. the planted
+    clones) matches the numpy FNV + affine-min computation bit-exactly."""
+    d = _documents_with_dups(spark, sf_dir)
+    sp = _spark_sigs(spark, d)
+    rows = [(r["doc_id"], r["text"]) for r in d.select("doc_id", "text").collect()]
+    du = _duck_sigs(rows)
+    assert set(sp) == set(du)
+    mismatched = [i for i in sp if sp[i] != du[i]]
+    assert not mismatched, f"signature drift on docs {mismatched[:5]}"
+
+
+@pytest.mark.parametrize(
+    "text",
+    [
+        "",  # empty -> one gram of 9 NUL bytes on both engines
+        "a",  # shorter than the shingle -> right-NUL-padded single gram
+        "12345678",  # len 8: still one padded gram
+        "123456789",  # exactly one full-width gram
+        "1234567890",  # two grams
+        " leading and trailing  whitespace kept verbatim ",
+        "repeat repeat repeat repeat repeat",  # duplicate grams (min unaffected)
+    ],
+)
+def test_fnv_signature_edge_lengths(spark, text):
+    """NUL padding and the max(len-8, 1) gram count replay exactly at
+    the short-document boundary (the fixture never exercises it — every
+    doc is >= 47 bytes — so pin it directly)."""
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    sp = _spark_sigs(spark, df)
+    du = _duck_sigs([(1, text)])
+    assert sp[1] == du[1]
+
+
+def test_fnv_null_text_matches(spark):
+    """NULL text hashes like '' (numpy fillna('') vs SQL COALESCE)."""
+    df = spark.createDataFrame([(1, None)], "doc_id long, text string")
+    assert _spark_sigs(spark, df)[1] == _duck_sigs([(1, None)])[1]

@@ -8,9 +8,7 @@ import __spark_entry__ as entrymod
 
 # Every rows-only query and WHY its semantics are not SQL-expressible.
 ROWS_ONLY = {
-    "minhash_lsh_pairs": "xxhash64 signature permutations are JVM-specific",
     "simhash_pairs": "xxhash64 bit votes are JVM-specific",
-    "ngram_jaccard_verify_lsh": "candidate set comes from xxhash64 LSH",
     "approx_distinct_users": "HLL++ sketch estimate is engine-specific",
     "approx_percentile_price": "KLL sketch estimate is engine-specific",
     "sample_stratified_by_lang": "Bernoulli draws are engine-specific",
