@@ -281,6 +281,10 @@ HEADLINE = [
     # pairs only; history-history pairs never form)
     "incremental_semantic_dedup",
     "incremental_semantic_dedup_ivf",
+    # round-14: simhash_pairs switched to the JVM expr implementation
+    # (its xxhash64 votes replay in SQL -> oracle-exact); price the
+    # impl switch on the record
+    "simhash_pairs",
 ]
 
 

@@ -719,12 +719,21 @@ def minhash_lsh_pairs_q(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@query("simhash_pairs")
+@query("simhash_pairs")  # oracle registered at module bottom
 def simhash_pairs_q(spark: SparkSession, sf: str) -> DataFrame:
-    """SimHash near-dup candidates (banding + hamming verify; pytest
-    checks the planted duplicates are found at hamming 0)."""
+    """SimHash near-dup candidates (pigeonhole chunk banding + exact
+    hamming verify; pytest additionally pins the planted duplicates at
+    hamming 0). Runs the JVM expression implementation — its xxhash64
+    token votes replay bit-exactly in SQL (``_xxh64_str31_ctes``, the
+    variable-length small-input XXH64), which made this entry
+    oracle-exact in round 14: fingerprint bit votes, majority rule
+    (ties included), 4×16 chunk banding and bit_count hamming are all
+    recomputed by DuckDB and hash-compared. The Arrow fingerprint path
+    (different token hash by design) stays pytest-covered via
+    tests/test_operators.py's dual-impl loops."""
     return simhash_candidate_pairs(
-        _documents_with_dups(spark, sf), "text", "doc_id", max_hamming=3
+        _documents_with_dups(spark, sf), "text", "doc_id", max_hamming=3,
+        impl="expr",
     )
 
 
@@ -1113,6 +1122,94 @@ def _xxh64_ascii16_ctes(src: str, out: str, seed: int = 42) -> str:
                               _b2, _b3),
                    {_xxh_xor('_b3', '_b3 // 4294967296')} AS {out}
             FROM xg8)"""
+
+
+def _xxh64_str31_ctes(src: str, out: str, seed: int = 42) -> str:
+    """CTE chain computing UNSIGNED xxhash64 of the VARIABLE-LENGTH
+    ASCII column ``_t`` of CTE ``src`` into ``out`` (final CTE ``xhs``;
+    other columns pass through) — the general-small-input sibling of
+    ``_xxh64_ascii16_ctes`` (round-14: it unlocked the simhash oracle,
+    whose token stream is variable-width).
+
+    Replays Spark's XXH64 small-input path exactly: for len < 32 the
+    accumulator starts at seed + PRIME5 + len, then floor(len/8) word
+    rounds, one 4-byte round iff len%8 >= 4, len%4 byte rounds, then
+    the avalanche — all mod-2^64 on HUGEINTs. ASCII and len < 32 are
+    the declared contract (byte i == ascii(char i); no stripe phase):
+    both are GUARDED — a non-ASCII or >= 32-byte value raises a DuckDB
+    error() naming the violation rather than hashing wrong, because a
+    wrong hash would only surface as an opaque pair-set diff while sum()
+    silently skips NULLs. Word/4-byte/byte rounds are staged through
+    named lateral columns so no expression nests exponentially."""
+    h0 = (seed + _XXH_P5) % _XXH_M
+
+    def word(w: int) -> str:  # LE 64-bit word w (bytes 8w+1..8w+8)
+        return (
+            "("
+            + " + ".join(
+                f"CAST(ascii(substr(_t, {8 * w + 1 + i}, 1)) AS HUGEINT)"
+                f" * {256 ** i}"
+                for i in range(8)
+            )
+            + ")"
+        )
+
+    quad = (  # LE 32-bit word at byte offset (len & ~7)
+        "("
+        + " + ".join(
+            f"CAST(ascii(substr(_t, (_ln // 8) * 8 + {1 + i}, 1)) AS HUGEINT)"
+            f" * {256 ** i}"
+            for i in range(4)
+        )
+        + ")"
+    )
+    steps = [
+        f"""xs0 AS (SELECT *,
+        CASE WHEN strlen(_t) >= 32
+               THEN error('_xxh64_str31_ctes: value >= 32 bytes: ' || _t)
+             WHEN strlen(_t) <> length(_t)
+               THEN error('_xxh64_str31_ctes: non-ASCII value: ' || _t)
+             ELSE strlen(_t) END AS _ln,
+        ({h0} + strlen(_t)) % {_XXH_M} AS _h0 FROM {src})"""
+    ]
+    drop = ["_ln", "_h0"]
+    for w in range(3):
+        steps.append(f"xw{w}a AS (SELECT *, {word(w)} AS _wv{w} FROM "
+                     f"{'xs0' if w == 0 else f'xw{w - 1}b'})")
+        steps.append(
+            f"xw{w}b AS (SELECT *, CASE WHEN _ln >= {8 * (w + 1)} THEN "
+            f"({_xxh_mul(_xxh_rotl(_xxh_xor(f'_h{w}', _xxh_mul(_xxh_rotl(_xxh_mul(f'_wv{w}', _XXH_P2), 31), _XXH_P1)), 27), _XXH_P1)}"
+            f" + {_XXH_P4}) % {_XXH_M} ELSE _h{w} END AS _h{w + 1} FROM xw{w}a)"
+        )
+        drop += [f"_wv{w}", f"_h{w + 1}"]
+    steps.append(f"xq0 AS (SELECT *, {quad} AS _fv FROM xw2b)")
+    steps.append(
+        "xq1 AS (SELECT *, CASE WHEN _ln % 8 >= 4 THEN "
+        f"({_xxh_mul(_xxh_rotl(_xxh_xor('_h3', _xxh_mul('_fv', _XXH_P1)), 23), _XXH_P2)}"
+        f" + {_XXH_P3}) % {_XXH_M} ELSE _h3 END AS _h4 FROM xq0)"
+    )
+    drop += ["_fv", "_h4"]
+    for r in range(1, 4):
+        bexpr = (
+            f"(CAST(ascii(substr(_t, _ln - _ln % 4 + {r}, 1)) AS HUGEINT)"
+            f" * {_XXH_P5}) % {_XXH_M}"
+        )
+        steps.append(
+            f"xb{r} AS (SELECT *, CASE WHEN _ln % 4 >= {r} THEN "
+            f"{_xxh_mul(_xxh_rotl(_xxh_xor(f'_h{3 + r}', bexpr), 11), _XXH_P1)}"
+            f" ELSE _h{3 + r} END AS _h{4 + r} FROM "
+            f"{'xq1' if r == 1 else f'xb{r - 1}'})"
+        )
+        drop.append(f"_h{4 + r}")
+    steps += [
+        f"xa0 AS (SELECT *, {_xxh_xor('_h7', '_h7 // 8589934592')} AS _s0 FROM xb3)",
+        f"xa1 AS (SELECT *, {_xxh_mul('_s0', _XXH_P2)} AS _s1 FROM xa0)",
+        f"xa2 AS (SELECT *, {_xxh_xor('_s1', '_s1 // 536870912')} AS _s2 FROM xa1)",
+        f"xa3 AS (SELECT *, {_xxh_mul('_s2', _XXH_P3)} AS _s3 FROM xa2)",
+        f"xhs AS (SELECT * EXCLUDE ({', '.join(drop + ['_s0', '_s1', '_s2', '_s3'])}),"
+        f" {_xxh_xor('_s3', '_s3 // 4294967296')} AS {out} FROM xa3)",
+    ]
+    return ",\n    ".join(steps)
 
 
 # --- minhash_signatures_arrow's gram hash + affine permutation family in
@@ -12737,4 +12834,56 @@ _ORACLE_REG["ngram_jaccard_verify_lsh"] = f"""
     JOIN g2 b ON b.doc_id = k.id_b
     WHERE len(list_intersect(a.gs2, b.gs2))
              / CAST(len(list_distinct(a.gs2 || b.gs2)) AS DOUBLE) >= 0.5
+"""
+
+# simhash_pairs oracle (round 14): the expr implementation's token
+# hashes are Spark xxhash64 over variable-width whitespace tokens —
+# replayed via _xxh64_str31_ctes — and everything downstream (64
+# majority bit votes with ties, empty-doc fp=0 fallback, 4x16 chunk
+# banding, bit_count hamming <= 3) is plain integer SQL.
+_SIMHASH_VOTES = ",\n          ".join(
+    f"sum(CAST((_xh // {1 << b}) % 2 AS BIGINT)) AS v{b}" for b in range(64)
+)
+_SIMHASH_FP = " + ".join(
+    f"CASE WHEN 2 * v{b} >= _n THEN CAST({1 << b} AS HUGEINT)"
+    " ELSE 0 END"
+    for b in range(64)
+)
+_SIMHASH_SIGNED = (
+    lambda u: f"CAST(CASE WHEN ({u}) >= {1 << 63} THEN ({u}) - {_XXH_M}"
+    f" ELSE ({u}) END AS BIGINT)"
+)
+_ORACLE_REG["simhash_pairs"] = f"""
+    WITH docs AS ({_DUP_UNION_SQL}),
+    tk0 AS (
+      SELECT doc_id, unnest(str_split_regex(trim(text), '\\s+')) AS _t
+      FROM docs WHERE trim(COALESCE(text, '')) <> ''
+    ),
+    {_xxh64_str31_ctes('tk0', '_xh')},
+    votes AS (
+      SELECT doc_id, count(*) AS _n,
+          {_SIMHASH_VOTES}
+      FROM xhs GROUP BY doc_id
+    ),
+    fp0 AS (SELECT doc_id, ({_SIMHASH_FP}) AS fpu FROM votes),
+    fps AS MATERIALIZED (
+      SELECT d.doc_id, COALESCE(f.fpu, 0) AS fpu
+      FROM docs d LEFT JOIN fp0 f ON f.doc_id = d.doc_id
+    ),
+    band AS (
+      SELECT doc_id, fpu, c,
+             (fpu // (CASE c WHEN 0 THEN CAST(1 AS HUGEINT) WHEN 1 THEN CAST(65536 AS HUGEINT) WHEN 2 THEN CAST(4294967296 AS HUGEINT) ELSE CAST(281474976710656 AS HUGEINT) END)) % 65536 AS ch
+      FROM fps CROSS JOIN (SELECT unnest(range(0, 4)) AS c) tc
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+             a.fpu AS fa, b.fpu AS fb
+      FROM band a JOIN band b
+        ON a.c = b.c AND a.ch = b.ch AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b,
+           CAST(bit_count(xor({_SIMHASH_SIGNED('fa')},
+                              {_SIMHASH_SIGNED('fb')})) AS BIGINT) AS hamming
+    FROM cand
+    WHERE bit_count(xor({_SIMHASH_SIGNED('fa')}, {_SIMHASH_SIGNED('fb')})) <= 3
 """

@@ -82,3 +82,61 @@ def test_fnv_null_text_matches(spark):
     """NULL text hashes like '' (numpy fillna('') vs SQL COALESCE)."""
     df = spark.createDataFrame([(1, None)], "doc_id long, text string")
     assert _spark_sigs(spark, df)[1] == _duck_sigs([(1, None)])[1]
+
+
+class TestXxh64Str31:
+    """Parity pins for `_xxh64_str31_ctes` — the variable-length
+    (< 32 byte) XXH64 replay that unlocked the simhash oracle."""
+
+    def _duck(self, vals: list[str]) -> dict[int, int]:
+        from opendata_gov_lt_mysql_import_spark.queries_ml import (
+            _xxh64_str31_ctes,
+        )
+
+        con = duckdb.connect()
+        con.execute("CREATE TABLE src_in (i BIGINT, _t VARCHAR)")
+        con.executemany(
+            "INSERT INTO src_in VALUES (?, ?)", list(enumerate(vals))
+        )
+        sql = (
+            "WITH src AS (SELECT * FROM src_in),\n"
+            f"{_xxh64_str31_ctes('src', '_xh')}\nSELECT i, _xh FROM xhs"
+        )
+        return {int(r[0]): int(r[1]) for r in con.execute(sql).fetchall()}
+
+    def test_matches_spark_every_length_0_to_31(self, spark):
+        """Four random printable-ASCII strings of EVERY length 0..31 —
+        covers all word-round/4-byte/tail-byte combinations of the
+        small-input path."""
+        import random
+
+        import pyspark.sql.functions as F
+
+        rng = random.Random(7)
+        chars = [chr(c) for c in range(32, 127)]
+        vals = list(
+            dict.fromkeys(
+                "".join(rng.choice(chars) for _ in range(ln))
+                for ln in range(32)
+                for _ in range(4)
+            )
+        )
+        du = self._duck(vals)
+        sp = {
+            r["i"]: int(r["h"]) % _XXH_M
+            for r in spark.createDataFrame(
+                list(enumerate(vals)), "i long, t string"
+            )
+            .select("i", F.xxhash64("t").alias("h"))
+            .collect()
+        }
+        assert sp == du
+
+    def test_contract_violations_raise_not_mishash(self):
+        """>= 32 bytes and non-ASCII both error() loudly — a wrong hash
+        would vanish into sum()'s NULL-skipping, so the guard must be
+        an error, not a NULL."""
+        with pytest.raises(Exception, match="32 bytes"):
+            self._duck(["x" * 32])
+        with pytest.raises(Exception, match="non-ASCII"):
+            self._duck(["café"])

@@ -8,7 +8,6 @@ import __spark_entry__ as entrymod
 
 # Every rows-only query and WHY its semantics are not SQL-expressible.
 ROWS_ONLY = {
-    "simhash_pairs": "xxhash64 bit votes are JVM-specific",
     "approx_distinct_users": "HLL++ sketch estimate is engine-specific",
     "approx_percentile_price": "KLL sketch estimate is engine-specific",
     "sample_stratified_by_lang": "Bernoulli draws are engine-specific",
