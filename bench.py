@@ -486,6 +486,34 @@ def main() -> None:
                     + ",".join(sorted(deltas)),
                     file=sys.stderr,
                 )
+            # Round-13 postmortem (VERDICT r13 "what's wrong" item 2):
+            # the end-of-round --commit run carried 51 un-triaged >1.3x
+            # flags — a busy-box record that contradicted the README by
+            # ~20% — and nothing stopped it from becoming the on-record
+            # number. Structural fix: a flagged run REFUSES to replace
+            # the committed record unless the caller attests the
+            # adjudication with --adjudicated=<note>; the note is
+            # embedded in the record so the attestation is itself on
+            # the record. Un-flagged runs commit as before.
+            adj_note = next(
+                (
+                    a.split("=", 1)[1]
+                    for a in sys.argv
+                    if a.startswith("--adjudicated=")
+                ),
+                None,
+            )
+            if deltas and adj_note is None:
+                print(
+                    f"# REFUSED: {len(deltas)} un-adjudicated >1.3x "
+                    "deltas — BENCH_COMMITTED.json left untouched. "
+                    "Triaging via the interleaved protocol, then re-run "
+                    "with --adjudicated='<summary of the triage>'.",
+                    file=sys.stderr,
+                )
+                sys.exit(2)
+            if deltas:
+                full["deltas_vs_prev_round"]["adjudication"] = adj_note
         with open(committed_path, "w") as fh:
             json.dump(full, fh, indent=1)
             fh.write("\n")
