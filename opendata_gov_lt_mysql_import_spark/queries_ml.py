@@ -12696,12 +12696,16 @@ def incremental_semantic_dedup_ivf_q(spark: SparkSession, sf: str) -> DataFrame:
     batch side broadcast; per-ingest cost is batch × occupied-cell,
     exactly the SemDeDup maintenance a 100 TB deployment co-locates
     with its ANN index so one partitioning serves both (the round-13
-    verdict's "real 100 TB shape"). Threshold and rank-1 are
+    verdict's "real 100 TB shape"). MEASURED (SCALING.json
+    history_scaling.incremental_semantic_dedup_ivf_fixed_batch):
+    under FROZEN 16-cell geometry the fixed-batch cost tracks history
+    (t ≈ 1.1s + 2.3s × scale at 2×/4×/8×) because per-cell occupancy
+    grows — the quantified economics behind the retrain trigger; a
+    deployment that retrains with cell count ∝ corpus keeps occupancy,
+    and hence this screen, batch-sized per ingest. Threshold and rank-1 are
     rounded-cosine with id tie-break (the established cross-engine
     boundary discipline; in-cell cosines sit near ±0.98, far from the
     0.3 threshold)."""
-    from pyspark.sql import Window
-
     from .sources.snapshots import read_snapshot
 
     dirs = _ivfadc_warm_dirs(spark, sf)
@@ -12710,6 +12714,50 @@ def incremental_semantic_dedup_ivf_q(spark: SparkSession, sf: str) -> DataFrame:
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
     )
     cl = _rescl_corpus(emb64, piv0)
+    return _semdedup_ivf_screen(
+        spark, dirs, cl, _semdedup_ivf_batch(cl), piv0
+    )
+
+
+def _semdedup_ivf_batch(cl: DataFrame) -> DataFrame:
+    """The jittered id-offset batch over a clustered corpus (every
+    third vector negated so both admit/reject outcomes occur) —
+    extracted so the history-scaling falsifier
+    (tools/bench_history_scaling.py) can build the FIXED base-fixture
+    batch through the exact code the driver entry runs."""
+    jit = (F.col("oid") % 97).cast("double") * F.lit(0.001)
+    return cl.select(
+        F.col("vec_id").alias("oid"), F.col("e").alias("e0")
+    ).select(
+        (F.col("oid") + 1000000).alias("vec_id"),
+        F.when(
+            F.col("oid") % 3 == 0,
+            F.transform(F.col("e0"), lambda x: -x + jit),
+        )
+        .otherwise(F.transform(F.col("e0"), lambda x: x + jit))
+        .alias("e"),
+    )
+
+
+def _semdedup_ivf_screen(
+    spark: SparkSession,
+    dirs: dict,
+    cl_hist: DataFrame,
+    batch: DataFrame,
+    piv0: DataFrame,
+) -> DataFrame:
+    """Shared core of ``incremental_semantic_dedup_ivf`` (pure
+    function extraction — the entry's plan is unchanged): history cell
+    membership from the PINNED pre-ingest codes snapshot joined to
+    ``cl_hist`` (vec_id, e), the batch assigned to the frozen coarse
+    cells by the broadcast L2 argmin, then the in-cell rounded-cosine
+    screen. Parameterized over history/batch frames so the
+    fixed-batch, growing-history falsifier times the identical path
+    with history from a kx fixture and the batch pinned to base."""
+    from pyspark.sql import Window
+
+    from .sources.snapshots import read_snapshot
+
     # history cell membership from the pinned pre-ingest snapshot:
     # the m=0 slice of the codes table is one (vec_id, pid) row per
     # vector — no distinct, no exchange
@@ -12721,18 +12769,6 @@ def incremental_semantic_dedup_ivf_q(spark: SparkSession, sf: str) -> DataFrame:
         .select(F.col("vec_id").alias("hist_id"), "pid")
     )
 
-    jit = (F.col("oid") % 97).cast("double") * F.lit(0.001)
-    batch = cl.select(
-        F.col("vec_id").alias("oid"), F.col("e").alias("e0")
-    ).select(
-        (F.col("oid") + 1000000).alias("vec_id"),
-        F.when(
-            F.col("oid") % 3 == 0,
-            F.transform(F.col("e0"), lambda x: -x + jit),
-        )
-        .otherwise(F.transform(F.col("e0"), lambda x: x + jit))
-        .alias("e"),
-    )
     w_asg = Window.partitionBy("vec_id").orderBy(F.asc("d"), F.asc("pid"))
     basg = (
         batch.crossJoin(F.broadcast(piv0))
@@ -12751,7 +12787,7 @@ def incremental_semantic_dedup_ivf_q(spark: SparkSession, sf: str) -> DataFrame:
 
     # norms hoisted once per side, same discipline as the label twin
     h = hasg.join(
-        cl.select(F.col("vec_id").alias("hist_id"), "e"), "hist_id"
+        cl_hist.select(F.col("vec_id").alias("hist_id"), "e"), "hist_id"
     ).select(
         "hist_id",
         "pid",
