@@ -104,6 +104,25 @@ def test_percentile_is_one_aggregate_one_exchange(spark, sf_dir, queries):
     assert first_agg.count("percentile(") <= 1, "quantiles not sharing one buffer"
 
 
+def test_simhash_pairs_expr_is_broadcast_chunk_join_one_exchange(
+    spark, sf_dir, queries
+):
+    """Pin the round-14 oracle-backed simhash shape: downstream of the
+    checkpointed fingerprint frame, the pigeonhole chunk self-join is a
+    BROADCAST hash join (4 rows per doc on each side, never a shuffle
+    join) and the only hash exchange is the (id_a, id_b) pair dedup —
+    no cartesian/BNLJ anywhere. A SortMergeJoin or second exchange
+    means the chunk join lost its broadcast (or the dedup duplicated)."""
+    df = queries["simhash_pairs"](spark, sf_dir)
+    plan = final_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    final = plan.split("+- == Initial Plan ==")[0]
+    assert "SortMergeJoin" not in final, final
+    assert final.count("Exchange hashpartitioning") <= 1, final
+    assert final.count("BroadcastHashJoin") >= 1, final
+
+
 def test_jaccard_verify_has_no_cartesian_and_bounded_exchanges(spark, sf_dir, queries):
     """The candidates-only verifier must stay linear in the candidate
     stream: no nested-loop/cartesian anywhere, and the join cascade

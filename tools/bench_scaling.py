@@ -66,6 +66,10 @@ TOP = [
     "j3_mn_collect",
     "percentile_price",
     "minhash_lsh_pairs",
+    # round-14: oracle-backed expr impl (xxhash64 votes) — re-pointed
+    # after the impl switch so the curvature on record matches the
+    # shipping path
+    "simhash_pairs",
     "q3_top_revenue",
     "q1_pricing_summary",
     # round-5 heavy entries
