@@ -3445,10 +3445,13 @@ def bpe_learn_merges_q(spark: SparkSession, sf: str) -> DataFrame:
     corpus: per round, adjacent-pair argmax (1-row collect, ties broken
     count-desc then lexicographic — deterministic across engines) and a
     pure-`aggregate` greedy non-overlapping rewrite of the vocabulary's
-    symbol arrays. Rows-only: the k-round iteration is not one SQL
-    query; the merge sequence is golden-pinned against a pure-Python
-    BPE reference in tests/test_bpe.py, and round 1 equals the
-    oracle-checked `bpe_pair_counts` argmax by construction."""
+    symbol arrays. Oracle-exact since round 14: the k=8 iteration
+    unrolls into 8 MATERIALIZED CTE layers (`_bpe_oracle`) with the
+    greedy rewrite replayed as a DuckDB list_reduce over a
+    list-of-lists, so the full merge SEQUENCE — not just round 1 — is
+    hash-checked against SQL. The merge sequence additionally stays
+    golden-pinned against a pure-Python BPE reference in
+    tests/test_bpe.py."""
     from .operators.bpe import learn_bpe
 
     return learn_bpe(load_table(spark, sf, "documents"), "text", 8)
@@ -12923,3 +12926,69 @@ _ORACLE_REG["simhash_pairs"] = f"""
     FROM cand
     WHERE bit_count(xor({_SIMHASH_SIGNED('fa')}, {_SIMHASH_SIGNED('fb')})) <= 3
 """
+
+
+# bpe_learn_merges oracle (round 14): the LAST iterative entry that was
+# rows-only for expressibility rather than engine-specific numerics.
+# The k=8 merge rounds unroll into 8 CTE layers; the greedy
+# non-overlapping left-to-right rewrite (operators/bpe.py:apply_merge's
+# aggregate fold) replays as a DuckDB list_reduce over a list-of-lists
+# (acc starts as [s1], exactly matching the Spark fold's empty-acc
+# first append), and the argmax tie-break (count desc, then
+# lexicographic left/right on binary-collated ASCII) is identical on
+# both engines. v/m layers are MATERIALIZED: each is referenced twice,
+# and CTE inlining would double work per layer (2^8 by round 8).
+# Saturation parity: an empty argmax at round r empties every later
+# layer through the cross join, so both engines emit the same
+# truncated merge list.
+def _bpe_oracle(n_merges: int) -> str:
+    steps = [
+        """bw AS (
+      SELECT unnest(str_split_regex(trim(text), '\\s+')) AS word
+      FROM documents WHERE trim(COALESCE(text, '')) <> ''
+    )""",
+        """v0 AS MATERIALIZED (
+      SELECT word, CAST(count(*) AS BIGINT) AS freq,
+             list_transform(generate_series(1, length(word)),
+                            i -> substring(word, i, 1)) AS syms
+      FROM bw WHERE word <> '' GROUP BY word
+    )""",
+    ]
+    for r in range(n_merges):
+        steps.append(f"""p{r} AS (
+      SELECT syms[i] AS l, syms[i + 1] AS r2,
+             CAST(sum(freq) AS BIGINT) AS pair_count
+      FROM (SELECT freq, syms,
+                   unnest(generate_series(1, len(syms) - 1)) AS i
+            FROM v{r} WHERE len(syms) >= 2)
+      GROUP BY 1, 2
+    )""")
+        steps.append(
+            f"""m{r} AS MATERIALIZED (
+      SELECT CAST({r} AS BIGINT) AS rank, l, r2, pair_count
+      FROM p{r} ORDER BY pair_count DESC, l, r2 LIMIT 1
+    )"""
+        )
+        steps.append(f"""v{r + 1} AS MATERIALIZED (
+      SELECT word, freq,
+        list_reduce(list_transform(syms, s -> [s]),
+          (acc, x) -> CASE WHEN acc[len(acc)] = m.l AND x[1] = m.r2
+                      THEN list_slice(acc, 1, len(acc) - 1)
+                           || [acc[len(acc)] || x[1]]
+                      ELSE acc || x END) AS syms
+      FROM v{r} CROSS JOIN m{r} m
+    )""")
+    union = "\n      UNION ALL\n      ".join(
+        f"SELECT * FROM m{r}" for r in range(n_merges)
+    )
+    return (
+        "WITH "
+        + ",\n    ".join(steps)
+        + f"""
+    SELECT rank, l AS "left", r2 AS "right", pair_count
+    FROM ({union})
+    ORDER BY rank"""
+    )
+
+
+_ORACLE_REG["bpe_learn_merges"] = _bpe_oracle(8)

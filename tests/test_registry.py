@@ -20,10 +20,6 @@ ROWS_ONLY = {
     "hll_sketch_rollup_merge": "DataSketches HLL estimates are "
     "engine-specific (merge-losslessness + error bound pinned in "
     "tests/test_operators.py)",
-    "bpe_learn_merges": "k dependent merge rounds are not one SQL query "
-    "(deterministic, but iterative); merge sequence golden-pinned "
-    "against a pure-Python BPE reference in tests/test_bpe.py and round "
-    "1 equals the oracle-checked bpe_pair_counts argmax",
     "image_dhash_dedup": "pixel decode + perceptual dHash of real BMP "
     "bytes is not SQL-expressible; scale-invariance, pattern "
     "separation and hamming pinned in tests/test_multimodal.py",
