@@ -68,6 +68,20 @@ from tools.bench_scaling import (  # noqa: E402
 
 RUNS = 2  # min-of-2, interleaved across history scales
 
+# the one falsifier series where flat is NOT the expectation — see
+# semdedup_point's docstring
+_SEMDEDUP_NOTE = (
+    "fixed base-fixture batch (jittered construction over base "
+    "embeddings, frozen kx pivots) screened against kx history inside "
+    "its own pinned-snapshot cell blocks. UNLIKE the recipe/IVF/gram "
+    "points, flat is NOT the expectation: with the 16-cell geometry "
+    "frozen, per-cell occupancy grows linearly with history, so the "
+    "batch x occupancy pair term tracks the scale - the quantified WHY "
+    "of the retrain trigger (ann_ivf_retrain_decision keys on exactly "
+    "this occupancy growth; retraining with cell count ~ corpus keeps "
+    "per-ingest screen cost batch-sized)"
+)
+
 
 def _min_of(runs: list[float]) -> float:
     return round(min(runs), 4)
@@ -331,16 +345,7 @@ def main() -> None:
         hs = merged.setdefault("history_scaling", {})
         hs["incremental_semantic_dedup_ivf_fixed_batch"] = _gram_series(sdd)
         hs["incremental_semantic_dedup_ivf_fixed_batch"]["note"] = (
-            "fixed base-fixture batch (jittered construction over base "
-            "embeddings, frozen kx pivots) screened against kx history "
-            "inside its own pinned-snapshot cell blocks. UNLIKE the "
-            "recipe/IVF/gram points, flat is NOT the expectation: with "
-            "the 16-cell geometry frozen, per-cell occupancy grows "
-            "linearly with history, so the batch x occupancy pair term "
-            "tracks the scale - the quantified WHY of the retrain "
-            "trigger (ann_ivf_retrain_decision keys on exactly this "
-            "occupancy growth; retraining with cell count ~ corpus "
-            "keeps per-ingest screen cost batch-sized)"
+            _SEMDEDUP_NOTE
         )
         with open(path, "w") as fh:
             json.dump(merged, fh, indent=1)
@@ -416,7 +421,10 @@ def main() -> None:
         "ann_ivfadc_warm_ingest": series(ivf_i),
         "ann_ivfadc_warm_serve_after_ingest": series(ivf_s),
         "ngram_jaccard_verify_warm_fixed_pairs": _gram_series(grm),
-        "incremental_semantic_dedup_ivf_fixed_batch": _gram_series(sdd),
+        "incremental_semantic_dedup_ivf_fixed_batch": {
+            **_gram_series(sdd),
+            "note": _SEMDEDUP_NOTE,
+        },
     }
     path = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
