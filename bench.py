@@ -318,6 +318,29 @@ def force_eval(df) -> int:
     return force_eval_chk(df)[0]
 
 
+def adjudication_gate(
+    deltas: dict, argv: list[str]
+) -> tuple[bool, str | None]:
+    """(refuse_commit, adjudication_note) for a --commit run carrying
+    cross-round >1.3x deltas. Round-13 postmortem: the end-of-round
+    --commit run carried 51 un-triaged flags and silently became the
+    on-record number; now a flagged run refuses to replace
+    BENCH_COMMITTED.json unless --adjudicated=<note> attests the
+    interleaved triage (the note lands in the record itself). A bare
+    --adjudicated= (empty note) does NOT count as an attestation."""
+    note = next(
+        (
+            a.split("=", 1)[1]
+            for a in argv
+            if a.startswith("--adjudicated=")
+        ),
+        None,
+    )
+    if not note:
+        note = None
+    return (bool(deltas) and note is None, note)
+
+
 def _prev_round_committed(here: str) -> tuple[str | None, dict]:
     """(commit sha, committed per-query timings) of BENCH_COMMITTED.json
     as of the PREVIOUS round boundary — the most recent driver
@@ -495,15 +518,8 @@ def main() -> None:
             # adjudication with --adjudicated=<note>; the note is
             # embedded in the record so the attestation is itself on
             # the record. Un-flagged runs commit as before.
-            adj_note = next(
-                (
-                    a.split("=", 1)[1]
-                    for a in sys.argv
-                    if a.startswith("--adjudicated=")
-                ),
-                None,
-            )
-            if deltas and adj_note is None:
+            refused, adj_note = adjudication_gate(deltas, sys.argv)
+            if refused:
                 print(
                     f"# REFUSED: {len(deltas)} un-adjudicated >1.3x "
                     "deltas — BENCH_COMMITTED.json left untouched. "
