@@ -486,6 +486,32 @@ def main() -> None:
         # is a tools/bench_compare.py adjudication TODO (interleaved
         # A/B on the same box; raw cross-day numbers are not verdicts).
         prev_sha, prev_q = _prev_round_committed(here)
+        if not prev_q:
+            # A missing anchor silently disables the ENTIRE cross-round
+            # audit (delta list + adjudication gate) — the exact class
+            # of failure the gate exists for, re-entered through the
+            # back door (e.g. a restyled boundary subject breaking the
+            # matcher). Refuse unless explicitly attested, and put the
+            # attestation on the record.
+            refused, adj_note = adjudication_gate(
+                {"<no-anchor>": True}, sys.argv
+            )
+            if refused:
+                print(
+                    "# REFUSED: no previous-round committed baseline "
+                    "found (boundary-subject matcher came up empty) — "
+                    "the cross-round delta audit cannot run. Fix the "
+                    "anchor, or re-run with --adjudicated='<why no "
+                    "baseline exists>'.",
+                    file=sys.stderr,
+                )
+                sys.exit(2)
+            full["deltas_vs_prev_round"] = {
+                "ref_commit": None,
+                "band": 1.3,
+                "entries": {},
+                "adjudication": adj_note,
+            }
         if prev_q:
             deltas = {}
             for name, now in timings.items():

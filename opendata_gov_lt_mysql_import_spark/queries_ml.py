@@ -9565,15 +9565,27 @@ def _recipe_combined_datasheet(
     # copy_idx=1 slice of the same scan r9/t9/r10 aggregate — the
     # separate sel8 aggregate re-ran the whole surv->window->filter
     # lineage as a second AQE job chain for two numbers
+    # sums are coalesced to 0: on an EMPTY upsample stream (a budget
+    # that selects nothing) an ungrouped sum() is NULL while the old
+    # count()-based stage-8 aggregate — and the DuckDB oracle — say 0,
+    # and a NULL here would poison the whole datasheet row through the
+    # crossJoin additions
     r810 = sharded.agg(
-        F.sum(F.when(F.col("copy_idx") == 1, 1).otherwise(0))
+        F.coalesce(
+            F.sum(F.when(F.col("copy_idx") == 1, 1).otherwise(0)), F.lit(0)
+        )
         .cast("long")
         .alias("r8"),
-        F.sum(F.when(F.col("copy_idx") == 1, F.col("n_tokens")).otherwise(0))
+        F.coalesce(
+            F.sum(
+                F.when(F.col("copy_idx") == 1, F.col("n_tokens")).otherwise(0)
+            ),
+            F.lit(0),
+        )
         .cast("long")
         .alias("t8"),
         F.count(F.lit(1)).cast("long").alias("r9"),
-        F.sum("n_tokens").cast("long").alias("t9"),
+        F.coalesce(F.sum("n_tokens"), F.lit(0)).cast("long").alias("t9"),
         F.count_distinct(
             F.concat_ws("#", F.col("source"), F.col("shard_id").cast("string"))
         )
@@ -11020,6 +11032,10 @@ def _ivfadc_serve_dispatch(
     by construction (the per-query driver probe mirrors the in-DAG
     probe operation-for-operation on IEEE doubles) — pinned both ways
     in tests/test_plan_quality.py. Output: (qid, vec_id, adc_dist)."""
+    if not qids:
+        # the per-query arm would fold an empty loop into `out = None`
+        # and the caller would blow up far from the cause
+        raise ValueError("_ivfadc_serve_dispatch: empty query panel")
     if len(qids) < SERVE_BATCH_CROSSOVER_Q:
         out = None
         for q in sorted(qids):
