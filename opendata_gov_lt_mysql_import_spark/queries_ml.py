@@ -10559,8 +10559,12 @@ def _ivfadc_warm_dirs_locked(spark: SparkSession, sf: str) -> dict[str, object]:
     dirs["codes_base_version"] = commit_snapshot(
         rasg, dirs["codes"], cluster_by=["pid"], target_files=16
     )
-    commit_snapshot(piv0, dirs["pivots"])
-    commit_snapshot(rcb, dirs["codebook"])
+    # the index PARAMETERS are versioned tables too: every base-
+    # generation reader pins these versions, so a retrain generation
+    # (`_ivfadc_retrain`) can overwrite-commit scaled pivots/codebook
+    # onto the SAME tables without perturbing any gen-1 entry
+    dirs["pivots_version"] = commit_snapshot(piv0, dirs["pivots"])
+    dirs["codebook_version"] = commit_snapshot(rcb, dirs["codebook"])
     _IVF_WARM_DIRS[sf] = dirs
     return dirs
 
@@ -10586,7 +10590,7 @@ def _ivfadc_warm_probe(
 
     pivots = {
         r["pid"]: list(r["pe"])
-        for r in read_snapshot(spark, dirs["pivots"]).collect()
+        for r in read_snapshot(spark, dirs["pivots"], version=dirs["pivots_version"]).collect()
     }
     e0 = list(
         load_table(spark, sf, "embeddings")
@@ -10625,7 +10629,7 @@ def _ivfadc_serve(
     from .sources.snapshots import read_snapshot, read_snapshot_pruned
 
     probed, qres = _ivfadc_warm_probe(spark, sf, dirs, qid=qid)
-    rcb = read_snapshot(spark, dirs["codebook"])
+    rcb = read_snapshot(spark, dirs["codebook"], version=dirs["codebook_version"])
     qt = (
         _subspace_explode(qres, "qr", "sv")
         .join(F.broadcast(rcb), "m")
@@ -10838,8 +10842,8 @@ def _ivfadc_warm_ingest_locked(
 ) -> dict:
     from .sources.snapshots import commit_snapshot_idempotent, read_snapshot
 
-    piv0 = read_snapshot(spark, dirs["pivots"])
-    rcb = read_snapshot(spark, dirs["codebook"])
+    piv0 = read_snapshot(spark, dirs["pivots"], version=dirs["pivots_version"])
+    rcb = read_snapshot(spark, dirs["codebook"], version=dirs["codebook_version"])
     emb64 = load_table(spark, sf, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
     )
@@ -10943,7 +10947,7 @@ def ann_ivfadc_warm_panel_serve_q(spark: SparkSession, sf: str) -> DataFrame:
     from .sources.snapshots import read_snapshot
 
     dirs = _ivfadc_warm_dirs(spark, sf)
-    piv0 = read_snapshot(spark, dirs["pivots"])
+    piv0 = read_snapshot(spark, dirs["pivots"], version=dirs["pivots_version"])
     emb64 = load_table(spark, sf, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
     )
@@ -10971,7 +10975,7 @@ def _ivfadc_serve_batched(
 
     from .sources.snapshots import read_snapshot
 
-    rcb = read_snapshot(spark, dirs["codebook"])
+    rcb = read_snapshot(spark, dirs["codebook"], version=dirs["codebook_version"])
     w_probe = Window.partitionBy("qid").orderBy(F.asc("d"), F.asc("pid"))
     probe = (
         qs.crossJoin(F.broadcast(piv0))
@@ -11048,7 +11052,7 @@ def _ivfadc_serve_dispatch(
         return out
     from .sources.snapshots import read_snapshot
 
-    piv0 = read_snapshot(spark, dirs["pivots"])
+    piv0 = read_snapshot(spark, dirs["pivots"], version=dirs["pivots_version"])
     emb64 = load_table(spark, sf, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
     )
@@ -11089,7 +11093,7 @@ def ann_ivfadc_warm_serve_dispatch_q(spark: SparkSession, sf: str) -> DataFrame:
     from .sources.snapshots import read_snapshot
 
     dirs = _ivfadc_warm_dirs(spark, sf)
-    piv0 = read_snapshot(spark, dirs["pivots"])
+    piv0 = read_snapshot(spark, dirs["pivots"], version=dirs["pivots_version"])
     emb64 = load_table(spark, sf, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
     )
@@ -11119,7 +11123,10 @@ def _ivfadc_warm_compact(spark: SparkSession, sf: str) -> dict:
     with _IVF_WARM_LOCK:
         if not dirs.get("compacted"):
             dirs["codes_compact_version"] = commit_snapshot_idempotent(
-                read_snapshot(spark, dirs["codes"]),
+                read_snapshot(
+                    spark, dirs["codes"],
+                    version=dirs["codes_ingest_version"],
+                ),
                 dirs["codes"],
                 txn_id="ivfadc-warm-compact-1",
                 mode="overwrite",
@@ -11153,7 +11160,9 @@ def ann_ivfadc_warm_ingest_serve_q(spark: SparkSession, sf: str) -> DataFrame:
     ~nprobe/ncells of the files — history codes are never touched by
     either."""
     dirs = _ivfadc_warm_ingest(spark, sf)
-    return _ivfadc_serve(spark, sf, dirs)
+    return _ivfadc_serve(
+        spark, sf, dirs, version=dirs["codes_ingest_version"]
+    )
 
 
 @query("ann_ivfadc_warm_compact_serve", _RESCL_INGEST_TOPK_SQL)
@@ -11176,7 +11185,9 @@ def ann_ivfadc_warm_compact_serve_q(
     (corpus-sized but OFFLINE, amortized across every query it speeds
     up); the serve is the same pruned-scan plan as every warm entry."""
     dirs = _ivfadc_warm_compact(spark, sf)
-    return _ivfadc_serve(spark, sf, dirs)
+    return _ivfadc_serve(
+        spark, sf, dirs, version=dirs["codes_compact_version"]
+    )
 
 
 @query(
@@ -12419,7 +12430,7 @@ def ann_ivf_occupancy_incremental_q(spark: SparkSession, sf: str) -> DataFrame:
     from .sources.snapshots import read_snapshot, read_snapshot_changes
 
     dirs = _ivfadc_warm_ingest(spark, sf)
-    piv = read_snapshot(spark, dirs["pivots"]).select("pid")
+    piv = read_snapshot(spark, dirs["pivots"], version=dirs["pivots_version"]).select("pid")
     base = read_snapshot(
         spark, dirs["codes"], version=dirs["codes_base_version"]
     )
@@ -12728,7 +12739,7 @@ def incremental_semantic_dedup_ivf_q(spark: SparkSession, sf: str) -> DataFrame:
     from .sources.snapshots import read_snapshot
 
     dirs = _ivfadc_warm_dirs(spark, sf)
-    piv0 = read_snapshot(spark, dirs["pivots"])
+    piv0 = read_snapshot(spark, dirs["pivots"], version=dirs["pivots_version"])
     emb64 = load_table(spark, sf, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
     )

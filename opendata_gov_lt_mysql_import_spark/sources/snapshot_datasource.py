@@ -513,6 +513,9 @@ class SnapshotWriter(DataSourceArrowWriter):
         stats = {
             m.rel_path: m.stats for m in messages if m and m.rel_path
         }
+        rows = {
+            m.rel_path: m.n_rows for m in messages if m and m.rel_path
+        }
         publish_new_files(
             self._table_dir,
             files,
@@ -520,6 +523,7 @@ class SnapshotWriter(DataSourceArrowWriter):
             self._schema,
             self._mode,
             tag=self._commit_id,
+            new_rows=rows,
         )
 
     def abort(self, messages):
@@ -598,6 +602,7 @@ class SnapshotStreamWriter(DataSourceStreamArrowWriter):
                 return  # replayed batch already landed — exactly-once
         files = sorted(m.rel_path for m in messages if m and m.rel_path)
         stats = {m.rel_path: m.stats for m in messages if m and m.rel_path}
+        rows = {m.rel_path: m.n_rows for m in messages if m and m.rel_path}
         publish_new_files(
             self._table_dir,
             files,
@@ -606,6 +611,7 @@ class SnapshotStreamWriter(DataSourceStreamArrowWriter):
             "append",
             txn_id=txn_id,
             tag=f"b{batchId}",
+            new_rows=rows,
         )
 
     def abort(self, messages, batchId: int) -> None:

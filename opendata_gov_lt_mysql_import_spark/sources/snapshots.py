@@ -257,6 +257,31 @@ def _collect_file_stats(abs_path: str) -> dict:
     return {k: v for k, v in out.items() if v is not None}
 
 
+def _file_row_count(abs_path: str) -> int:
+    """Row count from the parquet footer — free at commit time (the
+    stats pass opens the footer anyway) and recorded per file in the
+    manifest so table cardinality becomes MANIFEST ARITHMETIC
+    (:func:`snapshot_row_count`): at 100 TB, "how big is this corpus"
+    must never cost a scan (Delta's numRecords / Iceberg's
+    record_count play the same role)."""
+    import pyarrow.parquet as pq
+
+    return int(pq.ParquetFile(abs_path).metadata.num_rows)
+
+
+def snapshot_row_count(table_dir: str, version: int | None = None) -> int | None:
+    """Exact row count of a table version from manifest arithmetic
+    alone — no file opened, no Spark job. Returns None when any live
+    file predates row-count recording (a pre-upgrade manifest), so
+    callers can fall back to a scan instead of trusting a partial
+    sum."""
+    m = resolve_snapshot(table_dir, version)
+    rows = m.get("file_rows", {})
+    if any(f not in rows for f in m["files"]):
+        return None
+    return sum(rows[f] for f in m["files"])
+
+
 def commit_snapshot(
     df: DataFrame,
     table_dir: str,
@@ -319,11 +344,15 @@ def commit_snapshot(
         rel: _collect_file_stats(os.path.join(table_dir, rel))
         for rel in new_files
     }
+    new_rows = {
+        rel: _file_row_count(os.path.join(table_dir, rel))
+        for rel in new_files
+    }
 
     return publish_new_files(
         table_dir, new_files, new_stats, df.schema, mode,
         max_retries=max_retries, txn_id=_txn_id, tag=commit_id,
-        publish_primitive=publish_primitive,
+        publish_primitive=publish_primitive, new_rows=new_rows,
     )
 
 
@@ -337,6 +366,7 @@ def publish_new_files(
     txn_id: str | None = None,
     tag: str = "w",
     publish_primitive: PublishPrimitive | None = None,
+    new_rows: dict | None = None,
 ) -> int:
     """Publish already-written data files as a new version — the shared
     optimistic-retry commit core behind :func:`commit_snapshot` and the
@@ -350,11 +380,13 @@ def publish_new_files(
         parent = current_version(table_dir)
         files = list(new_files)
         stats = dict(new_stats)
+        rows = dict(new_rows or {})
         schema_json = schema.json()
         if mode == "append" and parent is not None:
             pm = _load_manifest(table_dir, parent)
             files = pm["files"] + files
             stats = {**pm.get("stats", {}), **stats}
+            rows = {**pm.get("file_rows", {}), **rows}
             schema_json = _merged_append_schema(
                 StructType.fromJson(json.loads(pm["schema"])), schema
             ).json()
@@ -367,6 +399,7 @@ def publish_new_files(
             "schema": schema_json,
             "files": files,
             "stats": stats,
+            "file_rows": rows,
         }
         if txn_id is not None:
             manifest["txn_id"] = txn_id  # commit_snapshot_idempotent
@@ -441,9 +474,11 @@ def read_snapshot(
     return spark.read.schema(m["_struct"]).parquet(*m["_abs_files"])
 
 
-def _write_commit_files(df: DataFrame, table_dir: str) -> tuple[str, list, dict]:
+def _write_commit_files(
+    df: DataFrame, table_dir: str
+) -> tuple[str, list, dict, dict]:
     """Write df into a fresh data/<uuid>/ dir; return (commit_id,
-    relative file list, per-file stats)."""
+    relative file list, per-file stats, per-file row counts)."""
     commit_id = uuid.uuid4().hex
     data_dir = os.path.join(table_dir, "data", commit_id)
     df.write.mode("error").parquet(data_dir)
@@ -455,7 +490,10 @@ def _write_commit_files(df: DataFrame, table_dir: str) -> tuple[str, list, dict]
     stats = {
         rel: _collect_file_stats(os.path.join(table_dir, rel)) for rel in rels
     }
-    return commit_id, rels, stats
+    rows = {
+        rel: _file_row_count(os.path.join(table_dir, rel)) for rel in rels
+    }
+    return commit_id, rels, stats, rows
 
 
 def _publish_once(
@@ -566,8 +604,11 @@ def merge_snapshot(
     for p in pieces[1:]:
         rewritten = rewritten.unionByName(p)
 
-    commit_id, new_rels, new_stats = _write_commit_files(rewritten, table_dir)
+    commit_id, new_rels, new_stats, new_rows = _write_commit_files(
+        rewritten, table_dir
+    )
     version = m["version"] + 1
+    kept_rows = m.get("file_rows", {})
     _publish_once(
         table_dir,
         {
@@ -579,6 +620,10 @@ def merge_snapshot(
             "stats": {
                 **{k: v for k, v in stats.items() if k in set(kept_files)},
                 **new_stats,
+            },
+            "file_rows": {
+                **{k: v for k, v in kept_rows.items() if k in set(kept_files)},
+                **new_rows,
             },
         },
         commit_id,
@@ -643,8 +688,11 @@ def delete_snapshot_rows(
         *(os.path.join(table_dir, f) for f in affected)
     )
     survivors = old.filter(~F.coalesce(_cond(old), F.lit(False)))
-    commit_id, new_rels, new_stats = _write_commit_files(survivors, table_dir)
+    commit_id, new_rels, new_stats, new_rows = _write_commit_files(
+        survivors, table_dir
+    )
     version = m["version"] + 1
+    kept_rows = m.get("file_rows", {})
     _publish_once(
         table_dir,
         {
@@ -656,6 +704,10 @@ def delete_snapshot_rows(
             "stats": {
                 **{k: v for k, v in stats.items() if k in set(kept_files)},
                 **new_stats,
+            },
+            "file_rows": {
+                **{k: v for k, v in kept_rows.items() if k in set(kept_files)},
+                **new_rows,
             },
         },
         commit_id,

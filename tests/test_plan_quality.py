@@ -1149,7 +1149,7 @@ def test_serve_dispatch_routes_on_measured_crossover(spark, sf_dir, queries):
 
     assert SERVE_BATCH_CROSSOVER_Q == 4  # the SCALING.json measurement
     dirs = _ivfadc_warm_dirs(spark, sf_dir)
-    piv0 = read_snapshot(spark, dirs["pivots"])
+    piv0 = read_snapshot(spark, dirs["pivots"], version=dirs["pivots_version"])
     emb64 = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
     )

@@ -437,6 +437,40 @@ class TestSnapshots:
         assert read_snapshot(spark, t).count() == 2
         assert vacuum(t, keep_last=2) == []  # idempotent when clean
 
+    def test_row_counts_are_manifest_arithmetic(self, spark, tmp_path):
+        """snapshot_row_count must answer from the manifest alone —
+        exact through append / overwrite / merge / delete / writer
+        commits, and per-version (time travel)."""
+        from opendata_gov_lt_mysql_import_spark.sources.snapshots import (
+            delete_snapshot_rows,
+            merge_snapshot,
+            snapshot_row_count,
+        )
+
+        t = str(tmp_path / "tbl")
+        v0 = commit_snapshot(spark.range(0, 100), t)
+        v1 = commit_snapshot(spark.range(100, 150), t)  # append
+        assert snapshot_row_count(t, v0) == 100
+        assert snapshot_row_count(t, v1) == 150
+        v2 = commit_snapshot(spark.range(0, 7), t, mode="overwrite")
+        assert snapshot_row_count(t, v2) == 7
+        # merge: 2 updates + 3 inserts over the 7-row table -> 10
+        merge_snapshot(spark, t, spark.range(5, 10), on="id")
+        assert snapshot_row_count(t) == 10 == read_snapshot(spark, t).count()
+        delete_snapshot_rows(spark, t, [("id", ">=", 8)])
+        assert snapshot_row_count(t) == 8 == read_snapshot(spark, t).count()
+        # the DataFrame-writer tier records counts too
+        from opendata_gov_lt_mysql_import_spark.sources.snapshot_datasource import (
+            SnapshotDataSource,
+        )
+
+        spark.dataSource.register(SnapshotDataSource)
+        t2 = str(tmp_path / "tbl2")
+        spark.range(0, 42).write.format("snapshot").mode("append").option(
+            "path", t2
+        ).save()
+        assert snapshot_row_count(t2) == 42
+
 
 class TestSnapshotMaintenance:
     """cluster_by writes, predicate-pruned JVM reads, compaction."""

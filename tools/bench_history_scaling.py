@@ -129,8 +129,8 @@ def ivf_point(spark, hist_dir: str) -> tuple[float, float]:
     )
 
     dirs = _ivfadc_warm_dirs(spark, hist_dir)  # cached after run 1
-    piv0 = read_snapshot(spark, dirs["pivots"])
-    rcb = read_snapshot(spark, dirs["codebook"])
+    piv0 = read_snapshot(spark, dirs["pivots"], version=dirs["pivots_version"])
+    rcb = read_snapshot(spark, dirs["codebook"], version=dirs["codebook_version"])
     emb64_base = load_table(spark, BASE, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
     )
@@ -244,7 +244,7 @@ def semdedup_point(spark, hist_dir: str) -> float:
     )
 
     dirs = _ivfadc_warm_dirs(spark, hist_dir)  # cached after run 1
-    piv0 = read_snapshot(spark, dirs["pivots"])
+    piv0 = read_snapshot(spark, dirs["pivots"], version=dirs["pivots_version"])
 
     def emb64(d):
         return load_table(spark, d, "embeddings").select(

@@ -72,7 +72,7 @@ def _serve_one(spark, dirs, qid, pivots, qe):
         [(pid, [qe[k] - pivots[pid][k] for k in range(64)]) for pid in probed],
         "pid long, qr array<double>",
     )
-    rcb = read_snapshot(spark, dirs["codebook"])
+    rcb = read_snapshot(spark, dirs["codebook"], version=dirs["codebook_version"])
     qt = (
         _subspace_explode(qres, "qr", "sv")
         .join(F.broadcast(rcb), "m")
@@ -110,8 +110,8 @@ def _serve_batched(spark, dirs, qids, cl):
         _subspace_explode,
     )
 
-    piv0 = read_snapshot(spark, dirs["pivots"])
-    rcb = read_snapshot(spark, dirs["codebook"])
+    piv0 = read_snapshot(spark, dirs["pivots"], version=dirs["pivots_version"])
+    rcb = read_snapshot(spark, dirs["codebook"], version=dirs["codebook_version"])
     panel = spark.createDataFrame([(q,) for q in qids], "vec_id long")
     qs = cl.join(F.broadcast(panel), "vec_id").select(
         F.col("vec_id").alias("qid"), F.col("e").alias("qe")
@@ -174,7 +174,7 @@ def main() -> None:
     panel_ids = [r["vec_id"] for r in _audit_panel(emb64).collect()]
     pivots = {
         r["pid"]: list(r["pe"])
-        for r in read_snapshot(spark, dirs["pivots"]).collect()
+        for r in read_snapshot(spark, dirs["pivots"], version=dirs["pivots_version"]).collect()
     }
     qe_map = {
         r["vec_id"]: list(r["e"])
