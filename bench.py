@@ -285,6 +285,15 @@ HEADLINE = [
     # (its xxhash64 votes replay in SQL -> oracle-exact); price the
     # impl switch on the record
     "simhash_pairs",
+    # round-15: the retrain ACTION — occupancy-scaled re-cluster into a
+    # new snapshot generation (run 1 pays ingest+retrain; min-of-N
+    # prices gen-2 serving), the post-retrain SemDeDup screen (the
+    # falsifier's managed-constant side), and the gram table's
+    # compaction fold (run 1 pays the rewrite; min-of-N prices verify
+    # over the compacted layout)
+    "ann_ivf_retrain_apply_serve",
+    "incremental_semantic_dedup_ivf_retrained",
+    "ngram_jaccard_verify_warm_compact",
 ]
 
 

@@ -12329,6 +12329,38 @@ def _gram_warm_ingest(spark: SparkSession, sf: str) -> dict[str, object]:
         return dirs
 
 
+def _gram_warm_compact(spark: SparkSession, sf: str) -> dict[str, object]:
+    """Compact the grown gram table — lifecycle parity with the IVF
+    codes (`_ivfadc_warm_compact`, round-15 verdict item 3): after k
+    ingest folds a doc's gram rows span k file generations, so every
+    verify join opens k× the files. Compaction rewrites the CURRENT
+    rows as one fresh id-clustered file set in a new snapshot
+    version — rows unchanged (the compact verify entry shares the
+    verify oracle: the hash match IS the proof), file count restored,
+    and the id min/max stats now prune (the base/ingest commits
+    are unclustered). Old versions stay readable; idempotent via the
+    compaction txn id + the process latch."""
+    from .sources.snapshots import commit_snapshot_idempotent, read_snapshot
+
+    dirs = _gram_warm_ingest(spark, sf)
+    with _GRAM_WARM_LOCK:
+        if not dirs.get("compacted"):
+            dirs["grams_compact_version"] = commit_snapshot_idempotent(
+                read_snapshot(
+                    spark,
+                    dirs["grams"],
+                    version=dirs["grams_ingest_version"],
+                ),
+                dirs["grams"],
+                txn_id="gram-warm-compact-1",
+                mode="overwrite",
+                cluster_by=["id"],
+                target_files=8,
+            )
+            dirs["compacted"] = True
+    return dirs
+
+
 @query(
     "ngram_jaccard_verify_warm",
     _ORACLE_REG["ngram_jaccard_verify_md5"],
@@ -12360,7 +12392,53 @@ def ngram_jaccard_verify_warm_q(spark: SparkSession, sf: str) -> DataFrame:
         d, "text", "doc_id", n_gram=3, k=16, bands=8
     ).filter(F.col("n_match") >= 5)
     return jaccard_verify_pairs_grams(
-        read_snapshot(spark, dirs["grams"]),
+        read_snapshot(
+            spark, dirs["grams"], version=dirs["grams_ingest_version"]
+        ),
+        cands.select("id_a", "id_b"),
+        min_jaccard=0.5,
+        on_missing="error",
+    )
+
+
+@query(
+    "ngram_jaccard_verify_warm_compact",
+    _ORACLE_REG["ngram_jaccard_verify_md5"],
+)
+def ngram_jaccard_verify_warm_compact_q(
+    spark: SparkSession, sf: str
+) -> DataFrame:
+    """Gram-table COMPACTION + verify (round-15 verdict item 3) — the
+    lifecycle step the IVF codes already had and the gram table lacked:
+    `_gram_warm_compact` rewrites the build+ingest file generations as
+    one id-clustered file set in a new snapshot version, and the
+    SAME verify runs over it. Rows are unchanged by construction, so
+    this entry shares the verify oracle with all three sibling verify
+    entries — the hash match IS the compaction-preserves-results
+    proof. The file-count restoration and the newly-armed id
+    pruning are pytest-asserted (tests/test_plan_quality.py); the
+    pinned ingest-version reader (`ngram_jaccard_verify_warm`) is
+    untouched by the rewrite — same one-table/stable-readers contract
+    as every warm entry.
+
+    Scale shape: compaction is one clustered rewrite of the gram
+    table (offline, amortized across every verify it speeds up); the
+    verify stays two keyed joins against committed state."""
+    from .operators.dedup import (
+        jaccard_verify_pairs_grams,
+        minhash_md5_pairs,
+    )
+    from .sources.snapshots import read_snapshot
+
+    dirs = _gram_warm_compact(spark, sf)
+    d = _spread(_documents_with_dups(spark, sf))
+    cands = minhash_md5_pairs(
+        d, "text", "doc_id", n_gram=3, k=16, bands=8
+    ).filter(F.col("n_match") >= 5)
+    return jaccard_verify_pairs_grams(
+        read_snapshot(
+            spark, dirs["grams"], version=dirs["grams_compact_version"]
+        ),
         cands.select("id_a", "id_b"),
         min_jaccard=0.5,
         on_missing="error",
@@ -12808,13 +12886,19 @@ def _semdedup_ivf_screen(
         .select(F.col("vec_id").alias("hist_id"), "pid")
     )
 
-    w_asg = Window.partitionBy("vec_id").orderBy(F.asc("d"), F.asc("pid"))
+    # argmin as a lexicographic min-struct AGGREGATE, not a window:
+    # min(struct(d, pid)) ≡ row_number over (d asc, pid asc) = 1 —
+    # identical values and tie-break — but partial aggregation folds
+    # the batch × n_cells candidate rows map-side, so no full-width
+    # shuffle+sort grows with the retrained cell count (measured on
+    # the retrained falsifier: the window variant's assignment cost
+    # tracked n_cells)
     basg = (
         batch.crossJoin(F.broadcast(piv0))
         .select("vec_id", "pid", _l2_col(F.col("e"), F.col("pe")).alias("d"))
-        .withColumn("rn", F.row_number().over(w_asg))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "pid")
+        .groupBy("vec_id")
+        .agg(F.min(F.struct("d", "pid")).alias("_m"))
+        .select("vec_id", F.col("_m.pid").alias("pid"))
     )
 
     def _dot(a, b):
@@ -13067,19 +13151,21 @@ def _il2_col(a, b):
 def _int_argmin_assign(av: DataFrame, piv: DataFrame) -> DataFrame:
     """Per-vec_id nearest pivot by exact integer L2 (pid tiebreak) —
     the retrain's assignment primitive, broadcast over the (small)
-    pivot frame so the corpus never shuffles for an assignment."""
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("vec_id").orderBy(F.asc("d"), F.asc("pid"))
+    pivot frame so the corpus never shuffles for an assignment. The
+    argmin is a lexicographic min-struct aggregate (≡ the row_number
+    window with the same (d, pid) ordering, bit-for-bit) so partial
+    aggregation folds the corpus × n_cells candidates map-side
+    instead of shuffling and sorting them — the term that would
+    otherwise grow with the retrained cell count."""
     return (
         av.select("vec_id", "ie")
         .crossJoin(F.broadcast(piv))
         .select(
             "vec_id", "pid", _il2_col(F.col("ie"), F.col("pe")).alias("d")
         )
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "pid")
+        .groupBy("vec_id")
+        .agg(F.min(F.struct("d", "pid")).alias("_m"))
+        .select("vec_id", F.col("_m.pid").alias("pid"))
     )
 
 

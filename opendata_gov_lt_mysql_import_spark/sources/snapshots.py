@@ -169,6 +169,45 @@ _WIDENING = {
 }
 
 
+def _nullability_merged(pt, nt):
+    """Merged type when ``pt``/``nt`` are structurally equal up to
+    nullability flags (array containsNull / map valueContainsNull /
+    nested struct field nullability) — the flags OR together; None
+    when the types genuinely differ. Needed because readers declare
+    all-nullable schemas (see resolve_snapshot), so a compaction
+    (read → overwrite) records permissive container flags and a later
+    append of the SAME logical type with strict flags must not read
+    as schema drift (found by the round-15 multi-fold lifecycle test
+    on the gram table's array<bigint> column)."""
+    from pyspark.sql.types import ArrayType, MapType, StructField
+    from pyspark.sql.types import StructType as _ST
+
+    if pt == nt:
+        return pt
+    if isinstance(pt, ArrayType) and isinstance(nt, ArrayType):
+        el = _nullability_merged(pt.elementType, nt.elementType)
+        if el is None:
+            return None
+        return ArrayType(el, pt.containsNull or nt.containsNull)
+    if isinstance(pt, MapType) and isinstance(nt, MapType):
+        k = _nullability_merged(pt.keyType, nt.keyType)
+        v = _nullability_merged(pt.valueType, nt.valueType)
+        if k is None or v is None:
+            return None
+        return MapType(k, v, pt.valueContainsNull or nt.valueContainsNull)
+    if isinstance(pt, _ST) and isinstance(nt, _ST):
+        if [f.name for f in pt.fields] != [f.name for f in nt.fields]:
+            return None
+        fs = []
+        for a, b in zip(pt.fields, nt.fields):
+            m = _nullability_merged(a.dataType, b.dataType)
+            if m is None:
+                return None
+            fs.append(StructField(a.name, m, a.nullable or b.nullable))
+        return _ST(fs)
+    return None
+
+
 def _merged_append_schema(parent_struct: StructType, new_struct: StructType):
     """Union of parent + new schemas for an append commit, keeping the
     widest compatible type per column; raises on incompatible drift.
@@ -188,6 +227,14 @@ def _merged_append_schema(parent_struct: StructType, new_struct: StructType):
             continue
         if nf.dataType == pf.dataType:
             fields.append(pf)
+            continue
+        merged = _nullability_merged(pf.dataType, nf.dataType)
+        if merged is not None:
+            fields.append(
+                StructField(
+                    pf.name, merged, pf.nullable or nf.nullable, pf.metadata
+                )
+            )
             continue
         pt, nt = pf.dataType.typeName(), nf.dataType.typeName()
         pw, nw = _WIDENING.get(pt), _WIDENING.get(nt)

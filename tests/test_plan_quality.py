@@ -986,6 +986,302 @@ def test_ivfadc_warm_vacuum_respects_pinned_reader(
         read_snapshot(spark, copy, version=base_version)
 
 
+def test_gram_warm_compact_restores_layout_and_vacuum_contract(
+    spark, sf_dir, queries, tmp_path
+):
+    """Gram-table lifecycle parity with the IVF codes (round-15
+    verdict item 3): (1) compaction shrinks the file set and arms id
+    pruning (the build/ingest commits are unclustered, so their stats
+    cannot skip); (2) replays are no-ops (txn + latch); (3) verify
+    rows are IDENTICAL before and after the rewrite (the entry pair
+    also shares one oracle — this is the in-process twin); (4) the
+    vacuum-vs-pinned contract holds on copies both ways, exactly like
+    the IVF test above."""
+    import shutil
+
+    import pytest as _pytest
+
+    from opendata_gov_lt_mysql_import_spark.queries_ml import (
+        _gram_warm_compact,
+    )
+    from opendata_gov_lt_mysql_import_spark.sources.snapshots import (
+        current_version,
+        pruned_file_counts,
+        read_snapshot,
+        vacuum,
+    )
+
+    before = {
+        tuple(r)
+        for r in queries["ngram_jaccard_verify_warm"](
+            spark, sf_dir
+        ).collect()
+    }
+    dirs = _gram_warm_compact(spark, sf_dir)
+    v = current_version(dirs["grams"])
+    _gram_warm_compact(spark, sf_dir)  # replay: must be a no-op
+    assert current_version(dirs["grams"]) == v
+
+    # (1) fewer files, and id-range pruning only works post-compact
+    kept_i, total_i = pruned_file_counts(
+        dirs["grams"],
+        [("id", ">=", 1_000_000)],
+        version=dirs["grams_ingest_version"],
+    )
+    kept_c, total_c = pruned_file_counts(
+        dirs["grams"],
+        [("id", ">=", 1_000_000)],
+        version=dirs["grams_compact_version"],
+    )
+    assert total_c < total_i, (total_c, total_i)
+    assert kept_c < total_c, (kept_c, total_c)  # stats actually skip now
+
+    # (3) rows unchanged through the rewrite — entry-level too
+    after = {
+        tuple(r)
+        for r in queries["ngram_jaccard_verify_warm_compact"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert after == before and len(after) > 0
+
+    # (4a) keep-everything vacuum on a copy: no-op, pinned ingest
+    # version stays readable with identical content
+    copy_a = str(tmp_path / "grams_copy_a")
+    shutil.copytree(dirs["grams"], copy_a)
+    pinned_before = read_snapshot(
+        spark, copy_a, version=dirs["grams_ingest_version"]
+    ).count()
+    deleted = vacuum(copy_a, keep_last=current_version(copy_a) + 1)
+    assert deleted == [], deleted
+    assert (
+        read_snapshot(
+            spark, copy_a, version=dirs["grams_ingest_version"]
+        ).count()
+        == pinned_before
+    )
+    # (4b) keep-latest-only vacuum on a copy reclaims the rewritten
+    # generations and makes the pinned read fail LOUDLY
+    copy_b = str(tmp_path / "grams_copy_b")
+    shutil.copytree(dirs["grams"], copy_b)
+    latest_rows = read_snapshot(spark, copy_b).count()
+    deleted = vacuum(copy_b, keep_last=1)
+    assert deleted, "expected pre-compaction generations reclaimed"
+    assert read_snapshot(spark, copy_b).count() == latest_rows
+    with _pytest.raises(FileNotFoundError, match="no snapshot version"):
+        read_snapshot(
+            spark, copy_b, version=dirs["grams_base_version"]
+        )
+
+
+def test_warm_multi_fold_lifecycle(spark, sf_dir, tmp_path):
+    """Multi-fold warm lifecycle (round-15 verdict item 2): every
+    production warm table lives through N sequential ingest folds with
+    interleaved compaction, but the committed entries fold exactly one
+    batch. Drive THREE folds through copies of both warm tables:
+
+    - IVF codes: fold j appends the +j·1e6 jittered batch's codes
+      (fold 1 IS the oracle-proven standard batch, so serving over the
+      fold-1 state must equal the oracle-backed ingest-serve entry's
+      rows — the tie to the correctness gate); each fold's txn replay
+      is a no-op; a compaction interleaved after fold 2 preserves both
+      rows and the following fold's behavior; after fold 3 the table
+      holds all four epochs and still prunes by cell.
+    - gram index: fold j appends the +j·1e6 clone epoch's gram rows;
+      after every fold, verify with on_missing='error' over pairs
+      referencing EVERY committed epoch returns jaccard 1.0 for all
+      of them (clones are verbatim); the fold-2 compaction changes
+      neither."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from opendata_gov_lt_mysql_import_spark.operators.dedup import (
+        gram_hash_index,
+        jaccard_verify_pairs_grams,
+    )
+    from opendata_gov_lt_mysql_import_spark.queries_ml import (
+        _documents_with_dups,
+        _ivfadc_batch_codes,
+        _ivfadc_serve,
+        _ivfadc_warm_ingest,
+        _rescl_corpus,
+        _spread,
+    )
+    from opendata_gov_lt_mysql_import_spark.sources.parquet import load_table
+    from opendata_gov_lt_mysql_import_spark.sources.snapshots import (
+        commit_snapshot_idempotent,
+        current_version,
+        read_snapshot,
+    )
+
+    # --- IVF side: a copy of the BASE index tree (pre-ingest) -------
+    dirs0 = _ivfadc_warm_ingest(spark, sf_dir)
+    root = tmp_path / "ivf_folds"
+    dirs = dict(dirs0)
+    for k in ("codes", "pivots", "codebook"):
+        dst = str(root / k)
+        shutil.copytree(dirs0[k], dst)
+        dirs[k] = dst
+    piv0 = read_snapshot(
+        spark, dirs["pivots"], version=dirs["pivots_version"]
+    )
+    rcb = read_snapshot(
+        spark, dirs["codebook"], version=dirs["codebook_version"]
+    )
+    emb64 = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    cl = _rescl_corpus(emb64, piv0).localCheckpoint(eager=True)
+    # start from the PRE-ingest state so fold 1 replays the standard
+    # batch into a tree whose parent is the base version
+    ingest_serve_rows = {
+        tuple(r)
+        for r in _ivfadc_serve(
+            spark, sf_dir, dirs0, version=dirs0["codes_ingest_version"]
+        ).collect()
+    }
+
+    def fold_batch(j):
+        jit = (F.col("oid") % 97).cast("double") * F.lit(0.001)
+        return cl.select(
+            F.col("vec_id").alias("oid"), F.col("e").alias("e0")
+        ).select(
+            (F.col("oid") + j * 1_000_000).alias("vec_id"),
+            F.transform(F.col("e0"), lambda x: x + jit).alias("e"),
+        )
+
+    # rewind the copy to the base state: overwrite with the pinned
+    # base rows so fold 1 appends onto a clean single-epoch parent
+    base_rows = read_snapshot(
+        spark, dirs["codes"], version=dirs["codes_base_version"]
+    )
+    commit_snapshot_idempotent(
+        base_rows,
+        dirs["codes"],
+        txn_id="folds-rewind",
+        mode="overwrite",
+        cluster_by=["pid"],
+        target_files=16,
+    )
+    for j in (1, 2, 3):
+        bcodes = _ivfadc_batch_codes(fold_batch(j), piv0, rcb)
+        v = commit_snapshot_idempotent(
+            bcodes,
+            dirs["codes"],
+            txn_id=f"fold-{j}",
+            mode="append",
+            cluster_by=["pid"],
+            target_files=16,
+        )
+        # exactly-once under replay, per fold
+        v2 = commit_snapshot_idempotent(
+            bcodes,
+            dirs["codes"],
+            txn_id=f"fold-{j}",
+            mode="append",
+            cluster_by=["pid"],
+            target_files=16,
+        )
+        assert v2 == v == current_version(dirs["codes"])
+        if j == 1:
+            dirs["codes_fold1_version"] = v
+            # fold 1 == the standard ingest batch: serving this state
+            # must equal the oracle-backed entry's served rows
+            fold1_rows = {
+                tuple(r)
+                for r in _ivfadc_serve(
+                    spark, sf_dir, dirs, version=v
+                ).collect()
+            }
+            assert fold1_rows == ingest_serve_rows
+        if j == 2:
+            n_before = read_snapshot(spark, dirs["codes"]).count()
+            commit_snapshot_idempotent(
+                read_snapshot(spark, dirs["codes"], version=v),
+                dirs["codes"],
+                txn_id="fold-compact-2",
+                mode="overwrite",
+                cluster_by=["pid"],
+                target_files=16,
+            )
+            assert read_snapshot(spark, dirs["codes"]).count() == n_before
+    # all four epochs live in the final table; serving still bounded
+    codes = read_snapshot(spark, dirs["codes"])
+    epochs = {
+        r["e"]
+        for r in codes.select(
+            (F.col("vec_id") / 1_000_000).cast("long").alias("e")
+        )
+        .distinct()
+        .collect()
+    }
+    assert epochs == {0, 1, 2, 3}
+    assert len(_ivfadc_serve(spark, sf_dir, dirs).collect()) == 10
+
+    # --- gram side: 3 clone epochs into a fresh table ---------------
+    gt = str(tmp_path / "gram_folds")
+    base_docs = _spread(_documents_with_dups(spark, sf_dir)).filter(
+        F.col("doc_id") < 1_000_000
+    ).localCheckpoint(eager=True)
+    commit_snapshot_idempotent(
+        gram_hash_index(base_docs, "text", "doc_id", n=2),
+        gt,
+        txn_id="gfold-0",
+        mode="overwrite",
+    )
+    ids = [r[0] for r in base_docs.select("doc_id").limit(5).collect()]
+    for j in (1, 2, 3):
+        epoch = base_docs.withColumn(
+            "doc_id", F.col("doc_id") + j * 1_000_000
+        )
+        v = commit_snapshot_idempotent(
+            gram_hash_index(epoch, "text", "doc_id", n=2),
+            gt,
+            txn_id=f"gfold-{j}",
+            mode="append",
+        )
+        assert (
+            commit_snapshot_idempotent(
+                gram_hash_index(epoch, "text", "doc_id", n=2),
+                gt,
+                txn_id=f"gfold-{j}",
+                mode="append",
+            )
+            == v
+        )
+        if j == 2:
+            n_before = read_snapshot(spark, gt).count()
+            commit_snapshot_idempotent(
+                read_snapshot(spark, gt, version=v),
+                gt,
+                txn_id="gfold-compact",
+                mode="overwrite",
+                cluster_by=["id"],
+                target_files=4,
+            )
+            assert read_snapshot(spark, gt).count() == n_before
+        # verify across EVERY committed epoch: clones are verbatim, so
+        # every (base, clone-k) pair must verify at jaccard 1.0 —
+        # on_missing='error' proves id coverage after each fold
+        pairs = spark.createDataFrame(
+            [
+                (i, i + k * 1_000_000)
+                for i in ids
+                for k in range(1, j + 1)
+            ],
+            "id_a long, id_b long",
+        )
+        out = jaccard_verify_pairs_grams(
+            read_snapshot(spark, gt),
+            pairs,
+            min_jaccard=0.5,
+            on_missing="error",
+        ).collect()
+        assert len(out) == len(ids) * j
+        assert all(abs(r["jaccard"] - 1.0) < 1e-12 for r in out)
+
+
 def test_warm_increment_job_budget(spark, sf_dir, queries):
     """The coordination-bound regression guard (round-13 verdict
     item 2): one warm-increment run scheduled 50 Spark jobs before the

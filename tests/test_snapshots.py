@@ -437,6 +437,40 @@ class TestSnapshots:
         assert read_snapshot(spark, t).count() == 2
         assert vacuum(t, keep_last=2) == []  # idempotent when clean
 
+    def test_append_after_compaction_merges_container_nullability(
+        self, spark, tmp_path
+    ):
+        """Readers declare all-nullable schemas, so a compaction
+        (read -> overwrite) records array<long containsNull=true>;
+        a later append of the same logical column with strict flags
+        (containsNull=false, e.g. a transform over xxhash64) must
+        MERGE, not raise schema drift (round-15 multi-fold finding)."""
+        from opendata_gov_lt_mysql_import_spark.sources.snapshots import (
+            compact_snapshot,
+        )
+
+        t = str(tmp_path / "tbl")
+        df = spark.range(0, 10).select(
+            "id",
+            F.transform(
+                F.sequence(F.lit(1), F.lit(3)), lambda x: F.xxhash64(x)
+            ).alias("grams"),
+        )
+        commit_snapshot(df, t)
+        compact_snapshot(spark, t, target_files=1)
+        v = commit_snapshot(  # must not raise
+            spark.range(10, 15).select(
+                "id",
+                F.transform(
+                    F.sequence(F.lit(1), F.lit(3)), lambda x: F.xxhash64(x)
+                ).alias("grams"),
+            ),
+            t,
+        )
+        out = read_snapshot(spark, t, version=v)
+        assert out.count() == 15
+        assert out.filter(F.size("grams") == 3).count() == 15
+
     def test_row_counts_are_manifest_arithmetic(self, spark, tmp_path):
         """snapshot_row_count must answer from the manifest alone —
         exact through append / overwrite / merge / delete / writer

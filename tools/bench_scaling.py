@@ -53,6 +53,7 @@ BASE = "/root/testdata/sf0.1"
 DERIVED_2X = "/tmp/spark_graft_sf0.2"
 DERIVED_4X = "/tmp/spark_graft_sf0.4"
 DERIVED_8X = "/tmp/spark_graft_sf0.8"
+DERIVED_10X = "/tmp/spark_graft_sf1.0"
 
 # r4's most expensive headline entries, covering the document corpus
 # (explode/LSH/pipeline), the TPC-H star (scan/join/agg), and the
@@ -527,6 +528,60 @@ def main() -> None:
     # round's entries get their points without re-timing the whole
     # record on a possibly-loaded box.
     args = list(sys.argv[1:])
+    if "--10x" in args:
+        # order-of-magnitude point for the flagship warm paths
+        # (round-15 verdict item 5): build a 10x fixture and sweep the
+        # named registry entries base-vs-10x with checksums, merging a
+        # data_scale_10x section into the committed record. Standalone
+        # mode (like --gram-only in the history harness) so the
+        # 2x/4x/8x points are never silently re-baselined.
+        i = args.index("--10x")
+        names = args[i + 1].split(",")
+        spark = get_spark(app_name="bench-scaling-10x")
+        build_kx(spark, 10, DERIVED_10X)
+        queries = all_queries()
+        queries["q1_pricing_summary"](spark, BASE).count()  # warm
+        r10 = _sweep(spark, queries, names, DERIVED_10X)
+
+        def _hex10(c: int | None) -> str | None:
+            return None if c is None else f"{c & 0xFFFFFFFFFFFFFFFF:016x}"
+
+        results_10x = {
+            name: {
+                "t_sf0.1": round(tb, 4),
+                "t_10x": round(t10, 4),
+                "ratio_10x": round(t10 / tb, 2),
+                "rows_sf0.1": nb,
+                "rows_10x": n10,
+                "row_ratio_10x": round(n10 / max(nb, 1), 2),
+                "chk_sf0.1": _hex10(cb),
+                "chk_10x": _hex10(ck),
+            }
+            for name, (tb, t10, nb, n10, cb, ck) in r10.items()
+        }
+        path = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "SCALING.json",
+        )
+        with open(path) as fh:
+            merged = json.load(fh)
+        merged["data_scale_10x"] = 10.0
+        merged.setdefault("queries_10x", {}).update(results_10x)
+        merged["note_10x"] = (
+            "order-of-magnitude (sf1-equivalent, 10x kx-derived) point "
+            "for the flagship warm paths: whole-fixture scaling, so "
+            "batch AND history grow 10x together - the warm per-ingest "
+            "claim predicts the ratio tracks the BATCH scale (~10x the "
+            "per-batch work) with the state-build untimed (run 1 of "
+            "the interleaved min-of-2 pays it per fixture; the warm "
+            "dirs cache makes runs 2+ the per-ingest price). "
+            "Checksummed like every scaling point."
+        )
+        with open(path, "w") as fh:
+            json.dump(merged, fh, indent=1)
+        print(json.dumps(results_10x))
+        return
+
     only: set[str] | None = None
     if "--only" in args:
         i = args.index("--only")
