@@ -1285,13 +1285,16 @@ def test_warm_multi_fold_lifecycle(spark, sf_dir, tmp_path):
 def test_warm_increment_job_budget(spark, sf_dir, queries):
     """The coordination-bound regression guard (round-13 verdict
     item 2): one warm-increment run scheduled 50 Spark jobs before the
-    round-14 pass and 43 after (single batch signing, unified
+    round-14 pass, 43 after (single batch signing, unified
     candidate probe, persisted ev_grams, fused stage-8 aggregate,
-    dropped survivor checkpoint). Pin a generous ceiling so a future
-    change that quietly re-introduces a duplicated signature DAG or an
-    extra eager checkpoint fails HERE with a number, not as an
-    unexplained bench delta. (Job count is scale-independent — it
-    counts scheduled jobs, not tasks.)"""
+    dropped survivor checkpoint), and 42 after round 15 cached the
+    warm state dict across ingests (the max-id meta collect job is
+    paid once per session, like a deployment's long-lived state
+    frames). Pin a generous ceiling so a future change that quietly
+    re-introduces a duplicated signature DAG or an extra eager
+    checkpoint fails HERE with a number, not as an unexplained bench
+    delta. (Job count is scale-independent — it counts scheduled
+    jobs, not tasks.)"""
     q = queries["corpus_recipe_increment_warm"]
     q(spark, sf_dir).collect()  # state build + warm-up run
     tracker = spark.sparkContext.statusTracker()
@@ -1301,9 +1304,9 @@ def test_warm_increment_job_budget(spark, sf_dir, queries):
         spark.sparkContext.statusTracker().getJobIdsForGroup(None) or []
     )
     n_jobs = len(after - before)
-    assert n_jobs <= 48, (
-        f"warm increment scheduled {n_jobs} jobs (round-14 record: 43; "
-        "ceiling 48) — a checkpoint or probe DAG was probably duplicated"
+    assert n_jobs <= 46, (
+        f"warm increment scheduled {n_jobs} jobs (round-15 record: 42; "
+        "ceiling 46) — a checkpoint or probe DAG was probably duplicated"
     )
 
 
