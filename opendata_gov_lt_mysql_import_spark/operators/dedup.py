@@ -466,13 +466,21 @@ def jaccard_verify_pairs(
         pairs.select(F.col("id_b").alias("id"))
     )
     par = df.sparkSession.sparkContext.defaultParallelism
-    # unconditional repartition (not _spread: its getNumPartitions probe
+    # cand_ids is bounded by 2x the LSH pair output and derives from a
+    # checkpointed frame whose stats Catalyst can't see — without the
+    # explicit hint the semi-join planned as a sort-merge join that
+    # shuffled and sorted the TEXT payload both sides (round-15
+    # profiling: a 3.4s single-task stage at sf0.1, the doc stream
+    # AQE-coalesced to one partition). Broadcasting the slim id set
+    # keeps the text stream map-side (guide §2.3/§3.1: never shuffle a
+    # heavy payload to answer a membership question).
+    # Unconditional repartition (not _spread: its getNumPartitions probe
     # would materialize the upstream AQE plan): candidate docs are a small
     # selected subset, so the shuffle is cheap and the CPU-heavy gram
     # explode below gets full parallelism.
     docs = (
         df.select(F.col(id_col).alias("id"), F.col(text_col).alias("_text"))
-        .join(cand_ids, "id", "left_semi")
+        .join(F.broadcast(cand_ids), "id", "left_semi")
         .repartition(par)
     )
     grams = docs.select(
@@ -1060,9 +1068,20 @@ def minhash_md5_pairs(
     signature components equal, an exact integer on both engines (the
     Jaccard estimate is n_match/k; kept unscaled to avoid float hashing).
     """
-    sigs = _md5_signatures(
-        df, text_col, id_col, n_gram, k
-    ).localCheckpoint(eager=True)
+    # repartition BEFORE the checkpoint (round-15): the signature agg's
+    # output is a few MB, so AQE's byte-targeted coalescing collapses it
+    # to one (or a handful of) partitions, and every downstream consumer
+    # of the checkpoint — the banded explode, the bucket probe, the
+    # zip_with signature compare — then runs single-task no matter how
+    # CPU-dense it is (measured: a 3.1s one-task probe stage at sf0.1).
+    # An explicit round-robin spread is a tiny shuffle of slim sig rows
+    # and is invisible to downstream plans (they scan the checkpoint).
+    par = df.sparkSession.sparkContext.defaultParallelism
+    sigs = (
+        _md5_signatures(df, text_col, id_col, n_gram, k)
+        .repartition(par)
+        .localCheckpoint(eager=True)
+    )
     return minhash_md5_pairs_from_sigs(sigs, id_col, k=k, bands=bands)
 
 
@@ -1122,9 +1141,41 @@ def minhash_history_index(
     (id, b, bkey, sig). This is what a daily pipeline persists (e.g. as
     a snapshot table bucketed by ``bkey``): slim columns, bands× the doc
     count, no text. The 100 TB history is shingled exactly once in its
-    life; every later increment probes this index instead."""
-    sigs = _md5_signatures(df, text_col, id_col, n_gram, k)
-    return _md5_banded(sigs, id_col, k, bands).join(sigs, id_col)
+    life; every later increment probes this index instead.
+
+    The (id, b, bkey, sig) rows come out of ONE banded projection over
+    the signature frame — ``sig`` is simply kept through the band
+    explode. The former ``_md5_banded(sigs).join(sigs, id)`` shape
+    computed the same thing via a self-join that planned as a
+    sort-merge join over stat-less aggregates (round-15 profiling: the
+    join's sort/exchange chain rode an AQE byte-coalesced 1-partition
+    signature frame, serializing the whole history-side band explode
+    on one core per cold probe). Same rows, zero joins, two fewer
+    exchanges."""
+    assert k % bands == 0
+    rows = k // bands
+    # explicit round-robin spread between the signature aggregate and
+    # the band explode: AQE byte-coalesces the slim agg exchange to one
+    # partition, which serialized the band explode + every downstream
+    # probe join on a single core (round-15: a 2.8s one-task stage per
+    # cold probe at sf0.1). An explicit-count repartition is exempt
+    # from AQE coalescing; the shuffle moves only (id, 16 hashes) rows.
+    par = df.sparkSession.sparkContext.defaultParallelism
+    sigs = _md5_signatures(df, text_col, id_col, n_gram, k).repartition(par)
+    band_key = F.md5(
+        F.concat(
+            *[
+                F.element_at(F.col("sig"), F.col("b") * rows + r + 1)
+                for r in range(rows)
+            ],
+            F.concat(F.lit("@"), F.col("b").cast("string")),
+        )
+    )
+    return sigs.select(
+        id_col,
+        F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("b"),
+        "sig",
+    ).select(id_col, "b", band_key.alias("bkey"), "sig")
 
 
 def incremental_minhash_neardup(
@@ -1156,9 +1207,15 @@ def incremental_minhash_neardup(
     read. Batch-internal duplicates are the one-shot finder's job
     (:func:`minhash_md5_pairs` on the batch) — this op is the cross
     half, mirroring :func:`incremental_exact_dedup`."""
-    batch_sigs = _md5_signatures(
-        new_df, text_col, id_col, n_gram, k
-    ).localCheckpoint(eager=True)
+    # repartition before the checkpoint for the same reason as
+    # minhash_md5_pairs: a byte-coalesced 1-partition signature frame
+    # serializes the banded probe on one core.
+    par = new_df.sparkSession.sparkContext.defaultParallelism
+    batch_sigs = (
+        _md5_signatures(new_df, text_col, id_col, n_gram, k)
+        .repartition(par)
+        .localCheckpoint(eager=True)
+    )
     return incremental_minhash_neardup_from_sigs(
         batch_sigs, history_index, id_col, k=k, bands=bands
     )

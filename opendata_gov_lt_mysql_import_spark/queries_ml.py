@@ -7015,11 +7015,20 @@ def _recipe_labeled_over(
 
     # --- stage 5 drop-set: md5-MinHash LSH on the SCRUBBED full corpus,
     # exact bigram-Jaccard verification, drop the larger id of each
-    # confirmed pair (an independent sub-DAG; its scan+scrub lineage is
-    # map-only and cheaper to recompute than to checkpoint)
+    # confirmed pair. The scrubbed frame feeds FOUR sub-DAGs (LSH
+    # signing, pair verification, the frozen eval slice's gram
+    # broadcast, and the full-stream contamination probe) — the scrub
+    # itself is an O(lines x bp-model) array_contains scan per doc, so
+    # "map-only and cheaper to recompute" (the round-10 judgment)
+    # under-counted: round-15 profiling measured the re-scrubs at ~25s
+    # of task time per labeling at sf0.1 (stages 258/273/246, three
+    # full re-runs). One eager checkpoint of the slim (doc_id, text)
+    # store scrubs each doc exactly once — the in-session analog of
+    # the scrubbed TABLE the warm path persists.
     scrubbed = (
         corpus.crossJoin(F.broadcast(bp))
         .select("doc_id", clean_expr.alias("text"))
+        .localCheckpoint(eager=True)
     )
     cands = minhash_md5_pairs(
         scrubbed, "text", "doc_id", n_gram=3, k=16, bands=8
@@ -9285,9 +9294,17 @@ def _recipe_label_batch(batch: DataFrame, state: dict) -> DataFrame:
         incremental_minhash_neardup_from_sigs,
     )
 
-    bsigs = _md5_signatures(
-        scrub_b, "text", "doc_id", n_gram=3, k=16
-    ).localCheckpoint(eager=True)
+    # repartition pre-checkpoint (round-15): the signature agg output is
+    # byte-coalesced to ONE partition by AQE, which serialized the whole
+    # banded self-probe + n_match aggregate downstream on a single core
+    # (a measured 3.1s one-task stage per ingest at sf0.1). Slim rows,
+    # tiny shuffle, and downstream plans only see the checkpoint scan.
+    _par = batch.sparkSession.sparkContext.defaultParallelism
+    bsigs = (
+        _md5_signatures(scrub_b, "text", "doc_id", n_gram=3, k=16)
+        .repartition(_par)
+        .localCheckpoint(eager=True)
+    )
     # a PERSISTED signature index (the warm path) is probed as-is;
     # otherwise derive it from the scrubbed store — that derivation
     # re-shingles ALL of history and was measured to DOMINATE the
@@ -9311,6 +9328,16 @@ def _recipe_label_batch(batch: DataFrame, state: dict) -> DataFrame:
         )
         .dropDuplicates(["id_a", "id_b"])
     )
+    if gidx is None:
+        # COLD path only: pairs_all feeds TWO consumers (the verify call
+        # and the candidate history-text fetch below) and its lineage is
+        # the whole banded probe over the per-batch-derived history
+        # index — without a checkpoint the second consumer re-ran the
+        # entire probe DAG (round-15 profiling: a duplicated ~3.2s
+        # serial chain per ingest at sf0.1). On the warm path the index
+        # is a persisted table and pairs_all has exactly one consumer,
+        # so the checkpoint would only add a barrier there.
+        pairs_all = pairs_all.localCheckpoint(eager=True)
     if gidx is not None:
         # warm VERIFY (round-12 verdict item 2): the batch is shingled
         # ONCE into its own gram index; history gram sets come from
@@ -9339,8 +9366,14 @@ def _recipe_label_batch(batch: DataFrame, state: dict) -> DataFrame:
         # history texts (id_a joins scrub_h, which holds history docs
         # only, so batch-side id_a's fall out naturally; id_b is
         # always a batch doc because batch ids exceed history ids)
+        # broadcast the bounded candidate-id set: without the hint the
+        # checkpoint-derived sides have no stats and the fetch planned
+        # as a sort-merge join shuffling history TEXT (round-15 fix,
+        # same rationale as jaccard_verify_pairs' semi-join)
         cand_h_texts = scrub_h.join(
-            pairs_all.select(F.col("id_a").alias("doc_id")).distinct(),
+            F.broadcast(
+                pairs_all.select(F.col("id_a").alias("doc_id")).distinct()
+            ),
             "doc_id",
         )
         conf = jaccard_verify_pairs(
