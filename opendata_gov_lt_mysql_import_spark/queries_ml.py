@@ -4455,18 +4455,46 @@ def _winnow_pair_scores(d: DataFrame, hash_fn: str = "md5") -> DataFrame:
     localization). Plan shape documented at the callers."""
     from .operators.winnow import winnow_fingerprints
 
-    fps = _spread(d).select(
-        "doc_id",
-        winnow_fingerprints(F.col("text"), k=16, w=8, hash_fn=hash_fn)
-        .alias("fps"),
+    # eager checkpoint of the slim fingerprint frame (round-15): the
+    # downstream ``explode(fps)`` makes InferFiltersFromGenerate add a
+    # ``size(fps) > 0`` filter, and predicate pushdown SUBSTITUTES the
+    # whole md5 fingerprint expression into that filter below the
+    # spread exchange — measured: the two scan tasks each burned ~4s
+    # CPU computing every document's full fingerprint set just to test
+    # a condition that is always true (fps has >= 1 element by
+    # construction: hs is non-empty, so the window-min set is too),
+    # and the 32-wide stage then computed it all AGAIN. The checkpoint
+    # (~2.5 MB of (doc_id, fps) at sf0.1) is a hard optimizer barrier:
+    # fingerprints are computed exactly once, in the wide stage.
+    fps = (
+        _spread(d)
+        .select(
+            "doc_id",
+            winnow_fingerprints(F.col("text"), k=16, w=8, hash_fn=hash_fn)
+            .alias("fps"),
+        )
+        .localCheckpoint(eager=True)
     )
     inv = fps.select(
         "doc_id",
         F.size("fps").cast("long").alias("na"),
         F.explode("fps").alias("f"),
     )
+    # explicit hash repartition on the fingerprint key (round-15): the
+    # posting groupBy's own exchange is byte-tiny, so AQE coalesced its
+    # reduce side to TWO partitions — and that stage carries the
+    # CPU-dense pair generation (posexplode + tail-slice explode), a
+    # measured 2-task ~4.3s/task serial bottleneck at sf0.1 (guide
+    # §2.5: CPU-dense stages need width even when bytes are small).
+    # groupBy("f") reuses this partitioning (ClusteredDistribution on
+    # f is satisfied), so the exchange COUNT is unchanged — the
+    # explicit exchange replaces the agg's, and explicit repartitions
+    # are exempt from AQE coalescing. collect_list has no map-side
+    # reduction, so shuffling raw inv rows moves the same bytes.
+    par = d.sparkSession.sparkContext.defaultParallelism
     buckets = (
-        inv.groupBy("f")
+        inv.repartition(par, "f")
+        .groupBy("f")
         .agg(F.array_sort(F.collect_list(F.struct("doc_id", "na"))).alias("ms"))
         .filter(F.size("ms").between(2, 64))
     )
@@ -12736,8 +12764,18 @@ def incremental_semantic_dedup_q(spark: SparkSession, sf: str) -> DataFrame:
     cos = F.round(
         _dot(F.col("be"), F.col("he")) / (F.col("bn") * F.col("hn")), 4
     )
+    # round-15: the block join WAS left to AQE ("the batch is the small
+    # side, AQE broadcasts it") — but the probe side is a one-file
+    # parquet scan at bench scale, so the whole batch×block cosine
+    # screen ran as ONE task (measured: a 3.2s single-task checkpoint
+    # job, >60% of the entry). Broadcast the batch EXPLICITLY and
+    # round-robin the history side first: the per-pair dot then runs
+    # at full width at every scale, and the history stream still never
+    # shuffles by key (a ~2 MB slim-row spread, not a payload shuffle).
+    par = spark.sparkContext.defaultParallelism
     hits = (
-        b.join(h, "label")
+        h.repartition(par)
+        .join(F.broadcast(b), "label")
         .select("new_id", "label", "hist_id", cos.alias("cos"))
         .filter(F.col("cos") >= 0.3)
         .localCheckpoint(eager=True)  # feeds the window AND the count
@@ -12973,8 +13011,18 @@ def _semdedup_ivf_screen(
     cos = F.round(
         _dot(F.col("be"), F.col("he")) / (F.col("bn") * F.col("hn")), 4
     )
+    # round-15: both sides of the cell-keyed join are byte-tiny at
+    # bench scale, so AQE coalesced the pid exchange to ONE partition
+    # and the in-cell cosine screen — the entry's dominant compute —
+    # ran serially (measured: a 4.7s single-task job on the retrained
+    # entry). Broadcast the batch side explicitly (it is the small
+    # side by design at every scale: one crawl slice vs all history)
+    # and round-robin-spread the history side so the per-pair dot runs
+    # at full width; history still never shuffles by key.
+    par = spark.sparkContext.defaultParallelism
     hits = (
-        b.join(h, "pid")
+        h.repartition(par)
+        .join(F.broadcast(b), "pid")
         .select("new_id", "hist_id", cos.alias("cos"))
         .filter(F.col("cos") >= 0.3)
         .localCheckpoint(eager=True)  # feeds the window AND the count
