@@ -7614,7 +7614,11 @@ def ann_recall_calibration_q(spark: SparkSession, sf: str) -> DataFrame:
 
     from .operators.similarity import cosine, dot
 
-    emb = load_table(spark, sf, "embeddings")
+    # round-15: the exact Q×N cosine side and the N×16 assignment both
+    # ran at the one-file scan's width; spread once at the load (the
+    # panel/pivot branches are LIMIT/filter + broadcast, unaffected).
+    # Measured same-session: 3.82s -> 2.41s min-of-3 at sf0.1.
+    emb = _spread(load_table(spark, sf, "embeddings"))
     qs = emb.join(F.broadcast(_audit_panel(emb)), "vec_id").select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
     )
@@ -12148,8 +12152,14 @@ def ann_ivf_recall_after_drift_q(spark: SparkSession, sf: str) -> DataFrame:
         lambda acc, x: acc + x,
     )
     w_ex = Window.partitionBy("qid").orderBy(F.asc("d"), F.asc("vec_id"))
+    # round-15: the exact Q×N integer-L2 side was the entry's dominant
+    # job and ran at the union-of-scans width (2 tasks, ~2.5s);
+    # spread ONLY this branch — one extra exchange of 2N slim rows,
+    # consumed once by the eager checkpoint (guide §2: widen the
+    # CPU-dense stage, not every consumer of the load)
     exact10 = (
-        c2.crossJoin(F.broadcast(qs))
+        _spread(c2)
+        .crossJoin(F.broadcast(qs))
         .filter(F.col("vec_id") != F.col("qid"))
         .select("qid", "vec_id", il2.alias("d"))
         .withColumn("rn", F.row_number().over(w_ex))
