@@ -1666,3 +1666,35 @@ def test_incremental_semantic_dedup_ivf_pinned_and_cell_blocked(
         )
     )
     assert after == before
+
+
+def test_winnow_pair_fingerprints_computed_once(spark, sf_dir, queries):
+    """Round-15 regression guard: InferFiltersFromGenerate used to add
+    a `size(fps) > 0` filter below the exchange and predicate pushdown
+    substituted the WHOLE md5 fingerprint expression into it, so both
+    scan tasks evaluated every document's fingerprint set twice
+    (measured ~4s of duplicated CPU per winnow entry). The fix
+    materializes the slim (doc_id, fps) frame, so NO md5 expression may
+    appear in the final plan of either pair entry — if one reappears,
+    the checkpoint was dropped and the double evaluation is back."""
+    for key in ("winnow_dup_pairs", "winnow_dup_pairs_fast"):
+        plan = final_plan(queries[key](spark, sf_dir))
+        final_section = plan.split("== Initial Plan ==")[0]
+        assert "md5" not in final_section, (key, plan)
+
+
+def test_ann_recall_calibration_exact_side_runs_wide(
+    spark, sf_dir, queries
+):
+    """Round-15 regression guard: the exact Q x N cosine side used to
+    run at the one-file embeddings scan's 1-2-task width (the corpus is
+    a single parquet at bench scale). The load is now spread to cluster
+    width — the round-robin exchange must stay in the plan, and the
+    panel/pivot sides must stay broadcast (no cartesian, no global
+    funnel)."""
+    plan = final_plan(queries["ann_recall_calibration"](spark, sf_dir))
+    final_section = plan.split("== Initial Plan ==")[0]
+    assert "RoundRobinPartitioning" in final_section, plan
+    assert "BroadcastHashJoin" in final_section, plan
+    assert "CartesianProduct" not in final_section, plan
+    assert "Exchange SinglePartition" not in final_section, plan
