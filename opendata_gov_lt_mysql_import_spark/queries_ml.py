@@ -8780,16 +8780,73 @@ def _pq_adc_trained_oracle(iters: int = 2, scale: int = 10**4) -> str:
     """
 
 
-def _pq_train_frames(
-    spark: SparkSession, sf: str, iters: int = 2, scale: int = 10**4
-) -> tuple[DataFrame, list[DataFrame], list[DataFrame]]:
-    """The fixed-point Lloyd trainer's frames, shared by the trace
-    report and the trained-codebook ADC search: (sub, cbs, asgs) where
-    ``sub`` is the quantized subvector explode, ``cbs[t]`` is codebook
-    t (t=0 the data-as-codebook init), and ``asgs[t]`` the assignment
-    against codebook t (so asgs[-1] is the final coded corpus)."""
-    from pyspark.sql import Window
+def _tdiv(a: int, b: int) -> int:
+    """Truncate-toward-zero integral division — the exact semantics of
+    Spark ``DIV`` and DuckDB ``//`` on BIGINTs (Python ``//`` floors,
+    which differs on mixed signs; the Lloyd update sums CAN go negative
+    on negative embedding coordinates)."""
+    q = abs(a) // abs(b)
+    return q if (a >= 0) == (b >= 0) else -q
 
+
+def _pq_cb_argmin_sql(cb: dict[int, list[tuple[int, list[int]]]]) -> str:
+    """Map-side literal argmin against a driver-held codebook: a 4-slot
+    array (indexed by subspace ``m``) of (cid, cv) structs, scanned per
+    row with an exact BIGINT squared distance and the (d2, cid)
+    lexicographic struct-min — bit-identical to the row_number window
+    ordered (d2 ASC, cid ASC) it replaces, with NO join and NO shuffle.
+    One SQL string = one parse, instead of ~500 py4j literal calls."""
+    per_m = []
+    for m in range(4):
+        entries = ", ".join(
+            "named_struct('cid', {}L, 'cv', array({}))".format(
+                cid, ", ".join(f"{v}L" for v in cv)
+            )
+            for cid, cv in cb.get(m, [])
+        )
+        per_m.append(f"array({entries})")
+    return (
+        "array_min(transform(element_at(array({}), CAST(m + 1 AS INT)), "
+        "c -> struct(aggregate(zip_with(sv, c.cv, "
+        "(a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x) AS d2, "
+        "c.cid AS cid)))"
+    ).format(", ".join(per_m))
+
+
+def _pq_train_lloyd(
+    spark: SparkSession,
+    sf: str,
+    iters: int = 2,
+    scale: int = 10**4,
+    final_recon: bool = False,
+) -> tuple[DataFrame, list[dict], list[DataFrame], list[dict]]:
+    """Driver-coordinated fixed-point Lloyd (round-15 optimization of
+    the unrolled in-DAG trainer): the codebook is ≤32 rows BY
+    CONSTRUCTION at any corpus size (8 codewords × 4 subspaces), so it
+    lives on the driver — exactly the guide-§8 "decide with small rows"
+    split a production trainer (FAISS) uses. Per round the corpus pays
+    ONE map-only pass: a literal-codebook argmin projection feeding a
+    partial-aggregated 32-row update/trace collect — where the old
+    chain paid a codebook checkpoint job, a broadcast-exchange job, a
+    full-corpus row_number window SHUFFLE, an assignment checkpoint job
+    and a posexplode update shuffle per round (28 → 7 scheduled jobs on
+    the trace entry; zero corpus shuffles from three).
+
+    Returns (sub, cb_lists, asgs, recon): ``sub`` the checkpointed
+    subvector explode; ``cb_lists[t]`` the codebook of round t as
+    ``{m: [(cid, [16 ints])...]}`` (cid-sorted); ``asgs[t]`` the
+    map-only assignment frame against codebook t (columns vec_id, m,
+    cid, sv, d2 — identical to the old checkpointed frame, recomputed
+    from ``sub`` at one cheap map pass per consumer); ``recon[t]`` the
+    per-subspace exact reconstruction-error sums collected with round
+    t's update (t = iters only when ``final_recon``).
+
+    Arithmetic replicated exactly: quantization stays in ``sub``
+    (unchanged expression), distances are exact BIGINT sums computed in
+    the JVM, the centroid update is truncate-toward-zero integral
+    division on Python ints (``_tdiv`` ≡ Spark ``DIV`` ≡ DuckDB ``//``),
+    and empty cells drop because the update aggregate only yields
+    occupied (m, cid) groups."""
     emb = load_table(spark, sf, "embeddings")
     ms = F.array(*[F.lit(i) for i in range(4)])
     sub = (
@@ -8807,50 +8864,88 @@ def _pq_train_frames(
         )
         .localCheckpoint(eager=True)  # feeds every round's assign
     )
-    cb = sub.filter(F.col("vec_id").between(1, 8)).select(
-        "m", F.col("vec_id").alias("cid"), F.col("sv").alias("cv")
+    init = (
+        sub.filter(F.col("vec_id").between(1, 8))
+        .select("m", F.col("vec_id").alias("cid"), "sv")
+        .collect()  # bounded: ≤32 rows by construction at any scale
     )
-
-    def int_sqdist(vec, c):
-        return F.aggregate(
-            F.zip_with(vec, c, lambda a, b: (a - b) * (a - b)),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
+    cb: dict[int, list[tuple[int, list[int]]]] = {}
+    for r in init:
+        cb.setdefault(int(r["m"]), []).append(
+            (int(r["cid"]), [int(x) for x in r["sv"]])
         )
-
-    w = Window.partitionBy("vec_id", "m").orderBy(F.asc("d2"), F.asc("cid"))
-    cbs, asgs = [], []
+    for m in cb:
+        cb[m].sort()
+    sum_cols = [
+        F.sum(F.element_at(F.col("sv"), i + 1)).alias(f"s{i}")
+        for i in range(16)
+    ]
+    cb_lists, asgs, recon = [], [], []
     for t in range(iters + 1):
-        cb = cb.localCheckpoint(eager=True)  # consumed by assign + stats
-        cbs.append(cb)
-        asg = (
-            sub.join(F.broadcast(cb), "m")
-            .select(
-                "vec_id", "m", "cid", "sv",
-                int_sqdist(F.col("sv"), F.col("cv")).alias("d2"),
-            )
-            .withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("vec_id", "m", "cid", "sv", "d2")
+        cb_lists.append(cb)
+        asg = sub.withColumn("b", F.expr(_pq_cb_argmin_sql(cb))).select(
+            "vec_id",
+            "m",
+            F.col("b.cid").alias("cid"),
+            "sv",
+            F.col("b.d2").alias("d2"),
         )
-        if t < iters:
-            asg = asg.localCheckpoint(eager=True)  # trace + update
         asgs.append(asg)
         if t < iters:
-            ex = asg.select(
-                "m", "cid", F.posexplode("sv").alias("pos", "val")
-            )
-            cb = (
-                ex.groupBy("m", "cid", "pos")
-                .agg(F.expr("sum(val) DIV count(val)").alias("cvi"))
-                .groupBy("m", "cid")
+            # ONE bounded collect per round: the 32-row update cells
+            # (count + 16 partial element sums) carrying the trace's
+            # recon_err for free — map-side partial aggregation does
+            # the corpus-sized reduction before anything reaches the
+            # driver.
+            rows = (
+                asg.groupBy("m", "cid")
                 .agg(
-                    F.transform(
-                        F.array_sort(F.collect_list(F.struct("pos", "cvi"))),
-                        lambda s: s["cvi"],
-                    ).alias("cv")
+                    F.count(F.lit(1)).alias("n"),
+                    F.sum("d2").alias("dsum"),
+                    *sum_cols,
                 )
+                .collect()
             )
+            nxt: dict[int, list[tuple[int, list[int]]]] = {}
+            rec: dict[int, int] = {}
+            for r in rows:
+                m = int(r["m"])
+                nxt.setdefault(m, []).append(
+                    (
+                        int(r["cid"]),
+                        [_tdiv(int(r[f"s{i}"]), int(r["n"])) for i in range(16)],
+                    )
+                )
+                rec[m] = rec.get(m, 0) + int(r["dsum"])
+            for m in nxt:
+                nxt[m].sort()
+            recon.append(rec)
+            cb = nxt
+        elif final_recon:
+            rows = asg.groupBy("m").agg(F.sum("d2").alias("dsum")).collect()
+            recon.append({int(r["m"]): int(r["dsum"]) for r in rows})
+    return sub, cb_lists, asgs, recon
+
+
+def _pq_train_frames(
+    spark: SparkSession, sf: str, iters: int = 2, scale: int = 10**4
+) -> tuple[DataFrame, list[DataFrame], list[DataFrame]]:
+    """The fixed-point Lloyd trainer's frames, shared by the trace
+    report and the trained-codebook ADC search: (sub, cbs, asgs) where
+    ``sub`` is the quantized subvector explode, ``cbs[t]`` is codebook
+    t (t=0 the data-as-codebook init) as a LocalRelation twin of the
+    driver-held codebook (broadcast-joining it costs no scan job), and
+    ``asgs[t]`` the assignment against codebook t (so asgs[-1] is the
+    final coded corpus). Since round 15 the rounds are driver-
+    coordinated (``_pq_train_lloyd``): the corpus is never shuffled."""
+    sub, cb_lists, asgs, _ = _pq_train_lloyd(spark, sf, iters, scale)
+    cbs = [
+        spark.createDataFrame(
+            [(m, cid, cv) for m in sorted(cl) for cid, cv in cl[m]],
+            "m long, cid long, cv array<bigint>",
+        )
+        for cl in cb_lists
+    ]
     return sub, cbs, asgs
 
 
@@ -8872,39 +8967,36 @@ def pq_train_codebook_q(spark: SparkSession, sf: str) -> DataFrame:
     mirrored semantics), and the codebook element-sum signature
     pinning the trained codewords themselves.
 
-    Scale shape per iteration — the lloyd_fixed_point contract: ONE
-    broadcast of the ≤32-row codebook for map-side argmin (the
-    assignment window keyed (vec_id, m) — at extreme N a min_by
-    aggregate), ONE 32×16-cell shuffle for the update; the assignment
-    frame is localCheckpointed only when consumed twice (trace +
-    update). Training reads the corpus ``iters+1`` times and nothing
-    is ever quadratic."""
-    _sub, cbs, asgs = _pq_train_frames(spark, sf)
-    traces = []
-    for t, (cb, asg) in enumerate(zip(cbs, asgs)):
-        recon = asg.groupBy("m").agg(
-            F.sum("d2").cast("long").alias("recon_err")
-        )
-        stats = cb.groupBy("m").agg(
-            F.count(F.lit(1)).cast("long").alias("n_cw"),
-            F.sum(
-                F.aggregate(
-                    "cv", F.lit(0).cast("long"), lambda acc, x: acc + x
+    Scale shape per iteration (round-15 driver-coordinated form —
+    ``_pq_train_lloyd``): ONE map-only corpus pass (literal-codebook
+    argmin, zero joins, zero shuffles) feeding a partial-aggregated
+    32-row update collect that carries the trace's recon_err for free;
+    the ≤32-row codebook lives on the driver between rounds (bounded
+    BY CONSTRUCTION at any corpus size — the guide-§8 small-rows/
+    big-rows split). Training reads the checkpointed subvector store
+    ``iters+1`` times and nothing is ever quadratic; the old unrolled
+    chain additionally paid a full-corpus row_number SHUFFLE plus a
+    checkpoint and broadcast job per round. The report itself is
+    assembled from the collected integers (12 rows, exact BIGINTs all
+    the way down)."""
+    _sub, cb_lists, _asgs, recon = _pq_train_lloyd(
+        spark, sf, final_recon=True
+    )
+    rows = []
+    for t, cl in enumerate(cb_lists):
+        for m in sorted(cl):
+            rows.append(
+                (
+                    t,
+                    m,
+                    recon[t][m],
+                    len(cl[m]),
+                    sum(sum(cv) for _, cv in cl[m]),
                 )
             )
-            .cast("long")
-            .alias("cb_sum"),
-        )
-        traces.append(
-            recon.join(stats, "m").select(
-                F.lit(t).cast("long").alias("iter"),
-                "m", "recon_err", "n_cw", "cb_sum",
-            )
-        )
-    out = traces[0]
-    for tr in traces[1:]:
-        out = out.unionByName(tr)
-    return out
+    return spark.createDataFrame(
+        rows, "iter long, m long, recon_err long, n_cw long, cb_sum long"
+    )
 
 
 @query("pq_adc_topk_trained", _pq_adc_trained_oracle())
@@ -8922,8 +9014,9 @@ def pq_adc_topk_trained_q(spark: SparkSession, sf: str) -> DataFrame:
 
     Scale shape: identical to ``pq_adc_topk`` — broadcast lookup
     table, code-columns-only scan, TakeOrdered — plus the trainer's
-    per-round broadcast-argmin + 32×16-cell update shuffles (training
-    is the amortized offline half; a served system pays only the scan)."""
+    per-round map-only literal argmin + bounded 32-row update collects
+    (round-15 driver-coordinated Lloyd; training is the amortized
+    offline half and a served system pays only the scan)."""
     sub, cbs, asgs = _pq_train_frames(spark, sf)
     qt = (
         sub.filter(F.col("vec_id") == 0)

@@ -1348,17 +1348,70 @@ def test_gram_warm_lifecycle_exactly_once_and_serves_from_table(
     assert warm == indag
 
 
-def test_pq_train_rounds_broadcast_codebook_argmin(spark, sf_dir, queries):
-    """pq_train_codebook: every Lloyd round must assign via a
-    BROADCAST of the ≤32-row codebook (a shuffled join against the
-    subvector stream would pay iters × corpus shuffles), with no
-    cartesian/sort-merge join anywhere in the unrolled plan."""
-    df = queries["pq_train_codebook"](spark, sf_dir)
-    plan = final_plan(df)
-    final = plan.split("== Initial Plan ==")[0]
-    assert final.count("CartesianProduct") == 0, plan
-    assert final.count("SortMergeJoin") == 0, plan
-    assert "BroadcastHashJoin" in final, plan
+def test_pq_train_rounds_are_map_only_literal_argmin(spark, sf_dir):
+    """The round-15 driver-coordinated Lloyd contract: each round's
+    corpus pass must be MAP-ONLY — the ≤32-row codebook is a literal
+    argmin expression, so the assignment frame may contain no join, no
+    window and no exchange of any kind (the pre-round-15 chain paid a
+    broadcast join + a full-corpus row_number window shuffle per
+    round; a regression to either re-pays iters × corpus shuffles)."""
+    from opendata_gov_lt_mysql_import_spark.queries_ml import (
+        _pq_train_lloyd,
+    )
+
+    _sub, cb_lists, asgs, recon = _pq_train_lloyd(
+        spark, sf_dir, final_recon=True
+    )
+    assert len(cb_lists) == len(asgs) == len(recon) == 3
+    for asg in asgs:
+        plan = final_plan(asg)
+        final = plan.split("== Initial Plan ==")[0]
+        for node in ("Join", "Window", "Exchange", "CartesianProduct"):
+            assert node not in final, (node, plan)
+        assert "Scan ExistingRDD" in final, plan  # over the sub ckpt
+
+
+def test_pq_train_trace_job_budget(spark, sf_dir, queries):
+    """The trainer's coordination budget (the warm-increment pin's
+    discipline applied to the Lloyd rewrite): one trace run scheduled
+    28 jobs before round 15 (checkpoint + broadcast + window shuffle
+    per round), 11 after the driver-coordinated form. Pin a ceiling so
+    a reintroduced per-round checkpoint or broadcast job fails loudly
+    here with a number."""
+    q = queries["pq_train_codebook"]
+    q(spark, sf_dir).collect()  # warm-up
+    tracker = spark.sparkContext.statusTracker()
+    before = set(tracker.getJobIdsForGroup(None) or [])
+    q(spark, sf_dir).collect()
+    after = set(
+        spark.sparkContext.statusTracker().getJobIdsForGroup(None) or []
+    )
+    n_jobs = len(after - before)
+    assert n_jobs <= 14, (
+        f"pq_train_codebook scheduled {n_jobs} jobs (round-15 record: "
+        "11; ceiling 14) — a per-round checkpoint/broadcast/shuffle "
+        "probably returned"
+    )
+
+
+def test_tdiv_matches_spark_div_on_negatives(spark):
+    """_tdiv (the driver-side Lloyd update division) must reproduce
+    Spark `DIV` exactly — truncation toward zero, NOT Python floor —
+    because centroid sums go negative on negative embedding
+    coordinates and a floor/truncate mismatch silently shifts a
+    codeword by one fixed-point unit."""
+    from opendata_gov_lt_mysql_import_spark.queries_ml import _tdiv
+
+    cases = [(7, 2), (-7, 2), (7, -2), (-7, -2), (-1, 3), (1, 3),
+             (-99999, 16), (99999, 16), (0, 5)]
+    rows = spark.sql(
+        "SELECT " + ", ".join(
+            f"CAST({a} AS BIGINT) DIV CAST({b} AS BIGINT) AS r{i}"
+            for i, (a, b) in enumerate(cases)
+        )
+    ).collect()[0]
+    for i, (a, b) in enumerate(cases):
+        assert _tdiv(a, b) == rows[f"r{i}"], (a, b)
 
 
 def test_audit_panel_is_fixed_count_takeordered(spark, sf_dir):
