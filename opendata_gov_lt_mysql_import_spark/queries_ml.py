@@ -7796,90 +7796,105 @@ def classifier_train_perceptron_q(spark: SparkSession, sf: str) -> DataFrame:
     independently by the oracle. err1 is the shipped weights' error;
     err2/err3 show the training actually moving.
 
-    Scale shape: the feature frame (doc × bucket counts — one shuffle
-    off the token stream) and the label frame are built once and
-    localCheckpointed (consumed by all 3 epochs); each epoch is one
-    broadcast of the ≤256-row weight vector onto the feature frame, a
-    per-doc score aggregate, and a per-bucket gradient aggregate — cost
-    is epochs × O(tokens), never epochs × O(docs²). The unrolled-round
-    discipline is kcenter_coreset's; the 1-row error counts ride the
-    output via bounded cross-joins."""
+    Scale shape (round-15 driver-coordinated form, the Lloyd-trainer
+    discipline): the per-doc frame — label + hashed feature array —
+    is built once (one token-stream shuffle) and localCheckpointed;
+    the ≤256-row weight vector (bounded BY CONSTRUCTION: md5 first
+    byte) lives on the driver between epochs, so each epoch is ONE
+    map-only score/misclassify pass (literal weight map, no join, no
+    broadcast) plus one partial-aggregated ≤256-row gradient collect
+    over the misclassified docs — cost is epochs × O(tokens) map work
+    with zero per-epoch corpus shuffles, where the old unrolled chain
+    paid a per-epoch score shuffle, gradient shuffle, weight
+    checkpoint and broadcast build. The trace report is assembled
+    from the driver-held integers."""
     d = load_table(spark, sf, "documents")
     t = d.select("doc_id", tokens(F.col("text")).alias("toks"))
     n = F.size("toks").cast("long")
     stop_hits = F.size(
         F.filter(F.col("toks"), lambda x: F.lower(x).isin(*_ALL_STOPWORDS))
     ).cast("long")
-    lab = t.select(
-        "doc_id",
+    y = (
         F.when(n.between(20, 1000) & (stop_hits >= 2), 1)
         .otherwise(-1)
         .cast("long")
-        .alias("y"),
-    ).localCheckpoint(eager=True)
-    f = (
-        t.select("doc_id", F.explode("toks").alias("tok"))
-        .select(
+    )
+    fd = (
+        t.select("doc_id", y.alias("y"), F.explode_outer("toks").alias("tok"))
+        .groupBy(
             "doc_id",
+            "y",
             F.conv(F.substring(F.md5("tok"), 1, 2), 16, 10)
             .cast("long")
             .alias("bucket"),
         )
-        .groupBy("doc_id", "bucket")
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
-        .localCheckpoint(eager=True)
-    )
-    w = f.select("bucket").distinct().select(
-        "bucket",
-        ((F.col("bucket") * F.lit(2654435761).cast("long")) % 1024 - 512)
-        .cast("long")
-        .alias("w"),
-    )
-
-    def epoch(wprev):
-        sc = (
-            f.join(F.broadcast(wprev), "bucket")
-            .groupBy("doc_id")
-            .agg(F.sum(F.col("w") * F.col("cnt")).cast("long").alias("sc"))
+        .groupBy("doc_id", "y")
+        .agg(
+            F.collect_list(
+                F.when(
+                    F.col("bucket").isNotNull(),
+                    F.struct("bucket", "cnt"),
+                )
+            ).alias("feats")
         )
-        s = lab.join(sc, "doc_id", "left").select(
-            "doc_id", "y", F.coalesce(F.col("sc"), F.lit(0)).alias("score")
-        )
-        mis = s.filter(F.col("y") * F.col("score") <= 0).select("doc_id", "y")
-        err = mis.agg(F.count(F.lit(1)).cast("long").alias("err"))
-        g = (
-            f.join(mis, "doc_id")
-            .groupBy("bucket")
-            .agg(F.sum(F.col("y") * F.col("cnt")).cast("long").alias("g"))
-        )
-        wnext = wprev.join(g, "bucket", "left").select(
-            "bucket",
-            (F.col("w") + F.coalesce(F.col("g"), F.lit(0)))
-            .cast("long")
-            .alias("w"),
-        )
-        return wnext, err
-
-    w1, e1 = epoch(w)
-    # each epoch's weights feed BOTH the next epoch and the output trace
-    w1 = w1.localCheckpoint(eager=True)
-    w2, e2 = epoch(w1)
-    w2 = w2.localCheckpoint(eager=True)
-    w3, e3 = epoch(w2)
-    errs = (
-        e1.withColumnRenamed("err", "err1")
-        .crossJoin(e2.withColumnRenamed("err", "err2"))
-        .crossJoin(e3.withColumnRenamed("err", "err3"))
+        .localCheckpoint(eager=True)  # consumed by all 3 epochs
     )
-    trace = (
-        w.withColumnRenamed("w", "w_init")
-        .join(w1.withColumnRenamed("w", "w_ep1"), "bucket")
-        .join(w2.withColumnRenamed("w", "w_ep2"), "bucket")
-        .join(w3.withColumnRenamed("w", "w_ep3"), "bucket")
+    buckets = sorted(
+        r["b"]
+        for r in fd.select(
+            F.explode(F.col("feats.bucket")).alias("b")
+        )
+        .distinct()
+        .collect()  # bounded: ≤256 md5-byte buckets at any corpus size
     )
-    return trace.crossJoin(F.broadcast(errs)).select(
-        "bucket", "w_init", "w_ep1", "w_ep2", "w_ep3",
-        "err1", "err2", "err3",
+    weights = {b: (b * 2654435761) % 1024 - 512 for b in buckets}
+    w_trace = [dict(weights)]
+    errs = []
+    for _ in range(3):
+        w_map = (
+            "map("
+            + ", ".join(f"{b}L, {w}L" for b, w in sorted(weights.items()))
+            + ")"
+        )
+        score = F.expr(
+            f"aggregate(feats, 0L, (acc, x) -> "
+            f"acc + element_at({w_map}, x.bucket) * x.cnt)"
+        )
+        mis = fd.withColumn("score", score).filter(
+            F.col("y") * F.col("score") <= 0
+        )
+        # two bounded collects per epoch: the ≤256-row gradient (docs
+        # with features, partial-aggregated map-side) and the 1-row
+        # error count (which must also see feature-less docs, whose
+        # empty feats explode to nothing)
+        grows = (
+            mis.select("y", F.explode("feats").alias("fx"))
+            .groupBy("fx.bucket")
+            .agg(F.sum(F.col("y") * F.col("fx.cnt")).alias("g"))
+            .collect()
+        )
+        errs.append(mis.count())
+        for r in grows:
+            weights[int(r["bucket"])] += int(r["g"])
+        w_trace.append(dict(weights))
+    rows = [
+        (
+            b,
+            w_trace[0][b],
+            w_trace[1][b],
+            w_trace[2][b],
+            w_trace[3][b],
+            errs[0],
+            errs[1],
+            errs[2],
+        )
+        for b in buckets
+    ]
+    return spark.createDataFrame(
+        rows,
+        "bucket long, w_init long, w_ep1 long, w_ep2 long, w_ep3 long, "
+        "err1 long, err2 long, err3 long",
     )
 
 

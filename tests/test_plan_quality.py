@@ -1394,6 +1394,29 @@ def test_pq_train_trace_job_budget(spark, sf_dir, queries):
     )
 
 
+def test_perceptron_job_budget(spark, sf_dir, queries):
+    """The driver-coordinated perceptron's coordination budget: one
+    trace run scheduled 50 jobs before round 15 (per-epoch score
+    shuffle + gradient shuffle + weight checkpoint + broadcast build),
+    20 after (one checkpointed per-doc frame, a bounded bucket
+    collect, and two bounded collects per epoch). Pin a ceiling so a
+    reintroduced per-epoch shuffle or checkpoint fails loudly here."""
+    q = queries["classifier_train_perceptron"]
+    q(spark, sf_dir).collect()  # warm-up
+    tracker = spark.sparkContext.statusTracker()
+    before = set(tracker.getJobIdsForGroup(None) or [])
+    q(spark, sf_dir).collect()
+    after = set(
+        spark.sparkContext.statusTracker().getJobIdsForGroup(None) or []
+    )
+    n_jobs = len(after - before)
+    assert n_jobs <= 25, (
+        f"classifier_train_perceptron scheduled {n_jobs} jobs (round-15 "
+        "record: 20; ceiling 25) — a per-epoch shuffle/checkpoint/"
+        "broadcast probably returned"
+    )
+
+
 def test_tdiv_matches_spark_div_on_negatives(spark):
     """_tdiv (the driver-side Lloyd update division) must reproduce
     Spark `DIV` exactly — truncation toward zero, NOT Python floor —

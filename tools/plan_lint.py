@@ -130,11 +130,10 @@ WHITELIST: dict[str, dict[str, str]] = {
         "bnl_join": "1-row bucket-total aggregate cross-joined onto the "
         "fixed 256-row bucket-stats frame (constant-sized both sides)"
     },
-    "classifier_train_perceptron": {
-        "bnl_join": "three 1-row per-epoch error aggregates cross-joined "
-        "with each other and onto the <=256-row weight trace (same "
-        "shape as tfidf's corpus count)"
-    },
+    # classifier_train_perceptron's whitelist entry removed in round 15:
+    # the driver-coordinated rewrite assembles the trace from bounded
+    # collects, so the per-epoch error cross-joins (the BNL the entry
+    # excused) no longer exist in the plan.
     "ann_recall_calibration": {
         "bnl_join": "fixed 64-query md5-ranked panel (a LIMIT, so Q is "
         "constant at any corpus size) and the 16-pivot frame broadcast "
