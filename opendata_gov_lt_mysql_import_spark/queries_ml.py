@@ -8042,19 +8042,27 @@ def _pq_dist():
 def _pq_assign(spark: SparkSession, sf: str) -> DataFrame:
     """(vec_id, m, cid, d): every subvector's nearest codeword (squared
     L2, codeword-id tiebreak) from the data-as-codebook rows 1..8 —
-    shared by the quantizer and the ADC search."""
-    from pyspark.sql import Window
-
+    shared by the quantizer and the ADC search. Round 15: the argmin is
+    a partial-aggregated min over struct(d, cid) instead of a
+    row_number window — bit-identical choice (lexicographic struct
+    comparison ≡ ORDER BY d, cid with cid unique per group), but the
+    map side reduces the 8 candidate rows per (vec_id, m) to ONE before
+    the exchange (guide §2.3: aggregate before you shuffle)."""
     sub = _pq_sub(spark, sf)
     cb = sub.filter(F.col("vec_id").between(1, 8)).select(
         F.col("vec_id").alias("cid"), "m", F.col("sv").alias("cv")
     )
-    w = Window.partitionBy("vec_id", "m").orderBy(F.asc("d"), F.asc("cid"))
     return (
         sub.join(F.broadcast(cb), "m")
         .select("vec_id", "m", "cid", _pq_dist().alias("d"))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
+        .groupBy("vec_id", "m")
+        .agg(F.min(F.struct("d", "cid")).alias("b"))
+        .select(
+            "vec_id",
+            "m",
+            F.col("b.cid").alias("cid"),
+            F.col("b.d").alias("d"),
+        )
     )
 
 
@@ -10494,17 +10502,31 @@ def _pq_encode_with(sub: DataFrame, cb: DataFrame) -> DataFrame:
     (`_pq_code_frames`); INGEST must encode new vectors against the
     FROZEN served codebook or the ADC lookup tables go stale — this
     helper is that shared encode. Extra columns on ``sub`` (e.g. the
-    cell id) ride along through the assignment."""
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("vec_id", "m").orderBy(F.asc("d"), F.asc("cid"))
+    cell id) ride along through the assignment. Round 15: the argmin
+    is a partial-aggregated min over struct(d, cid, ride-alongs)
+    instead of a row_number window — bit-identical choice ((d, cid) is
+    unique per group so the ride-along suffix never breaks a tie, and
+    every ride-along is constant within its (vec_id, m) group), but
+    the map side reduces the 8 candidates per subvector to ONE row
+    before the exchange (guide §2.3)."""
     keep = [c for c in sub.columns if c != "sv"]
+    others = [c for c in keep if c not in ("vec_id", "m")]
     return (
         sub.join(F.broadcast(cb), "m")
         .select(*keep, "cid", _pq_dist().alias("d"))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(*keep, "cid")
+        .groupBy("vec_id", "m")
+        .agg(
+            F.min(
+                F.struct("d", "cid", *[F.col(c) for c in others])
+            ).alias("b")
+        )
+        .select(
+            *[
+                F.col(c) if c in ("vec_id", "m") else F.col(f"b.{c}").alias(c)
+                for c in keep
+            ],
+            F.col("b.cid").alias("cid"),
+        )
     )
 
 
@@ -10562,17 +10584,18 @@ def _rescl_frames(
         F.col("vec_id").alias("pid"), F.col("e").alias("pe")
     )
     cl = _rescl_corpus(emb64, piv0)
-    from pyspark.sql import Window
-
-    w_asg = Window.partitionBy("vec_id").orderBy(F.asc("d"), F.asc("pid"))
+    # Round 15: coarse assignment as a partial-aggregated min over
+    # struct(d, pid) instead of a row_number window — bit-identical
+    # choice (lexicographic ≡ ORDER BY d, pid), 16× fewer rows into
+    # the exchange (guide §2.3).
     asgc = (
         cl.crossJoin(F.broadcast(piv0))
         .select(
             "vec_id", "pid", _l2_col(F.col("e"), F.col("pe")).alias("d")
         )
-        .withColumn("rn", F.row_number().over(w_asg))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "pid")
+        .groupBy("vec_id")
+        .agg(F.min(F.struct("d", "pid")).alias("b"))
+        .select("vec_id", F.col("b.pid").alias("pid"))
     )
     res = (
         asgc.join(cl, "vec_id")
