@@ -629,11 +629,9 @@ def dedup_keep_best_q(spark: SparkSession, sf: str) -> DataFrame:
     to the lowest id — instead of dup_clusters' arbitrary
     keep-lowest-id. The canonical last stage of a dedup pipeline:
     clusters chain A~B~C, so the keep decision must be per-component,
-    not per-pair. Per-cluster window (partitioned — never global);
+    not per-pair. Per-cluster aggregate (partitioned — never global);
     component labeling is the same iterative min-propagation as
     dup_clusters."""
-    from pyspark.sql import Window
-
     from .operators.dedup import connected_components
 
     d = _documents_with_dups(spark, sf)
@@ -655,15 +653,22 @@ def dedup_keep_best_q(spark: SparkSession, sf: str) -> DataFrame:
             "q",
         )
     )
-    w = Window.partitionBy("cluster")
+    # round-16: keeper + member count in ONE partial-aggregated groupBy
+    # instead of a rank window plus a count window over the same
+    # partitioning — max(struct(q, -doc_id)) ≡ row_number over
+    # (q DESC, doc_id ASC) = 1 (integer negation of the tiebreak id is
+    # exact; ids unique per cluster), and the map side folds each
+    # cluster's members to one row before the exchange (guide §2.3,
+    # the batch-F transform).
     return (
-        labeled.withColumn(
-            "rn",
-            F.row_number().over(w.orderBy(F.desc("q"), F.asc("doc_id"))),
+        labeled.groupBy("cluster")
+        .agg(
+            F.max(
+                F.struct(F.col("q"), (-F.col("doc_id")).alias("nid"))
+            ).alias("_m"),
+            F.count(F.lit(1)).alias("n_members"),
         )
-        .withColumn("n_members", F.count(F.lit(1)).over(w))
-        .filter(F.col("rn") == 1)
-        .select("cluster", F.col("doc_id").alias("keep_id"), "n_members")
+        .select("cluster", (-F.col("_m.nid")).alias("keep_id"), "n_members")
     )
 
 
@@ -3653,12 +3658,10 @@ def semantic_decontaminate_q(spark: SparkSession, sf: str) -> DataFrame:
 
     Scale shape: the eval set is benchmark-sized (small by
     construction), so it BROADCASTS onto the training stream — per-row
-    scoring plus a vec_id-partitioned argmax window; the training side
-    never shuffles for scoring. At extreme eval sizes the shipped
+    scoring plus a vec_id-partitioned argmax aggregate; the training
+    side never shuffles for scoring. At extreme eval sizes the shipped
     sign-LSH / IVF candidate generators (ann_lsh_topk / ann_ivf_topk)
     replace the exact loop, same as hard_negatives documents."""
-    from pyspark.sql import Window
-
     from .operators.similarity import cosine
 
     emb = load_table(spark, sf, "embeddings")
@@ -3669,11 +3672,26 @@ def semantic_decontaminate_q(spark: SparkSession, sf: str) -> DataFrame:
     scored = tr.crossJoin(F.broadcast(ev)).select(
         "vec_id", "eval_id", cosine(F.col("embedding"), F.col("ee")).alias("sim")
     ).filter(F.col("sim") >= 0.3)
-    w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("eval_id"))
+    # round-16: argmax as a partial-aggregated lexicographic max-struct,
+    # not a window — max(struct(sim, -eval_id)) ≡ row_number over
+    # (sim DESC, eval_id ASC) = 1 (integer negation of the tiebreak id
+    # is exact; eval ids unique per vec_id), and the surviving
+    # (vec_id, eval) match rows fold map-side to one row per vec_id
+    # before the exchange (guide §2.3, the batch-F transform). The
+    # comparison runs on the UNROUNDED sim, exactly as the window did;
+    # rounding stays in the output projection.
     return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "eval_id", F.round("sim", 4).alias("sim"))
+        scored.groupBy("vec_id")
+        .agg(
+            F.max(
+                F.struct(F.col("sim"), (-F.col("eval_id")).alias("nid"))
+            ).alias("_m")
+        )
+        .select(
+            "vec_id",
+            (-F.col("_m.nid")).alias("eval_id"),
+            F.round(F.col("_m.sim"), 4).alias("sim"),
+        )
     )
 
 
@@ -6015,10 +6033,9 @@ def corpus_datasheet_q(spark: SparkSession, sf: str) -> DataFrame:
 
     Scale shape: two partial-agg shuffles onto dimension-sized keys
     (source; source×lang) — both map-side combined — then a
-    dimension-sized window + broadcast-sized join to attach the modal
-    language. Nothing here grows with corpus size except the scan."""
-    from pyspark.sql import Window
-
+    dimension-sized min-struct aggregate + broadcast-sized join to
+    attach the modal language. Nothing here grows with corpus size
+    except the scan."""
     from .operators.textanalysis import token_count
 
     d = load_table(spark, sf, "documents")
@@ -6038,13 +6055,19 @@ def corpus_datasheet_q(spark: SparkSession, sf: str) -> DataFrame:
         .alias("n_empty"),
     )
     lc = tok.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("c"))
-    wtop = Window.partitionBy("source").orderBy(
-        F.col("c").desc(), F.col("lang")
-    )
+    # round-16: top language as a partial-aggregated min-struct, not a
+    # window — min(struct(-c, lang)) ≡ row_number over (c DESC,
+    # lang ASC) = 1 (integer negation of the count is exact; the
+    # string tiebreak stays ascending), folding the per-(source, lang)
+    # rows map-side before the source exchange (guide §2.3).
     top = (
-        lc.withColumn("rn", F.row_number().over(wtop))
-        .filter(F.col("rn") == 1)
-        .select("source", F.col("lang").alias("top_lang"))
+        lc.groupBy("source")
+        .agg(
+            F.min(
+                F.struct((-F.col("c")).alias("nc"), F.col("lang"))
+            ).alias("_m")
+        )
+        .select("source", F.col("_m.lang").alias("top_lang"))
     )
     return per.join(F.broadcast(top), "source").select(
         "source",
@@ -7625,9 +7648,11 @@ def ann_recall_calibration_q(spark: SparkSession, sf: str) -> DataFrame:
     piv = emb.filter(F.col("vec_id").between(1, 16)).select(
         F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
     )
-    w_asg = Window.partitionBy("vec_id").orderBy(
-        F.desc("d"), F.asc("cid")
-    )
+    # round-16: coarse argmax as a partial-aggregated max-struct, not a
+    # window — max(struct(d, -cid)) ≡ row_number over (d DESC, cid ASC)
+    # = 1 (integer negation of the tiebreak id is exact; cids unique per
+    # vec_id), folding the N×16 candidate rows map-side to one row per
+    # vector before the exchange (guide §2.3, the batch-F transform).
     asg = (
         emb.crossJoin(F.broadcast(piv))
         .select(
@@ -7635,9 +7660,13 @@ def ann_recall_calibration_q(spark: SparkSession, sf: str) -> DataFrame:
             "cid",
             dot(F.col("embedding"), F.col("ce")).alias("d"),
         )
-        .withColumn("rn", F.row_number().over(w_asg))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "cid")
+        .groupBy("vec_id")
+        .agg(
+            F.max(
+                F.struct(F.col("d"), (-F.col("cid")).alias("nc"))
+            ).alias("_m")
+        )
+        .select("vec_id", (-F.col("_m.nc")).alias("cid"))
     )
     w_probe = Window.partitionBy("qid").orderBy(F.desc("d"), F.asc("cid"))
     probe = (
@@ -8470,15 +8499,14 @@ def ann_ivfadc_topk_q(spark: SparkSession, sf: str) -> DataFrame:
     the shared _PQ_BASE_CTES + _IVF_CTES chains.
 
     Scale shape: pivots (16 rows) and the probe set (2 rows) broadcast;
-    cell assignment is one window keyed vec_id — the same shuffle the
-    IVF build itself pays, amortized across queries in a served system;
-    the member restriction is a broadcast semi of the probe set onto
-    the assignment, cutting the ADC scan to ~nprobe/ncells of the
-    corpus BEFORE any distance work; the ADC side then touches only the
-    4 code columns joined against the broadcast 32-row lookup table;
-    top-k is TakeOrdered (bounded heap, no global sort)."""
-    from pyspark.sql import Window
-
+    cell assignment is one partial-aggregated max-struct keyed vec_id —
+    the same shuffle the IVF build itself pays, amortized across
+    queries in a served system; the member restriction is a broadcast
+    semi of the probe set onto the assignment, cutting the ADC scan to
+    ~nprobe/ncells of the corpus BEFORE any distance work; the ADC side
+    then touches only the 4 code columns joined against the broadcast
+    32-row lookup table; top-k is TakeOrdered (bounded heap, no global
+    sort)."""
     from .operators.similarity import dot
 
     emb64 = load_table(spark, sf, "embeddings").select(
@@ -8495,13 +8523,21 @@ def ann_ivfadc_topk_q(spark: SparkSession, sf: str) -> DataFrame:
         .limit(2)
         .select("pid")
     )
-    w_asg = Window.partitionBy("vec_id").orderBy(F.desc("d"), F.asc("pid"))
+    # round-16: coarse argmax as a partial-aggregated max-struct, not a
+    # window — max(struct(d, -pid)) ≡ row_number over (d DESC, pid ASC)
+    # = 1 (integer negation of the tiebreak id is exact; pids unique per
+    # vec_id), folding the N×16 candidate rows map-side to one row per
+    # vector before the exchange (guide §2.3, the batch-F transform).
     ivf = (
         emb64.crossJoin(F.broadcast(piv))
         .select("vec_id", "pid", dot(F.col("e"), F.col("pe")).alias("d"))
-        .withColumn("rn", F.row_number().over(w_asg))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "pid")
+        .groupBy("vec_id")
+        .agg(
+            F.max(
+                F.struct(F.col("d"), (-F.col("pid")).alias("np"))
+            ).alias("_m")
+        )
+        .select("vec_id", (-F.col("_m.np")).alias("pid"))
     )
     members = ivf.join(F.broadcast(probe), "pid").filter(
         F.col("vec_id") != 0
@@ -8624,13 +8660,21 @@ def ivfadc_recall_calibration_q(spark: SparkSession, sf: str) -> DataFrame:
     qs = emb64.join(F.broadcast(panel), "vec_id").select(
         F.col("vec_id").alias("qid"), F.col("e").alias("qe")
     )
-    w_asg = Window.partitionBy("vec_id").orderBy(F.desc("d"), F.asc("pid"))
+    # round-16: coarse argmax as a partial-aggregated max-struct, not a
+    # window — max(struct(d, -pid)) ≡ row_number over (d DESC, pid ASC)
+    # = 1 (integer negation of the tiebreak id is exact; pids unique per
+    # vec_id), folding the N×16 candidate rows map-side to one row per
+    # vector before the exchange (guide §2.3, the batch-F transform).
     ivf = (
         emb64.crossJoin(F.broadcast(piv))
         .select("vec_id", "pid", dot(F.col("e"), F.col("pe")).alias("d"))
-        .withColumn("rn", F.row_number().over(w_asg))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "pid")
+        .groupBy("vec_id")
+        .agg(
+            F.max(
+                F.struct(F.col("d"), (-F.col("pid")).alias("np"))
+            ).alias("_m")
+        )
+        .select("vec_id", (-F.col("_m.np")).alias("pid"))
     )
     w_probe = Window.partitionBy("qid").orderBy(F.desc("d"), F.asc("pid"))
     probe = (
@@ -10318,14 +10362,24 @@ def ann_ivf_occupancy_drift_q(spark: SparkSession, sf: str) -> DataFrame:
         F.col("vec_id").alias("pid"), F.col("e").alias("pe")
     )
 
+    # round-16: cell argmax as a partial-aggregated max-struct, not a
+    # window — max(struct(d, -pid)) ≡ row_number over (d DESC, pid ASC)
+    # = 1 (integer negation of the tiebreak id is exact; pids unique per
+    # vec_id), folding the N×16 candidate rows map-side to one row per
+    # vector before the exchange (guide §2.3, the batch-F transform
+    # applied to the audit's inline ah/ab blocks — round-15 verdict
+    # item 4).
     def assign(df):
-        w = Window.partitionBy("vec_id").orderBy(F.desc("d"), F.asc("pid"))
         return (
             df.crossJoin(F.broadcast(piv))
             .select("vec_id", "pid", dot(F.col("e"), F.col("pe")).alias("d"))
-            .withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("vec_id", "pid")
+            .groupBy("vec_id")
+            .agg(
+                F.max(
+                    F.struct(F.col("d"), (-F.col("pid")).alias("np"))
+                ).alias("_m")
+            )
+            .select("vec_id", (-F.col("_m.np")).alias("pid"))
         )
 
     ah = assign(emb64)
@@ -11023,15 +11077,17 @@ def _ivfadc_batch_codes(
     assigned pivot, `_pq_encode_with` against the frozen codebook.
     Batch-sized cluster work only — shared by the warm ingest and its
     streaming twin (each micro-batch runs exactly this)."""
-    from pyspark.sql import Window
-
-    w_asg = Window.partitionBy("vec_id").orderBy(F.asc("d"), F.asc("pid"))
+    # round-16: coarse argmin as a partial-aggregated min-struct, not a
+    # window — min(struct(d, pid)) ≡ row_number over (d ASC, pid ASC)
+    # = 1 (lexicographic struct comparison; pids unique per vec_id),
+    # folding the batch × n_cells candidate rows map-side before the
+    # exchange (guide §2.3, the batch-F transform).
     basg = (
         bcl.crossJoin(F.broadcast(piv0))
         .select("vec_id", "pid", _l2_col(F.col("e"), F.col("pe")).alias("d"))
-        .withColumn("rn", F.row_number().over(w_asg))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "pid")
+        .groupBy("vec_id")
+        .agg(F.min(F.struct("d", "pid")).alias("_m"))
+        .select("vec_id", F.col("_m.pid").alias("pid"))
     )
     bres = (
         basg.join(bcl, "vec_id")
@@ -11741,13 +11797,21 @@ def ivfadc_nprobe_sweep_q(spark: SparkSession, sf: str) -> DataFrame:
     qs = emb64.join(F.broadcast(panel), "vec_id").select(
         F.col("vec_id").alias("qid"), F.col("e").alias("qe")
     )
-    w_asg = Window.partitionBy("vec_id").orderBy(F.desc("d"), F.asc("pid"))
+    # round-16: coarse argmax as a partial-aggregated max-struct, not a
+    # window — max(struct(d, -pid)) ≡ row_number over (d DESC, pid ASC)
+    # = 1 (integer negation of the tiebreak id is exact; pids unique per
+    # vec_id), folding the N×16 candidate rows map-side to one row per
+    # vector before the exchange (guide §2.3, the batch-F transform).
     ivf = (
         emb64.crossJoin(F.broadcast(piv))
         .select("vec_id", "pid", dot(F.col("e"), F.col("pe")).alias("d"))
-        .withColumn("rn", F.row_number().over(w_asg))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "pid")
+        .groupBy("vec_id")
+        .agg(
+            F.max(
+                F.struct(F.col("d"), (-F.col("pid")).alias("np"))
+            ).alias("_m")
+        )
+        .select("vec_id", (-F.col("_m.np")).alias("pid"))
     )
     nps = F.array(
         F.lit(1).cast("long"), F.lit(2).cast("long"), F.lit(4).cast("long")
@@ -12215,16 +12279,26 @@ def ann_ivf_recall_after_drift_q(spark: SparkSession, sf: str) -> DataFrame:
             lambda acc, x: acc + x,
         )
 
+    # round-16: cell argmax as a partial-aggregated max-struct, not a
+    # window — max(struct(d, -pid)) ≡ row_number over (d DESC, pid ASC)
+    # = 1 (all-BIGINT: the integer dot and the negated tiebreak are
+    # exact), folding the N×16 candidate rows map-side to one row per
+    # vector before the exchange (guide §2.3, the batch-F transform
+    # applied to the drift audit's inline assignment — round-15
+    # verdict item 4).
     def assign(piv_df):
-        w = Window.partitionBy("vec_id").orderBy(F.desc("d"), F.asc("pid"))
         return (
             c2.crossJoin(F.broadcast(piv_df))
             .select(
                 "vec_id", "pid", int_dot(F.col("ie"), F.col("pe")).alias("d")
             )
-            .withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("vec_id", "pid")
+            .groupBy("vec_id")
+            .agg(
+                F.max(
+                    F.struct(F.col("d"), (-F.col("pid")).alias("np"))
+                ).alias("_m")
+            )
+            .select("vec_id", (-F.col("_m.np")).alias("pid"))
         )
 
     af = assign(fpiv)
@@ -12860,8 +12934,6 @@ def incremental_semantic_dedup_q(spark: SparkSession, sf: str) -> DataFrame:
     work is one fused zip_with dot. The windows are per-new_id,
     batch-sized. This is exactly the SemDeDup maintenance path a
     100 TB deployment runs per crawl slice."""
-    from pyspark.sql import Window
-
     emb = load_table(spark, sf, "embeddings")
     v = emb.select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("e")
@@ -12917,25 +12989,37 @@ def incremental_semantic_dedup_q(spark: SparkSession, sf: str) -> DataFrame:
     hits = (
         h.repartition(par)
         .join(F.broadcast(b), "label")
-        .select("new_id", "label", "hist_id", cos.alias("cos"))
+        .select("new_id", "hist_id", cos.alias("cos"))
         .filter(F.col("cos") >= 0.3)
-        .localCheckpoint(eager=True)  # feeds the window AND the count
     )
-    w = Window.partitionBy("new_id").orderBy(F.desc("cos"), F.asc("hist_id"))
-    top = (
-        hits.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
+    # round-16: the top-1 window and the hit count used to consume the
+    # checkpointed hit set through TWO new_id passes (a Window
+    # shuffle+sort and a groupBy). ONE partial-aggregated groupBy
+    # computes both: max(struct(cos, -hist_id)) ≡ the (cos DESC,
+    # hist_id ASC) row_number() = 1 choice (integer negation of the
+    # tiebreak id is exact; hist ids unique per new_id) and the count
+    # rides the same aggregate. With a single consumer the eager
+    # checkpoint became a pure barrier and is dropped — the screen is
+    # computed once inside the one remaining pass (guide §2.3
+    # aggregate-before-shuffle; §5 cache discipline).
+    best = (
+        hits.groupBy("new_id")
+        .agg(
+            F.max(
+                F.struct(F.col("cos"), (-F.col("hist_id")).alias("nh"))
+            ).alias("_m"),
+            F.count(F.lit(1)).alias("_n"),
+        )
         .select(
             "new_id",
-            F.col("hist_id").alias("nearest_hist_id"),
-            F.col("cos").alias("best_cos"),
+            (-F.col("_m.nh")).alias("nearest_hist_id"),
+            F.col("_m.cos").alias("best_cos"),
+            "_n",
         )
     )
-    cnt = hits.groupBy("new_id").agg(F.count(F.lit(1)).alias("_n"))
     return (
         batch.select(F.col("vec_id").alias("new_id"), "label")
-        .join(cnt, "new_id", "left")
-        .join(top, "new_id", "left")
+        .join(best, "new_id", "left")
         .select(
             "new_id",
             "label",
@@ -13091,8 +13175,6 @@ def _semdedup_ivf_screen(
     screen. Parameterized over history/batch frames so the
     fixed-batch, growing-history falsifier times the identical path
     with history from a kx fixture and the batch pinned to base."""
-    from pyspark.sql import Window
-
     from .sources.snapshots import read_snapshot
 
     # history cell membership from the pinned pre-ingest snapshot:
@@ -13166,24 +13248,36 @@ def _semdedup_ivf_screen(
         .join(F.broadcast(b), "pid")
         .select("new_id", "hist_id", cos.alias("cos"))
         .filter(F.col("cos") >= 0.3)
-        .localCheckpoint(eager=True)  # feeds the window AND the count
     )
-    w = Window.partitionBy("new_id").orderBy(F.desc("cos"), F.asc("hist_id"))
-    top = (
-        hits.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
+    # round-16: the top-1 window and the hit count used to consume the
+    # checkpointed hit set through TWO new_id passes (a Window
+    # shuffle+sort and a groupBy). ONE partial-aggregated groupBy
+    # computes both: max(struct(cos, -hist_id)) ≡ the (cos DESC,
+    # hist_id ASC) row_number() = 1 choice (integer negation of the
+    # tiebreak id is exact; hist ids unique per new_id) and the count
+    # rides the same aggregate. With a single consumer the eager
+    # checkpoint became a pure barrier and is dropped — the in-cell
+    # screen is computed once inside the one remaining pass (guide
+    # §2.3 aggregate-before-shuffle; §5 cache discipline).
+    best = (
+        hits.groupBy("new_id")
+        .agg(
+            F.max(
+                F.struct(F.col("cos"), (-F.col("hist_id")).alias("nh"))
+            ).alias("_m"),
+            F.count(F.lit(1)).alias("_n"),
+        )
         .select(
             "new_id",
-            F.col("hist_id").alias("nearest_hist_id"),
-            F.col("cos").alias("best_cos"),
+            (-F.col("_m.nh")).alias("nearest_hist_id"),
+            F.col("_m.cos").alias("best_cos"),
+            "_n",
         )
     )
-    cnt = hits.groupBy("new_id").agg(F.count(F.lit(1)).alias("_n"))
     return (
         batch.select(F.col("vec_id").alias("new_id"))
         .join(basg.select(F.col("vec_id").alias("new_id"), "pid"), "new_id")
-        .join(cnt, "new_id", "left")
-        .join(top, "new_id", "left")
+        .join(best, "new_id", "left")
         .select(
             "new_id",
             F.col("pid").cast("long").alias("cell"),

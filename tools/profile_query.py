@@ -9,7 +9,7 @@ For each named registry entry, runs the query under the bench protocol
 - the driver-side gap (wall minus the union of job intervals) — plan
   construction + Catalyst analysis + py4j, the part no executor
   profile shows,
-- optionally the formatted plan dumped to plans/r15/<name>_<tag>.txt.
+- optionally the formatted plan dumped to plans/$SPARK_GRAFT_PLAN_DIR (default r16)/<name>_<tag>.txt.
 
 Usage:
   python tools/profile_query.py NAME [NAME...] [--runs=3] [--plan=TAG]
@@ -191,7 +191,7 @@ def main() -> None:
                     "formatted"
                 )
             )
-            out = os.path.join(here, "plans", "r15", f"{name}_{plan_tag}.txt")
+            out = os.path.join(here, "plans", os.environ.get("SPARK_GRAFT_PLAN_DIR", "r16"), f"{name}_{plan_tag}.txt")
             with open(out, "w") as fh:
                 fh.write(p)
             print(f"  plan -> {out}", flush=True)
