@@ -156,6 +156,37 @@ def quantize_vectors(
     )
 
 
+def _tdiv(a: int, b: int) -> int:
+    """Truncate-toward-zero integral division — the exact semantics of
+    Spark ``DIV`` and DuckDB ``//`` on BIGINTs (Python ``//`` floors,
+    which differs on mixed signs; Lloyd update sums CAN go negative on
+    negative embedding coordinates). Pinned against Spark ``DIV`` on
+    negatives in tests/test_plan_quality.py."""
+    q = abs(a) // abs(b)
+    return q if (a >= 0) == (b >= 0) else -q
+
+
+def _cent_argmin_expr(cents: dict[int, list[int]]):
+    """Map-side literal argmin against a driver-held centroid dict —
+    one parsed SQL expression (per-element F.lit() Columns would cost a
+    py4j round trip per literal, the jl_project lesson). The struct
+    comparison (d2, lbl) is lexicographic: min distance, tie to the
+    smaller cluster label — identical to the broadcast ``array_min``
+    the per-round packed-centroid pass used, with the same exact
+    BIGINT zip_with distance."""
+    arms = ", ".join(
+        "named_struct('l', {}L, 'c', array({}))".format(
+            lbl, ", ".join(f"{int(x)}L" for x in cv)
+        )
+        for lbl, cv in sorted(cents.items())
+    )
+    return F.expr(
+        "array_min(transform(array(" + arms + "), s -> struct("
+        "aggregate(zip_with(v, s.c, (a, b) -> (a - b) * (a - b)), 0L,"
+        " (acc, x) -> acc + x) AS d2, s.l AS lbl)))"
+    )
+
+
 def lloyd_fixed_point(
     e: DataFrame,
     k: int = 4,
@@ -181,76 +212,81 @@ def lloyd_fixed_point(
     (documented semantics, mirrored by the oracle). Ties in the argmin
     break on the smaller cluster label via lexicographic struct min.
 
-    Scale shape per iteration — identical to the float path: ONE
-    broadcast of K x D cells for map-side argmin assignment (no N x K
-    row explosion), ONE K x D-cell shuffle for the centroid update.
+    Scale shape per iteration (round-16, driver-coordinated — the
+    guide-§8 small-rows-decide split the PQ Lloyd and perceptron
+    trainers received in round 15): the K x D centroid state is
+    bounded BY CONSTRUCTION (k clusters × the embedding dim) and lives
+    on the DRIVER between rounds; each round is ONE map-only corpus
+    pass — literal-centroid argmin (a single parsed SQL expression, no
+    broadcast build, no N x K row explosion) feeding a
+    partial-aggregated (cluster, dim) sum/count — ending in ONE
+    bounded K x D-row collect. The per-round eager checkpoint of the
+    FULL corpus assignment (a corpus-sized materialization per round
+    at any scale) is gone; the centroid update division is replicated
+    exactly on the driver (``_tdiv`` ≡ Spark ``DIV`` ≡ DuckDB ``//``,
+    truncate-toward-zero, pinned on negatives). Empty clusters drop
+    out of the driver dict exactly as they dropped out of the old
+    update aggregate.
     Overflow: |coord| <= m*scale ⇒ d2 <= D*(2*m*scale)²; at the
     defaults (D=64, m<1, scale=1e4) that is ~2.6e10 — far inside
     BIGINT; centroid sums are N*m*scale. Returns (assigned, centroids)
-    with ``centroid`` as array<long>."""
+    with ``centroid`` as array<long>; ``assigned`` is the map-only
+    argmin against the centroids that FED the final update, exactly as
+    before."""
     if k < 1 or iters < 1:
         raise ValueError(f"k and iters must be >= 1, got k={k} iters={iters}")
     q = e.select(
         F.col(id_col).alias("vec_id"),
         quantize_vectors(e, vec_col, scale).alias("v"),
-    ).localCheckpoint(eager=True)  # feeds every round's assign + update
-    cent = q.filter(F.col("vec_id") < k).select(
-        F.col("vec_id").alias("cluster"), F.col("v").alias("centroid")
-    )
+    ).localCheckpoint(eager=True)  # feeds every round's fused pass
     # The id<k seed rule assumes ids dense from 0; on a sparse id space it
-    # silently under-seeds (round-7 advisory). The seed frame is <= k rows,
-    # so this count is a bounded action, and failing loudly beats running
-    # Lloyd with fewer clusters than asked for.
-    n_seed = cent.count()
-    if n_seed != k:
+    # silently under-seeds (round-7 advisory). The seed frame is <= k rows
+    # BY CONSTRUCTION, so this collect is bounded, and it carries the
+    # initial centroids in the same job the old code spent on count().
+    seed_rows = q.filter(F.col("vec_id") < k).collect()
+    if len(seed_rows) != k:
         raise ValueError(
-            f"lloyd_fixed_point: seed rule id < k={k} found {n_seed} rows —"
+            f"lloyd_fixed_point: seed rule id < k={k} found"
+            f" {len(seed_rows)} rows —"
             f" ids must be dense from 0 (pass a reindexed frame)"
         )
+    cents: dict[int, list[int]] = {
+        int(r["vec_id"]): [int(x) for x in r["v"]] for r in seed_rows
+    }
 
-    def _int_sqdist(vec: Column, c: Column) -> Column:
-        return F.aggregate(
-            F.zip_with(vec, c, lambda a, b: (a - b) * (a - b)),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
-        )
-
-    assigned = None
+    prev = cents
     for _ in range(iters):
-        cent = cent.localCheckpoint(eager=True)
-        packed = cent.agg(_pack_centroids(cent))
-        best = F.array_min(
-            F.transform(
-                F.col("cents"),
-                lambda c: F.struct(
-                    _int_sqdist(F.col("v"), c["centroid"]).alias("d2"),
-                    c["c_label"].alias("lbl"),
-                ),
-            )
-        )
-        assigned = (
-            q.crossJoin(F.broadcast(packed))
-            .withColumn("_best", best)
+        prev = cents
+        # ONE fused job: map-side literal argmin + partial-aggregated
+        # (cluster, dim) update cells; the collect is <= k*D rows.
+        upd = (
+            q.withColumn("_b", _cent_argmin_expr(prev))
             .select(
-                "vec_id",
-                "v",
-                F.col("_best.lbl").alias("cluster"),
-                F.col("_best.d2").alias("d2"),
+                F.col("_b.lbl").alias("cluster"),
+                F.posexplode("v").alias("pos", "val"),
             )
-            .localCheckpoint(eager=True)
+            .groupBy("cluster", "pos")
+            .agg(F.sum("val").alias("s"), F.count("val").alias("n"))
+            .collect()
         )
-        ex = assigned.select("cluster", F.posexplode("v").alias("pos", "val"))
-        cent = (
-            ex.groupBy("cluster", "pos")
-            .agg(F.expr("sum(val) DIV count(val)").alias("cv"))
-            .groupBy("cluster")
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "cv"))),
-                    lambda s: s["cv"],
-                ).alias("centroid")
+        by_cl: dict[int, dict[int, int]] = {}
+        for r in upd:
+            by_cl.setdefault(int(r["cluster"]), {})[int(r["pos"])] = _tdiv(
+                int(r["s"]), int(r["n"])
             )
-        )
+        cents = {
+            cl: [dims[p] for p in sorted(dims)] for cl, dims in by_cl.items()
+        }
+    assigned = q.withColumn("_b", _cent_argmin_expr(prev)).select(
+        "vec_id",
+        "v",
+        F.col("_b.lbl").alias("cluster"),
+        F.col("_b.d2").alias("d2"),
+    )
+    cent = e.sparkSession.createDataFrame(
+        [(cl, cv) for cl, cv in sorted(cents.items())],
+        "cluster long, centroid array<bigint>",
+    )
     return assigned, cent
 
 

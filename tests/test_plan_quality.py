@@ -1282,6 +1282,30 @@ def test_warm_multi_fold_lifecycle(spark, sf_dir, tmp_path):
         assert all(abs(r["jaccard"] - 1.0) < 1e-12 for r in out)
 
 
+def _count_scheduled_jobs(spark, fn) -> int:
+    """Scheduled-job count for one invocation of ``fn`` under a
+    DEDICATED job group (round-15 advisory: counting
+    getJobIdsForGroup(None) assumes nothing else runs concurrently and
+    misses jobs the moment any caller sets a group — e.g. the
+    parallelized oracle gate's thread pool). Query construction AND
+    evaluation run inside the group (eager-checkpoint jobs schedule at
+    construction; broadcast-exchange futures capture the submitting
+    thread's local properties, so they land in the group too). Asserts
+    n_jobs > 0 so a silently-empty group can never pass as "under
+    budget"."""
+    sc = spark.sparkContext
+    group = f"job-budget-{id(fn)}"
+    sc.setJobGroup(group, "job-budget pin")
+    try:
+        fn()
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+        sc.setLocalProperty("spark.job.description", None)
+    n_jobs = len(sc.statusTracker().getJobIdsForGroup(group) or [])
+    assert n_jobs > 0, "job group captured no jobs — the pin is blind"
+    return n_jobs
+
+
 def test_warm_increment_job_budget(spark, sf_dir, queries):
     """The coordination-bound regression guard (round-13 verdict
     item 2): one warm-increment run scheduled 50 Spark jobs before the
@@ -1297,13 +1321,9 @@ def test_warm_increment_job_budget(spark, sf_dir, queries):
     jobs, not tasks.)"""
     q = queries["corpus_recipe_increment_warm"]
     q(spark, sf_dir).collect()  # state build + warm-up run
-    tracker = spark.sparkContext.statusTracker()
-    before = set(tracker.getJobIdsForGroup(None) or [])
-    q(spark, sf_dir).collect()
-    after = set(
-        spark.sparkContext.statusTracker().getJobIdsForGroup(None) or []
+    n_jobs = _count_scheduled_jobs(
+        spark, lambda: q(spark, sf_dir).collect()
     )
-    n_jobs = len(after - before)
     assert n_jobs <= 46, (
         f"warm increment scheduled {n_jobs} jobs (round-15 record: 42; "
         "ceiling 46) — a checkpoint or probe DAG was probably duplicated"
@@ -1380,13 +1400,9 @@ def test_pq_train_trace_job_budget(spark, sf_dir, queries):
     here with a number."""
     q = queries["pq_train_codebook"]
     q(spark, sf_dir).collect()  # warm-up
-    tracker = spark.sparkContext.statusTracker()
-    before = set(tracker.getJobIdsForGroup(None) or [])
-    q(spark, sf_dir).collect()
-    after = set(
-        spark.sparkContext.statusTracker().getJobIdsForGroup(None) or []
+    n_jobs = _count_scheduled_jobs(
+        spark, lambda: q(spark, sf_dir).collect()
     )
-    n_jobs = len(after - before)
     assert n_jobs <= 14, (
         f"pq_train_codebook scheduled {n_jobs} jobs (round-15 record: "
         "11; ceiling 14) — a per-round checkpoint/broadcast/shuffle "
@@ -1403,18 +1419,74 @@ def test_perceptron_job_budget(spark, sf_dir, queries):
     reintroduced per-epoch shuffle or checkpoint fails loudly here."""
     q = queries["classifier_train_perceptron"]
     q(spark, sf_dir).collect()  # warm-up
-    tracker = spark.sparkContext.statusTracker()
-    before = set(tracker.getJobIdsForGroup(None) or [])
-    q(spark, sf_dir).collect()
-    after = set(
-        spark.sparkContext.statusTracker().getJobIdsForGroup(None) or []
+    n_jobs = _count_scheduled_jobs(
+        spark, lambda: q(spark, sf_dir).collect()
     )
-    n_jobs = len(after - before)
     assert n_jobs <= 25, (
         f"classifier_train_perceptron scheduled {n_jobs} jobs (round-15 "
         "record: 20; ceiling 25) — a per-epoch shuffle/checkpoint/"
         "broadcast probably returned"
     )
+
+
+def test_lloyd_fixed_point_job_budget_and_map_only_rounds(
+    spark, sf_dir, queries
+):
+    """The round-16 driver-coordinated Lloyd contract (the guide-§8
+    split the PQ trainer and perceptron received in round 15, applied
+    to kmeans_k_fixed): (1) one run schedules a bounded job count —
+    26 before (per-round centroid checkpoint + full-corpus assignment
+    checkpoint + broadcast build), 13 after (one corpus quantize
+    checkpoint, one ≤k-row seed collect, one fused map-only
+    argmin+update collect per round) — pin a ceiling so a reintroduced
+    per-round checkpoint fails loudly with a number; (2) the returned
+    assignment frame is MAP-ONLY over the quantize checkpoint: no
+    join, no window, no exchange (the literal-argmin contract)."""
+    from opendata_gov_lt_mysql_import_spark.operators.clustering import (
+        lloyd_fixed_point,
+    )
+    from opendata_gov_lt_mysql_import_spark.queries_ml import load_table
+
+    q = queries["kmeans_k_fixed"]
+    q(spark, sf_dir).collect()  # warm-up
+    n_jobs = _count_scheduled_jobs(
+        spark, lambda: q(spark, sf_dir).collect()
+    )
+    assert n_jobs <= 16, (
+        f"kmeans_k_fixed scheduled {n_jobs} jobs (round-16 record: 13; "
+        "ceiling 16) — a per-round checkpoint/broadcast probably "
+        "returned"
+    )
+    e = load_table(spark, sf_dir, "embeddings")
+    assigned, cent = lloyd_fixed_point(
+        e, k=4, iters=2, vec_col="embedding", id_col="vec_id"
+    )
+    assigned.collect()
+    plan = final_plan(assigned).split("== Initial Plan ==")[0]
+    for node in ("Join", "Window", "Exchange", "CartesianProduct"):
+        assert node not in plan, (node, plan)
+    assert "Scan ExistingRDD" in plan, plan  # over the quantize ckpt
+
+
+def test_clustering_tdiv_matches_spark_div_on_negatives(spark):
+    """clustering._tdiv (the driver-side centroid update division of
+    the round-16 Lloyd rewrite) must reproduce Spark `DIV` exactly —
+    truncation toward zero, NOT Python floor — or a negative-sum
+    centroid coordinate silently shifts by one fixed-point unit."""
+    from opendata_gov_lt_mysql_import_spark.operators.clustering import (
+        _tdiv,
+    )
+
+    cases = [(7, 2), (-7, 2), (7, -2), (-7, -2), (-1, 3), (1, 3),
+             (-99999, 16), (99999, 16), (0, 5)]
+    rows = spark.sql(
+        "SELECT " + ", ".join(
+            f"CAST({a} AS BIGINT) DIV CAST({b} AS BIGINT) AS r{i}"
+            for i, (a, b) in enumerate(cases)
+        )
+    ).collect()[0]
+    for i, (a, b) in enumerate(cases):
+        assert _tdiv(a, b) == rows[f"r{i}"], (a, b)
 
 
 def test_tdiv_matches_spark_div_on_negatives(spark):
