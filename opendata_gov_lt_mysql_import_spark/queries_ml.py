@@ -8862,14 +8862,27 @@ def _pq_cb_argmin_sql(cb: dict[int, list[tuple[int, list[int]]]]) -> str:
     row with an exact BIGINT squared distance and the (d2, cid)
     lexicographic struct-min — bit-identical to the row_number window
     ordered (d2 ASC, cid ASC) it replaces, with NO join and NO shuffle.
-    One SQL string = one parse, instead of ~500 py4j literal calls."""
+    One SQL string = one parse, instead of ~500 py4j literal calls.
+
+    Requires every subspace 0..3 to be present and non-empty: a bare
+    ``array()`` literal for a missing subspace types as array<string>
+    and the outer coercion raises AnalysisException instead of
+    degrading — unreachable with the shipped fixtures (every m always
+    has assignments), so assert loudly rather than emit a mistyped
+    literal (round-15 advisory)."""
+    missing = [m for m in range(4) if not cb.get(m)]
+    if missing:
+        raise ValueError(
+            f"_pq_cb_argmin_sql: empty codebook subspace(s) {missing} — "
+            "every m in 0..3 must hold at least one (cid, cv) entry"
+        )
     per_m = []
     for m in range(4):
         entries = ", ".join(
             "named_struct('cid', {}L, 'cv', array({}))".format(
                 cid, ", ".join(f"{v}L" for v in cv)
             )
-            for cid, cv in cb.get(m, [])
+            for cid, cv in cb[m]
         )
         per_m.append(f"array({entries})")
     return (
@@ -10562,7 +10575,13 @@ def _pq_encode_with(sub: DataFrame, cb: DataFrame) -> DataFrame:
     unique per group so the ride-along suffix never breaks a tie, and
     every ride-along is constant within its (vec_id, m) group), but
     the map side reduces the 8 candidates per subvector to ONE row
-    before the exchange (guide §2.3)."""
+    before the exchange (guide §2.3). CONTRACT tightened by that
+    rewrite (round-15 advisory): ride-along columns must be of
+    ORDERABLE types — they sit inside the comparison struct, so a
+    map-typed or otherwise non-comparable column that rode through the
+    old window fails analysis here. Current callers pass ids (pid,
+    cell ids) only; ship a non-orderable ride-along by joining it back
+    on (vec_id, m) after the assignment instead."""
     keep = [c for c in sub.columns if c != "sv"]
     others = [c for c in keep if c not in ("vec_id", "m")]
     return (

@@ -5,11 +5,12 @@ session.py. Spark sessions cannot change these confs live, so each
 invocation is one side of the A/B; interleave invocations externally.
 
 Usage:
-  python tools/conf_ab.py --conf k=v [--conf k=v ...] [--runs=N] q1 q2 ...
+  python tools/conf_ab.py --conf k=v [--conf k=v ...] [--runs N] q1 q2 ...
 """
 
 from __future__ import annotations
 
+import argparse
 import os
 import sys
 import time
@@ -18,25 +19,30 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> int:
-    names = [a for a in sys.argv[1:] if not a.startswith("--")]
-    runs_n = 3
+    # argparse instead of the two hand-rolled --conf scans (round-15
+    # advisory: `--conf=k` without a value and a two-token pair missing
+    # '=' both crashed with bare unpacking tracebacks)
+    ap = argparse.ArgumentParser(
+        description=__doc__, formatter_class=argparse.RawDescriptionHelpFormatter
+    )
+    ap.add_argument(
+        "--conf", action="append", default=[], metavar="K=V",
+        help="extra Spark conf for this session (repeatable)",
+    )
+    ap.add_argument("--runs", type=int, default=3)
+    ap.add_argument("queries", nargs="+", metavar="QUERY")
+    args = ap.parse_args()
     conf: dict[str, str] = {}
-    for a in sys.argv[1:]:
-        if a.startswith("--runs="):
-            runs_n = int(a.split("=", 1)[1])
-        elif a.startswith("--conf="):
-            k, v = a.split("=", 2)[1:]
-            conf[k] = v
-        elif a.startswith("--conf"):
-            pass
-    # also accept --conf k=v as two tokens
-    argv = sys.argv[1:]
-    for i, a in enumerate(argv):
-        if a == "--conf" and i + 1 < len(argv):
-            k, v = argv[i + 1].split("=", 1)
-            conf[k] = v
-            if argv[i + 1] in names:
-                names.remove(argv[i + 1])
+    for entry in args.conf:
+        if "=" not in entry:
+            ap.error(f"--conf expects K=V, got {entry!r}")
+        k, v = entry.split("=", 1)
+        if not k or not v:
+            ap.error(f"--conf expects non-empty K=V, got {entry!r}")
+        conf[k] = v
+    runs_n = args.runs
+    names = args.queries
+
     from bench import force_eval_chk
     from opendata_gov_lt_mysql_import_spark.session import get_spark
     from opendata_gov_lt_mysql_import_spark.queries import all_queries
@@ -45,10 +51,14 @@ def main() -> int:
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark(app_name="conf-ab", extra_conf=conf)
-    for k, v in conf.items():
+    for k in conf:
         got = spark.conf.get(k, None)
         print(f"# conf {k} = {got}", flush=True)
     queries = all_queries()
+    unknown = [n for n in names if n not in queries]
+    if unknown:
+        print(f"unknown queries: {unknown}")
+        return 2
     queries["q1_pricing_summary"](spark, sf_dir).count()
     total = 0.0
     for name in names:
