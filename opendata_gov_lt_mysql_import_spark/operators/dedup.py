@@ -431,6 +431,7 @@ def jaccard_verify_pairs(
     id_col: str,
     n: int = 3,
     min_jaccard: float = 0.2,
+    pairs_materialized: bool = False,
 ) -> DataFrame:
     """Exact word-n-gram Jaccard evaluated ONLY on a supplied candidate
     pair set (columns ``id_a``, ``id_b``) — the verifier stage downstream
@@ -447,6 +448,17 @@ def jaccard_verify_pairs(
     Pairs sharing zero grams have Jaccard 0 and drop out of the
     intersection join — correct for any ``min_jaccard > 0``.
 
+    ``pairs_materialized=True`` attests the caller already holds a
+    DISTINCT, MATERIALIZED (checkpointed / persisted-table) (id_a,
+    id_b) frame — the internal dedup + eager checkpoint is then a
+    redundant shuffle + materialization job of the same rows
+    back-to-back with the caller's (round-16: the estimator
+    calibration checkpointed its candidate set for its own second
+    consumer and then paid this one again). Only set it when both
+    halves hold: the three consumers below re-read the frame, so a
+    LAZY or duplicate-carrying input would recompute its whole
+    lineage three times or inflate intersection counts.
+
     Returns (id_a, id_b, jaccard) for pairs with jaccard >= min_jaccard.
     """
     # the pair set feeds three consumers (both union arms of cand_ids and
@@ -455,11 +467,14 @@ def jaccard_verify_pairs(
     # race to compute the (expensive) upstream LSH generator before any
     # populates the cache. Eager localCheckpoint materializes the pair set
     # once, distributed, and truncates the lineage the consumers see.
-    pairs = (
-        pairs.select("id_a", "id_b")
-        .dropDuplicates(["id_a", "id_b"])
-        .localCheckpoint(eager=True)
-    )
+    if not pairs_materialized:
+        pairs = (
+            pairs.select("id_a", "id_b")
+            .dropDuplicates(["id_a", "id_b"])
+            .localCheckpoint(eager=True)
+        )
+    else:
+        pairs = pairs.select("id_a", "id_b")
     # no .distinct(): the left-semi probe below dedups by construction,
     # so a distinct here would only add an aggregate stage
     cand_ids = pairs.select(F.col("id_a").alias("id")).unionByName(

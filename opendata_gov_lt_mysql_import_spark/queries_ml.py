@@ -6410,8 +6410,13 @@ def minhash_estimate_calibration_q(spark: SparkSession, sf: str) -> DataFrame:
     cands = minhash_md5_pairs(
         d, "text", "doc_id", n_gram=3, k=16, bands=8
     ).localCheckpoint(eager=True)  # feeds the verify AND the left join
+    # pairs_materialized (round-16): cands is already a DISTINCT,
+    # checkpointed pair set — the verifier's internal dedup +
+    # checkpoint would re-shuffle and re-materialize the same rows
+    # back-to-back (one redundant barrier job per run).
     ver = jaccard_verify_pairs(
-        d, cands, text_col="text", id_col="doc_id", n=3, min_jaccard=0.0
+        d, cands, text_col="text", id_col="doc_id", n=3, min_jaccard=0.0,
+        pairs_materialized=True,
     )
     m = cands.join(ver, ["id_a", "id_b"], "left").select(
         F.expr("(n_match * 1000) div 16").cast("long").alias("est_milli"),
@@ -9581,10 +9586,15 @@ def _recipe_label_batch(batch: DataFrame, state: dict) -> DataFrame:
             ),
             "doc_id",
         )
+        # pairs_materialized (round-16): on this cold path pairs_all is
+        # already the DISTINCT, checkpointed pair set (the gidx-is-None
+        # branch above) — skip the verifier's redundant re-dedup +
+        # re-checkpoint of the same rows (one barrier job per labeling).
         conf = jaccard_verify_pairs(
             scrub_b.unionByName(cand_h_texts),
             pairs_all,
             text_col="text", id_col="doc_id", n=2, min_jaccard=0.5,
+            pairs_materialized=True,
         )
     nd = (
         conf.select(F.col("id_b").alias("doc_id"))

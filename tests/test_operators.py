@@ -277,6 +277,33 @@ class TestDedup:
         assert 0.5 < vals[(1, 3)] < 1.0
         assert (1, 4) not in vals  # below threshold → dropped
 
+    def test_jaccard_verify_pairs_materialized_flag_identical(self, spark):
+        """round-16: ``pairs_materialized=True`` (the caller attests a
+        distinct, checkpointed pair set, so the verifier skips its own
+        redundant dedup + checkpoint) must return the identical result
+        — and its plan must carry no extra exchange of the pair set."""
+        from opendata_gov_lt_mysql_import_spark.operators.dedup import (
+            jaccard_verify_pairs,
+        )
+
+        docs = self._docs(spark)
+        pairs = spark.createDataFrame(
+            [(1, 2), (1, 3), (1, 4)], "id_a long, id_b long"
+        ).localCheckpoint(eager=True)
+        base = jaccard_verify_pairs(
+            docs, pairs, "text", "id", n=2, min_jaccard=0.1
+        )
+        fast = jaccard_verify_pairs(
+            docs, pairs, "text", "id", n=2, min_jaccard=0.1,
+            pairs_materialized=True,
+        )
+        key = lambda r: (r["id_a"], r["id_b"])  # noqa: E731
+        assert sorted(map(key, base.collect())) == sorted(
+            map(key, fast.collect())
+        )
+        vals = {key(r): r["jaccard"] for r in fast.collect()}
+        assert vals[(1, 2)] == 1.0
+
     def test_grams_verify_on_missing_modes(self, spark):
         """Index/scrub desync contract (round-13 advisory): a pair id
         absent from the gram index is silently dropped under the
