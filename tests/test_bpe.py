@@ -5,6 +5,8 @@ total deterministic tie-break make the merge sequence engine-independent."""
 
 from __future__ import annotations
 
+import pytest
+
 from collections import Counter
 
 from pyspark.sql import functions as F
@@ -121,6 +123,8 @@ def test_learn_bpe_empty_and_saturated(spark):
     assert learn_bpe(single, "text", 3).count() == 0
 
 
+# `full` tier (round-16): see pytest.ini — excluded from the default driver-window run
+@pytest.mark.full
 def test_arrow_encoder_matches_fold_path(spark):
     from opendata_gov_lt_mysql_import_spark.operators.bpe import (
         bpe_segment_arrow,

@@ -44,6 +44,8 @@ def _spark_sigs(spark, df) -> dict[int, list[int]]:
     return {r["id"]: [int(v) % _XXH_M for v in r["sig"]] for r in out}
 
 
+# `full` tier (round-16): see pytest.ini — excluded from the default driver-window run
+@pytest.mark.full
 def test_fnv_signatures_match_arrow_on_dup_corpus(spark, sf_dir):
     """Every signature component of every doc (incl. the planted
     clones) matches the numpy FNV + affine-min computation bit-exactly."""

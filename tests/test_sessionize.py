@@ -35,6 +35,8 @@ class TestSessionize:
             assert r["session_end"] > r["session_start"]
             assert r["n_events"] >= 1
 
+    # `full` tier (round-16): see pytest.ini — excluded from the default driver-window run
+    @pytest.mark.full
     def test_stream_matches_batch(self, spark, sf_dir, events_stage_dir):
         batch = sessionize(load_table(spark, sf_dir, "events"), gap="4 hours")
         stream = sessionize(read_event_stream(spark, events_stage_dir), gap="4 hours")

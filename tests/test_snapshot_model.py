@@ -38,6 +38,8 @@ def _table_state(spark, t, version=None):
 
 
 @pytest.mark.parametrize("seed", [7, 23, 91])
+# `full` tier (round-16): see pytest.ini — excluded from the default driver-window run
+@pytest.mark.full
 def test_random_op_sequences_match_model(spark, tmp_path, seed):
     rng = random.Random(seed)
     t = str(tmp_path / f"tbl{seed}")

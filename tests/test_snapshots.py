@@ -279,6 +279,8 @@ class TestSnapshots:
         assert not os.path.exists(orphan)
         assert read_snapshot(spark, t).count() == 10
 
+    # `full` tier (round-16): see pytest.ini — excluded from the default driver-window run
+    @pytest.mark.full
     def test_manifest_scales_to_10k_files(self, spark, tmp_path):
         """Manifest ceiling probe: a version listing 10k data files must
         resolve fast and read correctly. One manifest is a flat JSON
@@ -851,6 +853,8 @@ class TestSnapshotStreaming:
     """readStream over snapshot tables: version offsets, incremental
     file-diff micro-batches, append-only lineage enforcement."""
 
+    # `full` tier (round-16): see pytest.ini — excluded from the default driver-window run
+    @pytest.mark.full
     def test_stream_backfills_then_reads_only_deltas(self, spark, tmp_path):
         from opendata_gov_lt_mysql_import_spark.sources.snapshot_datasource import (
             SnapshotDataSource,
@@ -885,6 +889,8 @@ class TestSnapshotStreaming:
         assert got.count() == 190  # 150 backfill + 40 delta, no re-reads
         assert got.select("id").distinct().count() == 190
 
+    # `full` tier (round-16): see pytest.ini — excluded from the default driver-window run
+    @pytest.mark.full
     def test_stream_writer_snapshot_to_snapshot(self, spark, tmp_path):
         """Full native pipeline: readStream from one snapshot table,
         writeStream into another — one atomic append version per

@@ -7,6 +7,8 @@ per batch gives every batch one atomic, consistent dim version."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from opendata_gov_lt_mysql_import_spark.sources.snapshots import (
@@ -17,6 +19,8 @@ from opendata_gov_lt_mysql_import_spark.sources.snapshots import (
 
 
 class TestStreamDimEnrichment:
+    # `full` tier (round-16): see pytest.ini — excluded from the default driver-window run
+    @pytest.mark.full
     def test_batches_see_dim_versions_atomically(self, spark, tmp_path):
         dim_dir = str(tmp_path / "dim")
         commit_snapshot(

@@ -10,6 +10,8 @@ with simulated replays."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from opendata_gov_lt_mysql_import_spark.plans.matview import (
@@ -25,6 +27,8 @@ from opendata_gov_lt_mysql_import_spark.sources.snapshots import (
 
 
 class TestStreamingMatviewPipeline:
+    # `full` tier (round-16): see pytest.ini — excluded from the default driver-window run
+    @pytest.mark.full
     def test_stream_to_snapshot_to_view(self, spark, tmp_path):
         src_stage = tmp_path / "stage"
         src_stage.mkdir()

@@ -11,6 +11,8 @@ batch-vs-initial-history."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from opendata_gov_lt_mysql_import_spark.operators.dedup import (
@@ -31,6 +33,8 @@ def _docs(spark, rows):
 
 
 class TestStreamingNearDupIngest:
+    # `full` tier (round-16): see pytest.ini — excluded from the default driver-window run
+    @pytest.mark.full
     def test_stream_gated_ingest(self, spark, tmp_path):
         corpus_dir = str(tmp_path / "corpus")
         index_dir = str(tmp_path / "lsh_index")
@@ -114,6 +118,8 @@ class TestStreamingNearDupIngest:
 
 
 class TestStreamingSubstringGate:
+    # `full` tier (round-16): see pytest.ini — excluded from the default driver-window run
+    @pytest.mark.full
     def test_stream_gated_on_verbatim_overlap(self, spark, tmp_path):
         """The exact-substring twin of the LSH gate: each micro-batch's
         window fingerprints LEFT-SEMI probe the persisted span index;

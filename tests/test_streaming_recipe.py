@@ -10,6 +10,8 @@ applied to the stream)."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from opendata_gov_lt_mysql_import_spark.operators.dedup import _spread
@@ -71,6 +73,8 @@ def _second_batch(spark):
 
 
 class TestStreamingRecipeIngest:
+    # `full` tier (round-16): see pytest.ini — excluded from the default driver-window run
+    @pytest.mark.full
     def test_streamed_batches_reconcile_with_oneshot(self, spark, tmp_path):
         from opendata_gov_lt_mysql_import_spark.functions.urls import (
             canonical_url,
@@ -199,6 +203,8 @@ class TestStreamingRecipeIngest:
         assert not mismatch.limit(5).collect()
         assert inc.count() == comb.count()
 
+    # `full` tier (round-16): see pytest.ini — excluded from the default driver-window run
+    @pytest.mark.full
     def test_streamed_batches_reconcile_with_warm_indexes(
         self, spark, tmp_path, monkeypatch
     ):
